@@ -1,0 +1,71 @@
+"""File-based sources: parquet/json/csv, batch and streaming twins.
+
+The reference only reads Kafka (SURVEY.md §2.1); our engine treats every
+source as a (batch, streaming) twin on the same code path so the DuckDB
+oracle can validate batch semantics while streaming fidelity is checked
+by replay (SURVEY.md §5, §7.1). Parquet is the default columnar format:
+column pruning and predicate pushdown reach the scan for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch-read one synthetic table. Plain `spark.read.parquet` so
+    pushdown/pruning stay available to Catalyst.
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no type for — with `spark.sql.legacy.parquet.nanosAsLong` it scans
+    as bigint and we normalize to a microsecond timestamp here (DuckDB
+    reads the same file natively at ns and truncates to µs in Python,
+    so oracle values agree)."""
+    if name == "events":
+        # must also hold on driver-provided sessions, not just get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (mirrors the
+    reference's view-based SQL idiom, SURVEY.md §2.7)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of ``load_table``: a file-source streaming
+    DataFrame over the same parquet (schema taken from a batch probe).
+    Drive to completion with Trigger.AvailableNow for deterministic
+    tests (SURVEY.md §2.8-T3)."""
+    schema = load_table(spark, sf_dir, name).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(os.path.join(sf_dir, f"{name}.parquet"))
+    )

@@ -1,0 +1,46 @@
+"""The primary correctness gate, run locally: every registered query
+with an oracle must value-match DuckDB at sf0.001 (fast) — mirroring
+the driver's sf0.01 check.
+"""
+
+import pytest
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+    REGISTRY,
+)
+
+from conftest import SF_SMOKE, assert_matches_oracle
+
+ORACLED = sorted(name for name, (_, sql) in REGISTRY.items() if sql is not None)
+ROWS_ONLY = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    assert_matches_oracle(df, duck, sql, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"email", "birthYear", "customer", "score"}
+
+
+def test_contract_alignment():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
