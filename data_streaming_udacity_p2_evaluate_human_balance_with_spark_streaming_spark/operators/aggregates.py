@@ -1,0 +1,97 @@
+"""Aggregation / window operators.
+
+The reference has ZERO aggregations (SURVEY.md §2.5) but declares two
+empty stubs whose filenames promise them:
+`/root/reference/project/starter/sparkpyoptionalriskcalculation.py:1-4`
+and `sparkpyoptionalriskquality.py:1-4`. These operators fill those
+stubs: grouped risk statistics per customer and event-time-windowed
+risk quality, usable in both batch and streaming (the streaming twin
+adds a watermark so state can evict).
+
+Numeric policy for oracle-comparable outputs: sums/avgs go through
+exact DECIMAL arithmetic and are surfaced as DOUBLE
+(`CAST(SUM(DECIMAL) AS DOUBLE)`), so cross-engine results are
+bit-identical instead of summation-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: exact intermediate for money/score sums
+_DEC = "decimal(18,2)"
+
+#: Final decimal type before surfacing as double. Scale 6 is exact for
+#: our ≤6dp products, and keeps the unscaled value < 2^53 (sums up to
+#: ~9e9), so DECIMAL→DOUBLE is a single correctly-rounded conversion on
+#: BOTH engines. At higher scales (e.g. the natural (38,10) of a decimal
+#: product chain) DuckDB's int128/10^scale path can differ from Spark's
+#: BigDecimal path by 1 ulp — observed on tpch_q1 sum_charge at sf0.01.
+_OUT = "decimal(38,6)"
+
+
+def exact_sum(col: str, alias: str):
+    return F.sum(F.col(col).cast(_DEC)).cast(_OUT).cast("double").alias(alias)
+
+
+def exact_avg(col: str, alias: str):
+    """Deterministic avg: exact decimal sum → double, / count."""
+    return (
+        F.sum(F.col(col).cast(_DEC)).cast(_OUT).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def risk_calculation(events: DataFrame, user_col: str = "user_id", score_col: str = "value") -> DataFrame:
+    """Per-customer risk statistics (fills
+    sparkpyoptionalriskcalculation.py). Partial aggregation happens
+    map-side; the shuffle carries one row per (partition, user)."""
+    return events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(score_col, "total_score"),
+        exact_avg(score_col, "avg_score"),
+        F.min(score_col).alias("min_score"),
+        F.max(score_col).alias("max_score"),
+    )
+
+
+def risk_quality_windowed(
+    events: DataFrame,
+    ts_col: str = "ts",
+    score_col: str = "value",
+    window: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window risk quality (fills
+    sparkpyoptionalriskquality.py). Batch twin: no watermark; streaming:
+    pass e.g. watermark="30 minutes" so window state closes."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(ts_col, window)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(score_col, "total_score"),
+            exact_avg(score_col, "avg_score"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_score", "avg_score")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str
+) -> DataFrame:
+    """Top-K per group via ranking window — single shuffle on the group
+    key; deterministic via the tiebreak column."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumnRenamed("rnk", "rank")
+    )

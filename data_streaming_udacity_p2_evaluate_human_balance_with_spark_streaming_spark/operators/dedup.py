@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Everything is built from JVM-side primitives (xxhash64, transform,
+aggregate, explode, groupBy) — no Python in the hot path. The LSH
+family follows the standard shingle → minhash → band → bucket-join
+construction (Broder; MMDS ch.3): candidate generation is a single
+groupBy on (band_id, band_hash) — i.e. ONE shuffle whose width is the
+number of near-duplicate buckets, never O(n²) pairs. At 100 TB this is
+the only shape that survives: brute-force pairing is quadratic, while
+banding only materializes colliding candidates.
+
+No dedup exists in the reference (SURVEY.md §2.5); north-star
+extension per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for minhash permutations: hashes are reduced to
+# 31 bits BEFORE the a*h+b permutation so every intermediate stays far
+# below 2^63 — ANSI mode (Spark 4 default) makes long overflow an ERROR,
+# so LSH arithmetic must be provably overflow-free.
+MOD = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical payload. One
+    hash-aggregate shuffle on the (hashed) payload."""
+    return docs.groupBy(key).agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+
+
+def shingles(col: str = "text", k: int = 3):
+    """k-word shingles as an array column (empty-safe)."""
+    return F.expr(
+        f"CASE WHEN size(split({col}, ' ')) < {k} THEN array({col}) "
+        f"ELSE transform(sequence(1, size(split({col}, ' ')) - {k - 1}), "
+        f"i -> array_join(slice(split({col}, ' '), i, {k}), ' ')) END"
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32):
+    """MinHash signature: h_j(S) = min over shingles of
+    (a_j * xxhash64(s) + b_j) mod M. The permutation constants are
+    fixed odd multipliers derived from j, so signatures are
+    deterministic across runs/partitions."""
+    mins = [
+        F.expr(
+            f"array_min(transform({shingle_col}, s -> "
+            f"pmod({2 * j + 1} * pmod(xxhash64(s), {MOD}) + {j * 40_503 + 17}, {MOD})))"
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: docs sharing any band
+    of their minhash signature collide. Returns (doc_a, doc_b) with
+    doc_a < doc_b, deduplicated across bands.
+
+    Scale shape: explode to `bands` rows/doc → groupBy band bucket →
+    pairs only within buckets. Skewed mega-buckets (boilerplate spam)
+    are capped by AQE skew splitting; at extreme skew add a bucket-size
+    cap filter before pairing.
+    """
+    rows = num_hashes // bands
+    # build the shingle array once, then the signature over it
+    sig = (
+        docs.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("sh"))
+        .select("_id", minhash_signature("sh", num_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, xxhash64(array_join(slice(sig, b * {rows} + 1, {rows}), ',')) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (the verify
+    step after LSH). Joins the shingle sets back to the pairs — two
+    broadcast-able joins at candidate scale."""
+    sets_df = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sset"),
+    )
+    return (
+        pairs.join(sets_df.withColumnRenamed("_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    threshold. Output (doc_a, doc_b, jaccard)."""
+    cands = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+    return ngram_jaccard(docs, cands, shingle_k=shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(col: str = "text", bits: int = 64):
+    """SimHash: sign-sum of per-token hash bits, packed to a bigint.
+    Pure built-ins: aggregate over the token-hash array with a
+    64-slot accumulator."""
+    return F.expr(
+        f"aggregate("
+        f"  transform(split({col}, ' '), t -> xxhash64(t)),"
+        f"  array_repeat(CAST(0 AS BIGINT), {bits}),"
+        f"  (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"              (a, i) -> a + CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END),"
+        f"  acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
+        f"         (a, i) -> CASE WHEN a > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END),"
+        f"         CAST(0 AS BIGINT), (s, x) -> s + x))"
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: candidates must share ≥1 of `chunks` 16-bit
+    chunks (pigeonhole: any pair within hamming ≤ chunks*? shares one),
+    then exact hamming filter via bit_count(xor). Same
+    bucket-join shape as MinHash LSH — never O(n²)."""
+    width = 64 // chunks
+    sh = docs.select(F.col(id_col).alias("_id"), simhash(text_col).alias("sh"))
+    chunked = sh.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), c -> "
+                f"struct(c AS chunk, shiftright(sh, c * {width}) & {(1 << width) - 1} AS ck))"
+            )
+        ).alias("cc"),
+    ).select("_id", "sh", "cc.chunk", "cc.ck")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+            F.expr("bit_count(l.sh ^ r.sh)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH prefilter +
+    exact cosine verify. See operators.similarity for the primitives."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    emb = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", hyperplane_bucket("v", n_planes=12))
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine_expr("l.v", "r.v").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads +
+typed metadata, with decode / feature-extract / resize / frame-sample
+as Arrow-batched Pandas UDFs over `mapInPandas`.
+
+The image/audio codec libraries are NOT in this container, so the
+actual decode step is STUBBED (deterministic fake features / explicit
+NotImplementedError) — but the Spark-side plumbing is real and tested:
+binary column schema, metadata struct, mapInPandas batch iteration,
+and the partitioning contract (payloads never shuffle unless the
+caller asks; feature extraction is a narrow map over Arrow batches).
+
+At 100 TB: payload columns dominate bytes, so every transform prunes
+them as early as possible (`drop("payload")` right after features are
+derived), and `spark.sql.files.maxPartitionBytes` bounds the per-task
+Arrow batch footprint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, feat array<double>"
+)
+
+
+def as_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a table into the multimodal layout: (id, payload binary,
+    meta struct). The synthetic documents' text stands in for an
+    encoded media blob."""
+    return docs.select(
+        "doc_id",
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.octet_length(F.col(text_col).cast("binary")).alias("n_bytes"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode would use PIL/libvips — not in this container."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this "
+        "environment; use extract_features (deterministic stub) instead"
+    )
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Feature extraction over Arrow batches via mapInPandas — the real
+    codec call would replace the fake feature fn. Narrow operation: no
+    shuffle, payload pruned from the output.
+
+    The worker fn is fully self-contained (nested defs, no references
+    to this module) so cloudpickle ships it BY VALUE — Python workers
+    must not need the engine package importable on their sys.path."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_features(payload, n=4):
+            if payload is None or len(payload) == 0:
+                return [0.0] * n
+            total = len(payload)
+            return [
+                float(total),
+                float(payload[0]),
+                float(payload[-1]),
+                float(sum(payload[:: max(1, total // 64)]) % 997),
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "format": pdf["meta"].map(lambda m: m["format"]),
+                    "feat": pdf["payload"].map(fake_features),
+                }
+            )
+
+    return mm.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(mm: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """'Frame sampling' stub: emit one row per fixed-size chunk of the
+    payload (the video analog: one row per sampled frame). Built-ins
+    only — the chunk indexing happens JVM-side; a real codec would
+    decode the chunk in a follow-up mapInPandas."""
+    n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(every_n_bytes)).cast("int")
+    return (
+        mm.withColumn("frame_id", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select(
+            "doc_id",
+            "frame_id",
+            F.substring(
+                F.col("payload").cast("string"),
+                F.col("frame_id") * every_n_bytes + 1,
+                every_n_bytes,
+            ).alias("frame_payload"),
+        )
+    )

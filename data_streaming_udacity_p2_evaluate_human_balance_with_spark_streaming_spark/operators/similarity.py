@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+- brute-force cosine top-k — the exact baseline, a broadcast
+  nested-loop over the (small) query set: the corpus is scanned ONCE,
+  never shuffled, so it scales linearly with corpus size;
+- random-hyperplane LSH bucketing — the approximate scale path: each
+  vector maps to a bit-bucket, candidate generation is an equi-join on
+  the bucket (one shuffle, no O(n²)).
+
+All vector math is JVM-side (`zip_with` dot product + `aggregate`
+sums); no Python in the hot path. The hyperplanes are pseudo-random but
+fully deterministic: plane p, dimension d gets weight
+(pmod(xxhash64(p*4099+d), 2001) - 1000) / 1000 — reproducible across
+runs with zero driver-side state to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential-order double dot product (deterministic)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def hyperplane_bucket(vec_col: str, n_planes: int = 12) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(v · r_p), packed
+    into a bigint. Deterministic hash-derived planes (no RNG state)."""
+    bits = []
+    for p in range(n_planes):
+        plane_dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, d) -> x * ((pmod(xxhash64({p} * 4099 + d), 2001) - 1000) / 1000.0)), "
+            f"CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        bits.append(
+            f"CASE WHEN {plane_dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE CAST(0 AS BIGINT) END"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query set is broadcast; the corpus never shuffles for the join.
+    Ranking shuffles only (corpus × |queries|) rows that carry
+    (ids, cosine) — the embedding columns are pruned before the
+    exchange. Deterministic tiebreak on neighbor id.
+    """
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr("qv", "v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket (or a bucket within `probe_bits` bit flips — multi-probe)
+    are scored. Multi-probe is expressed as an EXPLODE of the query's
+    probe buckets followed by an equi-join, so candidate generation
+    stays a hash join — never a theta/nested-loop scan of the corpus."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket("v", n_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qbucket", hyperplane_bucket("qv", n_planes))
+    if probe_bits >= 1:
+        probes = "array(qbucket" + "".join(
+            f", CAST(qbucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), {p})"
+            for p in range(n_planes)
+        ) + ")"
+        q = q.withColumn("probe", F.explode(F.expr(probes)))
+    else:
+        q = q.withColumn("probe", F.col("qbucket"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cosine_expr("qv", "v").alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All hot-path expressions are JVM-side built-ins (split / filter /
+aggregate / regexp) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with input partitions. Formulas are chosen
+to be exactly mirrorable in ANSI SQL for the DuckDB oracle: integer
+counts, and double arithmetic only over identical exact inputs.
+
+The reference has no text operators (its only string work is
+base64/split, SURVEY.md §2.6); these extend the engine per the
+north-star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword sets per language for the n-gram/stopword
+#: heuristic language ID. Kept small on purpose: the heuristic must be
+#: cheap at 100 TB (a few array membership tests per doc).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "y"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+MOD = 1_000_000_007
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (documents are single-space joined)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish upper bound: split on word boundaries AND every 4 chars
+    inside long words (a cheap, deterministic proxy for subword
+    tokenizers — ~chars/4 like common BPE vocabularies)."""
+    chars = F.length(F.regexp_replace(F.col(col), " ", ""))
+    words = token_count(col)
+    # each word contributes ceil(len/4) ≥ 1 subwords; approximate with
+    # words + extra 4-char chunks beyond the first in each word.
+    # floor() before the int cast: CAST(double AS BIGINT) truncates in
+    # Spark but rounds in DuckDB — floor is portable.
+    return F.floor(words + (chars - words) / F.lit(4.0)).cast("bigint")
+
+
+def stopword_hits(lang: str, col: str = "text") -> Column:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split({col}, ' '), t -> t IN ({words})))"
+    ).cast("bigint")
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    return stopword_hits("en", col).cast("double") / token_count(col)
+
+
+def punct_ratio(col: str = "text") -> Column:
+    kept = F.length(F.regexp_replace(F.col(col), PUNCT_CLASS, ""))
+    return (F.length(F.col(col)) - kept).cast("double") / F.length(F.col(col))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite quality in [0,1]: rewards stopword density (naturalness)
+    and length, penalizes punctuation soup. Deterministic double math."""
+    length_term = F.least(F.length(F.col(col)).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        stopword_ratio(col) * F.lit(2.0) + length_term - punct_ratio(col)
+    )
+
+
+def lang_id(col: str = "text") -> Column:
+    """Stopword-hit-count language ID with deterministic tiebreak
+    (alphabetical language order wins ties via strict > comparison)."""
+    hits = {lang: stopword_hits(lang, col) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    out = F.lit("unk")
+    # first language (alphabetical) reaching the max wins
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_md5(col: str = "text") -> Column:
+    """Content-hash fingerprint for exact dedup."""
+    return F.md5(F.col(col))
+
+
+def fingerprint_rolling(col: str = "text") -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7 — all
+    intermediates < 2^63 so the arithmetic is portable (no overflow
+    wrap), exactly reproducible in the oracle."""
+    return F.expr(
+        f"aggregate(transform(split({col}, ''), c -> ascii(c)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+def text_profile(docs: DataFrame, col: str = "text") -> DataFrame:
+    """One-pass profile: all metrics in a single projection (one scan,
+    no shuffle)."""
+    return docs.select(
+        "doc_id",
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_subwords"),
+        stopword_ratio(col).alias("stop_ratio"),
+        punct_ratio(col).alias("punct_ratio"),
+        quality_score(col).alias("quality"),
+        lang_id(col).alias("lang_pred"),
+        fingerprint_md5(col).alias("fp_md5"),
+        fingerprint_rolling(col).alias("fp_roll"),
+    )

@@ -271,6 +271,574 @@ def q_zset_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.with_birth_year(valid).select("email", "birthYear")
 
 
+# --------------------------------------------------------------------------
+# Aggregations / windows / sorts / set ops (SURVEY.md §2.5 — absent in the
+# reference; fills its empty sparkpyoptionalrisk*.py stubs and the OLAP
+# surface any engine user needs).
+# --------------------------------------------------------------------------
+
+
+#: SQL twin of operators.aggregates: exact decimal sum → scale-6 decimal
+#: (unscaled < 2^53) → double; see aggregates._OUT for why.
+def _dsum(expr: str) -> str:
+    return f"CAST(CAST(SUM({expr}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+
+_VAL_DEC = "CAST(value AS DECIMAL(18,2))"
+
+
+@register(
+    "risk_calc_per_customer",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    f"{_dsum(_VAL_DEC)} AS total_score, "
+    f"{_dsum(_VAL_DEC)} / COUNT(*) AS avg_score, "
+    "MIN(value) AS min_score, MAX(value) AS max_score "
+    "FROM events GROUP BY user_id",
+)
+def q_risk_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fills sparkpyoptionalriskcalculation.py (empty stub in the
+    reference): per-customer grouped risk statistics."""
+    from ..operators.aggregates import risk_calculation
+
+    return risk_calculation(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "risk_quality_windowed",
+    "SELECT time_bucket(INTERVAL '15 minutes', ts)::TIMESTAMP AS window_start, "
+    "COUNT(*) AS n_events, "
+    f"{_dsum(_VAL_DEC)} AS total_score, "
+    f"{_dsum(_VAL_DEC)} / COUNT(*) AS avg_score "
+    "FROM events GROUP BY 1",
+)
+def q_risk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fills sparkpyoptionalriskquality.py (empty stub): event-time
+    tumbling-window quality metrics; streaming twin adds a watermark
+    (operators.aggregates.risk_quality_windowed)."""
+    from ..operators.aggregates import risk_quality_windowed
+
+    return risk_quality_windowed(load_table(spark, sf_dir, "events"))
+
+
+_Q1_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_Q1_DISC = "(1 - CAST(l_discount AS DECIMAL(8,4)))"
+_Q1_TAX = "(1 + CAST(l_tax AS DECIMAL(8,4)))"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      {_dsum("CAST(l_quantity AS DECIMAL(18,2))")} AS sum_qty,
+      {_dsum(_Q1_PRICE)} AS sum_base_price,
+      {_dsum(f"{_Q1_PRICE} * {_Q1_DISC}")} AS sum_disc_price,
+      {_dsum(f"{_Q1_PRICE} * {_Q1_DISC} * {_Q1_TAX}")} AS sum_charge,
+      {_dsum("CAST(l_quantity AS DECIMAL(18,2))")} / COUNT(*) AS avg_qty,
+      {_dsum(_Q1_PRICE)} / COUNT(*) AS avg_price,
+      {_dsum("CAST(l_discount AS DECIMAL(8,4))")} / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal
+    intermediates surfaced as doubles. Partial aggs combine map-side;
+    the shuffle carries ≤ (flags × statuses × partitions) rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec2 = "decimal(18,2)"
+    dec4 = "decimal(8,4)"
+    out = "decimal(38,6)"  # see operators.aggregates._OUT
+    qty = F.col("l_quantity").cast(dec2)
+    price = F.col("l_extendedprice").cast(dec2)
+    disc_f = F.lit(1).cast(dec4) - F.col("l_discount").cast(dec4)
+    tax_f = F.lit(1).cast(dec4) + F.col("l_tax").cast(dec4)
+    n = F.count(F.lit(1))
+
+    def dsum(c):
+        return F.sum(c).cast(out).cast("double")
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(qty).alias("sum_qty"),
+        dsum(price).alias("sum_base_price"),
+        dsum(price * disc_f).alias("sum_disc_price"),
+        dsum(price * disc_f * tax_f).alias("sum_charge"),
+        (dsum(qty) / n).alias("avg_qty"),
+        (dsum(price) / n).alias("avg_price"),
+        (dsum(F.col("l_discount").cast(dec4)) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    f"""
+    SELECT l_orderkey,
+      {_dsum(f"{_Q1_PRICE} * {_Q1_DISC}")} AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → join → agg → top-N.
+    The filtered customer side is broadcast (explicit hint) so the
+    lineitem scan never shuffles for the join."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "region_revenue",
+    f"""
+    SELECT r_name,
+      {_dsum(f"{_Q1_PRICE} * {_Q1_DISC}")} AS revenue,
+      COUNT(*) AS n_items
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through two broadcast dims
+    (region, nation) + one mid-size dim (customer, also broadcast at
+    this SF) — only the orders⋈lineitem join shuffles."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value, rank FROM (
+      SELECT user_id, event_id, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+      FROM events
+    ) WHERE rank <= 3
+    """,
+)
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (SURVEY.md §2.5 extension) —
+    one shuffle on the group key."""
+    from ..operators.aggregates import top_k_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_k_per_group(ev, "user_id", "value", 3, "event_id").select(
+        "user_id", "event_id", "value", "rank"
+    )
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "users_intersect_customers",
+    "SELECT c_custkey AS id FROM customer INTERSECT SELECT user_id AS id FROM events",
+)
+def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return cust.intersect(ev)
+
+
+@register(
+    "customers_except_users",
+    "SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id AS id FROM events",
+)
+def q_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return cust.subtract(ev)
+
+
+@register(
+    "ids_union_all",
+    "SELECT c_custkey AS id FROM customer UNION ALL SELECT user_id AS id FROM events",
+)
+def q_ids_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return cust.unionAll(ev)
+
+
+@register(
+    "customers_with_events_semi",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return cust.join(
+        ev, F.col("c_custkey") == F.col("user_id"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_events_anti",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return cust.join(
+        ev, F.col("c_custkey") == F.col("user_id"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_type_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY.md §2.5 extension): wide per-user event-type counts.
+    Explicit value list so Spark skips the distinct-values pre-job."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "orderby_limit_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit: Spark runs TakeOrderedAndProject — no full
+    sort materialization, each partition contributes its top 20."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "datetime_functions",
+    "SELECT event_id, EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS mo, "
+    "EXTRACT(day FROM ts) AS d, EXTRACT(hour FROM ts) AS h, "
+    "date_trunc('day', ts)::TIMESTAMP AS day_start FROM events",
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("mo"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+    )
+
+
+@register(
+    "string_functions",
+    "SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg, "
+    "length(c_name) AS name_len, substr(c_name, 1, 8) AS prefix, "
+    "c_name || '#' || c_mktsegment AS tagged FROM customer",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions (north star, BASELINE.json): text analysis,
+# dedup, similarity search, multimodal. Oracle SQL is generated from the
+# SAME constants as the Spark operators so formulas can't drift.
+# --------------------------------------------------------------------------
+
+
+def _stopword_sql(lang: str) -> str:
+    from ..operators.text import STOPWORDS
+
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+def _text_profile_oracle() -> str:
+    from ..operators.text import MOD, PUNCT_CLASS, STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = {lang: _stopword_sql(lang) for lang in langs}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'unk' "
+        + " ".join(f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs)
+        + " ELSE 'unk' END"
+    )
+    return f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      CAST(floor(len(string_split(text, ' ')) +
+           (length(replace(text, ' ', '')) - len(string_split(text, ' '))) / 4.0) AS BIGINT) AS n_subwords,
+      CAST({hits["en"]} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+      CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      (CAST({hits["en"]} AS DOUBLE) / len(string_split(text, ' '))) * 2.0
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        - CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) AS quality,
+      {lang_case} AS lang_pred,
+      md5(text) AS fp_md5,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % {MOD}) AS fp_roll
+    FROM documents
+    """
+
+
+@register("text_profile", _text_profile_oracle())
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis in one scan: token/subword counts, stopword &
+    punctuation ratios, quality score, heuristic language ID, md5 +
+    rolling-hash fingerprints (operators.text; all JVM built-ins)."""
+    from ..operators.text import text_profile
+
+    return text_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on the payload, keep smallest id."""
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_PAIR_WINDOW = 10  # deterministic candidate band for the oracle
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS DOUBLE)
+        / (len(a.sset) + len(b.sset) - len(list_filter(a.sset, x -> list_contains(b.sset, x)))) AS jaccard
+    FROM sets a JOIN sets b
+      ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {_JACCARD_PAIR_WINDOW}
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a deterministic id-banded candidate
+    set (the oracle-checkable slice of the LSH pipeline's verify step —
+    the LSH candidate generator itself is validated in
+    dedup_minhash_lsh, rows-only)."""
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sset")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.expr("size(filter(a.sset, x -> array_contains(b.sset, x)))")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + _JACCARD_PAIR_WINDOW),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                inter.cast("double")
+                / (F.size("a.sset") + F.size("b.sset") - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle → 32-hash signature → 8
+    bands → bucket join → exact-Jaccard verify ≥ 0.5). Not
+    SQL-expressible (xxhash64); deterministic, tested against exact
+    Jaccard in tests/test_dedup.py."""
+    from ..operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit sign-sum + 16-bit chunk LSH +
+    hamming ≤ 8). Rows-only: xxhash64-based."""
+    from ..operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", None)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH prefilter + exact
+    cosine ≥ 0.9 verify. Rows-only: hash-derived hyperplanes."""
+    from ..operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+_ANN_K = 10
+_ANN_NQ = 5  # query set: vec_id < 5
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_ANN_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): broadcast
+    query set, corpus scanned once, JVM-side zip_with/aggregate dot
+    products — bit-identical to the oracle's sequential dot product."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(emb, queries_df, k=_ANN_K)
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing (the scale
+    path). Rows-only: hash-derived hyperplanes; recall vs the exact
+    baseline is asserted in tests/test_similarity.py."""
+    from ..operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_lsh_topk(emb, queries_df, k=_ANN_K, n_planes=6)
+
+
+@register(
+    "multimodal_metadata",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+    "'fake/raw' AS format, lang AS tag, "
+    "CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames "
+    "FROM documents",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (binary payload + typed metadata struct):
+    schema/bytes/frame-count derivation, all JVM-side. The decode stub
+    and mapInPandas feature path are exercised by
+    multimodal_features (rows-only) and tests."""
+    from ..operators.multimodal import as_binary_payload
+
+    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.tag").alias("tag"),
+        F.ceil(F.col("meta.n_bytes") / F.lit(256.0)).cast("bigint").alias("n_frames"),
+    )
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic stub standing in for a codec). Rows-only:
+    exercises the Pandas-UDF plumbing the real decoder would use."""
+    from ..operators.multimodal import as_binary_payload, extract_features
+
+    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(mm)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

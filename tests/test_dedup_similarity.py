@@ -1,0 +1,129 @@
+"""Semantic tests for the non-SQL-expressible operators: the LSH
+families must agree with their exact counterparts (recall), and the
+multimodal plumbing must produce the documented shapes.
+"""
+
+from pyspark.sql import functions as F
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+    load_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def _near_dup_docs(spark):
+    """Docs with planted near-duplicates: pairs (10*i, 10*i+1) share
+    ~90% of tokens."""
+    base = "the quick brown fox jumps over the lazy dog again and again token%d word%d filler%d"
+    rows = []
+    for i in range(30):
+        text = base % (i, i, i) + " " + " ".join(f"w{i}_{j}" for j in range(20))
+        rows.append((10 * i, text))
+        # near-dup: change one trailing token
+        rows.append((10 * i + 1, text[:-4] + "ZZZ"))
+        # unrelated doc
+        rows.append((10 * i + 2, " ".join(f"u{i}_{j}" for j in range(25))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _near_dup_docs(spark)
+    found = dedup.minhash_near_dups(docs, threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b) for r in found.collect()}
+    planted = {(10 * i, 10 * i + 1) for i in range(30)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(pairs)} pairs found)"
+    # verify step guarantees precision: every surviving pair really is similar
+    for r in found.collect():
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_jaccard_matches_exact(spark):
+    """The jaccard emitted by the LSH pipeline equals the exact n-gram
+    jaccard computed independently."""
+    docs = _near_dup_docs(spark)
+    cands = dedup.minhash_lsh_candidates(docs)
+    via_pipeline = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard(docs, cands).collect()
+    }
+    sets = {
+        r.doc_id: set(r.sset)
+        for r in docs.select(
+            "doc_id", F.array_distinct(dedup.shingles("text", 3)).alias("sset")
+        ).collect()
+    }
+    for (a, b), j in via_pipeline.items():
+        sa, sb = sets[a], sets[b]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(j - exact) < 1e-12
+
+
+def test_simhash_near_dups(spark):
+    docs = _near_dup_docs(spark)
+    found = dedup.simhash_near_dups(docs, max_hamming=10)
+    pairs = {(r.doc_a, r.doc_b) for r in found.collect()}
+    planted = {(10 * i, 10 * i + 1) for i in range(30)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"simhash recall too low: {recall}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = similarity.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # 4 planes → 16 buckets over 500 vecs: buckets of ~30; some overlap
+    # with the true top-10 is guaranteed for clustered data
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2, f"ANN recall suspiciously low: {recall}"
+
+
+def test_embedding_near_dups_self_consistent(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dups = dedup.embedding_near_dups(emb, threshold=0.99)
+    for r in dups.collect():
+        assert r.cosine >= 0.99
+        assert r.id_a < r.id_b
+
+
+def test_multimodal_features_shape(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    mm = multimodal.as_binary_payload(docs)
+    feats = multimodal.extract_features(mm).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.n_bytes > 0
+        assert len(r.feat) == 4
+        assert r.feat[0] == float(r.n_bytes)
+        assert r.format == "fake/raw"
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_counts(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    mm = multimodal.as_binary_payload(docs)
+    frames = multimodal.frame_sample(mm, every_n_bytes=100)
+    got = {r.doc_id: 0 for r in frames.collect()}
+    for r in frames.collect():
+        got[r.doc_id] += 1
+    meta = {r.doc_id: r.n_bytes for r in mm.select("doc_id", "meta.n_bytes").collect()}
+    for doc_id, n in got.items():
+        expected = -(-meta[doc_id] // 100)
+        assert n == expected
