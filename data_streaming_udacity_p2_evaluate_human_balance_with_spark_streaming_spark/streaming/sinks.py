@@ -1,0 +1,64 @@
+"""Streaming sinks (SURVEY.md §2.2) behind one interface.
+
+The reference uses exactly two sinks: Kafka with a checkpoint
+(`sparkpykafkajoin.py:145-152`) and console-append
+(`sparkpyrediskafkastreamtoconsole.py:102`). We add the test-friendly
+memory sink and a partitioned-parquet sink (the 100 TB landing path),
+with checkpointing configurable on EVERY query — the reference only
+checkpoints the Kafka sink (SURVEY.md §2.8-T8).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _checkpoint(dir_: str | None) -> str:
+    return dir_ or os.path.join(
+        tempfile.gettempdir(), f"stedi-ckpt-{uuid.uuid4().hex}"
+    )
+
+
+def to_console(df: DataFrame, output_mode: str = "append") -> StreamingQuery:
+    """Console sink, append mode (sparkpyrediskafkastreamtoconsole.py:102)."""
+    return df.writeStream.outputMode(output_mode).format("console").start()
+
+
+def to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Memory sink for assertable tests; availableNow processes the
+    full backlog then stops (deterministic replay, SURVEY.md §2.8-T3)."""
+    w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    partition_by: tuple[str, ...] = (),
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Partitioned parquet sink — the scale landing path. Exactly-once
+    per file via the checkpoint + _spark_metadata commit log."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", _checkpoint(checkpoint_dir))
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,281 @@
+"""Streaming fidelity: replay the reference's documented payloads
+(/root/reference/project/starter/README.md:56-103) through the engine
+pipelines as streams and assert against the reference's embedded
+expected outputs (sparkpykafkajoin.py:133-144,
+sparkpyrediskafkastreamtoconsole.py:103-114 — the reference's only
+'golden files', SURVEY.md §5).
+"""
+
+import base64
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.aggregates import (
+    risk_quality_windowed,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+    watermarked_stream_join,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+    pipelines,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.memory import (
+    stream_from_rows,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+    QueryRunner,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+    to_memory,
+)
+
+RAW_KV = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+
+def _b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def _customer_envelope(name, email, phone, birthday) -> dict:
+    """A redis-server record as Kafka Connect emits it
+    (project/starter/README.md:56-92)."""
+    element = _b64(
+        json.dumps(
+            {"customerName": name, "email": email, "phone": phone, "birthDay": birthday}
+        )
+    )
+    return {
+        "key": _b64("Customer"),
+        "value": json.dumps(
+            {
+                "key": _b64("Customer"),
+                "existType": "NONE",
+                "Ch": False,
+                "Incr": False,
+                "zSetEntries": [{"element": element, "Score": "0.0"}],
+            }
+        ),
+    }
+
+
+def _foreign_envelope() -> dict:
+    """A redis write for a non-Customer key: decodes to all-null
+    Customer fields, must be filtered (sparkpykafkajoin.py:99-100)."""
+    return {
+        "key": _b64("Payment"),
+        "value": json.dumps(
+            {
+                "key": _b64("Payment"),
+                "existType": "NONE",
+                "Ch": True,
+                "Incr": False,
+                "zSetEntries": [{"element": _b64('{"amount": 4.5}'), "Score": "1.0"}],
+            }
+        ),
+    }
+
+
+def _risk_event(customer, score, risk_date) -> dict:
+    return {
+        "key": customer,
+        "value": json.dumps(
+            {"customer": customer, "score": score, "riskDate": risk_date}
+        ),
+    }
+
+
+CUSTOMERS = [
+    ("Santosh Fibonnaci", "Santosh.Fibonnaci@test.com", "8015551212", "1963-01-01"),
+    ("Sarah Clark", "Sarah.Clark@test.com", "8015551213", "1957-03-02"),
+    ("Sam Test", "Sam.Test@test.com", "8015551214", "1993-07-04"),
+]
+
+RISK_EVENTS = [
+    ("Santosh.Fibonnaci@test.com", "28.5", "2020-09-14T07:54:06.417Z"),
+    ("Sarah.Clark@test.com", "-5.0", "2020-09-14T07:54:09.100Z"),
+    ("Unknown.Person@test.com", "99.9", "2020-09-14T07:55:00.000Z"),
+]
+
+
+@pytest.fixture
+def runner():
+    r = QueryRunner()
+    yield r
+    r.stop_all()
+
+
+def test_customer_decode_stream_golden(spark, runner):
+    """§3.2 pipeline replay → the reference's expected (email,
+    birthYear) table (sparkpyrediskafkastreamtoconsole.py:103-114)."""
+    rows = [_customer_envelope(*c) for c in CUSTOMERS] + [_foreign_envelope()]
+    raw = stream_from_rows(spark, rows, RAW_KV)
+    out = pipelines.customer_decode_pipeline(raw)
+    q = runner.add("decode", to_memory(out, "decode_out"))
+    q.awaitTermination()
+    got = {(r.email, r.birthYear) for r in spark.sql("SELECT * FROM decode_out").collect()}
+    assert got == {
+        ("Santosh.Fibonnaci@test.com", "1963"),
+        ("Sarah.Clark@test.com", "1957"),
+        ("Sam.Test@test.com", "1993"),
+    }
+
+
+def test_risk_events_stream_golden(spark, runner):
+    """§3.3 pipeline replay → (customer, score) rows
+    (sparkpyeventskafkastreamtoconsole.py:39-45)."""
+    rows = [_risk_event(*e) for e in RISK_EVENTS]
+    raw = stream_from_rows(spark, rows, RAW_KV)
+    out = pipelines.risk_event_pipeline(raw)
+    q = runner.add("risk", to_memory(out, "risk_out"))
+    q.awaitTermination()
+    got = {(r.customer, r.score) for r in spark.sql("SELECT * FROM risk_out").collect()}
+    assert got == {
+        ("Santosh.Fibonnaci@test.com", "28.5"),
+        ("Sarah.Clark@test.com", "-5.0"),
+        ("Unknown.Person@test.com", "99.9"),
+    }
+
+
+def test_flagship_join_stream_golden(spark, runner):
+    """§3.1 stream-stream inner join replay → the reference's output
+    contract {customer, score, email, birthYear}
+    (sparkpykafkajoin.py:133-144). The un-matched risk event and the
+    foreign envelope must both be absent."""
+    redis_raw = stream_from_rows(
+        spark,
+        [_customer_envelope(*c) for c in CUSTOMERS] + [_foreign_envelope()],
+        RAW_KV,
+    )
+    events_raw = stream_from_rows(spark, [_risk_event(*e) for e in RISK_EVENTS], RAW_KV)
+    out = pipelines.flagship_join_pipeline(redis_raw, events_raw)
+    q = runner.add("join", to_memory(out, "join_out"))
+    q.awaitTermination()
+    got = {
+        (r.customer, r.score, r.email, r.birthYear)
+        for r in spark.sql("SELECT * FROM join_out").collect()
+    }
+    assert got == {
+        ("Santosh.Fibonnaci@test.com", "28.5", "Santosh.Fibonnaci@test.com", "1963"),
+        ("Sarah.Clark@test.com", "-5.0", "Sarah.Clark@test.com", "1957"),
+    }
+
+
+def test_flagship_join_duplicate_semantics(spark, runner):
+    """T7 fidelity: the changefeed re-emits customer versions; the
+    watermark-less inner join emits one row per (version × event)."""
+    redis_raw = stream_from_rows(
+        spark,
+        [_customer_envelope(*CUSTOMERS[0])] * 3,  # 3 re-emissions
+        RAW_KV,
+    )
+    events_raw = stream_from_rows(
+        spark, [_risk_event(*RISK_EVENTS[0])] * 2, RAW_KV
+    )
+    out = pipelines.flagship_join_pipeline(redis_raw, events_raw)
+    q = runner.add("dup", to_memory(out, "dup_out"))
+    q.awaitTermination()
+    assert spark.sql("SELECT * FROM dup_out").count() == 6  # 3 × 2
+
+
+def test_to_json_kafka_value_contract(spark, runner):
+    """F2: the Kafka sink value is one JSON object with the four
+    fields (sparkpykafkajoin.py:144-145)."""
+    redis_raw = stream_from_rows(spark, [_customer_envelope(*CUSTOMERS[0])], RAW_KV)
+    events_raw = stream_from_rows(spark, [_risk_event(*RISK_EVENTS[0])], RAW_KV)
+    out = pipelines.flagship_join_as_kafka_value(redis_raw, events_raw)
+    q = runner.add("kv", to_memory(out, "kv_out"))
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM kv_out").collect()
+    assert len(rows) == 1
+    payload = json.loads(rows[0].value)
+    assert payload == {
+        "email": "Santosh.Fibonnaci@test.com",
+        "birthYear": "1963",
+        "customer": "Santosh.Fibonnaci@test.com",
+        "score": "28.5",
+    }
+
+
+def test_watermarked_join_scale_mode(spark, runner):
+    """The 100 TB-safe variant: watermarks + time-range condition on
+    both sides still joins in-window events."""
+    cust = [
+        {"email": "a@test.com", "ts": "2024-01-01T00:00:10.000Z"},
+        {"email": "b@test.com", "ts": "2024-01-01T00:00:20.000Z"},
+    ]
+    ev = [
+        {"customer": "a@test.com", "score": "5.0", "ts": "2024-01-01T00:10:00.000Z"},
+        {"customer": "b@test.com", "score": "7.0", "ts": "2024-01-01T03:00:00.000Z"},
+    ]
+    cust_schema = "email string, ts timestamp"
+    ev_schema = "customer string, score string, ts timestamp"
+    from pyspark.sql.types import _parse_datatype_string
+
+    left = stream_from_rows(spark, cust, _parse_datatype_string(cust_schema)).withColumnRenamed("ts", "cts")
+    right = stream_from_rows(spark, ev, _parse_datatype_string(ev_schema)).withColumnRenamed("ts", "ets")
+    joined = watermarked_stream_join(
+        left,
+        right,
+        "email = customer",
+        "cts",
+        "ets",
+        watermark="1 hour",
+        range_cond="ets BETWEEN cts AND cts + INTERVAL 1 HOUR",
+    )
+    q = runner.add("wm", to_memory(joined.select("email", "score"), "wm_out"))
+    q.awaitTermination()
+    got = {(r.email, r.score) for r in spark.sql("SELECT * FROM wm_out").collect()}
+    # b's event is 3h after the profile — outside the join window
+    assert got == {("a@test.com", "5.0")}
+
+
+def test_risk_quality_streaming_windowed(spark, runner):
+    """Streaming twin of risk_quality_windowed: watermarked tumbling
+    windows over a replayed event stream."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {"ts": "2024-01-01T00:01:00.000Z", "value": 10.0},
+        {"ts": "2024-01-01T00:05:00.000Z", "value": 20.0},
+        {"ts": "2024-01-01T00:20:00.000Z", "value": 30.0},
+        {"ts": "2024-01-01T02:00:00.000Z", "value": 40.0},  # advances watermark
+    ]
+    stream = stream_from_rows(
+        spark, rows, _parse_datatype_string("ts timestamp, value double")
+    )
+    agg = risk_quality_windowed(stream, window="15 minutes", watermark="30 minutes")
+    q = runner.add("rq", to_memory(agg, "rq_out", output_mode="append"))
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.n_events, r.total_score)
+        for r in spark.sql("SELECT * FROM rq_out").collect()
+    }
+    assert ("2024-01-01 00:00:00", 2, 30.0) in got
+    assert ("2024-01-01 00:15:00", 1, 30.0) in got
+
+
+def test_parquet_sink_exactly_once(spark, runner, tmp_path):
+    """T8: checkpointed parquet sink lands every row exactly once."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        to_parquet,
+    )
+
+    rows = [_customer_envelope(*c) for c in CUSTOMERS]
+    raw = stream_from_rows(spark, rows, RAW_KV)
+    out = pipelines.customer_decode_pipeline(raw)
+    q = to_parquet(
+        out,
+        str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(str(tmp_path / "out"))
+    assert landed.count() == 3
+    assert set(landed.columns) == {"email", "birthYear"}
