@@ -611,6 +611,332 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Relational surface beyond the reference (joins/windows/sessionization):
+# everything a user of a general engine expects, each with an oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "left_outer_join_orders",
+    "SELECT c_custkey, o_orderkey, o_totalprice FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 400000",
+)
+def q_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a selective ON-clause predicate (null-padded
+    non-matches must survive)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders,
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_totalprice") > 400000),
+        "left",
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "full_outer_ids",
+    "SELECT c.id AS cid, e.id AS eid FROM "
+    "(SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey < 100) c "
+    "FULL OUTER JOIN (SELECT DISTINCT user_id AS id FROM events WHERE user_id >= 50) e "
+    "ON c.id = e.id",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("id"))
+        .distinct()
+        .alias("c")
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") >= 50)
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+        .alias("e")
+    )
+    return c.join(e, F.col("c.id") == F.col("e.id"), "full_outer").select(
+        F.col("c.id").alias("cid"), F.col("e.id").alias("eid")
+    )
+
+
+@register(
+    "dedup_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates (T7 extension): keep the LATEST row
+    per key by explicit ordering — unlike bare dropDuplicates, the
+    survivor is well-defined."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "sessionization_gap30",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + running sum of gap markers (the batch
+    twin of streaming session windows). One shuffle on user_id serves
+    both window functions and the final aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "rollup_region_nation",
+    f"""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+      {_dsum("CAST(c_acctbal AS DECIMAL(18,2))")} AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → nation → grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@register(
+    "percentiles_exact",
+    "SELECT l_returnflag, "
+    "quantile_cont(l_extendedprice, 0.5) AS p50, "
+    "quantile_cont(l_extendedprice, 0.95) AS p95 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles with linear interpolation (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). The approximate scale path is
+    approx_percentiles (rows-only): percentile_approx over sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
+@register("approx_aggs", None)
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for 100 TB interactive use:
+    approx_count_distinct (HyperLogLog++) + percentile_approx
+    (KLL-like). Rows-only: sketches are implementation-defined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+    )
+
+
+@register(
+    "regexp_functions",
+    """
+    SELECT doc_id,
+      regexp_extract(text, '^(\\w+)', 1) AS first_word,
+      length(regexp_replace(text, '[aeiou]', '', 'g')) AS no_vowel_len,
+      CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END AS has_data
+    FROM documents
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias(
+            "no_vowel_len"
+        ),
+        F.when(F.col("text").rlike("data"), 1).otherwise(0).alias("has_data"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+      date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+      (o_orderdate + INTERVAL 30 DAY) AS due_ts,
+      EXTRACT(quarter FROM o_orderdate) AS q
+    FROM orders
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+    )
+
+
+@register(
+    "asof_latest_order_before_event",
+    """
+    SELECT event_id, user_id, ts, o_orderkey FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one, SNIPPETS/guide pattern):
+    equi-join on the key + time-range filter + ROW_NUMBER to keep the
+    latest match. The equi-key bounds the blow-up to per-user order
+    counts; at scale bucketize time to tighten the range first."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey")
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 20 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap-based), usable in batch AND streaming
+    — the oracle reproduces it with lag+cumsum. Distinct ts per user in
+    the synthetic data keeps window.start == first event ts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "20 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+      len(embedding) AS dim,
+      round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+      list_sort(list_slice(embedding::DOUBLE[], 1, 3)) AS first3_sorted
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column. l2_norm
+    is rounded: list_sum is tree-aggregated in DuckDB vs sequential in
+    Spark, so exact float order differs — 6dp absorbs it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (s, x) -> s + x * x))"
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.sort_array(
+            F.expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 3)")
+        ).alias("first3_sorted"),
+    )
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (north star, BASELINE.json): text analysis,
 # dedup, similarity search, multimodal. Oracle SQL is generated from the
 # SAME constants as the Spark operators so formulas can't drift.
