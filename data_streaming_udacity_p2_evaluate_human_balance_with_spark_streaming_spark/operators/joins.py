@@ -31,6 +31,37 @@ def broadcast_join(
     return big.join(F.broadcast(small), F.expr(condition), how)
 
 
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side salts its key with a
+    deterministic hash-derived bucket; the small side is exploded
+    `salt_buckets`× so every salted key still matches. Use when one
+    join key carries a disproportionate share of rows and AQE's skew
+    splitting isn't available (e.g. streaming-static joins).
+
+    Cost model: small side grows ×salt_buckets (keep it the dimension
+    side); the big side's hot key spreads over `salt_buckets` tasks.
+    """
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    small_exploded = skewed_small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = big_salted.join(
+        small_exploded,
+        (F.col(big_key) == F.col(small_key)) & (big_salted["_salt"] == small_exploded["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
+
+
 def watermarked_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -936,6 +936,81 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "correlated_scalar_subquery",
+    f"""
+    SELECT l_partkey,
+      {_dsum(_Q1_PRICE)} AS small_qty_revenue
+    FROM lineitem li
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = li.l_partkey
+    )
+    GROUP BY l_partkey
+    """,
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average).
+    Spark SQL decorrelates this into an aggregate + self-join; the
+    avg comparison stays in doubles on both engines (same inputs →
+    same IEEE result), only revenue goes through exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue
+        FROM lineitem_v li
+        WHERE l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem_v WHERE l_partkey = li.l_partkey
+        )
+        GROUP BY l_partkey
+        """
+    )
+
+
+@register(
+    "exists_subquery_active_buyers",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
+    ) AND o_totalprice > 300000
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM events_v e
+          WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
+        ) AND o_totalprice > 300000
+        """
+    )
+
+
+@register(
+    "in_subquery_error_users",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE c_custkey IN (SELECT user_id FROM events_v2 WHERE event_type = 'error')
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (north star, BASELINE.json): text analysis,
 # dedup, similarity search, multimodal. Oracle SQL is generated from the

@@ -1,0 +1,148 @@
+"""Custom stateful streaming, checkpoint/restart recovery (T8), and
+skew-handling join."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+    salted_join,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.memory import (
+    json_lines_dir,
+    stream_from_rows,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+    running_risk_stats,
+)
+
+EV_SCHEMA = "user_id bigint, value double"
+
+
+def test_running_risk_stats_converges_to_batch_twin(spark):
+    rows = [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 20.0},
+        {"user_id": 2, "value": 5.0},
+    ]
+    stream = stream_from_rows(spark, rows, _parse_datatype_string(EV_SCHEMA))
+    out = running_risk_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("risk_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_score, r.avg_score)
+        for r in spark.sql(
+            "SELECT * FROM risk_state ORDER BY user_id"
+        ).collect()
+    }
+    assert got == {1: (2, 30.0, 15.0), 2: (1, 5.0, 5.0)}
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    """Two replays through the SAME checkpoint: the second batch's
+    output must include the first batch's counts (real cross-batch
+    state, not per-batch aggregation)."""
+    d = json_lines_dir([{"user_id": 1, "value": 10.0}])
+    schema = _parse_datatype_string(EV_SCHEMA)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.format("json").schema(schema).load(d)
+        out = running_risk_stats(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _eid: df.write.mode("append").json(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # new file arrives → restart from checkpoint → state must resume
+    with open(f"{d}/part-1.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 30.0}) + "\n")
+    run_once()
+
+    rows = spark.read.json(out_dir).collect()
+    by_n = {r.n_events: (r.total_score, r.avg_score) for r in rows}
+    assert by_n[1] == (10.0, 10.0)  # after batch 1
+    assert by_n[2] == (40.0, 20.0)  # resumed state + batch 2
+
+
+def test_flagship_restart_no_duplicates(spark, tmp_path):
+    """T8: kill + resume the flagship pipeline from its checkpoint —
+    already-committed inputs must not be re-emitted (exactly-once
+    landing)."""
+    import base64
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+        pipelines,
+    )
+
+    b64 = lambda s: base64.b64encode(s.encode()).decode()
+
+    def envelope(name, email):
+        element = b64(
+            json.dumps(
+                {"customerName": name, "email": email, "phone": "1", "birthDay": "1990-01-01"}
+            )
+        )
+        return {
+            "key": b64("Customer"),
+            "value": json.dumps(
+                {
+                    "key": b64("Customer"),
+                    "existType": "NONE",
+                    "Ch": False,
+                    "Incr": False,
+                    "zSetEntries": [{"element": element, "Score": "0.0"}],
+                }
+            ),
+        }
+
+    schema = _parse_datatype_string("key string, value string")
+    d = json_lines_dir([envelope("A", "a@test.com")])
+    ckpt, out_dir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        raw = spark.readStream.format("json").schema(schema).load(d)
+        out = pipelines.customer_decode_pipeline(raw)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    with open(f"{d}/part-1.json", "w") as f:
+        f.write(json.dumps(envelope("B", "b@test.com")) + "\n")
+    run_once()
+
+    landed = spark.read.parquet(out_dir)
+    emails = sorted(r.email for r in landed.collect())
+    assert emails == ["a@test.com", "b@test.com"]  # each exactly once
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(2, i) for i in range(10)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "sk long, tag string")
+    plain = big.join(small, F.col("k") == F.col("sk")).select("k", "payload", "tag")
+    salted = salted_join(big, small, "k", "sk", salt_buckets=8).select(
+        "k", "payload", "tag"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
