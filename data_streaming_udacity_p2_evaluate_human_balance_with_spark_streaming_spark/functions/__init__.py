@@ -1,0 +1,1 @@
+from . import hashing, vectors  # noqa: F401

@@ -19,11 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^31-1 for minhash permutations: hashes are reduced to
-# 31 bits BEFORE the a*h+b permutation so every intermediate stays far
-# below 2^63 — ANSI mode (Spark 4 default) makes long overflow an ERROR,
-# so LSH arithmetic must be provably overflow-free.
-MOD = (1 << 31) - 1
+from ..functions.hashing import MOD31 as MOD  # 31-bit hashes: ANSI-overflow-safe
+from ..functions.hashing import hashed, minhash_perm, word_shingles
 
 
 def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -32,32 +29,20 @@ def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> D
     return docs.groupBy(key).agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
 
 
-def shingles(col: str = "text", k: int = 3):
-    """k-word shingles as an array column (empty-safe)."""
-    return F.expr(
-        f"CASE WHEN size(split({col}, ' ')) < {k} THEN array({col}) "
-        f"ELSE transform(sequence(1, size(split({col}, ' ')) - {k - 1}), "
-        f"i -> array_join(slice(split({col}, ' '), i, {k}), ' ')) END"
-    )
-
-
-def shingle_hashes(shingle_col: str):
-    """Hash each shingle ONCE (31-bit): the per-permutation work then
-    touches only integers, never re-hashes strings — with 32
-    permutations this is a ~32× cut in string hashing."""
-    return F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {MOD}))")
+#: re-exports (public operator API; implementations in functions.hashing)
+shingles = word_shingles
+shingle_hashes = hashed
 
 
 def minhash_signature(hash_col: str, num_hashes: int = 32):
-    """MinHash signature over pre-hashed shingles: h_j(S) = min over
-    hashes of (a_j * h + b_j) mod M. Fixed odd multipliers derived from
-    j keep signatures deterministic across runs/partitions; every
-    intermediate < 2^63 (ANSI-safe, see MOD)."""
+    """MinHash signature over pre-hashed shingles as one array column
+    (array-form variant; the pipeline below uses the faster
+    explode+aggregate form). h_j(S) = min over hashes of
+    (a_j*h + b_j) mod M — deterministic across runs/partitions."""
     mins = [
-        F.expr(
-            f"array_min(transform({hash_col}, h -> "
-            f"pmod({2 * j + 1} * h + {j * 40_503 + 17}, {MOD})))"
-        ).alias(f"mh_{j}")
+        F.expr(f"array_min(transform({hash_col}, h -> {minhash_perm('h', j)}))").alias(
+            f"mh_{j}"
+        )
         for j in range(num_hashes)
     ]
     return F.array(*mins)
@@ -87,14 +72,12 @@ def minhash_lsh_candidates(
     # whole-stage codegen — measured ~3× faster at sf0.1. The shuffle
     # this introduces carries only (id, 32 partial mins) per map
     # partition thanks to map-side combine.
-    hashed = docs.select(
+    hashed_df = docs.select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("sh")
     ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
-    sig = hashed.groupBy("_id").agg(
+    sig = hashed_df.groupBy("_id").agg(
         *[
-            F.min(F.expr(f"pmod({2 * j + 1} * h + {j * 40_503 + 17}, {MOD})")).alias(
-                f"mh_{j}"
-            )
+            F.min(F.expr(minhash_perm("h", j))).alias(f"mh_{j}")
             for j in range(num_hashes)
         ]
     ).select("_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("sig"))

@@ -17,41 +17,11 @@ runs with zero driver-side state to broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def dot_expr(a: str, b: str) -> Column:
-    """Sequential-order double dot product (deterministic)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-    )
-
-
-def norm_expr(a: str) -> Column:
-    return F.expr(
-        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))"
-    )
-
-
-def cosine_expr(a: str, b: str) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
-
-
-def hyperplane_bucket(vec_col: str, n_planes: int = 12) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(v · r_p), packed
-    into a bigint. Deterministic hash-derived planes (no RNG state)."""
-    bits = []
-    for p in range(n_planes):
-        plane_dot = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, d) -> x * ((pmod(xxhash64({p} * 4099 + d), 2001) - 1000) / 1000.0)), "
-            f"CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-        )
-        bits.append(
-            f"CASE WHEN {plane_dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE CAST(0 AS BIGINT) END"
-        )
-    return F.expr(" + ".join(bits))
+from ..functions.vectors import cosine as cosine_expr
+from ..functions.vectors import hyperplane_bucket  # noqa: F401 (re-export)
 
 
 def cosine_topk_bruteforce(

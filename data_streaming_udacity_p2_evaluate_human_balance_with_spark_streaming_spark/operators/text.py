@@ -100,10 +100,9 @@ def fingerprint_rolling(col: str = "text") -> Column:
     """Polynomial rolling hash over characters, mod 1e9+7 — all
     intermediates < 2^63 so the arithmetic is portable (no overflow
     wrap), exactly reproducible in the oracle."""
-    return F.expr(
-        f"aggregate(transform(split({col}, ''), c -> ascii(c)), "
-        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {MOD})"
-    )
+    from ..functions.hashing import rolling_fingerprint
+
+    return rolling_fingerprint(col)
 
 
 def text_profile(docs: DataFrame, col: str = "text") -> DataFrame:

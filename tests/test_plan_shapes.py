@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the physical plans we rely on at scale
+must not silently regress. These assert the properties that matter at
+100 TB — broadcasts where intended, pruned scans, partial aggregation,
+no cartesian products — straight from `explain` output.
+"""
+
+import re
+
+import pytest
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+    REGISTRY,
+)
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_join_broadcasts_dimension(spark):
+    plan = _plan(spark, "flagship_stedi_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_scan_is_pruned(spark):
+    plan = _plan(spark, "flagship_stedi_join")
+    # customer scan must read only the two columns the pipeline uses
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert set(m.group(1).split(",")) <= {
+        "c_custkey:bigint",
+        "c_name:string",
+    }
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    """The shuffle must carry partial aggregates, not raw rows:
+    HashAggregate appears BELOW the exchange (map-side combine)."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    agg_then_exchange = re.search(
+        r"Exchange hashpartitioning.*?HashAggregate", plan, re.S
+    )
+    assert agg_then_exchange, plan
+
+
+def test_tpch_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q3_broadcasts_filtered_customer(spark):
+    plan = _plan(spark, "tpch_q3_top_orders")
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the selective segment filter reaches the parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global sort+limit must compile to TakeOrderedAndProject — each
+    partition contributes K rows; no full global sort."""
+    plan = _plan(spark, "orderby_limit_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "global=true" not in plan.split("TakeOrdered")[0]
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_candidates_equijoin(spark):
+    """Multi-probe must stay an equi-join on the bucket (hash-joinable),
+    never a nested-loop over the corpus."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_payload_pruned_before_exchange(spark):
+    """Binary payloads must not cross a shuffle in the feature path."""
+    fn, _ = REGISTRY["multimodal_features"]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow end-to-end
+
+
+def test_events_scan_prunes_props(spark):
+    """risk_calc only needs (user_id, value): the JSON props column —
+    the widest in the table — must not be read."""
+    plan = _plan(spark, "risk_calc_per_customer")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1), plan
