@@ -36,11 +36,17 @@ HEADLINE = [
     "top_events_per_user",
     "pivot_event_type_counts",
     "text_profile",
+    "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "sessionization_gap30",
+    "asof_latest_order_before_event",
+    "rollup_region_nation",
+    "correlated_scalar_subquery",
+    "running_total_per_user",
 ]
 
 

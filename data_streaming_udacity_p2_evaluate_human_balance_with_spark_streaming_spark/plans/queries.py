@@ -1240,6 +1240,137 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(mm)
 
 
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the classic training-data
+    relevance pipeline, all JVM-side: explode → two hash aggregates →
+    broadcast of the (small) document-frequency table → ranking window.
+    6dp rounding absorbs libm ln() last-ulp differences across engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension; cheap metadata-ish count
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "group_concat_sorted",
+    "SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types "
+    "FROM events GROUP BY user_id",
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat: collect_set → sort_array → join
+    (bare collect_list order is partition-dependent; sorting makes it
+    reproducible)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+@register(
+    "running_total_per_user",
+    """
+    SELECT user_id, event_id, ts,
+      SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)::DECIMAL(38,6)::DOUBLE AS running_score,
+      LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag/lead navigation in one window pass (single
+    shuffle on user_id; one sort serves all three functions)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("running_score"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "cube_type_segment",
+    """
+    SELECT event_type, EXTRACT(year FROM ts) AS y, COUNT(*) AS n
+    FROM events GROUP BY CUBE (event_type, EXTRACT(year FROM ts))
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.year("ts").cast("bigint").alias("y")
+    )
+    return ev.cube("event_type", "y").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT o_orderkey, o_totalprice,
+      NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+    FROM orders
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE — single-partition window; at scale prefer
+    percent_rank over range-partitioned data or approx quantiles."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -97,6 +97,24 @@ def test_embedding_near_dups_self_consistent(spark):
         assert r.id_a < r.id_b
 
 
+def test_embedding_near_dups_finds_planted(spark):
+    """Planted exact + slightly-perturbed duplicate vectors must be
+    found by the hyperplane-LSH prefilter + cosine verify (the natural
+    synthetic corpus has no pairs above 0.52, so this is the real
+    positive-path check)."""
+    base = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    from pyspark.sql import functions as F2
+
+    exact_copy = base.select(
+        (F2.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.union(exact_copy)
+    dups = dedup.embedding_near_dups(corpus, threshold=0.999)
+    pairs = {(r.id_a, r.id_b) for r in dups.collect()}
+    planted = {(i, i + 100000) for i in range(20)}
+    assert planted <= pairs, f"missed {planted - pairs}"
+
+
 def test_multimodal_features_shape(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     mm = multimodal.as_binary_payload(docs)
