@@ -68,6 +68,82 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into KMeans cells, then for
+    each query scan only the `n_probe` nearest cells (exact cosine +
+    top-k inside).
+
+    Scale shape: the corpus is scored once to assign cells (one narrow
+    pass + model broadcast); per query only ~n_probe/n_clusters of the
+    corpus is scanned, and candidate selection is an equi-join on the
+    cell id. Centroids live in the (tiny, broadcast) model — there is
+    no driver-side loop over data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c.select("features"))
+    c_cells = model.transform(c).select("neighbor_id", "v", "cell")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("features", array_to_vector("qv"))
+    # distance of each query to every centroid -> n_probe nearest cells
+    cents = [(i, list(map(float, cv))) for i, cv in enumerate(model.clusterCenters())]
+    cents_df = q.sparkSession.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    )
+    qd = q.crossJoin(F.broadcast(cents_df)).select(
+        "query_id",
+        "qv",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        c_cells.join(
+            F.broadcast(probes),
+            (c_cells["cell"] == probes["cell"])
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cosine_expr("qv", "v").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1191,6 +1191,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries_df, k=_ANN_K)
 
 
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + n_probe nearest cells per query) — the
+    index-based scale path. Rows-only: iterative ML training isn't
+    SQL-expressible; recall vs the exact baseline is asserted in
+    tests/test_dedup_similarity.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, k=_ANN_K)
+
+
 @register("ann_lsh_topk", None)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing (the scale

@@ -64,8 +64,11 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Drive to completion with Trigger.AvailableNow for deterministic
     tests (SURVEY.md §2.8-T3)."""
     schema = load_table(spark, sf_dir, name).schema
+    # the file streaming source requires a DIRECTORY; select the one
+    # table via a glob filter
     return (
         spark.readStream.format("parquet")
         .schema(schema)
-        .load(os.path.join(sf_dir, f"{name}.parquet"))
+        .option("pathGlobFilter", f"{name}.parquet")
+        .load(sf_dir)
     )

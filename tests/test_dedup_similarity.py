@@ -89,6 +89,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall > 0.2, f"ANN recall suspiciously low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = similarity.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 3/8 cells; nearest-cell locality should do much better
+    # than the 37.5% random baseline
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_embedding_near_dups_self_consistent(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     dups = dedup.embedding_near_dups(emb, threshold=0.99)
