@@ -151,6 +151,41 @@ def q_flagship_stedi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flagship_typed_scale_mode",
+    f"""
+    WITH cust AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+             CAST(1950 + c_custkey % 50 AS BIGINT) AS birth_year
+      FROM customer
+    ), ev AS (
+      SELECT 'c' || CAST(user_id AS VARCHAR) || '@test.com' AS customer,
+             value AS score, ts AS risk_ts
+      FROM events
+    )
+    SELECT email, birth_year, customer, score, risk_ts
+    FROM cust JOIN ev ON email = customer
+    """,
+)
+def q_flagship_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-mode flagship: same join, PROPER types (double score,
+    timestamp riskDate, int birthYear) instead of the reference's
+    strings-everywhere fidelity mode (SURVEY.md §1.2) — the schema a
+    100 TB deployment would actually use (no per-row base64/JSON)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.format_string("c%d@test.com", "c_custkey").alias("email"),
+        (F.lit(1950) + F.col("c_custkey") % 50).cast("bigint").alias("birth_year"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.format_string("c%d@test.com", "user_id").alias("customer"),
+        F.col("value").alias("score"),
+        F.col("ts").alias("risk_ts"),
+    )
+    return ev.join(F.broadcast(cust), F.expr("email = customer")).select(
+        "email", "birth_year", "customer", "score", "risk_ts"
+    )
+
+
+@register(
     "customer_decode",
     f"WITH {_CUST_CTE} SELECT email, birthYear FROM cust",
 )
