@@ -27,19 +27,50 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def hyperplane_bucket(vec_col: str, n_planes: int = 12) -> Column:
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    plane p, dimension d — blake2b-derived, no RNG state, identical
+    across runs/machines."""
+    import hashlib
+
+    h = hashlib.blake2b(f"{p},{d}".encode(), digest_size=4).digest()
+    return (int.from_bytes(h, "big") % 2001 - 1000) / 1000.0
+
+
+def hyperplane_bucket(vec_col: str, n_planes: int = 12, n_dims: int | None = None) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(v · r_p), packed
-    into a bigint. The planes are pseudo-random but fully deterministic:
-    plane p, dimension d gets weight (pmod(xxhash64(p*4099+d), 2001) -
-    1000)/1000 — reproducible with zero driver-side state."""
+    into a bigint. Weights come from `plane_weight` (deterministic,
+    zero driver-side state to broadcast).
+
+    The plane weights are embedded as LITERAL arrays (computed once at
+    plan-build), so the per-row work is a pure float dot product — no
+    per-(row, dim) hashing. `n_dims` bounds the weight array; default
+    256 covers unknown dims (the zip_with stops at the vector length).
+    """
+    dims = n_dims or 256
     bits = []
     for p in range(n_planes):
+        weights = ", ".join(f"{plane_weight(p, d)!r}D" for d in range(dims))
+        # exact dims: zip directly; unknown dims: slice the weight array
+        # to the vector length (zip_with null-pads the shorter side,
+        # which would poison the sum)
+        warr = (
+            f"array({weights})"
+            if n_dims is not None
+            else f"slice(array({weights}), 1, size({vec_col}))"
+        )
         plane_dot = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, d) -> x * ((pmod(xxhash64({p} * 4099 + d), 2001) - 1000) / 1000.0)), "
-            f"CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            f"aggregate(zip_with({vec_col}, {warr}, "
+            f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
         )
         bits.append(
             f"CASE WHEN {plane_dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE CAST(0 AS BIGINT) END"
         )
     return F.expr(" + ".join(bits))
+
+
+def infer_dim(df, vec_col: str) -> int | None:
+    """Probe the vector dimension from the first row (cheap one-row
+    job at plan-build time); None on empty input."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row.d

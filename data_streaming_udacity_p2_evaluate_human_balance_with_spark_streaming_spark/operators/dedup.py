@@ -226,11 +226,13 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH prefilter +
     exact cosine verify. See operators.similarity for the primitives."""
+    from ..functions.vectors import infer_dim
     from .similarity import cosine_expr, hyperplane_bucket
 
+    dim = infer_dim(embeddings, vec_col)
     emb = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("bucket", hyperplane_bucket("v", n_planes=12))
+    ).withColumn("bucket", hyperplane_bucket("v", n_planes=12, n_dims=dim))
     l, r = emb.alias("l"), emb.alias("r")
     return (
         l.join(

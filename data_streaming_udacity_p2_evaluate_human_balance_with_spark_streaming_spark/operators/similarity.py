@@ -162,14 +162,17 @@ def ann_lsh_topk(
     stays a hash join — never a theta/nested-loop scan of the corpus."""
     from pyspark.sql.window import Window
 
+    from ..functions.vectors import infer_dim
+
+    dim = infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v", n_planes))
+    ).withColumn("bucket", hyperplane_bucket("v", n_planes, n_dims=dim))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qbucket", hyperplane_bucket("qv", n_planes))
+    ).withColumn("qbucket", hyperplane_bucket("qv", n_planes, n_dims=dim))
     if probe_bits >= 1:
         probes = "array(qbucket" + "".join(
             f", CAST(qbucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), {p})"
