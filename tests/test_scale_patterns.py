@@ -1,0 +1,107 @@
+"""Scale-pattern tests: bucketed co-located joins, stream-static
+dimension joins, and the vectorized pandas_udf path.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+    load_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """Both sides bucketed by the join key → SortMergeJoin with NO
+    Exchange: the shuffle happened once, at write time."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    write_bucketed(li, "lineitem_b", "l_orderkey", 8)
+    # broadcast would bypass the bucketing we're demonstrating
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey = l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stream_static_dimension_join(spark):
+    """Streaming events enriched with a STATIC dimension (no state
+    store needed on the static side) — the standard scale pattern for
+    profile enrichment."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.memory import (
+        stream_from_rows,
+    )
+
+    static_dim = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = [{"user_id": 3, "value": 1.5}, {"user_id": 7, "value": 2.5}]
+    stream = stream_from_rows(
+        spark, rows, _parse_datatype_string("user_id bigint, value double")
+    )
+    enriched = stream.join(
+        static_dim, F.col("user_id") == F.col("c_custkey"), "left"
+    ).select("user_id", "value", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r.c_mktsegment for r in spark.sql("SELECT * FROM enriched").collect()}
+    expected = {
+        r.c_custkey: r.c_mktsegment
+        for r in static_dim.filter(F.col("c_custkey").isin([3, 7])).collect()
+    }
+    assert got == expected
+
+
+def test_pandas_udf_matches_jvm_expression(spark):
+    """Vectorized Arrow-batched pandas_udf (the sanctioned Python
+    escape hatch) must agree with the JVM built-in path — here: L2
+    normalization of embeddings."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def normalize(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def f(v):
+            a = np.asarray(v, dtype="float64")
+            n = float(np.sqrt((a * a).sum()))
+            return (a / n).tolist() if n else a.tolist()
+
+        return vecs.map(f)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    via_udf = emb.select("vec_id", normalize(F.col("embedding").cast("array<double>")).alias("nv"))
+    via_jvm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x / "
+            "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)))"
+        ).alias("nv"),
+    )
+    u = {r.vec_id: r.nv for r in via_udf.collect()}
+    j = {r.vec_id: r.nv for r in via_jvm.collect()}
+    assert set(u) == set(j)
+    for k in u:
+        assert all(abs(a - b) < 1e-12 for a, b in zip(u[k], j[k]))
