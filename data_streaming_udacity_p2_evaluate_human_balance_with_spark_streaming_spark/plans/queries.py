@@ -1421,6 +1421,77 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "training_data_clean_pipeline",
+    f"""
+    WITH profiled AS (
+      SELECT doc_id, text, lang,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST({_stopword_sql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+        md5(text) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT * FROM profiled
+      WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+    ), deduped AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, round(k.stop_ratio, 6) AS stop_ratio
+    FROM kept k JOIN deduped d ON k.doc_id = d.doc_id
+    """,
+)
+def q_training_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning: profile → quality filter →
+    fingerprint dedup (keep smallest id) — the composition a 100 TB
+    corpus pipeline runs nightly. One scan feeds the profile; the only
+    shuffle is the dedup groupBy on the fingerprint."""
+    from ..operators.text import stopword_ratio, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiled = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        F.md5("text").alias("fp"),
+    )
+    kept = profiled.filter(
+        F.col("n_tokens").between(20, 1000) & (F.col("stop_ratio") >= 0.05)
+    )
+    deduped = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        kept.join(deduped, kept["doc_id"] == deduped["keep_id"])
+        .select("doc_id", "lang", "n_tokens", F.round("stop_ratio", 6).alias("stop_ratio"))
+    )
+
+
+@register(
+    "segment_risk_profile",
+    f"""
+    SELECT c_mktsegment, e.event_type, COUNT(*) AS n,
+      {_dsum(_VAL_DEC)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, e.event_type
+    """,
+)
+def q_segment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension enrichment + two-level rollup: events join the
+    broadcast customer dim, aggregate per (segment, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -43,6 +43,41 @@ def to_memory(
     return w.start()
 
 
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """MERGE-style upsert sink via foreachBatch (no Delta in this
+    container): each micro-batch replaces rows whose key matches —
+    target rows anti-joined against the batch, then unioned with it.
+
+    Per-batch cost is a full target rewrite, acceptable for dimension
+    tables; for fact-scale targets partition the path and restrict the
+    rewrite to touched partitions (or use a table format with MERGE)."""
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        cols = batch.columns
+        try:
+            target = spark.read.parquet(path).select(*cols)
+        except Exception:
+            batch.write.mode("overwrite").parquet(path)
+            return
+        keep = target.join(batch.select(*key_cols).distinct(), list(key_cols), "left_anti")
+        merged = keep.union(batch.select(*cols)).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+
+    w = df.writeStream.outputMode("update").foreachBatch(merge).option(
+        "checkpointLocation", _checkpoint(checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def to_parquet(
     df: DataFrame,
     path: str,

@@ -135,6 +135,34 @@ def test_flagship_restart_no_duplicates(spark, tmp_path):
     assert emails == ["a@test.com", "b@test.com"]  # each exactly once
 
 
+def test_upsert_sink_scd_semantics(spark, tmp_path):
+    """foreachBatch MERGE emulation: a second batch with the same key
+    REPLACES the row (SCD-1), new keys append."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        upsert_parquet,
+    )
+
+    schema = _parse_datatype_string("user_id bigint, value double")
+    d = json_lines_dir([{"user_id": 1, "value": 10.0}, {"user_id": 2, "value": 20.0}])
+    path, ckpt = str(tmp_path / "target"), str(tmp_path / "ck")
+
+    def run(rows=None):
+        if rows:
+            import uuid as _u
+
+            with open(f"{d}/part-{_u.uuid4().hex}.json", "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.format("json").schema(schema).load(d)
+        q = upsert_parquet(stream, path, ("user_id",), checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    run()
+    run([{"user_id": 1, "value": 99.0}, {"user_id": 3, "value": 30.0}])
+    got = {r.user_id: r.value for r in spark.read.parquet(path).collect()}
+    assert got == {1: 99.0, 2: 20.0, 3: 30.0}
+
+
 def test_salted_join_matches_plain_join(spark):
     big = spark.createDataFrame(
         [(1, i) for i in range(1000)] + [(2, i) for i in range(10)],
