@@ -174,6 +174,30 @@ def simhash(col: str = "text", bits: int = 64):
     )
 
 
+def simhash_agg(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash via explode + wide hash-aggregate (codegen-friendly twin
+    of `simhash`): one row per token, then `bits` sign-sums per doc —
+    same explode→groupBy shape that made minhash ~3× faster than the
+    interpreted higher-order-function form."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    ).select("_id", F.xxhash64("tok").alias("h"))
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN shiftright(h, {i}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return sums.select("_id", F.expr(packed).alias("sh"))
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -186,7 +210,7 @@ def simhash_near_dups(
     then exact hamming filter via bit_count(xor). Same
     bucket-join shape as MinHash LSH — never O(n²)."""
     width = 64 // chunks
-    sh = docs.select(F.col(id_col).alias("_id"), simhash(text_col).alias("sh"))
+    sh = simhash_agg(docs, id_col, text_col)
     chunked = sh.select(
         "_id",
         "sh",
