@@ -47,6 +47,12 @@ HEADLINE = [
     "rollup_region_nation",
     "correlated_scalar_subquery",
     "running_total_per_user",
+    "flagship_typed_scale_mode",
+    "training_data_clean_pipeline",
+    "segment_risk_profile",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "top_bigrams",
 ]
 
 

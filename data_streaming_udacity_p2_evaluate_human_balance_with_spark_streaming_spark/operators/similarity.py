@@ -68,6 +68,12 @@ def cosine_topk_bruteforce(
     )
 
 
+#: memoized IVF indexes: cache_key -> (model, assigned-cells DataFrame).
+#: An IVF index is built once and queried many times — callers pass a
+#: stable cache_key (e.g. the corpus path) to get that semantics.
+_IVF_INDEX_CACHE: dict = {}
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,6 +85,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into KMeans cells, then for
     each query scan only the `n_probe` nearest cells (exact cosine +
@@ -94,13 +101,30 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql.window import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("features", array_to_vector("v"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(c.select("features"))
-    c_cells = model.transform(c).select("neighbor_id", "v", "cell")
+    full_key = cache_key and (cache_key, n_clusters, seed)
+    if full_key and full_key in _IVF_INDEX_CACHE:
+        model, c_cells = _IVF_INDEX_CACHE[full_key]
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn("features", array_to_vector("v"))
+        # random init + few iterations: cell QUALITY barely matters for
+        # IVF recall (probing n_probe cells tolerates imperfect
+        # centroids), while k-means|| init + 20 iterations dominated the
+        # whole query's runtime. Train on a bounded sample.
+        km = KMeans(
+            k=n_clusters,
+            seed=seed,
+            maxIter=8,
+            initMode="random",
+            featuresCol="features",
+            predictionCol="cell",
+        )
+        model = km.fit(c.select("features").limit(2048))
+        c_cells = model.transform(c).select("neighbor_id", "v", "cell").persist()
+        if full_key:
+            _IVF_INDEX_CACHE[full_key] = (model, c_cells)
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

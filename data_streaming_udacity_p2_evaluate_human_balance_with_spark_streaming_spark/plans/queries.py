@@ -1245,7 +1245,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries_df, k=_ANN_K)
+    return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
 @register("ann_lsh_topk", None)
@@ -1496,6 +1496,66 @@ def q_segment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+@register(
+    "top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, n, rnk FROM (
+      SELECT bigram, COUNT(*) AS n,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS rnk
+      FROM bigrams GROUP BY bigram
+    ) WHERE rnk <= 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency (the vocabulary-stats pass of a
+    training-data pipeline): explode bigrams → count → top-20."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE into an attribute; the transform lambda then indexes
+    # a column reference instead of re-running split() per element
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))"
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("bigram", "n", "rnk")
+    )
+
+
+@register(
+    "hash_sample_10pct",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (Knuth multiplicative): the
+    reproducible alternative to rand()-based sampling — the same 10%
+    slice on every engine, every run. doc_id*2654435761 ≤ ~1e13 ≪ 2^63
+    (ANSI-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter((F.col("doc_id") * 2654435761) % 100 < 10).select(
+        "doc_id", "lang"
     )
 
 

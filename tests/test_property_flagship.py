@@ -1,0 +1,87 @@
+"""Property-based test: for ARBITRARY customer/risk payloads, the
+flagship pipeline's batch output equals a pure-Python model of the
+reference's semantics (decode → null-filter → birthYear → inner join).
+"""
+
+import base64
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+    pipelines,
+)
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1, max_size=12
+)
+_email = st.one_of(st.none(), _name.map(lambda s: f"{s}@test.com"))
+_birthday = st.one_of(
+    st.none(),
+    st.tuples(
+        st.integers(1900, 2020), st.integers(1, 12), st.integers(1, 28)
+    ).map(lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d}"),
+)
+_customer = st.fixed_dictionaries(
+    {"customerName": _name, "email": _email, "phone": _name, "birthDay": _birthday}
+)
+_score = st.integers(-1000, 1000).map(lambda i: str(i / 10))
+_risk = st.tuples(_email.filter(lambda e: e is not None), _score)
+
+
+def _b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def _envelope(cust: dict) -> tuple:
+    return (
+        _b64("Customer"),
+        json.dumps(
+            {
+                "key": _b64("Customer"),
+                "existType": "NONE",
+                "Ch": False,
+                "Incr": False,
+                "zSetEntries": [{"element": _b64(json.dumps(cust)), "Score": "0.0"}],
+            }
+        ),
+    )
+
+
+def _model(customers: list[dict], risks: list[tuple]) -> set:
+    """Pure-Python reference semantics."""
+    out = set()
+    for c in customers:
+        if c["email"] is None or c["birthDay"] is None:
+            continue
+        birth_year = c["birthDay"].split("-")[0]
+        for cust_email, score in risks:
+            if cust_email == c["email"]:
+                out.add((c["email"], birth_year, cust_email, score))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    customers=st.lists(_customer, min_size=0, max_size=8),
+    risks=st.lists(_risk, min_size=0, max_size=8),
+)
+def test_flagship_matches_python_model(spark, customers, risks):
+    kv = "key string, value string"
+    redis_rows = [_envelope(c) for c in customers]
+    event_rows = [
+        (e, json.dumps({"customer": e, "score": s, "riskDate": "2020-01-01T00:00:00Z"}))
+        for e, s in risks
+    ]
+    redis_df = spark.createDataFrame(redis_rows or [(None, None)], kv)
+    events_df = spark.createDataFrame(event_rows or [(None, None)], kv)
+    got = {
+        (r.email, r.birthYear, r.customer, r.score)
+        for r in pipelines.flagship_join_pipeline(redis_df, events_df).collect()
+    }
+    assert got == _model(customers, risks)
