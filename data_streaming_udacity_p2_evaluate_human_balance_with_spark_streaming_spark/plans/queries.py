@@ -1559,6 +1559,87 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — wide→long reshaping (the oracle uses the
+    equivalent UNION ALL form)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+    )
+
+
+@register(
+    "null_safe_equality",
+    """
+    SELECT e1.event_id AS a, e2.event_id AS b FROM
+      (SELECT event_id, nullif(event_type, 'error') AS t FROM events WHERE event_id < 50) e1
+    JOIN
+      (SELECT event_id, nullif(event_type, 'error') AS t FROM events WHERE event_id < 50) e2
+    ON e1.t IS NOT DISTINCT FROM e2.t AND e1.event_id < e2.event_id
+    """,
+)
+def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    MATCH each other, unlike plain equality."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    side = ev.select(
+        "event_id", F.expr("nullif(event_type, 'error')").alias("t")
+    )
+    e1, e2 = side.alias("e1"), side.alias("e2")
+    return e1.join(
+        e2,
+        F.col("e1.t").eqNullSafe(F.col("e2.t"))
+        & (F.col("e1.event_id") < F.col("e2.event_id")),
+    ).select(F.col("e1.event_id").alias("a"), F.col("e2.event_id").alias("b"))
+
+
+@register(
+    "misc_math_functions",
+    """
+    SELECT o_orderkey,
+      abs(o_totalprice - 300000) AS dist_from_mid,
+      CAST(sign(o_totalprice - 300000) AS BIGINT) AS side,
+      greatest(o_totalprice, 100000.0) AS floored,
+      least(o_totalprice, 500000.0) AS capped,
+      CAST(o_custkey % 7 AS BIGINT) AS bucket7,
+      CAST(least(floor(o_totalprice / 60000.0) + 1, 10) AS BIGINT) AS decile,
+      round(sqrt(o_totalprice), 6) AS sqrt_price
+    FROM orders
+    """,
+)
+def q_misc_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: abs/sign/greatest/least/mod/width_bucket/sqrt
+    (sqrt is IEEE-correctly-rounded — exact cross-engine; round guards
+    the repr only)."""
+    o = load_table(spark, sf_dir, "orders")
+    mid = F.col("o_totalprice") - 300000
+    return o.select(
+        "o_orderkey",
+        F.abs(mid).alias("dist_from_mid"),
+        F.signum(mid).cast("bigint").alias("side"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored"),
+        F.least(F.col("o_totalprice"), F.lit(500000.0)).alias("capped"),
+        (F.col("o_custkey") % 7).cast("bigint").alias("bucket7"),
+        # width_bucket equivalent (DuckDB lacks the function): fixed-width
+        # buckets with a top clamp
+        F.least(F.floor(F.col("o_totalprice") / 60000.0) + 1, F.lit(10))
+        .cast("bigint")
+        .alias("decile"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -260,6 +260,35 @@ def test_risk_quality_streaming_windowed(spark, runner):
     assert ("2024-01-01 00:15:00", 1, 30.0) in got
 
 
+def test_complete_mode_aggregation(spark, runner):
+    """Complete output mode: every trigger re-emits the FULL aggregate
+    table (the mode the reference's console sink would need for
+    grouped aggregations)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 20.0},
+        {"user_id": 2, "value": 5.0},
+    ]
+    stream = stream_from_rows(
+        spark, rows, _parse_datatype_string("user_id bigint, value double")
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    q = runner.add(
+        "complete", to_memory(agg, "complete_out", output_mode="complete")
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.sql("SELECT * FROM complete_out").collect()
+    }
+    assert got == {1: (2, 30.0), 2: (1, 5.0)}
+
+
 def test_parquet_sink_exactly_once(spark, runner, tmp_path):
     """T8: checkpointed parquet sink lands every row exactly once."""
     from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
