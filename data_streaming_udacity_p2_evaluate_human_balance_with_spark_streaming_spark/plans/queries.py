@@ -435,9 +435,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_f = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    # build side = the SELECTIVE orders subset (segment filter cuts it
+    # ~5×); lineitem — the biggest table — streams through both joins
+    # without an exchange. Left to AQE's size estimates, the fact table
+    # itself gets broadcast here, which inverts at real scale.
+    building_orders = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(building_orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
