@@ -26,6 +26,16 @@ def word_shingles(col: str = "text", k: int = 3) -> Column:
     )
 
 
+def char_shingles(col: str = "text", k: int = 5) -> Column:
+    """k-char shingles — robust to word-boundary edits (the variant
+    used for code/CJK dedup where whitespace tokenization fails)."""
+    return F.expr(
+        f"CASE WHEN length({col}) < {k} THEN array({col}) "
+        f"ELSE transform(sequence(1, length({col}) - {k - 1}), "
+        f"i -> substring({col}, i, {k})) END"
+    )
+
+
 def hashed(arr_col: str) -> Column:
     """31-bit hash of every array element (hash strings ONCE, then do
     integer-only permutation arithmetic)."""

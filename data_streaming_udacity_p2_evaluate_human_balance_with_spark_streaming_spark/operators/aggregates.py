@@ -80,6 +80,30 @@ def risk_quality_windowed(
     )
 
 
+def hll_sketch_per_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, built into
+    Spark SQL): one binary sketch per group. Sketches union across
+    groups/partitions/days without rescanning data — THE pattern for
+    incremental distinct-counting over 100 TB (store sketches, not
+    ids)."""
+    return df.groupBy(group_col).agg(
+        F.expr(f"hll_sketch_agg({value_col})").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_union_estimate(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Union per-group sketches into one global distinct estimate —
+    merges tiny binary blobs, never the raw data."""
+    return sketches.agg(
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+            "distinct_estimate"
+        )
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str
 ) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MOD31 as MOD  # 31-bit hashes: ANSI-overflow-safe
-from ..functions.hashing import hashed, minhash_perm, word_shingles
+from ..functions.hashing import char_shingles, hashed, minhash_perm, word_shingles
 
 
 def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,16 +55,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band
     of their minhash signature collide. Returns (doc_a, doc_b) with
-    doc_a < doc_b, deduplicated across bands.
+    doc_a < doc_b, deduplicated across bands. shingle_mode="char"
+    switches to k-char shingles (code/CJK robustness).
 
     Scale shape: explode to `bands` rows/doc → groupBy band bucket →
     pairs only within buckets. Skewed mega-buckets (boilerplate spam)
     are capped by AQE skew splitting; at extreme skew add a bucket-size
     cap filter before pairing.
     """
+    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
     rows = num_hashes // bands
     # shingle → hash once → EXPLODE → 32 min() hash-aggregates.
     # Higher-order lambdas (transform/array_min) are interpreted
@@ -73,7 +76,7 @@ def minhash_lsh_candidates(
     # this introduces carries only (id, 32 partial mins) per map
     # partition thanks to map-side combine.
     hashed_df = docs.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("sh")
+        F.col(id_col).alias("_id"), shingle_fn(text_col, shingle_k).alias("sh")
     ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
     sig = hashed_df.groupBy("_id").agg(
         *[

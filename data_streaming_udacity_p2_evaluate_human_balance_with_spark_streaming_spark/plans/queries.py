@@ -1187,6 +1187,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register("dedup_minhash_char_ngram", None)
+def q_dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram MinHash LSH candidates (whitespace-free robustness;
+    code/CJK path). Rows-only: xxhash64-based."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), shingle_k=5, shingle_mode="char"
+    )
+
+
+@register("hll_distinct_users", None)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches per event_type + global union
+    estimate (DataSketches binary sketches — THE incremental
+    distinct-count pattern at 100 TB). Rows-only: sketch bytes are
+    implementation-defined; accuracy asserted in tests."""
+    from ..operators.aggregates import hll_sketch_per_group, hll_union_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = hll_sketch_per_group(ev, "event_type", "user_id")
+    return hll_union_estimate(sketches)
+
+
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign-sum + 16-bit chunk LSH +

@@ -130,6 +130,34 @@ def test_embedding_near_dups_finds_planted(spark):
     assert planted <= pairs, f"missed {planted - pairs}"
 
 
+def test_char_ngram_minhash_finds_planted(spark):
+    """Char-shingle mode: catches near-dups even with word-boundary
+    edits (spaces removed)."""
+    rows = []
+    for i in range(20):
+        base = f"the quick brown fox {i} jumps over the lazy dog " * 4
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base[:-6] + "CHANGED"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = dedup.minhash_lsh_candidates(docs, shingle_k=5, shingle_mode="char")
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert len(pairs & planted) / len(planted) >= 0.9
+
+
+def test_hll_estimate_accuracy(spark):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.aggregates import (
+        hll_sketch_per_group,
+        hll_union_estimate,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = ev.select("user_id").distinct().count()
+    sketches = hll_sketch_per_group(ev, "event_type", "user_id")
+    est = hll_union_estimate(sketches).collect()[0].distinct_estimate
+    assert abs(est - exact) / exact < 0.05, f"HLL est {est} vs exact {exact}"
+
+
 def test_multimodal_features_shape(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     mm = multimodal.as_binary_payload(docs)
