@@ -289,6 +289,37 @@ def test_complete_mode_aggregation(spark, runner):
     assert got == {1: (2, 30.0), 2: (1, 5.0)}
 
 
+def test_streaming_session_window(spark, runner):
+    """Gap-based session windows over a watermarked stream: events
+    within 10 minutes merge into one session; the late far-future row
+    closes the watermark so sessions emit in append mode."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00.000Z"},  # same session
+        {"user_id": 1, "ts": "2024-01-01T00:30:00.000Z"},  # new session
+        {"user_id": 2, "ts": "2024-01-01T10:00:00.000Z"},  # watermark driver
+    ]
+    stream = stream_from_rows(
+        spark, rows, _parse_datatype_string("user_id bigint, ts timestamp")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+    )
+    q = runner.add("sess", to_memory(agg, "sess_out", output_mode="append"))
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.start), r.n)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert (1, "2024-01-01 00:00:00", 2) in got
+    assert (1, "2024-01-01 00:30:00", 1) in got
+
+
 def test_parquet_sink_exactly_once(spark, runner, tmp_path):
     """T8: checkpointed parquet sink lands every row exactly once."""
     from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
