@@ -1670,6 +1670,122 @@ def q_misc_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "date_spine_zero_fill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-14', INTERVAL 1 DAY))::DATE AS d
+    ), daily AS (
+      SELECT ts::DATE AS d, COUNT(*) AS n FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+    )
+    SELECT spine.d AS day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous date spine with zero-fill (reporting staple):
+    sequence() generates the spine; gaps left-join to 0."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '2024-01-01', DATE '2024-01-14', INTERVAL 1 DAY)"
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "first_last_value_frames",
+    """
+    SELECT user_id, event_id,
+      FIRST_VALUE(value) OVER w AS first_score,
+      LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_score,
+      NTH_VALUE(value, 2) OVER w AS second_score
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over explicit full-partition frames (the
+    default frame would silently truncate last_value at CURRENT ROW)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_score"),
+        F.last("value").over(w).alias("last_score"),
+        F.nth_value("value", 2).over(w).alias("second_score"),
+    )
+
+
+@register(
+    "percent_rank_cume_dist",
+    """
+    SELECT o_orderkey,
+      round(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS pr,
+      round(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS cd
+    FROM orders
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    """
+    SELECT event_type,
+      round(stddev_samp(value), 4) AS sd,
+      round(var_samp(value), 4) AS var,
+      round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+      round(skewness(value), 4) AS skew
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/skewness). Rounded
+    to 4dp: both engines use single-pass stable formulas but partition
+    order perturbs the last ulps. Spark's skewness is population g1;
+    DuckDB's is sample G1 — the sqrt(n(n-1))/(n-2) correction aligns
+    them."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).cast("double")
+    g1_to_G1 = F.sqrt(n * (n - 1)) / (n - 2)
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_uid"),
+        F.round(F.skewness("value") * g1_to_G1, 4).alias("skew"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
