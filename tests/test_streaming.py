@@ -289,6 +289,42 @@ def test_complete_mode_aggregation(spark, runner):
     assert got == {1: (2, 30.0), 2: (1, 5.0)}
 
 
+def test_stream_stream_left_outer_join(spark, runner):
+    """Streaming LEFT OUTER join — unlike the reference's inner join,
+    this REQUIRES watermarks + a time bound so unmatched left rows can
+    be emitted with nulls once the watermark passes."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    cust = [
+        {"email": "a@test.com", "cts": "2024-01-01T00:00:00.000Z"},
+        {"email": "lonely@test.com", "cts": "2024-01-01T00:00:05.000Z"},
+        # far-future row pushes the watermark so the unmatched row emits
+        {"email": "late@test.com", "cts": "2024-01-02T00:00:00.000Z"},
+    ]
+    ev = [
+        {"customer": "a@test.com", "score": "5.0", "ets": "2024-01-01T00:10:00.000Z"},
+        {"customer": "wm@test.com", "score": "0.0", "ets": "2024-01-02T00:00:00.000Z"},
+    ]
+    left = stream_from_rows(
+        spark, cust, _parse_datatype_string("email string, cts timestamp")
+    ).withWatermark("cts", "10 seconds")
+    right = stream_from_rows(
+        spark, ev, _parse_datatype_string("customer string, score string, ets timestamp")
+    ).withWatermark("ets", "10 seconds")
+    joined = left.join(
+        right,
+        F.expr(
+            "email = customer AND ets BETWEEN cts AND cts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select("email", "score")
+    q = runner.add("louter", to_memory(joined, "louter_out"))
+    q.awaitTermination()
+    got = {(r.email, r.score) for r in spark.sql("SELECT * FROM louter_out").collect()}
+    assert ("a@test.com", "5.0") in got
+    assert ("lonely@test.com", None) in got  # null-padded after watermark
+
+
 def test_streaming_session_window(spark, runner):
     """Gap-based session windows over a watermarked stream: events
     within 10 minutes merge into one session; the late far-future row
