@@ -63,6 +63,57 @@ def _model(customers: list[dict], risks: list[tuple]) -> set:
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(st.lists(_customer, min_size=1, max_size=4), min_size=1, max_size=4))
+def test_zset_explode_keeps_every_entry(spark, batches):
+    """Property: the scale-mode explode path recovers EVERY customer
+    from multi-entry zadd envelopes (fidelity [0] would drop all but
+    the first)."""
+    def multi_envelope(custs):
+        return (
+            _b64("Customer"),
+            json.dumps(
+                {
+                    "key": _b64("Customer"),
+                    "existType": "NONE",
+                    "Ch": False,
+                    "Incr": False,
+                    "zSetEntries": [
+                        {"element": _b64(json.dumps(c)), "Score": "0.0"} for c in custs
+                    ],
+                }
+            ),
+        )
+
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators import (
+        decode,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.schemas import (
+        CUSTOMER,
+        REDIS_ENVELOPE,
+    )
+
+    raw = spark.createDataFrame(
+        [multi_envelope(b) for b in batches], "key string, value string"
+    )
+    env = decode.parse_json(decode.cast_kv_to_string(raw), "value", REDIS_ENVELOPE)
+    exploded = decode.explode_zset_elements(env)
+    parsed = exploded.withColumn(
+        "c", F.from_json(decode.decode_base64_str("encodedCustomer"), CUSTOMER)
+    ).select("c.*")
+    got = sorted(
+        (r.customerName, r.email) for r in parsed.collect()
+    )
+    expected = sorted((c["customerName"], c["email"]) for b in batches for c in b)
+    assert got == expected
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
