@@ -71,6 +71,7 @@ def main() -> None:
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -83,6 +84,9 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (LSH tables, IVF cells) so later
+        # queries aren't perturbed by earlier queries' cached memory
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

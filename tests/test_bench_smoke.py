@@ -1,0 +1,33 @@
+"""bench.py must always print exactly one valid JSON line with every
+headline query timed (the driver records it verbatim)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_prints_one_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, out.stdout
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert payload["value"] > 0
+    from bench import HEADLINE
+
+    assert set(payload["queries"]) == set(HEADLINE)
+    assert all(v >= 0 for v in payload["queries"].values()), payload["queries"]
