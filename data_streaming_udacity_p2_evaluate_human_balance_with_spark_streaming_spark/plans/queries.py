@@ -1803,6 +1803,105 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
 
 
+@register(
+    "grouping_id_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n,
+      GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish real NULL group keys from
+    rollup-generated subtotal rows."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+    )
+
+
+@register(
+    "dedup_exact_by_hash",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of exact dedup: group on the 128-bit content hash,
+    not the payload — the shuffle carries 32-byte keys instead of
+    multi-KB documents (the only viable exact-dedup shape at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "string_padding_functions",
+    """
+    SELECT c_custkey,
+      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      rpad(c_mktsegment, 12, '.') AS padded_seg,
+      trim(rpad(c_mktsegment, 12, ' ')) AS trimmed,
+      translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated
+    FROM customer
+    """,
+)
+def q_string_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.trim(F.rpad("c_mktsegment", 12, " ")).alias("trimmed"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+    )
+
+
+@register(
+    "nulls_ordering",
+    """
+    SELECT event_id, nullif(event_type, 'error') AS t FROM events
+    ORDER BY t ASC NULLS FIRST, event_id ASC LIMIT 100
+    """,
+)
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering under LIMIT (engines default
+    differently — Spark nulls-first ASC, many others nulls-last)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.expr("nullif(event_type, 'error')").alias("t"))
+        .orderBy(F.col("t").asc_nulls_first(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+@register("map_functions", None)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build, access, and explode a map (rows-only:
+    map literal syntax/ordering is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    with_map = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ).alias("m"),
+    )
+    return with_map.select(
+        "event_id",
+        F.col("m")["type"].alias("type_val"),
+        F.map_keys("m").alias("keys"),
+        F.size("m").alias("n_entries"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
