@@ -1902,6 +1902,32 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "python_datasource_sim",
+    """
+    SELECT 'c' || CAST(i AS VARCHAR) || '@test.com' AS email,
+           CAST(1950 + i % 50 AS VARCHAR) AS birthYear
+    FROM generate_series(0, 199) t(i)
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): the
+    `stedi_sim` format generates the changefeed envelopes the
+    reference's 9-container simulator stack produced; the decode
+    pipeline consumes them unchanged. Oracle re-derives the expected
+    decoded rows from the same deterministic arithmetic."""
+    from ..sources.simulator import register_stedi_simulator
+
+    register_stedi_simulator(spark)
+    raw = (
+        spark.read.format("stedi_sim")
+        .option("rows", 200)
+        .option("partitions", 4)
+        .load()
+    )
+    return pipelines.customer_decode_pipeline(raw)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

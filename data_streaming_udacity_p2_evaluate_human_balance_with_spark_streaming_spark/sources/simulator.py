@@ -1,0 +1,83 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+STEDI simulator.
+
+The reference gets its input from a 9-container simulator stack
+(`/root/reference/docker-compose.yaml:1-9` — Redis, Kafka Connect, app
+simulators). This source replaces that stack for development/testing:
+`spark.read.format("stedi_sim")` produces the exact Kafka-shaped
+(key, value) envelope rows the changefeed would carry, partitioned and
+reproducible (seeded by row index, no RNG state).
+
+The DataSource classes are defined inside a factory so cloudpickle
+ships them BY VALUE — executors never need this package on sys.path
+(same constraint as the mapInPandas operators, see NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def make_stedi_simulator_source():
+    """Build the DataSource class (pickled by value — see module doc)."""
+    import base64
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    def _b64(s: str) -> str:
+        return base64.b64encode(s.encode()).decode()
+
+    def _envelope(i: int) -> tuple:
+        customer = {
+            "customerName": f"Customer {i}",
+            "email": f"c{i}@test.com",
+            "phone": f"555-{i % 10000:04d}",
+            "birthDay": f"{1950 + i % 50:04d}-{1 + i % 12:02d}-{1 + i % 28:02d}",
+        }
+        value = {
+            "key": _b64("Customer"),
+            "existType": "NONE",
+            "Ch": False,
+            "Incr": False,
+            "zSetEntries": [
+                {"element": _b64(json.dumps(customer)), "Score": "0.0"}
+            ],
+        }
+        return (_b64("Customer"), json.dumps(value))
+
+    class StediSimReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", 100))
+            self.n_parts = int(options.get("partitions", 4))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.n_parts)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(p, self.n_rows, self.n_parts):
+                yield _envelope(i)
+
+    class StediSimulatorDataSource(DataSource):
+        """format("stedi_sim"), options: rows, partitions."""
+
+        @classmethod
+        def name(cls):
+            return "stedi_sim"
+
+        def schema(self):
+            return "key string, value string"
+
+        def reader(self, schema):
+            return StediSimReader(self.options)
+
+    return StediSimulatorDataSource
+
+
+def register_stedi_simulator(spark: SparkSession) -> None:
+    spark.dataSource.register(make_stedi_simulator_source())

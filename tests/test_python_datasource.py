@@ -1,0 +1,34 @@
+"""Custom Python Data Source (Spark 4 API): partitioned, deterministic,
+feeds the decode pipeline unchanged."""
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+    pipelines,
+)
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.simulator import (
+    register_stedi_simulator,
+)
+
+
+def test_simulator_source_partitioned_and_deterministic(spark):
+    register_stedi_simulator(spark)
+    raw = (
+        spark.read.format("stedi_sim")
+        .option("rows", 60)
+        .option("partitions", 5)
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 5
+    a = sorted(r.value for r in raw.collect())
+    b = sorted(r.value for r in raw.collect())
+    assert a == b  # deterministic re-read
+    assert len(a) == 60
+
+
+def test_simulator_feeds_decode_pipeline(spark):
+    register_stedi_simulator(spark)
+    raw = spark.read.format("stedi_sim").option("rows", 30).load()
+    decoded = pipelines.customer_decode_pipeline(raw)
+    got = {(r.email, r.birthYear) for r in decoded.collect()}
+    assert ("c0@test.com", "1950") in got
+    assert ("c29@test.com", "1979") in got
+    assert len(got) == 30
