@@ -63,8 +63,31 @@ def make_stedi_simulator_source():
             for i in range(p, self.n_rows, self.n_parts):
                 yield _envelope(i)
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class StediSimStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin: emits `rows_per_batch` envelopes per
+        micro-batch until `rows` total; offset = next row index, so
+        restart-from-checkpoint resumes exactly."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", 100))
+            self.per_batch = int(options.get("rows_per_batch", 20))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            end = min(i + self.per_batch, self.n_rows)
+            return (iter([_envelope(j) for j in range(i, end)]), {"i": end})
+
+        def readBetweenOffsets(self, start, end):
+            return iter([_envelope(j) for j in range(start["i"], end["i"])])
+
     class StediSimulatorDataSource(DataSource):
-        """format("stedi_sim"), options: rows, partitions."""
+        """format("stedi_sim"), options: rows, partitions (batch),
+        rows_per_batch (streaming)."""
 
         @classmethod
         def name(cls):
@@ -75,6 +98,9 @@ def make_stedi_simulator_source():
 
         def reader(self, schema):
             return StediSimReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return StediSimStreamReader(self.options)
 
     return StediSimulatorDataSource
 

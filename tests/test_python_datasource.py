@@ -24,6 +24,27 @@ def test_simulator_source_partitioned_and_deterministic(spark):
     assert len(a) == 60
 
 
+def test_simulator_stream_reader(spark):
+    """Streaming twin: micro-batched emission through the decode
+    pipeline; availableNow drains all configured rows."""
+    register_stedi_simulator(spark)
+    raw = (
+        spark.readStream.format("stedi_sim")
+        .option("rows", 45)
+        .option("rows_per_batch", 10)
+        .load()
+    )
+    decoded = pipelines.customer_decode_pipeline(raw)
+    q = decoded.writeStream.format("memory").queryName("sim_stream").start()
+    try:
+        q.processAllAvailable()  # source idles once all 45 rows emitted
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sim_stream").collect()
+    assert len(rows) == 45
+    assert {r.email for r in rows} == {f"c{i}@test.com" for i in range(45)}
+
+
 def test_simulator_feeds_decode_pipeline(spark):
     register_stedi_simulator(spark)
     raw = spark.read.format("stedi_sim").option("rows", 30).load()
