@@ -68,3 +68,43 @@ def running_risk_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_guard(
+    events: DataFrame, key_col: str = "user_id", seq_col: str = "event_id"
+) -> DataFrame:
+    """Stateful idempotency guard: per key, remember the highest
+    sequence id seen and emit only rows with a NEW higher id — the
+    at-least-once → effectively-once adapter in front of non-idempotent
+    sinks. State is one bigint per key (watermark-less variant of
+    dropDuplicates for monotonic sequence ids)."""
+
+    def guard(key, batches, state):
+        import pandas as _pd
+
+        high = state.get[0] if state.exists else -1
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values(pdf.columns[1])
+            fresh = pdf[pdf.iloc[:, 1] > high]
+            if len(fresh):
+                high = int(fresh.iloc[:, 1].max())
+                out.append(fresh)
+        state.update((high,))
+        yield (
+            _pd.concat(out)
+            if out
+            else _pd.DataFrame({"user_id": [], "event_id": []}).astype("int64")
+        )
+
+    return (
+        events.select(key_col, seq_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            guard,
+            outputStructType=f"{key_col} bigint, {seq_col} bigint",
+            stateStructType="high bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

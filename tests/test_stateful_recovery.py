@@ -135,6 +135,56 @@ def test_flagship_restart_no_duplicates(spark, tmp_path):
     assert emails == ["a@test.com", "b@test.com"]  # each exactly once
 
 
+def test_dedup_guard_suppresses_replays(spark, tmp_path):
+    """Idempotency guard: replayed/old sequence ids are suppressed
+    across micro-batches (state remembers the per-key high watermark)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        dedup_guard,
+    )
+
+    schema = _parse_datatype_string("user_id bigint, event_id bigint")
+    d = json_lines_dir(
+        [
+            {"user_id": 1, "event_id": 10},
+            {"user_id": 1, "event_id": 11},
+            {"user_id": 2, "event_id": 5},
+        ]
+    )
+    ckpt, out_dir = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run(extra=None):
+        if extra:
+            import uuid as _u
+
+            with open(f"{d}/p{_u.uuid4().hex}.json", "w") as f:
+                for r in extra:
+                    f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.format("json").schema(schema).load(d)
+        q = (
+            dedup_guard(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: df.write.mode("append").json(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # batch 2: one replay (11), one stale (9), one genuinely new (12)
+    run(
+        [
+            {"user_id": 1, "event_id": 11},
+            {"user_id": 1, "event_id": 9},
+            {"user_id": 1, "event_id": 12},
+        ]
+    )
+    rows = sorted(
+        (r.user_id, r.event_id) for r in spark.read.json(out_dir).collect()
+    )
+    assert rows == [(1, 10), (1, 11), (1, 12), (2, 5)]
+
+
 def test_upsert_sink_scd_semantics(spark, tmp_path):
     """foreachBatch MERGE emulation: a second batch with the same key
     REPLACES the row (SCD-1), new keys append."""
