@@ -245,6 +245,28 @@ def simhash_near_dups(
     )
 
 
+def streaming_near_dup_filter(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: drop documents whose 64-bit SimHash
+    collides with one already seen inside the watermark horizon.
+    Exact simhash equality ⇒ near-identical text (64 sign-bits all
+    agree), so this suppresses boilerplate/replay floods at ingest
+    with ONE bigint of state per distinct document shape — the
+    streaming face of the batch near-dup pipeline.
+
+    Uses the built-in watermarked dropDuplicates state store (RocksDB
+    per session.py); state evicts as event time advances.
+    """
+    with_sig = docs.withColumn("simhash", simhash(text_col))
+    return with_sig.withWatermark(ts_col, watermark).dropDuplicates(
+        ["simhash"]
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -325,6 +325,37 @@ def test_stream_stream_left_outer_join(spark, runner):
     assert ("lonely@test.com", None) in got  # null-padded after watermark
 
 
+def test_streaming_near_dup_filter(spark, runner):
+    """Ingest dedup: identical and trivially-reordered duplicates
+    collapse to one surviving row per simhash within the watermark."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        streaming_near_dup_filter,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog " * 5
+    text_b = "completely different content about spark streaming engines " * 5
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00.000Z", "text": text_a},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00.000Z", "text": text_a},  # dup
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00.000Z", "text": text_b},
+        {"doc_id": 4, "ts": "2024-01-01T00:03:00.000Z", "text": text_a},  # dup
+    ]
+    stream = stream_from_rows(
+        spark,
+        rows,
+        _parse_datatype_string("doc_id bigint, ts timestamp, text string"),
+    )
+    deduped = streaming_near_dup_filter(stream, watermark="1 hour")
+    q = runner.add("neardup", to_memory(deduped.select("doc_id"), "neardup_out"))
+    q.awaitTermination()
+    survivors = {r.doc_id for r in spark.sql("SELECT * FROM neardup_out").collect()}
+    assert len(survivors) == 2
+    assert 3 in survivors  # the distinct doc always survives
+    assert len(survivors & {1, 2, 4}) == 1  # exactly one copy of text_a
+
+
 def test_streaming_session_window(spark, runner):
     """Gap-based session windows over a watermarked stream: events
     within 10 minutes merge into one session; the late far-future row
