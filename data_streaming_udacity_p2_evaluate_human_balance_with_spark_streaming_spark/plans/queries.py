@@ -1928,6 +1928,43 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.customer_decode_pipeline(raw)
 
 
+@register(
+    "json_multi_extract",
+    """
+    WITH payload AS (
+      SELECT event_id,
+        '{"type":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR)
+          || ',"score":' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) || '}' AS j
+      FROM events
+    )
+    SELECT event_id,
+      json_extract_string(j, '$.type') AS type,
+      json_extract_string(j, '$.uid') AS uid,
+      json_extract_string(j, '$.score') AS score
+    FROM payload
+    """,
+)
+def q_json_multi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple: one parse extracting several fields (vs N
+    get_json_object calls, N parses) — the cheap path for wide JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"type":"'),
+            F.col("event_type"),
+            F.lit('","uid":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"score":'),
+            F.col("value").cast("decimal(10,2)").cast("string"),
+            F.lit("}"),
+        ).alias("j"),
+    )
+    return payload.select(
+        "event_id", F.json_tuple("j", "type", "uid", "score").alias("type", "uid", "score")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
