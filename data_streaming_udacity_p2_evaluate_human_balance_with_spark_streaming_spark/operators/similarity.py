@@ -98,7 +98,7 @@ def ivf_topk(
     no driver-side loop over data.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
     full_key = cache_key and (cache_key, n_clusters, seed)
