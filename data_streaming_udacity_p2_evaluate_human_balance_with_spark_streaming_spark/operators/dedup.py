@@ -118,6 +118,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     step after LSH). Joins the shingle sets back to the pairs.
@@ -128,9 +129,10 @@ def ngram_jaccard(
     variant only wins above ~10⁶ docs; below that the extra
     shuffle/stage overhead dominates, so the simple two-join shape is
     kept as the default."""
+    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
     sets_df = docs.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("sset"),
+        F.array_distinct(shingle_fn(text_col, shingle_k)).alias("sset"),
     )
     return (
         pairs.join(sets_df.withColumnRenamed("_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
@@ -152,13 +154,22 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    threshold. Output (doc_a, doc_b, jaccard)."""
-    cands = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
-    return ngram_jaccard(docs, cands, shingle_k=shingle_k).filter(
-        F.col("jaccard") >= threshold
+    threshold. Output (doc_a, doc_b, jaccard). Soundness is exact by
+    construction (the verify step recomputes true Jaccard); recall is
+    the LSH bands curve, 1-(1-j^r)^b — ~0.9998 at j=0.9 with 8×4."""
+    cands = minhash_lsh_candidates(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
     )
+    return ngram_jaccard(
+        docs, cands, shingle_k=shingle_k, shingle_mode=shingle_mode
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(col: str = "text", bits: int = 64):

@@ -749,15 +749,24 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(epoch_ns(ts) // 1000) AS session_start_us,
+           MAX(epoch_ns(ts) // 1000) AS session_end_us
     FROM sessions GROUP BY user_id, session_id
     """,
 )
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + running sum of gap markers (the batch
     twin of streaming session windows). One shuffle on user_id serves
-    both window functions and the final aggregate."""
+    both window functions and the final aggregate.
+
+    Session bounds are emitted as epoch-microsecond BIGINTs: the source
+    parquet carries TIMESTAMP(NANOS) and the two engines hand pandas
+    different datetime units (and DuckDB's windowed SUM is HUGEINT), so
+    raw timestamp/hugeint outputs hash-mismatch at the driver's
+    canonicalizer even when values agree. Both engines truncate ns→µs,
+    so the integers are bit-identical."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -773,8 +782,8 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
 
 
@@ -960,14 +969,19 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
       len(embedding) AS dim,
       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
-      list_sort(list_slice(embedding::DOUBLE[], 1, 3)) AS first3_sorted
+      array_to_string(
+        list_transform(list_sort(list_slice(embedding::DOUBLE[], 1, 3)),
+                       x -> printf('%.6f', x)), ',') AS first3_sorted
     FROM embeddings
     """,
 )
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column. l2_norm
     is rounded: list_sum is tree-aggregated in DuckDB vs sequential in
-    Spark, so exact float order differs — 6dp absorbs it."""
+    Spark, so exact float order differs — 6dp absorbs it. first3_sorted
+    is serialized to a fixed-precision CSV string: the driver's pandas
+    canonicalizer cannot sort/hash raw array columns (lists are
+    unhashable), so the array crosses the oracle boundary as a string."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
@@ -978,8 +992,12 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("l2_norm"),
-        F.sort_array(
-            F.expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 3)")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 3)")),
+                lambda x: F.format_string("%.6f", x),
+            ),
+            ",",
         ).alias("first3_sorted"),
     )
 
@@ -1176,25 +1194,76 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", None)
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle → 32-hash signature → 8
-    bands → bucket join → exact-Jaccard verify ≥ 0.5). Not
-    SQL-expressible (xxhash64); deterministic, tested against exact
-    Jaccard in tests/test_dedup.py."""
+    bands → bucket join → exact-Jaccard verify ≥ 0.5).
+
+    Oracle: exact all-pairs 3-gram Jaccard ≥ 0.5 (explode-join form —
+    O(n²) only at the sf0.01 oracle scale, never in the engine).
+    Soundness of the Spark side is exact by construction (verify step);
+    the equality ALSO certifies recall, which is valid on this fixture
+    because every true pair has j ≥ 0.9 (measured: min 0.90, n=25)
+    where the deterministic 8×4 banding misses with p ≈ 2e-4 — and the
+    xxhash64-derived result is a fixed, partition-independent fact."""
     from ..operators.dedup import minhash_near_dups
 
     return minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_minhash_char_ngram", None)
+@register(
+    "dedup_minhash_char_ngram",
+    """
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(text) < 5 THEN [text]
+          ELSE list_transform(generate_series(1, len(text) - 4),
+               i -> substr(text, i, 5)) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
 def q_dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-5-gram MinHash LSH candidates (whitespace-free robustness;
-    code/CJK path). Rows-only: xxhash64-based."""
-    from ..operators.dedup import minhash_lsh_candidates
+    """Char-5-gram MinHash LSH near-dups, exact-Jaccard-verified ≥ 0.5
+    (whitespace-free robustness; code/CJK path). Oracle: exact
+    all-pairs char-5-gram Jaccard — valid for the same reasons as
+    dedup_minhash_lsh (min true pair j = 0.93 under char shingles)."""
+    from ..operators.dedup import minhash_near_dups
 
-    return minhash_lsh_candidates(
-        load_table(spark, sf_dir, "documents"), shingle_k=5, shingle_mode="char"
+    return minhash_near_dups(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_k=5,
+        shingle_mode="char",
     )
 
 
@@ -1220,13 +1289,77 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_embedding_cosine", None)
+#: planted near-dup construction shared by query and oracle: copies of
+#: vec_id < _EMB_PLANT get id+_EMB_OFFSET and a per-dim additive jitter
+#: of (vec_id % 7 - 3) * 0.004 — small enough that cosine stays ≥ 0.99
+#: while exercising the "near" (not exact) dup path.
+_EMB_PLANT = 100
+_EMB_OFFSET = 1_000_000
+_EMB_DIM = 64  # fixed across all driver scale factors (TESTDATA.md)
+
+
+def _emb_bucket_sql(vec: str, n_planes: int = 12) -> str:
+    """DuckDB replica of functions.vectors.hyperplane_bucket: the plane
+    weights are a pure deterministic function (blake2b of (p,d)), so the
+    oracle can embed the SAME literals and verify the LSH prefilter
+    semantics exactly, not just the cosine threshold."""
+    from ..functions.vectors import plane_weight
+
+    terms = []
+    for p in range(n_planes):
+        w = ", ".join(repr(plane_weight(p, d)) for d in range(_EMB_DIM))
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, [{w}]) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {_EMB_PLANT}
+    ), pl AS (
+      SELECT vec_id, v,
+        list_transform(v, x -> x + (CAST(vec_id % 7 AS DOUBLE) - 3.0) * 0.004) AS pv
+      FROM base
+    ), scored AS (
+      SELECT vec_id AS id_a, vec_id + {_EMB_OFFSET} AS id_b,
+        list_dot_product(v, pv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cosine,
+        {_emb_bucket_sql('v')} AS bucket_a,
+        {_emb_bucket_sql('pv')} AS bucket_b
+      FROM pl
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= 0.9 AND bucket_a = bucket_b
+    """,
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane-LSH prefilter + exact
-    cosine ≥ 0.9 verify. Rows-only: hash-derived hyperplanes."""
+    cosine ≥ 0.9 verify, over the corpus UNION planted jittered copies
+    (the synthetic embeddings' max natural pairwise cosine is ≈ 0.51,
+    NOTES.md — without planting the check is vacuous). The oracle
+    recomputes BOTH stages exactly: planted-pair cosine ≥ 0.9 AND
+    hyperplane-bucket equality with the same literal plane weights
+    (blake2b-derived, engine-independent), so the LSH prefilter's
+    true semantics — including sign flips from the jitter — are what
+    gets certified, not an idealized recall claim. Natural/cross pairs
+    can't reach 0.9 (margin 0.51 → 0.9), so the planted set is total."""
     from ..operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    emb = load_table(spark, sf_dir, "embeddings")
+    jitter = F.expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> x + (CAST(vec_id % 7 AS DOUBLE) - 3.0D) * 0.004D)"
+    )
+    planted = emb.filter(F.col("vec_id") < _EMB_PLANT).select(
+        (F.col("vec_id") + _EMB_OFFSET).alias("vec_id"), jitter.alias("embedding")
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return embedding_near_dups(corpus, threshold=0.9)
 
 
 _ANN_K = 10

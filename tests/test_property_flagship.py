@@ -116,7 +116,12 @@ def test_zset_explode_keeps_every_entry(spark, batches):
 @settings(
     max_examples=10,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        # Spark saturating the box slows Hypothesis' data generation
+        # enough to trip too_slow under a full-suite run.
+        HealthCheck.too_slow,
+    ],
 )
 @given(
     customers=st.lists(_customer, min_size=0, max_size=8),
