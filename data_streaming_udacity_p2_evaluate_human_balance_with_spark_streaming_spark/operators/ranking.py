@@ -1,0 +1,149 @@
+"""Scale-safe global ranking: two-pass range-partitioned row numbering
+and the rank functions derived from it (NTILE, PERCENT_RANK, CUME_DIST).
+
+The naive form — `Window.orderBy(...)` with no partition — funnels the
+ENTIRE dataset through one task (Spark warns `WindowExec: No Partition
+Defined`); fine at sf0.1, fatal at 100 TB. The classic distributed
+alternative (Goetz Graefe's two-phase ranking; same construction as
+Spark's own `zipWithIndex` on RDDs) is:
+
+1. `repartitionByRange` on the sort key → partition p holds a
+   contiguous key range, partitions ordered p0 < p1 < …;
+2. per-partition local row_number (window PARTITIONED by the range
+   partition id — parallel, no global funnel);
+3. per-partition row counts (P rows, P = #partitions) → cumulative
+   offsets via a tiny triangular self-join (P², driver-free, and no
+   single-partition window even on the small side);
+4. global_rn = offset[p] + local_rn.
+
+Tie handling: rank/percent_rank/cume_dist are tie-aware; a groupBy on
+the order key computes min/max global_rn per distinct key, joined back.
+Every stage is a keyed shuffle or broadcast — nothing single-partition.
+
+No ranking exists in the reference (it has no batch analytics at all,
+SURVEY.md §2); this is north-star scale infrastructure for the ranking
+queries in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _order_cols(order: list[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order]
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column | str],
+    num_partitions: int | None = None,
+    rn_col: str = "_global_rn",
+) -> DataFrame:
+    """Add a 1-based global row number in `order` without a
+    single-partition window. Output also carries `_total_n` (the global
+    row count, broadcast 1-row join) since every consumer (ntile,
+    percent_rank, cume_dist) needs it.
+
+    `order` columns must form a deterministic total order for the
+    numbering itself to be deterministic (ties within a key get an
+    arbitrary-but-stable order from the per-partition sort; the
+    tie-aware rank functions below never expose that arbitrariness).
+    """
+    cols = _order_cols(order)
+    rp = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    local = rp.withColumn(
+        "_local_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+
+    counts = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("_total_n"))
+
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_col, F.col("_offset") + F.col("_local_rn"))
+        .crossJoin(F.broadcast(total))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column | str],
+    n: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a global order, two-pass. NTILE semantics
+    (SQL standard, matches Spark/DuckDB): with N rows, the first
+    N mod n tiles hold ceil(N/n) rows, the rest floor(N/n)."""
+    rn = F.col("_global_rn")
+    N = F.col("_total_n")
+    base = (N / n).cast("bigint")  # floor: both positive
+    rem = N % n
+    big = (base + 1) * rem  # rows covered by the (base+1)-sized tiles
+    tile = (
+        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("bigint") + 1)
+        .otherwise(rem + ((rn - big - 1) / F.greatest(base, F.lit(1))).cast("bigint") + 1)
+        .cast("int")
+    )
+    return (
+        global_row_number(df, order, num_partitions=num_partitions)
+        .withColumn(out_col, tile)
+        .drop("_global_rn", "_total_n")
+    )
+
+
+def global_percent_rank_cume_dist(
+    df: DataFrame,
+    order: list[Column | str],
+    pr_col: str = "pr",
+    cd_col: str = "cd",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tie-aware PERCENT_RANK and CUME_DIST over a global order,
+    two-pass. rank(key) = min global_rn among equal keys and
+    cume(key) = max global_rn, computed by a keyed groupBy joined back —
+    so arbitrary tie order inside global_row_number never leaks:
+    pr = (rank-1)/(N-1), cd = cume/N, exactly the window-function
+    definitions."""
+    keys = _names(order)
+    numbered = global_row_number(df, order, num_partitions=num_partitions)
+    key_stats = numbered.groupBy(*keys).agg(
+        F.min("_global_rn").alias("_rank_min"),
+        F.max("_global_rn").alias("_rank_max"),
+    )
+    N = F.col("_total_n")
+    return (
+        numbered.join(key_stats, on=keys, how="inner")
+        .withColumn(
+            pr_col,
+            F.when(N > 1, (F.col("_rank_min") - 1) / (N - 1)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(cd_col, F.col("_rank_max") / N)
+        .drop("_global_rn", "_total_n", "_rank_min", "_rank_max")
+    )
+
+
+def _names(order: list[Column | str]) -> list[str]:
+    """Join keys for the tie-stats join: plain column names only (rank
+    functions need named key columns to group on)."""
+    for c in order:
+        if not isinstance(c, str):
+            raise TypeError(
+                "tie-aware rank functions need plain column names in `order`"
+            )
+    return list(order)

@@ -1580,8 +1580,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global NTILE — single-partition window; at scale prefer
-    percent_rank over range-partitioned data or approx quantiles."""
+    """Global NTILE, exact window form — single-partition by nature;
+    kept for oracle parity. ntile_quartiles_scale computes the SAME
+    result with the two-pass range-partitioned operator
+    (operators.ranking) and is the form to run at 100 TB."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1589,6 +1591,31 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "ntile_quartiles_scale",
+    """
+    SELECT o_orderkey, o_totalprice,
+      NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+    FROM orders
+    """,
+)
+def q_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe NTILE(4): two-pass range-partitioned global ranking
+    (operators.ranking.global_ntile) — local row numbers + tiny offset
+    join instead of a single-partition window. Same oracle as
+    ntile_quartiles: the two forms are value-identical because the
+    (o_totalprice DESC, o_orderkey) order is unique."""
+    from ..operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return global_ntile(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=4,
+        out_col="quartile",
+    ).select("o_orderkey", "o_totalprice", "quartile")
 
 
 @register(
@@ -1681,9 +1708,16 @@ def q_segment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram frequency (the vocabulary-stats pass of a
-    training-data pipeline): explode bigrams → count → top-20."""
-    from pyspark.sql.window import Window
+    training-data pipeline): explode bigrams → count → top-20.
 
+    Scale shape: orderBy(...).limit(20) compiles to
+    TakeOrderedAndProject — every task contributes its local top-20 and
+    only 20·P rows ever move — instead of a global row_number window
+    that would sort the whole bigram vocabulary on ONE task (the round-1
+    form; the `WindowExec: No Partition Defined` scale-killer). The rank
+    is derived AFTER the limit by a 20×20 broadcast self-join count
+    (unique (n, bigram) keys ⇒ identical to row_number), keeping
+    WindowExec out of the plan entirely."""
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE into an attribute; the transform lambda then indexes
     # a column reference instead of re-running split() per element
@@ -1696,10 +1730,17 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(20).persist()
+    )
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.bigram") < F.col("a.bigram"))
+    )
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.bigram").alias("bigram"), F.col("a.n").alias("n"))
+        .agg((F.count(F.col("b.bigram")) + 1).cast("int").alias("rnk"))
         .select("bigram", "n", "rnk")
     )
 
@@ -1880,6 +1921,8 @@ def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact window form — single-partition by nature; kept for oracle
+    parity. percent_rank_cume_dist_scale is the 100 TB form."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -1888,6 +1931,34 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.percent_rank().over(w), 8).alias("pr"),
         F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
+@register(
+    "percent_rank_cume_dist_scale",
+    """
+    SELECT o_orderkey,
+      round(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS pr,
+      round(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS cd
+    FROM orders
+    """,
+)
+def q_percent_rank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe PERCENT_RANK/CUME_DIST: two-pass range-partitioned
+    ranking with tie-aware min/max-rank join
+    (operators.ranking.global_percent_rank_cume_dist). Same oracle as
+    the window form — definitions are identical: pr = (rank-1)/(N-1),
+    cd = cume/N."""
+    from ..operators.ranking import global_percent_rank_cume_dist
+
+    o = load_table(spark, sf_dir, "orders")
+    return global_percent_rank_cume_dist(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    ).select(
+        "o_orderkey",
+        F.round("pr", 8).alias("pr"),
+        F.round("cd", 8).alias("cd"),
     )
 
 

@@ -97,3 +97,25 @@ def test_events_scan_prunes_props(spark):
     plan = _plan(spark, "risk_calc_per_customer")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "props" not in m.group(1), plan
+
+
+def test_top_bigrams_no_global_window(spark):
+    """Round-1 form ranked with a global row_number window — the whole
+    bigram vocabulary sorted on ONE task. The fix must keep
+    TakeOrderedAndProject and no Window operator at all."""
+    plan = _plan(spark, "top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ntile_quartiles_scale", "percent_rank_cume_dist_scale"]
+)
+def test_two_pass_ranking_no_single_partition_window(spark, name):
+    """The scale variants' only Window operators must be partitioned by
+    the range-partition id (_pid) — never a no-partition global window."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    assert "CartesianProduct" not in plan  # offsets/total joins are broadcast

@@ -105,3 +105,53 @@ def test_pandas_udf_matches_jvm_expression(spark):
     assert set(u) == set(j)
     for k in u:
         assert all(abs(a - b) < 1e-12 for a, b in zip(u[k], j[k]))
+
+
+def test_two_pass_ranking_matches_window_with_ties(spark):
+    """operators.ranking vs the single-partition window functions on a
+    tie-heavy frame: tie-aware pr/cd and ntile must agree exactly
+    (ntile compared on a unique order; its tie behavior is undefined)."""
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_ntile,
+        global_percent_rank_cume_dist,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(101)], "id bigint, k bigint"
+    ).repartition(7)
+
+    got = {
+        (r.id, r.k): (r.pr, r.cd)
+        for r in global_percent_rank_cume_dist(df, ["k"], num_partitions=5).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        (r.id, r.k): (r.pr, r.cd)
+        for r in df.select(
+            "id", "k", F.percent_rank().over(w).alias("pr"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert got == want
+
+    got_nt = {
+        r.id: r.t
+        for r in global_ntile(df, ["k", "id"], n=7, out_col="t", num_partitions=5).collect()
+    }
+    w2 = Window.orderBy("k", "id")
+    want_nt = {r.id: r.t for r in df.select("id", F.ntile(7).over(w2).alias("t")).collect()}
+    assert got_nt == want_nt
+
+
+def test_two_pass_ranking_single_row_and_empty(spark):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_percent_rank_cume_dist,
+    )
+
+    one = spark.createDataFrame([(1, 10)], "id bigint, k bigint")
+    r = global_percent_rank_cume_dist(one, ["k"]).collect()
+    assert len(r) == 1 and r[0].pr == 0.0 and r[0].cd == 1.0
+
+    empty = spark.createDataFrame([], "id bigint, k bigint")
+    assert global_percent_rank_cume_dist(empty, ["k"]).collect() == []
