@@ -53,6 +53,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_features",
     "top_bigrams",
+    "ntile_quartiles_scale",
+    "percent_rank_cume_dist_scale",
 ]
 
 
@@ -77,6 +79,7 @@ def main() -> None:
     # box swing 2-4× from scheduler noise; the min is the reproducible
     # steady-state figure
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
@@ -85,7 +88,7 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # a broken query must not kill the bench line
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                timings[name] = -1.0
+                errors[name] = str(exc).splitlines()[0][:200]
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
@@ -93,6 +96,9 @@ def main() -> None:
             # queries aren't perturbed by earlier queries' cached memory
             spark.catalog.clearCache()
 
+    # a failure must DEGRADE the metric, not shrink the total: failed
+    # queries are excluded from the sum and reported explicitly
+    failed = sorted(set(errors) - set(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -101,6 +107,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
+                "n_ok": len(timings),
+                "n_requested": len(HEADLINE),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

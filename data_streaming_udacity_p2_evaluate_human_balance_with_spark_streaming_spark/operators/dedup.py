@@ -216,13 +216,21 @@ def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup: candidates must share ≥1 of `chunks` 16-bit
-    chunks (pigeonhole: any pair within hamming ≤ chunks*? shares one),
-    then exact hamming filter via bit_count(xor). Same
-    bucket-join shape as MinHash LSH — never O(n²)."""
+    chunks, then exact hamming filter via bit_count(xor). Same
+    bucket-join shape as MinHash LSH — never O(n²).
+
+    Recall guarantee is the pigeonhole bound: a pair with hamming <
+    `chunks` differing bits must leave at least one chunk untouched, so
+    candidate coverage is TOTAL only for max_hamming ≤ chunks - 1 (the
+    default). Callers may pass a larger max_hamming, accepting that
+    pairs whose differing bits touch every chunk are missed; widening
+    `chunks` instead shrinks the chunk width and inflates random bucket
+    collisions toward O(n²/2^width) — at 64 bits, 4×16 is the standard
+    operating point (Manku et al., WWW'07 use 4-way splits likewise)."""
     width = 64 // chunks
     sh = simhash_agg(docs, id_col, text_col)
     chunked = sh.select(
@@ -269,11 +277,15 @@ def streaming_near_dup_filter(
     with ONE bigint of state per distinct document shape — the
     streaming face of the batch near-dup pipeline.
 
-    Uses the built-in watermarked dropDuplicates state store (RocksDB
-    per session.py); state evicts as event time advances.
+    Uses dropDuplicatesWithinWatermark (RocksDB state store per
+    session.py): with a subset that does NOT include the event-time
+    column, plain dropDuplicates would never evict its state — the
+    WithinWatermark variant expires each key once the watermark passes
+    its last-seen time, so state is bounded by the distinct document
+    shapes per horizon.
     """
     with_sig = docs.withColumn("simhash", simhash(text_col))
-    return with_sig.withWatermark(ts_col, watermark).dropDuplicates(
+    return with_sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
 

@@ -1283,7 +1283,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign-sum + 16-bit chunk LSH +
-    hamming ≤ 8). Rows-only: xxhash64-based."""
+    hamming ≤ 3 — the pigeonhole-complete bound for 4 chunks).
+    Rows-only: xxhash64-based."""
     from ..operators.dedup import simhash_near_dups
 
     return simhash_near_dups(load_table(spark, sf_dir, "documents"))

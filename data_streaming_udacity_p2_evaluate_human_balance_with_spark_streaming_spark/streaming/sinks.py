@@ -59,11 +59,19 @@ def upsert_parquet(
     rewrite to touched partitions (or use a table format with MERGE)."""
 
     def merge(batch: DataFrame, _epoch: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         cols = batch.columns
         try:
             target = spark.read.parquet(path).select(*cols)
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY bootstrap on a genuinely absent target. Any other
+            # read failure (corrupt footer, FS hiccup, schema drift)
+            # must re-raise so the micro-batch retries — swallowing it
+            # would overwrite the target with just the current batch.
+            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                raise
             batch.write.mode("overwrite").parquet(path)
             return
         keep = target.join(batch.select(*key_cols).distinct(), list(key_cols), "left_anti")

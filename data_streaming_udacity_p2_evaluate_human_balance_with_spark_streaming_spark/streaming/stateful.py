@@ -25,15 +25,24 @@ STATE_SCHEMA = "n bigint, total double"
 
 
 def running_risk_stats(
-    events: DataFrame, user_col: str = "user_id", score_col: str = "value"
+    events: DataFrame,
+    user_col: str = "user_id",
+    score_col: str = "value",
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Continuously-updated per-customer risk stats. Emits one row per
     (key, micro-batch) with the post-batch running aggregate.
 
     State is two numbers per customer — at 100 TB keyspace this lives
     in the RocksDB state store (see session.py) and scales with
-    distinct keys, not events.
+    distinct keys, not events. With the default `idle_ttl_ms=None`
+    state lives forever (the reference's 30-customer shape); pass a TTL
+    for unbounded keyspaces — a key whose state sees no event for
+    `idle_ttl_ms` of processing time is EVICTED (a later event simply
+    restarts its running aggregate from zero), so state tracks the
+    active keyset, not the all-time keyset.
     """
+    user, score = user_col, score_col
 
     def update(
         key: tuple,
@@ -43,11 +52,16 @@ def running_risk_stats(
         # self-contained: shipped by value, workers don't import this pkg
         import pandas as _pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf.iloc[:, 1].sum())
+            total += float(pdf[score].sum())
         state.update((n, total))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(idle_ttl_ms)
         yield _pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -58,14 +72,18 @@ def running_risk_stats(
         )
 
     return (
-        events.select(user_col, score_col)
-        .groupBy(user_col)
+        events.select(user, score)
+        .groupBy(user)
         .applyInPandasWithState(
             update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -77,7 +95,13 @@ def dedup_guard(
     sequence id seen and emit only rows with a NEW higher id — the
     at-least-once → effectively-once adapter in front of non-idempotent
     sinks. State is one bigint per key (watermark-less variant of
-    dropDuplicates for monotonic sequence ids)."""
+    dropDuplicates for monotonic sequence ids).
+
+    Effectively-once holds WITHIN a micro-batch too: each chunk is
+    sorted and de-duplicated on the sequence column before the
+    high-water filter, so a same-batch retry (the common at-least-once
+    case) emits one copy, not every copy."""
+    kname, sname = key_col, seq_col
 
     def guard(key, batches, state):
         import pandas as _pd
@@ -85,16 +109,16 @@ def dedup_guard(
         high = state.get[0] if state.exists else -1
         out = []
         for pdf in batches:
-            pdf = pdf.sort_values(pdf.columns[1])
-            fresh = pdf[pdf.iloc[:, 1] > high]
+            pdf = pdf.sort_values(sname).drop_duplicates(subset=[sname])
+            fresh = pdf[pdf[sname] > high]
             if len(fresh):
-                high = int(fresh.iloc[:, 1].max())
+                high = int(fresh[sname].max())
                 out.append(fresh)
         state.update((high,))
         yield (
             _pd.concat(out)
             if out
-            else _pd.DataFrame({"user_id": [], "event_id": []}).astype("int64")
+            else _pd.DataFrame({kname: [], sname: []}).astype("int64")
         )
 
     return (

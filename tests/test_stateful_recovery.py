@@ -224,3 +224,93 @@ def test_salted_join_matches_plain_join(spark):
         "k", "payload", "tag"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_dedup_guard_intra_batch_duplicates(spark, tmp_path):
+    """The at-least-once retry case WITHIN one micro-batch: duplicate
+    sequence ids arriving together must be emitted exactly once."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        dedup_guard,
+    )
+
+    schema = _parse_datatype_string("user_id bigint, event_id bigint")
+    d = json_lines_dir(
+        [
+            {"user_id": 1, "event_id": 10},
+            {"user_id": 1, "event_id": 10},
+            {"user_id": 1, "event_id": 12},
+            {"user_id": 1, "event_id": 12},
+            {"user_id": 1, "event_id": 10},
+        ]
+    )
+    stream = spark.readStream.format("json").schema(schema).load(d)
+    q = (
+        dedup_guard(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("guard_intra")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.sql("SELECT * FROM guard_intra").collect()
+    )
+    assert rows == [(1, 10), (1, 12)]
+
+
+def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
+    """With idle_ttl_ms set, a key idle past the TTL is evicted: its
+    next event restarts the running aggregate from zero instead of
+    resuming the all-time totals."""
+    import time as _t
+
+    import glob as _glob
+
+    schema = _parse_datatype_string(EV_SCHEMA)
+    d = json_lines_dir([{"user_id": 1, "value": 10.0}])
+    ckpt, out_dir = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def emitted():
+        rows = []
+        for p in _glob.glob(f"{out_dir}/*.json"):
+            with open(p) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+        return rows
+
+    def run(extra, n_expected):
+        if extra:
+            import uuid as _u
+
+            with open(f"{d}/p{_u.uuid4().hex}.json", "w") as f:
+                for r in extra:
+                    f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.format("json").schema(schema).load(d)
+        out = running_risk_stats(stream, idle_ttl_ms=100)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: df.write.mode("append").json(out_dir))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # Neither availableNow nor processAllAvailable() quiesces while
+        # a processing-time timeout is pending (the engine keeps
+        # scheduling timeout-only batches) — poll the sink for the
+        # expected emission count, then stop.
+        deadline = _t.time() + 120
+        while len(emitted()) < n_expected and _t.time() < deadline:
+            _t.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+
+    run(None, 1)
+    _t.sleep(1.0)  # key 1 idles past its 100ms TTL
+    run([{"user_id": 2, "value": 5.0}], 2)  # batch that fires the timeout
+    run([{"user_id": 1, "value": 30.0}], 3)  # key 1 returns after eviction
+    u1 = sorted(
+        (r["n_events"], r["total_score"]) for r in emitted() if r["user_id"] == 1
+    )
+    # first batch: (1, 10.0); post-eviction: restarted at (1, 30.0) — NOT (2, 40.0)
+    assert u1 == [(1, 10.0), (1, 30.0)]
