@@ -55,6 +55,8 @@ HEADLINE = [
     "top_bigrams",
     "ntile_quartiles_scale",
     "percent_rank_cume_dist_scale",
+    "pack_shards_token_budget",
+    "decontaminate_ngram_overlap",
 ]
 
 

@@ -290,6 +290,45 @@ def streaming_near_dup_filter(
     )
 
 
+def ngram_overlap_join(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-corpus n-gram overlap — the decontamination primitive:
+    for every train document, count the distinct k-gram shingles it
+    shares with ANY eval/benchmark document. Training corpora are
+    filtered on this before a model ever sees a benchmark answer.
+
+    Scale shape: both sides explode to (id, md5(shingle)) rows — the
+    join key is a 32-byte digest, never the shingle text — then one
+    hash-join on the digest, distinct, and a count per train doc. The
+    eval side (benchmarks: thousands of docs) is tiny next to the
+    training corpus, so it broadcasts; the train side never shuffles
+    on anything wider than the digest. No dedup/decontamination exists
+    in the reference (SURVEY.md §2.5); north-star extension."""
+
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_shingles(text_col, shingle_k))
+            ).alias("_sh"),
+        ).select(out_id, F.md5("_sh").alias("_h"))
+
+    train_sh = exploded(train, "train_id")
+    eval_sh = exploded(evalset, "eval_id").select("_h").distinct()
+    return (
+        train_sh.join(F.broadcast(eval_sh), "_h")
+        .select("train_id", "_h")
+        .distinct()
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

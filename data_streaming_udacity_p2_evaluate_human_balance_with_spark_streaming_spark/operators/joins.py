@@ -62,6 +62,35 @@ def salted_join(
     return out.drop("_salt")
 
 
+#: Session confs governing runtime bloom-filter join pruning (Spark
+#: injects a bloom filter built from the FILTERED small side into the
+#: large side's scan — a semi-join reduction without any broadcast).
+#: On by default; the thresholds matter: creation side must be under
+#: creationSideThreshold and the application side's scan must exceed
+#: applicationSideScanSizeThreshold, so at bench SFs the filter won't
+#: appear unless the latter is lowered (tests do; at the real 10 GB+
+#: scan sizes the defaults fire on their own).
+BLOOM_JOIN_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ shape
+}
+
+
+def shuffle_join_with_runtime_pruning(
+    fact: DataFrame, dim: DataFrame, condition: str, how: str = "inner"
+) -> DataFrame:
+    """Big-big equi-join shape for dimensions ABOVE the broadcast
+    threshold but still selective: rely on Spark's runtime bloom-filter
+    injection (`might_contain(bloom_filter_agg(dim keys))` pushed into
+    the fact scan) to drop non-matching fact rows BEFORE the shuffle.
+    The plan itself is a plain shuffle join — the win is the runtime
+    filter the optimizer inserts when BLOOM_JOIN_CONFS thresholds are
+    met (see tests/test_plan_shapes.py::test_runtime_bloom_filter_join).
+    """
+    return fact.join(dim, F.expr(condition), how)
+
+
 def watermarked_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -80,6 +80,47 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative SUM(value) in `order` (ROWS UNBOUNDED
+    PRECEDING) without a single-partition window: per-range-partition
+    cumsum + the triangular join over per-partition value totals. Same
+    shape as global_row_number; the offsets table carries partition
+    value sums instead of row counts."""
+    cols = _order_cols(order)
+    rp = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    local = rp.withColumn(
+        "_local_sum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = rp.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._ptotal"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
+        .drop("_pid", "_local_sum", "_offset")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order: list[Column | str],

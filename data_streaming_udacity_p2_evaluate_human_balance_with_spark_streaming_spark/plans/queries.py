@@ -1363,6 +1363,128 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(corpus, threshold=0.9)
 
 
+@register(
+    "runtime_filtered_join",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      {_dsum("CAST(l_extendedprice AS DECIMAL(18,2))")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective big-big join (dimension above broadcast threshold):
+    the shuffle-join shape that Spark's runtime bloom-filter pruning
+    upgrades — a bloom built from the filtered orders keys is pushed
+    into the lineitem scan, dropping non-urgent items BEFORE the
+    exchange (operators.joins.shuffle_join_with_runtime_pruning; plan
+    proof in test_plan_shapes.py under BLOOM_JOIN_CONFS thresholds)."""
+    from ..operators.joins import shuffle_join_with_runtime_pruning
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    return (
+        shuffle_join_with_runtime_pruning(
+            li, o, "l_orderkey = o_orderkey"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_SHARD_BUDGET = 4096  # tokens per packed shard
+
+
+@register(
+    "pack_shards_token_budget",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), summed AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM counted
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      CAST(floor((cum_tokens - n_tokens) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+    FROM summed
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing shard assignment: documents packed into
+    contiguous shards of ~4096 tokens by cumulative token count in
+    doc_id order (shard = floor(tokens-before-this-doc / budget)) — the
+    deterministic sharding step before training-data serialization.
+
+    The cumulative sum comes from operators.ranking.global_running_sum
+    (two-pass range-partitioned), so the plan has NO single-partition
+    window; the oracle is the plain SUM ... OVER (ORDER BY)."""
+    from ..operators.ranking import global_running_sum
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    summed = global_running_sum(
+        counted, ["doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _SHARD_BUDGET)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    """
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), train_sh AS (
+      SELECT doc_id AS train_id, unnest(sset) AS sh FROM sets WHERE doc_id % 50 <> 0
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(sset) AS sh FROM sets WHERE doc_id % 50 = 0
+    )
+    SELECT train_id, COUNT(DISTINCT t.sh) AS n_shared_shingles
+    FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY train_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the count of
+    distinct 3-gram shingles shared with the held-out eval slice
+    (doc_id % 50 = 0 stands in for the benchmark set). Real pipelines
+    drop or redact training docs above a threshold before serialization.
+    The engine joins on md5(shingle) digests (the 100 TB shape: shuffle
+    carries 32-byte hashes, eval side broadcast); the oracle joins on
+    the raw shingle text — identical counts, md5 being injective on
+    this universe."""
+    from ..operators.dedup import ngram_overlap_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_overlap_join(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
 _ANN_K = 10
 _ANN_NQ = 5  # query set: vec_id < 5
 

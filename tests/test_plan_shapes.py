@@ -119,3 +119,42 @@ def test_two_pass_ranking_no_single_partition_window(spark, name):
         if "windowspecdefinition" in line:
             assert "_pid" in line, line
     assert "CartesianProduct" not in plan  # offsets/total joins are broadcast
+
+
+def test_pack_shards_no_single_partition_window(spark):
+    plan = _plan(spark, "pack_shards_token_budget")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval/benchmark shingle set must broadcast; the train side
+    must never end up in a cartesian or nested-loop join."""
+    plan = _plan(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Under scale-representative thresholds, the optimizer must inject
+    a bloom filter built from the filtered orders keys into the
+    lineitem scan (semi-join reduction before the shuffle)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        BLOOM_JOIN_CONFS,
+    )
+
+    saved = {}
+    for k, v in BLOOM_JOIN_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        plan = _plan(spark, "runtime_filtered_join")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -155,3 +155,22 @@ def test_two_pass_ranking_single_row_and_empty(spark):
 
     empty = spark.createDataFrame([], "id bigint, k bigint")
     assert global_percent_rank_cume_dist(empty, ["k"]).collect() == []
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 17 + 1) for i in range(200)], "id bigint, v bigint"
+    ).repartition(6)
+    got = {
+        r.id: r.running_sum
+        for r in global_running_sum(df, ["id"], "v", num_partitions=5).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.id: r.cs for r in df.select("id", F.sum("v").over(w).alias("cs")).collect()}
+    assert got == want
