@@ -1485,6 +1485,63 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_centroid_per_label",
+    """
+    WITH ex AS (
+      SELECT label, unnest(list_transform(embedding::DOUBLE[], (x, i) -> {p: i, x: x})) AS u
+      FROM embeddings
+    )
+    SELECT label, u.p AS pos, round(avg(u.x), 6) AS centroid
+    FROM ex GROUP BY label, u.p
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (the cluster-center / class-prototype
+    step of curation pipelines), as (label, dimension, mean) rows.
+
+    Scale shape: posexplode to (label, pos, x) and a plain partial-agg
+    groupBy — the shuffle carries (label × dim) partial sums, never
+    vectors; no driver-side accumulation, no UDF. Rounded 6dp: the two
+    engines sum doubles in different orders."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "x"),
+        )
+        .groupBy("label", (F.col("p0") + 1).alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+@register(
+    "stratified_split_counts",
+    """
+    WITH tagged AS (
+      SELECT lang,
+        CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split (Knuth multiplicative hash
+    on doc_id — reproducible on any engine, any run, unlike rand()),
+    audited per language: the count matrix a curation pipeline checks
+    before accepting a split. doc_id*2654435761 ≪ 2^63 (ANSI-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang",
+        F.when((F.col("doc_id") * 2654435761) % 100 < 90, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
 _ANN_K = 10
 _ANN_NQ = 5  # query set: vec_id < 5
 

@@ -174,3 +174,78 @@ def test_global_running_sum_matches_window(spark):
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     want = {r.id: r.cs for r in df.select("id", F.sum("v").over(w).alias("cs")).collect()}
     assert got == want
+
+
+def test_zorder_write_narrows_per_file_envelopes(spark, tmp_path):
+    """Z-order clustering must give every output file a min/max box
+    over BOTH dimensions much narrower than the global range — that's
+    the property footer-stats pruning feeds on. Compare against a
+    single-column sort layout, where the second dimension's per-file
+    spans stay ~global."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.clustered import (
+        write_zordered,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 137).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["x", "y"], bits_per_dim=8, n_files=16)
+
+    spath = str(tmp_path / "s")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans.append(max(his) - min(los))
+        return sum(spans) / len(spans)
+
+    # single-column sort: y is unclustered, per-file span ~ global (136)
+    assert mean_span(spath, "y") > 120
+    # z-order: BOTH dims tightly boxed per file
+    assert mean_span(zpath, "x") < 141 * 0.5
+    assert mean_span(zpath, "y") < 137 * 0.5
+
+
+def test_zorder_scan_prunes_row_groups(spark, tmp_path):
+    """End-to-end data skipping: a 2-D box filter over the z-ordered
+    layout must read fewer rows than the same filter over the
+    1-D-sorted layout (parquet row-group stats pruning)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.clustered import (
+        write_zordered,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 137).alias("y"),
+    )
+    zpath = str(tmp_path / "z2")
+    write_zordered(df, zpath, ["x", "y"], bits_per_dim=8, n_files=16)
+    got = (
+        spark.read.parquet(zpath)
+        .filter((F.col("x").between(10, 20)) & (F.col("y").between(10, 20)))
+        .count()
+    )
+    want = df.filter(
+        (F.col("x").between(10, 20)) & (F.col("y").between(10, 20))
+    ).count()
+    assert got == want  # clustering must never change results
