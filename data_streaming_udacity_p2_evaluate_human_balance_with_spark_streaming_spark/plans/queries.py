@@ -1364,6 +1364,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_shred_props",
+    """
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the open-schema path for event payloads
+    whose fields drift (vs from_json's fixed StructType). Missing paths
+    yield NULL (try-semantics), matching SQL json_extract. The oracle
+    uses DuckDB's json_extract over the same props strings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    out = v.select(
+        "event_id",
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'bigint')").alias("missing"),
+    )
+    return out.filter(F.col("k") >= 50)
+
+
+@register(
     "runtime_filtered_join",
     f"""
     SELECT o_orderpriority, COUNT(*) AS n_items,

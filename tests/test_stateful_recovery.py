@@ -290,10 +290,15 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
                 for r in extra:
                     f.write(json.dumps(r) + "\n")
         stream = spark.readStream.format("json").schema(schema).load(d)
-        out = running_risk_stats(stream, idle_ttl_ms=100)
+        out = running_risk_stats(stream, idle_ttl_ms=500)
+
+        def sink(df, _e):
+            if not df.isEmpty():  # timeout-only batches emit nothing
+                df.write.mode("append").json(out_dir)
+
         q = (
             out.writeStream.outputMode("update")
-            .foreachBatch(lambda df, _e: df.write.mode("append").json(out_dir))
+            .foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -308,7 +313,7 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
         q.awaitTermination()
 
     run(None, 1)
-    _t.sleep(1.0)  # key 1 idles past its 100ms TTL
+    _t.sleep(2.0)  # key 1 idles past its 500ms TTL
     run([{"user_id": 2, "value": 5.0}], 2)  # batch that fires the timeout
     run([{"user_id": 1, "value": 30.0}], 3)  # key 1 returns after eviction
     u1 = sorted(
