@@ -1618,11 +1618,49 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
-@register("ann_lsh_topk", None)
+def _ann_lsh_oracle() -> str:
+    """Full DuckDB replica of the multi-probe hyperplane LSH top-k:
+    the 6 plane dot-sign bits with the same blake2b literal weights,
+    the probe set {bucket} ∪ {bucket ^ 2^p}, the bucket equi-join, and
+    the windowed top-k — certifying the approximate operator's EXACT
+    semantics, not a recall claim."""
+    b = _emb_bucket_sql("v", n_planes=6)
+    qb = _emb_bucket_sql("qv", n_planes=6)
+    probes = ", ".join(f"xor(qbucket, {1 << p})" for p in range(6))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cb AS (
+      SELECT neighbor_id, v, {b} AS bucket FROM c
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_ANN_NQ}
+    ), qb AS (
+      SELECT query_id, qv, {qb} AS qbucket FROM q
+    ), pr AS (
+      SELECT query_id, qv, unnest([qbucket, {probes}]) AS probe FROM qb
+    ), scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+        list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+      FROM cb JOIN pr ON bucket = probe AND neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing (the scale
-    path). Rows-only: hash-derived hyperplanes; recall vs the exact
-    baseline is asserted in tests/test_similarity.py."""
+    """Approximate top-k via multi-probe random-hyperplane LSH (the
+    scale path). ORACLED (r2): the hyperplane weights are a pure
+    deterministic function, so the DuckDB oracle rebuilds the same
+    buckets/probes and the same windowed top-k — see _ann_lsh_oracle.
+    Recall vs the exact baseline is additionally asserted in
+    tests/test_dedup_similarity.py."""
     from ..operators.similarity import ann_lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2293,11 +2331,23 @@ def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("map_functions", None)
+@register(
+    "map_functions",
+    """
+    SELECT event_id, event_type AS type_val,
+      'type,uid' AS keys, 2 AS n_entries
+    FROM events WHERE event_id < 100
+    """,
+)
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed columns: build, access, and explode a map (rows-only:
-    map literal syntax/ordering is engine-specific)."""
-    ev = load_table(spark, sf_dir, "events").limit(100)
+    """Map-typed columns: build, access, and inspect a map. ORACLED
+    (r2): the map itself can't cross the driver boundary (maps are
+    unhashable in the canonicalizer), so the query emits its VALUES —
+    element access, insertion-ordered keys serialized to a string, and
+    size — which the oracle states directly; the map plumbing is all on
+    the Spark side. The old bare limit(100) is now a deterministic
+    filter (limit without order is an unstable row set)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
     with_map = ev.select(
         "event_id",
         F.create_map(
@@ -2308,7 +2358,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_map.select(
         "event_id",
         F.col("m")["type"].alias("type_val"),
-        F.map_keys("m").alias("keys"),
+        F.array_join(F.map_keys("m"), ",").alias("keys"),
         F.size("m").alias("n_entries"),
     )
 
