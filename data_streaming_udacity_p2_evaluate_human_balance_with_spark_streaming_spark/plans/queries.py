@@ -1299,6 +1299,32 @@ _EMB_OFFSET = 1_000_000
 _EMB_DIM = 64  # fixed across all driver scale factors (TESTDATA.md)
 
 
+@register(
+    "dedup_simhash_planted",
+    f"""
+    SELECT doc_id AS doc_a, doc_id + {_EMB_OFFSET} AS doc_b, 0 AS hamming
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash end-to-end certification: exact copies of doc_id < 200
+    (offset ids) MUST collide — identical text ⇒ identical 64-bit
+    signature through the explode→64-sign-sum aggregate and the chunk
+    bucket join ⇒ hamming 0. The output is restricted to planted
+    (orig, copy) pairs, so the oracle is closed-form; the natural
+    near-dup pairs stay in the rows-only dedup_simhash query (their
+    hamming depends on xxhash64, which SQL can't reproduce)."""
+    from ..operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") < 200)
+    planted = sub.select((F.col("doc_id") + _EMB_OFFSET).alias("doc_id"), "text")
+    pairs = simhash_near_dups(sub.unionByName(planted))
+    return pairs.filter(F.col("doc_b") == F.col("doc_a") + _EMB_OFFSET).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _emb_bucket_sql(vec: str, n_planes: int = 12) -> str:
     """DuckDB replica of functions.vectors.hyperplane_bucket: the plane
     weights are a pure deterministic function (blake2b of (p,d)), so the

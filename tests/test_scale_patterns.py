@@ -249,3 +249,23 @@ def test_zorder_scan_prunes_row_groups(spark, tmp_path):
         (F.col("x").between(10, 20)) & (F.col("y").between(10, 20))
     ).count()
     assert got == want  # clustering must never change results
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-column filter must show
+    partition pruning in the scan (the directory-level data skipping
+    every 100 TB landing zone relies on)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    path = str(tmp_path / "by_type")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    got = q.count()
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert got == want
