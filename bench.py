@@ -57,6 +57,7 @@ HEADLINE = [
     "percent_rank_cume_dist_scale",
     "pack_shards_token_budget",
     "decontaminate_ngram_overlap",
+    "curation_end_to_end",
 ]
 
 

@@ -1595,6 +1595,134 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
 
 
+_CONTAM_MIN = 5  # shared distinct 3-grams ⇒ contaminated (1-4 is chance)
+
+
+def _curation_oracle() -> str:
+    """Composed oracle for curation_end_to_end: every stage is the
+    already-verified oracle form of its operator (profile filter, exact
+    dedup, all-pairs-Jaccard near-dup drop, overlap decontamination,
+    hash split, windowed cumsum sharding), chained as CTEs."""
+    return f"""
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0
+    ), profiled AS (
+      SELECT doc_id, lang, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST({_stopword_sql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+        md5(text) AS fp
+      FROM train
+    ), kept AS (
+      SELECT * FROM profiled WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+    ), exact AS (
+      SELECT k.* FROM kept k
+      JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM kept GROUP BY fp) d
+        ON k.doc_id = d.keep_id
+    ), sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM exact
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    neardup_b AS (
+      SELECT DISTINCT p.doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+      ) p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    ), survivors AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM neardup_b)
+    ), eval_sets AS (
+      SELECT list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents WHERE doc_id % 50 = 0
+    ), eval_sh AS (SELECT DISTINCT unnest(sset) AS sh FROM eval_sets),
+    surv_sh AS (SELECT doc_id, unnest(sset) AS sh FROM sets WHERE doc_id IN (SELECT doc_id FROM survivors)),
+    contaminated AS (
+      SELECT doc_id FROM (
+        SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n
+        FROM surv_sh s JOIN eval_sh e ON s.sh = e.sh GROUP BY s.doc_id
+      ) WHERE n >= {_CONTAM_MIN}
+    ), clean AS (
+      SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, n_tokens,
+      CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+      CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+           / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+    FROM clean
+    """
+
+
+@register("curation_end_to_end", _curation_oracle())
+def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole nightly curation run as ONE declarative plan — what a
+    100 TB training-data user actually executes: quality profile →
+    filter → exact dedup → MinHash-LSH near-dup drop → benchmark
+    decontamination → deterministic split → token-budget sharding.
+    Every stage is an already-oracle-verified operator; this query
+    certifies their COMPOSITION (stage order, survivor sets, and the
+    final shard assignment over the cleaned corpus).
+
+    Scale notes: one scan feeds the profile; the only shuffles are the
+    dedup groupBys, the LSH bucket join, the digest joins (eval side
+    broadcast), and the two-pass shard cumsum — no global windows, no
+    collects, payloads never cross an exchange after the profile."""
+    from ..operators.dedup import minhash_near_dups, ngram_overlap_join
+    from ..operators.ranking import global_running_sum
+    from ..operators.text import stopword_ratio, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "lang", "text")
+    profiled = train.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        F.md5("text").alias("fp"),
+    )
+    kept = profiled.filter(
+        F.col("n_tokens").between(20, 1000) & (F.col("stop_ratio") >= 0.05)
+    )
+    keep_ids = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact = kept.join(keep_ids, kept["doc_id"] == keep_ids["keep_id"]).select(
+        "doc_id", "lang", "text", "n_tokens"
+    )
+    exact = exact.persist()  # feeds LSH (twice via self-join) + decontam + final
+    drop_b = (
+        minhash_near_dups(exact, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(drop_b, "doc_id", "left_anti")
+    contaminated = (
+        ngram_overlap_join(survivors, docs.filter(F.col("doc_id") % 50 == 0))
+        .filter(F.col("n_shared_shingles") >= _CONTAM_MIN)
+        .select(F.col("train_id").alias("doc_id"))
+    )
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    packed = global_running_sum(
+        clean.select("doc_id", "lang", "n_tokens"), ["doc_id"], "n_tokens",
+        out_col="cum",
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when((F.col("doc_id") * 2654435761) % 100 < 90, "train")
+        .otherwise("test")
+        .alias("split"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / _SHARD_BUDGET)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
 _ANN_K = 10
 _ANN_NQ = 5  # query set: vec_id < 5
 

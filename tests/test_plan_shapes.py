@@ -158,3 +158,14 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_end_to_end_scale_shape(spark):
+    """The composed curation plan must inherit every stage's scale
+    property: no cartesian, no nested-loop over the corpus, and no
+    global (non-_pid) window."""
+    plan = _plan(spark, "curation_end_to_end")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
