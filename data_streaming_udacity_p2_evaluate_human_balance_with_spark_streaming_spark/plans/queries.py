@@ -1677,7 +1677,17 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import stopword_ratio, token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "lang", "text")
+    # documents lands as ONE file → one input partition, and AQE's
+    # byte-based coalescing keeps these tiny-byte/heavy-CPU rows on one
+    # task; an explicit hash repartition spreads the per-document work
+    # (stopwords, shingles, signatures) across the cluster for ~1 MB of
+    # shuffle. At real scale the input arrives already partitioned and
+    # this is a cheap no-op-shaped exchange.
+    train = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "lang", "text")
+        .repartition("doc_id")
+    )
     profiled = train.select(
         "doc_id",
         "lang",
@@ -1699,13 +1709,17 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = exact.join(drop_b, "doc_id", "left_anti")
+    # persist the survivor frontier: it feeds the decontamination join
+    # AND (via clean) BOTH branches of the two-pass cumsum — without the
+    # persist the whole LSH verify chain recomputes per consumer
+    # (NOTES.md: self-joins/branches recompute upstream unless persisted)
+    survivors = exact.join(drop_b, "doc_id", "left_anti").persist()
     contaminated = (
         ngram_overlap_join(survivors, docs.filter(F.col("doc_id") % 50 == 0))
         .filter(F.col("n_shared_shingles") >= _CONTAM_MIN)
         .select(F.col("train_id").alias("doc_id"))
     )
-    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    clean = survivors.join(contaminated, "doc_id", "left_anti").persist()
     packed = global_running_sum(
         clean.select("doc_id", "lang", "n_tokens"), ["doc_id"], "n_tokens",
         out_col="cum",
