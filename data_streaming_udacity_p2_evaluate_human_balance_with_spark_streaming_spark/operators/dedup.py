@@ -23,6 +23,21 @@ from ..functions.hashing import MOD31 as MOD  # 31-bit hashes: ANSI-overflow-saf
 from ..functions.hashing import char_shingles, hashed, minhash_perm, word_shingles
 
 
+def spread(df: DataFrame, col: str) -> DataFrame:
+    """Raise a CPU-heavy narrow input to the session's default
+    parallelism when the source delivers fewer partitions (single-file
+    fixtures; AQE byte-coalesced tiny-byte stages). Shingling/hashing
+    cost is per ROW, not per byte, so leaving it on one task serializes
+    the pipeline; the repartition shuffles only the raw documents.
+    No-op when the input is already at least that parallel — at real
+    scale inputs arrive in thousands of partitions and this adds
+    nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, col)
+    return df
+
+
 def exact_dedup(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical payload. One
     hash-aggregate shuffle on the (hashed) payload."""
@@ -75,7 +90,7 @@ def minhash_lsh_candidates(
     # whole-stage codegen — measured ~3× faster at sf0.1. The shuffle
     # this introduces carries only (id, 32 partial mins) per map
     # partition thanks to map-side combine.
-    hashed_df = docs.select(
+    hashed_df = spread(docs, id_col).select(
         F.col(id_col).alias("_id"), shingle_fn(text_col, shingle_k).alias("sh")
     ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
     sig = hashed_df.groupBy("_id").agg(
@@ -130,7 +145,7 @@ def ngram_jaccard(
     shuffle/stage overhead dominates, so the simple two-join shape is
     kept as the default."""
     shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
-    sets_df = docs.select(
+    sets_df = spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingle_fn(text_col, shingle_k)).alias("sset"),
     )
@@ -193,7 +208,7 @@ def simhash_agg(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> 
     of `simhash`): one row per token, then `bits` sign-sums per doc —
     same explode→groupBy shape that made minhash ~3× faster than the
     interpreted higher-order-function form."""
-    toks = docs.select(
+    toks = spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(text_col, " ")).alias("tok"),
     ).select("_id", F.xxhash64("tok").alias("h"))
@@ -311,7 +326,7 @@ def ngram_overlap_join(
     in the reference (SURVEY.md §2.5); north-star extension."""
 
     def exploded(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
+        return spread(df, id_col).select(
             F.col(id_col).alias(out_id),
             F.explode(
                 F.array_distinct(word_shingles(text_col, shingle_k))

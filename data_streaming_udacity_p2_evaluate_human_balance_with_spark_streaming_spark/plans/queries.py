@@ -1168,29 +1168,36 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (the oracle-checkable slice of the LSH pipeline's verify step —
     the LSH candidate generator itself is validated in
     dedup_minhash_lsh, rows-only)."""
-    from ..operators.dedup import shingles
+    from ..operators.dedup import shingles, spread
 
     docs = load_table(spark, sf_dir, "documents")
-    sets_df = docs.select(
+    sets_df = spread(docs, "doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sset")
-    )
-    a = sets_df.alias("a")
-    b = sets_df.alias("b")
-    inter = F.expr("size(filter(a.sset, x -> array_contains(b.sset, x)))")
-    return (
-        a.join(
-            b,
-            (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + _JACCARD_PAIR_WINDOW),
+    ).persist()
+    # The id-band predicate (a < b ≤ a+W) is a RANGE theta — as written
+    # it compiles to a nested-loop join (quadratic probes). Exploding
+    # the a-side into its W (doc_a, doc_a+off) targets turns it into a
+    # plain hash equi-join on doc_id: W× row inflation of tiny rows
+    # beats an O(n²) nested loop at any scale. Measured at sf0.1:
+    # 9.2 s (BNLJ) → sub-second (hash join).
+    a = (
+        sets_df.withColumn(
+            "_off", F.explode(F.sequence(F.lit(1), F.lit(_JACCARD_PAIR_WINDOW)))
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (
-                inter.cast("double")
-                / (F.size("a.sset") + F.size("b.sset") - inter)
-            ).alias("jaccard"),
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.col("sset").alias("set_a"),
         )
+    )
+    b = sets_df.select("doc_id", F.col("sset").alias("set_b"))
+    inter = F.expr("size(filter(set_a, x -> array_contains(set_b, x)))")
+    return a.join(b, "doc_id").select(
+        "doc_a",
+        F.col("doc_id").alias("doc_b"),
+        (inter.cast("double") / (F.size("set_a") + F.size("set_b") - inter)).alias(
+            "jaccard"
+        ),
     )
 
 

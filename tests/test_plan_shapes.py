@@ -169,3 +169,11 @@ def test_curation_end_to_end_scale_shape(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_ngram_jaccard_band_is_equijoin(spark):
+    """The id-band candidate join must be the exploded equi-join form,
+    never a range-theta nested loop."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
