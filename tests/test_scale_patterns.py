@@ -269,3 +269,42 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = q.count()
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_two_pass_ranking_property(spark, vals, parts):
+    """Property: for ANY key distribution (ties, skew, negatives) and
+    ANY partition count, the two-pass pr/cd equals the window form."""
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_percent_rank_cume_dist,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, k bigint"
+    )
+    got = {
+        r.id: (r.pr, r.cd)
+        for r in global_percent_rank_cume_dist(df, ["k"], num_partitions=parts).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r.id: (r.pr, r.cd)
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("pr"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert got == want
