@@ -1602,6 +1602,49 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "salted_skew_join",
+    f"""
+    WITH skewed AS (
+      SELECT event_id,
+        CASE WHEN user_id % 10 < 5 THEN 1 ELSE user_id END AS hot_key,
+        value
+      FROM events
+    )
+    SELECT c_mktsegment, COUNT(*) AS n, {_dsum(_VAL_DEC)} AS total_value
+    FROM skewed JOIN customer ON hot_key = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join, driver-verified: half of all events are
+    funneled onto ONE key (the planted hot key every real event stream
+    has), then joined through operators.joins.salted_join — the big
+    side's hot key spreads over 16 salt buckets instead of one task.
+    The oracle is the PLAIN join (salting must be semantically
+    invisible); the skew-spreading itself is asserted in
+    tests/test_stateful_recovery.py::test_salted_join_matches_plain_join
+    and here by the value equality under a 50% hot-key load."""
+    from ..operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 5, 1)
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "hot_key", "c_custkey", salt_buckets=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 _CONTAM_MIN = 5  # shared distinct 3-grams ⇒ contaminated (1-4 is chance)
 
 

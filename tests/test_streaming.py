@@ -406,3 +406,52 @@ def test_parquet_sink_exactly_once(spark, runner, tmp_path):
     landed = spark.read.parquet(str(tmp_path / "out"))
     assert landed.count() == 3
     assert set(landed.columns) == {"email", "birthYear"}
+
+
+def test_streaming_windowed_topk(spark, runner):
+    """Streaming analytics pattern: windowed event-type counts, ranked
+    per window in the foreachBatch consumer (rank AFTER the stateful
+    agg — windowed counts stream incrementally; the tiny per-window
+    rank runs on the emitted deltas, the standard split at scale)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {"ts": "2024-01-01T00:01:00.000Z", "event_type": "view"},
+        {"ts": "2024-01-01T00:02:00.000Z", "event_type": "view"},
+        {"ts": "2024-01-01T00:03:00.000Z", "event_type": "click"},
+        {"ts": "2024-01-01T00:04:00.000Z", "event_type": "view"},
+        {"ts": "2024-01-01T02:00:00.000Z", "event_type": "late-driver"},
+    ]
+    stream = stream_from_rows(
+        spark, rows, _parse_datatype_string("ts timestamp, event_type string")
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = []
+
+    def rank_batch(df, _e):
+        from pyspark.sql.window import Window
+
+        if df.isEmpty():
+            return
+        rk = F.row_number().over(
+            Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+        )
+        out.extend(
+            (r.w.start.isoformat(), r.event_type, r.n, r.rk)
+            for r in df.withColumn("rk", rk).filter(F.col("rk") <= 2).collect()
+        )
+
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first_window = sorted(x for x in out if x[0].startswith("2024-01-01T00:0"))
+    assert ("2024-01-01T00:00:00", "view", 3, 1) in first_window
+    assert ("2024-01-01T00:00:00", "click", 1, 2) in first_window
