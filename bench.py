@@ -58,6 +58,7 @@ HEADLINE = [
     "pack_shards_token_budget",
     "decontaminate_ngram_overlap",
     "curation_end_to_end",
+    "salted_skew_join",
 ]
 
 

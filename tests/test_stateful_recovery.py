@@ -282,7 +282,7 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
                 rows += [json.loads(line) for line in f if line.strip()]
         return rows
 
-    def run(extra, n_expected):
+    def run(extra, n_expected, settle=0.0):
         if extra:
             import uuid as _u
 
@@ -309,12 +309,18 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
         deadline = _t.time() + 120
         while len(emitted()) < n_expected and _t.time() < deadline:
             _t.sleep(0.5)
+        # eviction happens in a TIMEOUT-ONLY batch that emits nothing —
+        # stopping the moment the data rows land can beat the timer
+        # batch to it. Hold the query open long enough for lapsed
+        # timers to fire before stopping.
+        if settle:
+            _t.sleep(settle)
         q.stop()
         q.awaitTermination()
 
     run(None, 1)
     _t.sleep(2.0)  # key 1 idles past its 500ms TTL
-    run([{"user_id": 2, "value": 5.0}], 2)  # batch that fires the timeout
+    run([{"user_id": 2, "value": 5.0}], 2, settle=5.0)  # let the timeout fire
     run([{"user_id": 1, "value": 30.0}], 3)  # key 1 returns after eviction
     u1 = sorted(
         (r["n_events"], r["total_score"]) for r in emitted() if r["user_id"] == 1
