@@ -37,7 +37,12 @@ def plane_weight(p: int, d: int) -> float:
     return (int.from_bytes(h, "big") % 2001 - 1000) / 1000.0
 
 
-def hyperplane_bucket(vec_col: str, n_planes: int = 12, n_dims: int | None = None) -> Column:
+def hyperplane_bucket(
+    vec_col: str,
+    n_planes: int = 12,
+    n_dims: int | None = None,
+    plane_offset: int = 0,
+) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(v · r_p), packed
     into a bigint. Weights come from `plane_weight` (deterministic,
     zero driver-side state to broadcast).
@@ -46,11 +51,14 @@ def hyperplane_bucket(vec_col: str, n_planes: int = 12, n_dims: int | None = Non
     plan-build), so the per-row work is a pure float dot product — no
     per-(row, dim) hashing. `n_dims` bounds the weight array; default
     256 covers unknown dims (the zip_with stops at the vector length).
+    `plane_offset` shifts the plane ids, yielding an INDEPENDENT table
+    of planes — the building block for OR-amplified multi-table LSH
+    (operators.dedup.embedding_near_dups).
     """
     dims = n_dims or 256
     bits = []
     for p in range(n_planes):
-        weights = ", ".join(f"{plane_weight(p, d)!r}D" for d in range(dims))
+        weights = ", ".join(f"{plane_weight(plane_offset + p, d)!r}D" for d in range(dims))
         # exact dims: zip directly; unknown dims: slice the weight array
         # to the vector length (zip_with null-pads the shorter side,
         # which would poison the sum)

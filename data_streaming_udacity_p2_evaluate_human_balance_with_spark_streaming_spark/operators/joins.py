@@ -31,6 +31,14 @@ def broadcast_join(
     return big.join(F.broadcast(small), F.expr(condition), how)
 
 
+def content_salt(df: DataFrame, salt_buckets: int) -> F.Column:
+    """Deterministic per-row salt in [0, salt_buckets): hash of the
+    row's full content, stable under repartition/retries/speculation
+    (unlike monotonically_increasing_id, which depends on partition
+    layout)."""
+    return F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(salt_buckets))
+
+
 def salted_join(
     big: DataFrame,
     skewed_small: DataFrame,
@@ -47,10 +55,17 @@ def salted_join(
 
     Cost model: small side grows ×salt_buckets (keep it the dimension
     side); the big side's hot key spreads over `salt_buckets` tasks.
+
+    The salt is CONTENT-DERIVED: a hash over the row's full struct, so
+    every row keeps the same salt under repartitioning, retries, and
+    speculative task re-execution (`monotonically_increasing_id` is
+    partition-layout-dependent — harmless for inner joins but
+    non-reproducible across runs, which poisons debugging/auditing).
+    Identical rows land in the same bucket; that only narrows spreading
+    when the hot key's rows are literal duplicates, in which case exact
+    dedup — not salting — is the right tool.
     """
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    big_salted = big.withColumn("_salt", content_salt(big, salt_buckets))
     small_exploded = skewed_small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

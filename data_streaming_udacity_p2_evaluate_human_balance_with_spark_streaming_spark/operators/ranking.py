@@ -36,6 +36,29 @@ def _order_cols(order: list[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order]
 
 
+def _pin(rp: DataFrame) -> DataFrame:
+    """Pin the range-partitioned subtree so every branch sees the SAME
+    partition boundaries.
+
+    Both passes (local windows AND the per-partition counts/totals)
+    reference the same `repartitionByRange(...).withColumn(_pid, ...)`
+    node, but range boundaries come from sampling whose seed varies per
+    materialized RDD, and spark_partition_id is nondeterministic — so if
+    the exchange is ever executed more than once, the offsets can be
+    built against different boundaries than the local row numbers,
+    silently corrupting global ranks. AQE's exchange reuse USUALLY
+    deduplicates the branches, but not reliably: measured on
+    pack_shards_token_budget, one of the totals branches materialized
+    its own second range exchange (column pruning diverged the
+    canonical forms). persist() makes single-materialization a
+    guarantee instead of an optimizer courtesy — the branches then read
+    the cached range-partitioned blocks, which also drops the duplicate
+    shuffle work. Callers that loop many ranking queries in one session
+    should spark.catalog.clearCache() between them (the bench and
+    driver harnesses do)."""
+    return rp.persist()
+
+
 def global_row_number(
     df: DataFrame,
     order: list[Column | str],
@@ -53,11 +76,13 @@ def global_row_number(
     tie-aware rank functions below never expose that arbitrariness).
     """
     cols = _order_cols(order)
-    rp = (
-        df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
-        else df.repartitionByRange(*cols)
-    ).withColumn("_pid", F.spark_partition_id())
+    rp = _pin(
+        (
+            df.repartitionByRange(num_partitions, *cols)
+            if num_partitions
+            else df.repartitionByRange(*cols)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
 
     local = rp.withColumn(
         "_local_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
@@ -93,11 +118,13 @@ def global_running_sum(
     shape as global_row_number; the offsets table carries partition
     value sums instead of row counts."""
     cols = _order_cols(order)
-    rp = (
-        df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
-        else df.repartitionByRange(*cols)
-    ).withColumn("_pid", F.spark_partition_id())
+    rp = _pin(
+        (
+            df.repartitionByRange(num_partitions, *cols)
+            if num_partitions
+            else df.repartitionByRange(*cols)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
 
     local = rp.withColumn(
         "_local_sum",

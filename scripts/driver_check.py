@@ -46,6 +46,10 @@ def norm(v):
     return str(v) if v is not None else "\0NULL"
 
 qs, os_ = e.queries(), e.oracle_sql()
+# optional argv filter: `python scripts/driver_check.py q1 q2` checks only those
+if len(sys.argv) > 1:
+    wanted = set(sys.argv[1:])
+    qs = {n: f for n, f in qs.items() if n in wanted}
 print(f"{len(qs)} queries, {len(os_)} oracles")
 fails = 0
 for name, fn in qs.items():

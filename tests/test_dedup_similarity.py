@@ -73,6 +73,34 @@ def test_simhash_near_dups(spark):
     assert recall >= 0.8, f"simhash recall too low: {recall}"
 
 
+def test_simhash_mega_bucket_guard(spark):
+    """A planted flood of identical documents (one mega-bucket) must be
+    dropped from candidate generation when it exceeds max_bucket, so
+    chunk collisions can't go quadratic on spam floods — while natural
+    near-dup pairs outside the flood are still found."""
+    docs = _near_dup_docs(spark)
+    flood = spark.createDataFrame(
+        [(1_000_000 + i, "spam spam spam wonderful spam " * 10) for i in range(40)],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(flood)
+    planted = {(10 * i, 10 * i + 1) for i in range(30)}
+
+    uncapped = dedup.simhash_near_dups(corpus, max_hamming=10, max_bucket=None)
+    uncapped_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    flood_pairs_uncapped = {
+        p for p in uncapped_pairs if p[0] >= 1_000_000 and p[1] >= 1_000_000
+    }
+    assert len(flood_pairs_uncapped) == 40 * 39 // 2  # quadratic without the cap
+
+    capped = dedup.simhash_near_dups(corpus, max_hamming=10, max_bucket=30)
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 40-member bucket is dropped entirely: bounded candidates
+    assert not any(p[0] >= 1_000_000 and p[1] >= 1_000_000 for p in capped_pairs)
+    # natural planted pairs are unaffected (their buckets are tiny)
+    assert capped_pairs & planted == uncapped_pairs & planted
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(

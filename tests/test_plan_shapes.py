@@ -121,6 +121,34 @@ def test_two_pass_ranking_no_single_partition_window(spark, name):
     assert "CartesianProduct" not in plan  # offsets/total joins are broadcast
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["ntile_quartiles_scale", "percent_rank_cume_dist_scale", "pack_shards_token_budget"],
+)
+def test_two_pass_ranking_reuses_range_exchange(spark, name):
+    """Two-pass ranking correctness depends on BOTH branches (local
+    windows and counts/totals) reading the SAME range partitioning:
+    boundaries come from per-materialization sampling, so the range
+    exchange must execute exactly once. AQE's exchange reuse is not a
+    guarantee (measured: pack_shards materialized a second range
+    exchange before the _pin fix), so ranking.py pins the subtree with
+    persist() — assert the final adaptive plan has exactly ONE
+    materialized range exchange and the branches read the cache."""
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    try:
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+        )
+        assert "isFinalPlan=true" in final, final
+        materialized = re.findall(r"Exchange rangepartitioning", final)
+        assert len(materialized) == 1, final
+        assert "InMemoryTableScan" in final, final
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_pack_shards_no_single_partition_window(spark):
     plan = _plan(spark, "pack_shards_token_budget")
     for line in plan.splitlines():
@@ -177,3 +205,37 @@ def test_ngram_jaccard_band_is_equijoin(spark):
     plan = _plan(spark, "ngram_jaccard_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_or_amplified_equijoin(spark):
+    """The OR-amplified multi-table LSH must stay a (table, bucket) hash
+    equi-join — OR-ing tables via explode, never via a disjunctive
+    (nested-loop) join condition."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_builds_lazily(spark, monkeypatch):
+    """q_tfidf must not run any driver-side action at plan-build time
+    (the corpus size rides along as a broadcast 1-row aggregate, not a
+    docs.count()): at 100 TB an eager count() is a second full scan and
+    a synchronization barrier. Any DataFrame action during build fails
+    the test. (Parquet footer/schema reads are not DataFrame actions
+    and are exempt — they're metadata, not data scans.)"""
+    from pyspark.sql import DataFrame as _DF
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        q_tfidf,
+    )
+
+    def _boom(name):
+        def f(*a, **k):
+            raise AssertionError(f"driver-side {name}() during plan build")
+
+        return f
+
+    for action in ("count", "collect", "first", "take", "head", "toPandas"):
+        monkeypatch.setattr(_DF, action, _boom(action))
+    df = q_tfidf(spark, SF_SMOKE)
+    assert "tfidf" in df.columns

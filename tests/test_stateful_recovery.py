@@ -228,6 +228,24 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_content_salt_stable_under_repartition(spark):
+    """The salt must be a pure function of row content — identical for
+    the same row regardless of partition layout (retries, speculative
+    tasks, explicit repartitioning)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        content_salt,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)], "k long, payload string"
+    )
+    a = {r.k: r.s for r in df.select("k", content_salt(df, 16).alias("s")).collect()}
+    rep = df.repartition(7, "payload")
+    b = {r.k: r.s for r in rep.select("k", content_salt(rep, 16).alias("s")).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(16)) and len(set(a.values())) > 1
+
+
 def test_dedup_guard_intra_batch_duplicates(spark, tmp_path):
     """The at-least-once retry case WITHIN one micro-batch: duplicate
     sequence ids arriving together must be emitted exactly once."""
