@@ -77,6 +77,37 @@ def hyperplane_bucket(
     return F.expr(" + ".join(bits))
 
 
+def plane_dots(
+    vec_col: str,
+    n_planes: int,
+    n_dims: int | None = None,
+    plane_offset: int = 0,
+) -> Column:
+    """array<double> of the raw hyperplane dot products v · r_p for
+    planes plane_offset .. plane_offset+n_planes-1 (same literal-weight
+    construction as `hyperplane_bucket`). The magnitudes are the
+    distances to each cutting plane — the probe-priority signal for
+    query-directed multi-probe (Lv et al., VLDB'07): the planes a query
+    sits closest to are the ones most likely to have split it from its
+    near neighbors."""
+    dims = n_dims or 256
+    dots_ = []
+    for p in range(n_planes):
+        weights = ", ".join(
+            f"{plane_weight(plane_offset + p, d)!r}D" for d in range(dims)
+        )
+        warr = (
+            f"array({weights})"
+            if n_dims is not None
+            else f"slice(array({weights}), 1, size({vec_col}))"
+        )
+        dots_.append(
+            f"aggregate(zip_with({vec_col}, {warr}, "
+            f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+    return F.expr("array(" + ", ".join(dots_) + ")")
+
+
 def infer_dim(df, vec_col: str) -> int | None:
     """Probe the vector dimension from the first row (cheap one-row
     job at plan-build time); None on empty input."""

@@ -168,6 +168,88 @@ def ivf_topk(
     )
 
 
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN with DETERMINISTIC cells: hyperplane-sign cells
+    (2^n_planes of them) instead of KMeans centroids, probed in
+    query-directed order — the query's own cell first, then the cells
+    reached by flipping the planes the query sits CLOSEST to (smallest
+    |v·r_p|: those are the planes most likely to have separated it from
+    true neighbors — multi-probe LSH, Lv et al., VLDB'07).
+
+    Same scale shape as `ivf_topk` (cell equi-join, ~n_probe/2^n_planes
+    of the corpus scanned per query, exact cosine + top-k inside), but
+    with zero training and a closed-form cell function — so the whole
+    operator, probe selection included, is SQL-expressible and oracled
+    end-to-end (plans/queries.py:ann_ivf_fixed_topk). KMeans `ivf_topk`
+    remains the adaptive-cells production path."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import infer_dim, plane_dots
+
+    dim = infer_dim(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", hyperplane_bucket("v", n_planes, n_dims=dim))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("m", plane_dots("qv", n_planes, n_dims=dim))
+        .withColumn(
+            "qcell",
+            F.expr(
+                f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
+                f"(acc, p) -> acc + CASE WHEN m[p] > 0 "
+                f"THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)"
+            ),
+        )
+    )
+    own = q.select("query_id", "qv", F.col("qcell").alias("probe"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.abs(F.col("margin")).asc(), F.col("p").asc()
+    )
+    flips = (
+        q.select("query_id", "qv", "qcell", F.posexplode("m").alias("p", "margin"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe - 1)
+        .select(
+            "query_id",
+            "qv",
+            F.expr("qcell ^ shiftleft(CAST(1 AS BIGINT), p)").alias("probe"),
+        )
+    )
+    probes = own.unionByName(flips)
+    scored = (
+        c.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cosine_expr("qv", "v").alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1844,6 +1844,72 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+def _ivf_fixed_oracle(n_planes: int = 4, n_probe: int = 3) -> str:
+    """Full DuckDB replica of the deterministic-cell IVF:
+    hyperplane-sign cells with the same blake2b literal weights,
+    query-directed probe ranking (smallest |margin| planes flipped
+    first), the cell equi-join, and the windowed top-k — the
+    approximate operator's EXACT semantics, probe selection included."""
+    from ..functions.vectors import plane_weight
+
+    cell = _emb_bucket_sql("v", n_planes=n_planes)
+    qcell = _emb_bucket_sql("qv", n_planes=n_planes)
+    margin_rows = " UNION ALL ".join(
+        "SELECT query_id, qv, qcell, {p} AS p, list_dot_product(qv, [{w}]) AS margin FROM qc".format(
+            p=p,
+            w=", ".join(repr(plane_weight(p, d)) for d in range(_EMB_DIM)),
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cb AS (
+      SELECT neighbor_id, v, {cell} AS cell FROM c
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_ANN_NQ}
+    ), qc AS (
+      SELECT query_id, qv, {qcell} AS qcell FROM q
+    ), margins AS ({margin_rows}),
+    flips AS (
+      SELECT query_id, qv, CAST(xor(qcell, 1 << p) AS BIGINT) AS probe,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(margin), p) AS rn
+      FROM margins
+    ), pr AS (
+      SELECT query_id, qv, CAST(qcell AS BIGINT) AS probe FROM qc
+      UNION ALL
+      SELECT query_id, qv, probe FROM flips WHERE rn <= {n_probe - 1}
+    ), scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+        list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+      FROM cb JOIN pr ON cell = probe AND neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_ivf_fixed_topk", _ivf_fixed_oracle())
+def q_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic hyperplane-sign cells and
+    query-directed multi-probe (closest-plane flips first) — the
+    oracle-able twin of the KMeans `ann_ivf_topk`: zero training, same
+    cell-equi-join scale shape, and every stage (cells, probe ranking,
+    top-k) replicated exactly in the DuckDB oracle."""
+    from ..operators.similarity import ivf_fixed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_fixed_topk(emb, queries_df, k=_ANN_K, n_planes=4, n_probe=3)
+
+
 def _ann_lsh_oracle() -> str:
     """Full DuckDB replica of the multi-probe hyperplane LSH top-k:
     the 6 plane dot-sign bits with the same blake2b literal weights,
@@ -2682,6 +2748,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "curation_end_to_end",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_fixed_topk",
     "ann_lsh_topk",
     "multimodal_metadata",
     "multimodal_features",

@@ -132,6 +132,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_fixed_recall_and_probe_direction(spark):
+    """Deterministic-cell IVF: query-directed probing (flip the
+    closest planes first) must be meaningfully better than probing the
+    query's own cell alone, and beat the random-scan baseline for the
+    same scanned fraction (3/16 of the corpus)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    recalls = {}
+    for n_probe in (1, 3):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_fixed_topk(
+                emb, queries, k=10, n_planes=4, n_probe=n_probe
+            ).collect()
+        }
+        recalls[n_probe] = len(exact & approx) / len(exact)
+    assert recalls[3] >= 0.3, recalls  # > 3/16 random-scan baseline
+    assert recalls[3] > recalls[1], recalls
+
+
 def test_embedding_near_dups_self_consistent(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     dups = dedup.embedding_near_dups(emb, threshold=0.99)
