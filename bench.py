@@ -60,6 +60,7 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "curation_end_to_end",
     "salted_skew_join",
+    "zorder_cells",
 ]
 
 

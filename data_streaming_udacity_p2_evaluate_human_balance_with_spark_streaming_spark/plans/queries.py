@@ -1844,6 +1844,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+def _zorder_oracle() -> str:
+    from ..operators.layout import interleave_expr, quantize_expr
+
+    q1 = quantize_expr("o_custkey", "_mn1", "_mx1")
+    q2 = quantize_expr("o_totalprice", "_mn2", "_mx2")
+    z = interleave_expr("_q1", "_q2", dialect="duckdb")
+    return f"""
+    WITH mm AS (
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS _mn1, MAX(CAST(o_custkey AS DOUBLE)) AS _mx1,
+             MIN(o_totalprice) AS _mn2, MAX(o_totalprice) AS _mx2
+      FROM orders
+    ), quant AS (
+      SELECT o_orderkey, {q1} AS _q1, {q2} AS _q2 FROM orders, mm
+    )
+    SELECT o_orderkey, {z} AS z, CAST({z} >> 8 AS BIGINT) AS cell FROM quant
+    """
+
+
+@register("zorder_cells", _zorder_oracle())
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell assignment over (o_custkey, o_totalprice)
+    — the write-layout clustering key behind operators.layout.
+    zorder_write: quantize both dims to 8 bits against broadcast global
+    min/max (lazy 1-row agg cross join, no driver action) and
+    interleave the bits so range-partitioning on `z` yields files
+    covering compact 2-D regions (parquet min/max pruning then works
+    for filters on EITHER column). The oracle replays the exact
+    quantize + interleave arithmetic in DuckDB."""
+    from ..operators.layout import with_zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    return with_zorder_value(orders, "o_custkey", "o_totalprice", out_col="z").select(
+        "o_orderkey", "z", F.expr("z >> 8").cast("bigint").alias("cell")
+    )
+
+
 def _ivf_fixed_oracle(n_planes: int = 4, n_probe: int = 3) -> str:
     """Full DuckDB replica of the deterministic-cell IVF:
     hyperplane-sign cells with the same blake2b literal weights,
@@ -2778,6 +2814,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "map_functions",
     "python_datasource_sim",
     "json_multi_extract",
+    "zorder_cells",  # new in round 3 (ann_ivf_fixed_topk is in the ANN block)
 )
 
 

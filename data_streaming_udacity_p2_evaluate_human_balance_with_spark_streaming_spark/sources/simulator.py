@@ -32,7 +32,7 @@ def make_stedi_simulator_source():
     def _b64(s: str) -> str:
         return base64.b64encode(s.encode()).decode()
 
-    def _envelope(i: int) -> tuple:
+    def _customer_envelope(i: int) -> tuple:
         customer = {
             "customerName": f"Customer {i}",
             "email": f"c{i}@test.com",
@@ -50,10 +50,28 @@ def make_stedi_simulator_source():
         }
         return (_b64("Customer"), json.dumps(value))
 
+    def _event_envelope(i: int) -> tuple:
+        """stedi-events record for the same simulated customer i
+        (project/starter README contract: {customer, score, riskDate});
+        score is a deterministic function of i so goldens are
+        computable without shared state."""
+        event = {
+            "customer": f"c{i}@test.com",
+            "score": round(((i % 41) - 20) * 1.5, 1),
+            "riskDate": f"2020-09-{1 + i % 28:02d}T07:{i % 60:02d}:06.000Z",
+        }
+        return (f"c{i}@test.com", json.dumps(event))
+
+    def _envelope(topic: str, i: int) -> tuple:
+        return (
+            _event_envelope(i) if topic == "stedi-events" else _customer_envelope(i)
+        )
+
     class StediSimReader(DataSourceReader):
         def __init__(self, options):
             self.n_rows = int(options.get("rows", 100))
             self.n_parts = int(options.get("partitions", 4))
+            self.topic = options.get("topic", "customer")
 
         def partitions(self):
             return [InputPartition(p) for p in range(self.n_parts)]
@@ -61,7 +79,7 @@ def make_stedi_simulator_source():
         def read(self, partition):
             p = partition.value
             for i in range(p, self.n_rows, self.n_parts):
-                yield _envelope(i)
+                yield _envelope(self.topic, i)
 
     from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
@@ -73,6 +91,7 @@ def make_stedi_simulator_source():
         def __init__(self, options):
             self.n_rows = int(options.get("rows", 100))
             self.per_batch = int(options.get("rows_per_batch", 20))
+            self.topic = options.get("topic", "customer")
 
         def initialOffset(self):
             return {"i": 0}
@@ -80,14 +99,21 @@ def make_stedi_simulator_source():
         def read(self, start):
             i = start["i"]
             end = min(i + self.per_batch, self.n_rows)
-            return (iter([_envelope(j) for j in range(i, end)]), {"i": end})
+            return (
+                iter([_envelope(self.topic, j) for j in range(i, end)]),
+                {"i": end},
+            )
 
         def readBetweenOffsets(self, start, end):
-            return iter([_envelope(j) for j in range(start["i"], end["i"])])
+            return iter(
+                [_envelope(self.topic, j) for j in range(start["i"], end["i"])]
+            )
 
     class StediSimulatorDataSource(DataSource):
         """format("stedi_sim"), options: rows, partitions (batch),
-        rows_per_batch (streaming)."""
+        rows_per_batch (streaming), topic ("customer" emits the Redis
+        changefeed envelope, "stedi-events" the risk-event record —
+        the two Kafka topics of the reference's simulator stack)."""
 
         @classmethod
         def name(cls):

@@ -308,3 +308,68 @@ def test_two_pass_ranking_property(spark, vals, parts):
         ).collect()
     }
     assert got == want
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustered files must be skippable (parquet min/max
+    stats) for narrow filters on EITHER clustered column, where a
+    single-column sort prunes only its own column. Measured here by
+    reconstructing each file's bounding box and counting files whose
+    box misses a ±2% band around each column's median."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        zorder_write,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(orders, zpath, "o_custkey", "o_totalprice", n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def boxes(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        return [
+            (r.mn1, r.mx1, r.mn2, r.mx2)
+            for r in df.groupBy("f")
+            .agg(
+                F.min("o_custkey").alias("mn1"),
+                F.max("o_custkey").alias("mx1"),
+                F.min("o_totalprice").alias("mn2"),
+                F.max("o_totalprice").alias("mx2"),
+            )
+            .collect()
+        ]
+
+    med = orders.agg(
+        F.expr("percentile(o_custkey, 0.5)").alias("m1"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("m2"),
+    ).collect()[0]
+
+    def skipped(bx, lo1=None, hi1=None, lo2=None, hi2=None):
+        n = 0
+        for mn1, mx1, mn2, mx2 in bx:
+            if lo1 is not None and (mx1 < lo1 or mn1 > hi1):
+                n += 1
+            elif lo2 is not None and (mx2 < lo2 or mn2 > hi2):
+                n += 1
+        return n
+
+    zb, sb = boxes(zpath), boxes(spath)
+    assert len(zb) == len(sb) == 16
+    # z-order: meaningful skipping on BOTH dimensions (measured 9/16 each)
+    assert skipped(zb, lo1=med.m1 * 0.98, hi1=med.m1 * 1.02) >= 6
+    assert skipped(zb, lo2=med.m2 * 0.98, hi2=med.m2 * 1.02) >= 6
+    # single-column sort: perfect on its own column, useless on the other
+    assert skipped(sb, lo1=med.m1 * 0.98, hi1=med.m1 * 1.02) >= 12
+    assert skipped(sb, lo2=med.m2 * 0.98, hi2=med.m2 * 1.02) == 0

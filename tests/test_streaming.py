@@ -455,3 +455,98 @@ def test_streaming_windowed_topk(spark, runner):
     first_window = sorted(x for x in out if x[0].startswith("2024-01-01T00:0"))
     assert ("2024-01-01T00:00:00", "view", 3, 1) in first_window
     assert ("2024-01-01T00:00:00", "click", 1, 2) in first_window
+
+
+def test_reference_topology_concurrent(spark, runner):
+    """The reference's deployed topology in one session: all THREE
+    pipelines (sparkpyrediskafkastreamtoconsole, sparkpyevents...,
+    sparkpykafkajoin) running CONCURRENTLY from the stedi_sim streaming
+    source's two topics, each to its own memory sink — the in-sandbox
+    analogue of the reference's three spark-submit processes against
+    the Kafka/Redis stack. Golden check: each stream's output equals
+    the same pipeline run over the identical batch read (replay-twin
+    equality), plus spot asserts of reference-contract values."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.simulator import (
+        register_stedi_simulator,
+    )
+
+    register_stedi_simulator(spark)
+    N = 40
+
+    def stream_topic(topic):
+        return (
+            spark.readStream.format("stedi_sim")
+            .option("rows", N)
+            .option("rows_per_batch", 15)
+            .option("topic", topic)
+            .load()
+        )
+
+    def batch_topic(topic):
+        return (
+            spark.read.format("stedi_sim")
+            .option("rows", N)
+            .option("topic", topic)
+            .load()
+        )
+
+    # three concurrent queries, one session (reference runs 3 processes)
+    # default trigger + drain(): availableNow on a
+    # SimpleDataSourceStreamReader only covers the rows prefetched at
+    # trigger time (one micro-batch); processAllAvailable drains the
+    # full configured backlog of all three queries deterministically
+    runner.add(
+        "decode",
+        to_memory(
+            pipelines.customer_decode_pipeline(stream_topic("customer")),
+            "topo_decode",
+            available_now=False,
+        ),
+    )
+    runner.add(
+        "risk",
+        to_memory(
+            pipelines.risk_event_pipeline(stream_topic("stedi-events")),
+            "topo_risk",
+            available_now=False,
+        ),
+    )
+    runner.add(
+        "join",
+        to_memory(
+            pipelines.flagship_join_pipeline(
+                stream_topic("customer"), stream_topic("stedi-events")
+            ),
+            "topo_join",
+            available_now=False,
+        ),
+    )
+    assert len([q for q in runner.queries.values() if q.isActive]) == 3
+    runner.drain()
+
+    got_decode = {
+        tuple(r) for r in spark.sql("SELECT * FROM topo_decode").collect()
+    }
+    want_decode = {
+        tuple(r)
+        for r in pipelines.customer_decode_pipeline(batch_topic("customer")).collect()
+    }
+    assert got_decode == want_decode and len(got_decode) == N
+    assert ("c0@test.com", "1950") in got_decode
+
+    got_risk = {tuple(r) for r in spark.sql("SELECT * FROM topo_risk").collect()}
+    want_risk = {
+        tuple(r)
+        for r in pipelines.risk_event_pipeline(batch_topic("stedi-events")).collect()
+    }
+    assert got_risk == want_risk and len(got_risk) == N
+    assert ("c0@test.com", "-30.0") in got_risk  # score = ((0%41)-20)*1.5
+
+    got_join = {tuple(r) for r in spark.sql("SELECT * FROM topo_join").collect()}
+    want_join = {
+        tuple(r)
+        for r in pipelines.flagship_join_pipeline(
+            batch_topic("customer"), batch_topic("stedi-events")
+        ).collect()
+    }
+    assert got_join == want_join and len(got_join) == N  # every event matches
