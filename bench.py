@@ -61,6 +61,8 @@ HEADLINE = [
     "curation_end_to_end",
     "salted_skew_join",
     "zorder_cells",
+    "chunk_documents",
+    "dedup_cluster_assignment",
 ]
 
 

@@ -309,6 +309,57 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 8,
+) -> DataFrame:
+    """Cluster assignment over a near-dup pair graph: each node gets
+    cluster = the minimum doc id reachable within `max_iter` hops —
+    the true connected-component id whenever max_iter ≥ the graph
+    diameter. Dedup "keep one per cluster" then drops everything where
+    node != cluster.
+
+    Pregel-style min-label propagation, one keyed shuffle join + one
+    hash aggregate per iteration; state is (node, label) int pairs,
+    never adjacency blowups. Near-dup graphs are SHALLOW (near-dups of
+    a doc are near-dups of each other, so components are
+    quasi-cliques); a small fixed max_iter converges in practice. For
+    adversarially long chains use the log-doubling large-star/small-star
+    variant (Kiveris et al.) — same join/agg building blocks.
+
+    Iterative algorithms REQUIRE lineage truncation: each round
+    references the previous labels twice (message join + union), so an
+    un-truncated recursion doubles the logical plan per round — 2^8
+    copies of the upstream pair-generation plan OOMs the driver during
+    ANALYSIS, before any data moves. localCheckpoint per iteration
+    (the same strategy GraphX uses) materializes each frontier and
+    resets its plan to a leaf. This makes the operator eager by
+    design — an honest property of fixpoint loops on Spark."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def streaming_near_dup_filter(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -1844,6 +1844,95 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+#: document chunking: token windows of _CHUNK_W with stride _CHUNK_S
+#: (overlap = _CHUNK_W - _CHUNK_S) — context-window preparation for
+#: training-data serialization
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {_CHUNK_S})) AS s
+      FROM toks
+    )
+    SELECT doc_id, s // {_CHUNK_S} AS chunk_id,
+      array_to_string(list_slice(t, s + 1, s + {_CHUNK_W}), ' ') AS chunk_text,
+      least({_CHUNK_W}, len(t) - s) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — how long documents become training sequences. Tokenize ONCE into
+    an array attribute, explode the window starts, slice per chunk: the
+    only shuffle is whatever the sink needs; chunking itself is narrow
+    and codegen-fused. The chained select keeps split() from being
+    re-inlined into every slice (CollapseProject barrier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.expr(f"sequence(0, size(t) - 1, {_CHUNK_S})")).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"s div {_CHUNK_S}").alias("chunk_id"),
+        F.expr(f"array_join(slice(t, s + 1, {_CHUNK_W}), ' ')").alias("chunk_text"),
+        F.least(F.lit(_CHUNK_W), F.size("t") - F.col("s")).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "dedup_cluster_assignment",
+    """
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node
+    """,
+)
+def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ids (not just pairs): min-label propagation
+    over the MinHash-LSH pair graph — the consolidation step that turns
+    pairwise matches into keep-one-per-cluster decisions. The oracle
+    computes true connected components via a recursive CTE over the
+    exact-Jaccard pair set, so the equality certifies that 8 propagation
+    rounds reach the fixpoint on this graph (components here are
+    quasi-cliques; multi-hop chains are unit-tested separately in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.dedup import connected_components, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    return connected_components(pairs)
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import interleave_expr, quantize_expr
 
@@ -2814,7 +2903,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "map_functions",
     "python_datasource_sim",
     "json_multi_extract",
-    "zorder_cells",  # new in round 3 (ann_ivf_fixed_topk is in the ANN block)
+    # new in round 3 (ann_ivf_fixed_topk is in the ANN block above)
+    "zorder_cells",
+    "chunk_documents",
+    "dedup_cluster_assignment",
 )
 
 

@@ -242,3 +242,32 @@ def test_frame_sample_counts(spark):
     for doc_id, n in got.items():
         expected = -(-meta[doc_id] // 100)
         assert n == expected
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """Min-label propagation must handle MULTI-HOP components: a
+    10-node chain (diameter 9) plus a separate triangle and an isolated
+    pair must each collapse to their minimum id within max_iter ≥
+    diameter."""
+    chain = [(i, i + 1) for i in range(100, 109)]  # 100-...-109
+    triangle = [(200, 201), (201, 202), (200, 202)]
+    pair = [(300, 301)]
+    pairs = spark.createDataFrame(
+        chain + triangle + pair, "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster
+        for r in dedup.connected_components(pairs, max_iter=9).collect()
+    }
+    assert got == {
+        **{n: 100 for n in range(100, 110)},
+        **{n: 200 for n in (200, 201, 202)},
+        **{n: 300 for n in (300, 301)},
+    }
+    # insufficient iterations must NOT silently look converged for the
+    # far end of the chain
+    shallow = {
+        r.node: r.cluster
+        for r in dedup.connected_components(pairs, max_iter=2).collect()
+    }
+    assert shallow[109] != 100
