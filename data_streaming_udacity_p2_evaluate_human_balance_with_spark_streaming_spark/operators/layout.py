@@ -16,11 +16,17 @@ repartitionByRange on the z-value), so the z-value computation is
 SQL-expressible and oracled (plans/queries.py:zorder_cells), and the
 write path adds exactly ONE range shuffle — the same cost as the sort
 a single-column layout would need anyway.
+
+(Supersedes round 2's sources/clustered.py, which computed the
+quantization bounds with an eager driver-side `.first()` — a full
+extra scan plus a barrier at 100 TB. Here the bounds ride along as a
+broadcast 1-row aggregate cross join, keeping the plan lazy
+end-to-end; in a real deployment they'd come from table stats.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: quantization resolution per dimension (8 bits → 256 cells/dim; a
@@ -43,71 +49,76 @@ def quantize_expr(col: str, mn: str, mx: str, bits: int = DEFAULT_BITS) -> str:
     )
 
 
-def interleave_expr(q1: str, q2: str, bits: int = DEFAULT_BITS, dialect: str = "spark") -> str:
-    """SQL text: Morton interleave of two pre-quantized values — bit b
-    of `q1` lands at position 2b, bit b of `q2` at 2b+1. Generated as a
-    flat sum of 2*bits constant-shift terms (whole-stage codegen folds
-    it into straight-line integer ops; no loop, no UDF)."""
+def interleave_expr(
+    qcols: list[str], bits: int = DEFAULT_BITS, dialect: str = "spark"
+) -> str:
+    """SQL text: Morton interleave of pre-quantized values — bit b of
+    dimension d lands at position len(qcols)*b + d. Generated as a flat
+    sum of len(qcols)*bits constant-shift terms (whole-stage codegen
+    folds it into straight-line integer ops; no loop, no UDF)."""
+    n = len(qcols)
+    if n * bits > 62:
+        raise ValueError("z-value would overflow a signed 64-bit integer")
     if dialect == "spark":
         terms = [
-            f"shiftleft(shiftright({q}, {b}) & 1, {2 * b + off})"
+            f"shiftleft(shiftright({q}, {b}) & 1, {n * b + d})"
             for b in range(bits)
-            for off, q in ((0, q1), (1, q2))
+            for d, q in enumerate(qcols)
         ]
     else:  # duckdb
         terms = [
-            f"((({q} >> {b}) & 1) << {2 * b + off})"
+            f"((({q} >> {b}) & 1) << {n * b + d})"
             for b in range(bits)
-            for off, q in ((0, q1), (1, q2))
+            for d, q in enumerate(qcols)
         ]
     return "(" + " + ".join(terms) + ")"
 
 
 def with_zorder_value(
     df: DataFrame,
-    col1: str,
-    col2: str,
+    cols: list[str],
     bits: int = DEFAULT_BITS,
     out_col: str = "_z",
 ) -> DataFrame:
-    """Append the 2-D z-value of (col1, col2). The global min/max
-    enter as a broadcast 1-row aggregate cross join — fully lazy, no
-    driver-side action (same pattern as tfidf's corpus size; an eager
-    min/max would be a second full scan at 100 TB)."""
+    """Append the Morton z-value of `cols`. The global min/max enter as
+    a broadcast 1-row aggregate cross join — fully lazy, no driver-side
+    action (same pattern as tfidf's corpus size; an eager bounds fetch
+    would be a second full scan at 100 TB)."""
     mm = df.agg(
-        F.min(F.col(col1).cast("double")).alias("_mn1"),
-        F.max(F.col(col1).cast("double")).alias("_mx1"),
-        F.min(F.col(col2).cast("double")).alias("_mn2"),
-        F.max(F.col(col2).cast("double")).alias("_mx2"),
+        *[F.min(F.col(c).cast("double")).alias(f"_mn{d}") for d, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx{d}") for d, c in enumerate(cols)],
     )
-    q1 = quantize_expr(col1, "_mn1", "_mx1", bits)
-    q2 = quantize_expr(col2, "_mn2", "_mx2", bits)
-    # chained selects: quantize once, THEN interleave (CollapseProject
-    # won't re-inline the quantization into each of the 2*bits terms)
-    return (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("_q1", F.expr(q1))
-        .withColumn("_q2", F.expr(q2))
-        .withColumn(out_col, F.expr(interleave_expr("_q1", "_q2", bits)))
-        .drop("_mn1", "_mx1", "_mn2", "_mx2", "_q1", "_q2")
-    )
+    out = df.crossJoin(F.broadcast(mm))
+    qnames = []
+    for d, c in enumerate(cols):
+        qnames.append(f"_q{d}")
+        out = out.withColumn(
+            f"_q{d}", F.expr(quantize_expr(c, f"_mn{d}", f"_mx{d}", bits))
+        )
+    # chained withColumns: quantize once, THEN interleave
+    # (CollapseProject won't re-inline the quantization into each of
+    # the n*bits terms)
+    out = out.withColumn(out_col, F.expr(interleave_expr(qnames, bits)))
+    drop = [f"_mn{d}" for d in range(len(cols))]
+    drop += [f"_mx{d}" for d in range(len(cols))]
+    return out.drop(*drop, *qnames)
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    col1: str,
-    col2: str,
-    n_files: int,
+    cols: list[str],
+    n_files: int = 16,
     bits: int = DEFAULT_BITS,
 ) -> None:
     """Write parquet clustered by z-order: one range shuffle on the
     z-value splits the Morton curve into `n_files` contiguous segments,
-    each covering a compact region of (col1, col2) space — so parquet
-    footer min/max stats prune files for filters on either column.
-    Local sort within each file tightens row-group stats for free."""
+    each covering a compact region of the `cols` space — so parquet
+    footer min/max stats prune files for filters on any clustered
+    column. Local sort within each file tightens row-group stats for
+    free."""
     (
-        with_zorder_value(df, col1, col2, bits)
+        with_zorder_value(df, cols, bits)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -1844,6 +1844,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+@register(
+    "grouped_median_pandas",
+    """
+    SELECT user_id, median(value) AS med, COUNT(*) AS n,
+      MIN(value) AS mn, MAX(value) AS mx
+    FROM events GROUP BY user_id
+    """,
+)
+def q_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order statistics via applyInPandas — the Arrow
+    grouped-map path users take for per-entity model fits. Oracled
+    two-sided, which is only possible because every output is an ORDER
+    STATISTIC (median/min/max/count): exact selections with no
+    floating-point accumulation, so numpy and DuckDB agree bit-for-bit
+    (a mean/stddev variant would diverge in the last ulp from summation
+    order). The closure is self-contained — workers don't have the repo
+    on sys.path (NOTES.md)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def group_stats(pdf):
+        import pandas as pd
+
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "med": [float(v.median())],
+                "n": [len(v)],
+                "mn": [float(v.min())],
+                "mx": [float(v.max())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        group_stats, "user_id bigint, med double, n bigint, mn double, mx double"
+    )
+
+
 #: document chunking: token windows of _CHUNK_W with stride _CHUNK_S
 #: (overlap = _CHUNK_W - _CHUNK_S) — context-window preparation for
 #: training-data serialization
@@ -1936,16 +1974,16 @@ def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle() -> str:
     from ..operators.layout import interleave_expr, quantize_expr
 
-    q1 = quantize_expr("o_custkey", "_mn1", "_mx1")
-    q2 = quantize_expr("o_totalprice", "_mn2", "_mx2")
-    z = interleave_expr("_q1", "_q2", dialect="duckdb")
+    q1 = quantize_expr("o_custkey", "_mn0", "_mx0")
+    q2 = quantize_expr("o_totalprice", "_mn1", "_mx1")
+    z = interleave_expr(["_q0", "_q1"], dialect="duckdb")
     return f"""
     WITH mm AS (
-      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS _mn1, MAX(CAST(o_custkey AS DOUBLE)) AS _mx1,
-             MIN(o_totalprice) AS _mn2, MAX(o_totalprice) AS _mx2
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS _mn0, MAX(CAST(o_custkey AS DOUBLE)) AS _mx0,
+             MIN(o_totalprice) AS _mn1, MAX(o_totalprice) AS _mx1
       FROM orders
     ), quant AS (
-      SELECT o_orderkey, {q1} AS _q1, {q2} AS _q2 FROM orders, mm
+      SELECT o_orderkey, {q1} AS _q0, {q2} AS _q1 FROM orders, mm
     )
     SELECT o_orderkey, {z} AS z, CAST({z} >> 8 AS BIGINT) AS cell FROM quant
     """
@@ -1964,9 +2002,9 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import with_zorder_value
 
     orders = load_table(spark, sf_dir, "orders")
-    return with_zorder_value(orders, "o_custkey", "o_totalprice", out_col="z").select(
-        "o_orderkey", "z", F.expr("z >> 8").cast("bigint").alias("cell")
-    )
+    return with_zorder_value(
+        orders, ["o_custkey", "o_totalprice"], out_col="z"
+    ).select("o_orderkey", "z", F.expr("z >> 8").cast("bigint").alias("cell"))
 
 
 def _ivf_fixed_oracle(n_planes: int = 4, n_probe: int = 3) -> str:
@@ -2907,6 +2945,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "zorder_cells",
     "chunk_documents",
     "dedup_cluster_assignment",
+    "grouped_median_pandas",
 )
 
 

@@ -186,8 +186,8 @@ def test_zorder_write_narrows_per_file_envelopes(spark, tmp_path):
 
     import pyarrow.parquet as pq
 
-    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.clustered import (
-        write_zordered,
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        zorder_write,
     )
 
     n = 20000
@@ -198,7 +198,7 @@ def test_zorder_write_narrows_per_file_envelopes(spark, tmp_path):
     )
 
     zpath = str(tmp_path / "z")
-    write_zordered(df, zpath, ["x", "y"], bits_per_dim=8, n_files=16)
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
 
     spath = str(tmp_path / "s")
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
@@ -229,8 +229,8 @@ def test_zorder_scan_prunes_row_groups(spark, tmp_path):
     """End-to-end data skipping: a 2-D box filter over the z-ordered
     layout must read fewer rows than the same filter over the
     1-D-sorted layout (parquet row-group stats pruning)."""
-    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.clustered import (
-        write_zordered,
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        zorder_write,
     )
 
     n = 20000
@@ -239,7 +239,7 @@ def test_zorder_scan_prunes_row_groups(spark, tmp_path):
         ((F.col("id") * 7919) % 137).alias("y"),
     )
     zpath = str(tmp_path / "z2")
-    write_zordered(df, zpath, ["x", "y"], bits_per_dim=8, n_files=16)
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
     got = (
         spark.read.parquet(zpath)
         .filter((F.col("x").between(10, 20)) & (F.col("y").between(10, 20)))
@@ -329,7 +329,7 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
-    zorder_write(orders, zpath, "o_custkey", "o_totalprice", n_files=16)
+    zorder_write(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
     (
         orders.repartitionByRange(16, "o_custkey")
         .sortWithinPartitions("o_custkey")

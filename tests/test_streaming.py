@@ -550,3 +550,38 @@ def test_reference_topology_concurrent(spark, runner):
         ).collect()
     }
     assert got_join == want_join and len(got_join) == N  # every event matches
+
+
+def test_stream_static_broadcast_enrichment(spark, runner):
+    """Stream-static join — the standard streaming enrichment pattern:
+    a micro-batched event stream joined to a static broadcast dimension
+    (no state store involved; each micro-batch hash-joins against the
+    broadcast table). The static side would broadcast on a cluster and
+    the stream side never shuffles."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        broadcast_join,
+    )
+
+    dim = spark.createDataFrame(
+        [("c1@test.com", "gold"), ("c2@test.com", "basic")],
+        "email string, tier string",
+    )
+    rows = [
+        {"customer": "c1@test.com", "score": "10.0"},
+        {"customer": "c2@test.com", "score": "-3.0"},
+        {"customer": "c9@test.com", "score": "7.0"},  # no dim row → dropped
+    ]
+    schema = StructType(
+        [StructField("customer", StringType()), StructField("score", StringType())]
+    )
+    stream = stream_from_rows(spark, rows, schema)
+    enriched = broadcast_join(stream, dim, "customer = email").select(
+        "customer", "score", "tier"
+    )
+    q = runner.add("enrich", to_memory(enriched, "enrich_out"))
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert got == {
+        ("c1@test.com", "10.0", "gold"),
+        ("c2@test.com", "-3.0", "basic"),
+    }
