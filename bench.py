@@ -105,6 +105,13 @@ def main() -> None:
             # drop persisted intermediates (LSH tables, IVF cells) so later
             # queries aren't perturbed by earlier queries' cached memory
             spark.catalog.clearCache()
+        # localCheckpoint blocks (iterative ops) are NOT covered by
+        # clearCache; a driver GC lets the ContextCleaner release
+        # dereferenced checkpoint/broadcast/shuffle state between passes
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         load_samples.append(os.getloadavg()[0])
 
     timings = {name: min(ts) for name, ts in passes.items()}
