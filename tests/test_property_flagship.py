@@ -141,3 +141,66 @@ def test_flagship_matches_python_model(spark, customers, risks):
         for r in pipelines.flagship_join_pipeline(redis_df, events_df).collect()
     }
     assert got == _model(customers, risks)
+
+
+# --- chunking invariants (operators registered as chunk_documents) ---
+
+_tokens = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_tokens, min_size=1, max_size=5))
+def test_chunking_reconstructs_documents(spark, docs):
+    """For ARBITRARY token lists: (1) concatenating each chunk's first
+    `stride` tokens (entire last chunk) reproduces the document
+    exactly; (2) every chunk except the last has exactly `window`
+    tokens; (3) chunk ids are dense from 0. This is the contract that
+    makes chunked training data lossless."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # replicate the registered query's exact expression pipeline over
+    # these arbitrary docs (same _CHUNK_* constants)
+    from pyspark.sql import functions as F2
+
+    toks = df.select("doc_id", F2.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id", "t",
+        F2.explode(F2.expr(f"sequence(0, size(t) - 1, {_CHUNK_S})")).alias("s"),
+    )
+    out = starts.select(
+        "doc_id",
+        F2.expr(f"s div {_CHUNK_S}").alias("chunk_id"),
+        F2.expr(f"array_join(slice(t, s + 1, {_CHUNK_W}), ' ')").alias("chunk_text"),
+        F2.least(F2.lit(_CHUNK_W), F2.size("t") - F2.col("s")).alias("n_chunk_tokens"),
+    ).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(docs)))
+    for i, toks_i in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # every non-final chunk spans the full window
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == min(_CHUNK_W, len(toks_i) - c.chunk_id * _CHUNK_S)
+        # reconstruction: first `stride` tokens of each chunk + full tail
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:_CHUNK_S])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == toks_i, (i, rebuilt, toks_i)
