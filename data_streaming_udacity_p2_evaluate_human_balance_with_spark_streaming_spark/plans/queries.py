@@ -1844,6 +1844,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+#: training-mixture spec: downsample dominant English, trim Chinese,
+#: keep the rest — groups absent from the spec are dropped
+_MIXTURE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.8}
+
+
+def _mixture_oracle() -> str:
+    from ..operators.sampling import rate_threshold
+
+    values = ", ".join(
+        f"('{g}', '{rate_threshold(r)}')" for g, r in _MIXTURE_RATES.items()
+    )
+    return f"""
+    WITH rates(lang, thr) AS (VALUES {values})
+    SELECT doc_id, lang, source
+    FROM documents JOIN rates USING (lang)
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
+    """
+
+
+@register("mixture_sample_by_lang", _mixture_oracle())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling: per-language keep
+    rates applied via md5-prefix thresholds (operators/sampling.py) —
+    reproducible across runs/partitionings/retries, broadcast rates
+    table, zero shuffles. The oracle replays the identical hash
+    comparison, certifying row-for-row which documents enter the
+    mixture — not just the sampled fractions."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIXTURE_RATES).select("doc_id", "lang", "source")
+
+
 @register(
     "grouped_median_pandas",
     """
@@ -2946,6 +2979,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "chunk_documents",
     "dedup_cluster_assignment",
     "grouped_median_pandas",
+    "mixture_sample_by_lang",
 )
 
 

@@ -373,3 +373,30 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # single-column sort: perfect on its own column, useless on the other
     assert skipped(sb, lo1=med.m1 * 0.98, hi1=med.m1 * 1.02) >= 12
     assert skipped(sb, lo2=med.m2 * 0.98, hi2=med.m2 * 1.02) == 0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Realized per-group fractions must approximate the spec on a
+    large corpus, rows must be identical under repartitioning (pure
+    function of id), and groups absent from the spec are dropped."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.range(40000).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'zh' "
+               "WHEN id % 4 = 2 THEN 'de' ELSE 'xx' END").alias("lang"),
+    )
+    rates = {"en": 0.5, "zh": 0.1, "de": 1.0}
+    got = mixture_sample(df, rates).groupBy("lang").count().collect()
+    frac = {r.lang: r["count"] / 10000 for r in got}
+    assert "xx" not in frac  # whitelist semantics
+    assert abs(frac["en"] - 0.5) < 0.03
+    assert abs(frac["zh"] - 0.1) < 0.02
+    assert frac["de"] == 1.0  # rate >= 1.0 keeps everything
+
+    a = {r.doc_id for r in mixture_sample(df, rates).select("doc_id").collect()}
+    rep = df.repartition(13, "lang")
+    b = {r.doc_id for r in mixture_sample(rep, rates).select("doc_id").collect()}
+    assert a == b
