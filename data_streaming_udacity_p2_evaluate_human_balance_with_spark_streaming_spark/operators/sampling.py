@@ -59,3 +59,40 @@ def mixture_sample(
         )
         .drop("_thr")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Mixture sampling WITH upsampling: rate 2.3 emits every row of
+    the group twice plus a deterministic 30% of rows a third time
+    (n_copies = floor(rate) + [md5-prefix < frac-threshold]); rates
+    below 1 downsample exactly like `mixture_sample`. Output carries
+    `epoch_col` (0-based copy index) so downstream shuffling can
+    spread repeats across training batches. Still a pure function of
+    the row id — explode of a per-row sequence, zero shuffles, rates
+    broadcast."""
+    spark = df.sparkSession
+    rows = []
+    for g, r in rates.items():
+        whole, frac = int(r), r - int(r)
+        rows.append((g, whole, rate_threshold(frac)))
+    rates_df = spark.createDataFrame(
+        rows, f"{group_col} string, _whole int, _fthr string"
+    )
+    n_copies = F.col("_whole") + F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, _PREFIX_LEN)
+        < F.col("_fthr"),
+        1,
+    ).otherwise(0)
+    return (
+        df.join(F.broadcast(rates_df), group_col, "inner")
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn(epoch_col, F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_whole", "_fthr", "_n")
+    )

@@ -1877,6 +1877,46 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIXTURE_RATES).select("doc_id", "lang", "source")
 
 
+#: resampling spec with UPSAMPLING: rare languages repeated (2.5 = all
+#: docs twice + a deterministic half a third time), English halved
+_RESAMPLE_RATES = {"zh": 2.5, "es": 2.0, "fr": 1.25, "de": 1.0, "en": 0.5}
+
+
+def _resample_oracle() -> str:
+    from ..operators.sampling import rate_threshold
+
+    values = ", ".join(
+        f"('{g}', {int(r)}, '{rate_threshold(r - int(r))}')"
+        for g, r in _RESAMPLE_RATES.items()
+    )
+    return f"""
+    WITH rates(lang, whole, fthr) AS (VALUES {values}),
+    j AS (
+      SELECT doc_id, lang, source,
+        whole + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < fthr
+                THEN 1 ELSE 0 END AS n
+      FROM documents JOIN rates USING (lang)
+    )
+    SELECT doc_id, lang, source, unnest(generate_series(0, n - 1)) AS epoch
+    FROM j WHERE n > 0
+    """
+
+
+@register("mixture_resample_epochs", _resample_oracle())
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling with UPSAMPLING: fractional rates above 1
+    duplicate rare-language documents a deterministic number of times
+    (epoch column = copy index, so downstream shuffles spread repeats
+    across batches). Same md5-prefix determinism as
+    mixture_sample_by_lang; oracle replays copy counts row-for-row."""
+    from ..operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(docs, _RESAMPLE_RATES).select(
+        "doc_id", "lang", "source", "epoch"
+    )
+
+
 @register(
     "grouped_median_pandas",
     """
@@ -2980,6 +3020,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_cluster_assignment",
     "grouped_median_pandas",
     "mixture_sample_by_lang",
+    "mixture_resample_epochs",
 )
 
 

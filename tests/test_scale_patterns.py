@@ -400,3 +400,35 @@ def test_mixture_sample_rates_and_determinism(spark):
     rep = df.repartition(13, "lang")
     b = {r.doc_id for r in mixture_sample(rep, rates).select("doc_id").collect()}
     assert a == b
+
+
+def test_mixture_resample_upsamples_deterministically(spark):
+    """Rates above 1 must duplicate rows: whole part copies every row,
+    fractional part adds one more copy to a deterministic subset;
+    epochs are dense per row and the expansion is layout-independent."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN id % 2 = 0 THEN 'zh' ELSE 'en' END").alias("lang"),
+    )
+    rates = {"zh": 2.5, "en": 0.5}
+    out = mixture_resample(df, rates)
+    per_group = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert abs(per_group["zh"] / 10000 - 2.5) < 0.05  # 2 copies + ~half a third
+    assert abs(per_group["en"] / 10000 - 0.5) < 0.03
+    # epochs dense per doc: a zh doc has epochs {0,1} or {0,1,2}
+    eps = (
+        out.filter(F.col("lang") == "zh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("epoch")).alias("e"))
+        .collect()
+    )
+    for r in eps:
+        assert r.e in ([0, 1], [0, 1, 2])
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    rep = mixture_resample(df.repartition(7), rates)
+    b = sorted((r.doc_id, r.epoch) for r in rep.collect())
+    assert a == b
