@@ -44,3 +44,30 @@ def test_contract_alignment():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_unchecked_queries_inside_driver_window():
+    """The driver's CORRECTNESS gate samples only the FIRST 50 entries
+    of queries(). Any registry entry that has never appeared in a
+    CORRECTNESS_r*.json must therefore sit inside that window, or it
+    will never get a driver row (the round-2 verdict's top finding).
+    Registering a new query without adding it to _DRIVER_WINDOW_FIRST
+    (plans/queries.py) fails here."""
+    import glob
+    import json
+    import os
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        all_queries,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(f)))
+        except Exception:
+            pass
+    order = list(all_queries())
+    outside = [n for i, n in enumerate(order) if i >= 50 and n not in seen]
+    assert not outside, f"never-driver-checked queries outside the 50-row window: {outside}"
