@@ -239,3 +239,27 @@ def test_tfidf_builds_lazily(spark, monkeypatch):
         monkeypatch.setattr(_DF, action, _boom(action))
     df = q_tfidf(spark, SF_SMOKE)
     assert "tfidf" in df.columns
+
+
+def test_inspect_helpers_report_plan_properties(spark):
+    """plans/inspect.py must agree with the raw-regex assertions above
+    on known plans: pushed filters and pruned columns on tpch_q1, a
+    single-partition window in the exact ntile form but NOT in its
+    scale twin, and fewer-shuffle plans for narrow pipelines."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+        inspect as pi,
+    )
+
+    q1 = REGISTRY["tpch_q1_pricing_summary"][0](spark, SF_SMOKE)
+    scans = pi.scan_report(q1)
+    assert len(scans) == 1 and scans[0]["format"] == "parquet"
+    assert any("l_shipdate" in f for f in scans[0]["pushed_filters"])
+    assert "l_comment" not in scans[0]["read_columns"]
+
+    exact = REGISTRY["ntile_quartiles"][0](spark, SF_SMOKE)
+    scale = REGISTRY["ntile_quartiles_scale"][0](spark, SF_SMOKE)
+    assert pi.single_partition_windows(exact)  # fidelity form: global window
+    assert not pi.single_partition_windows(scale)  # two-pass form: none
+
+    decode = REGISTRY["customer_decode"][0](spark, SF_SMOKE)
+    assert pi.exchange_count(decode) == 0  # narrow pipeline: no shuffle

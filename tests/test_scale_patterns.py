@@ -432,3 +432,28 @@ def test_mixture_resample_upsamples_deterministically(spark):
     rep = mixture_resample(df.repartition(7), rates)
     b = sorted((r.doc_id, r.epoch) for r in rep.collect())
     assert a == b
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a many-small-files table to the byte
+    target without changing its contents."""
+    import glob
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "landing")
+    df = spark.range(50000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.expr("uuid()").alias("payload")
+    )
+    df.repartition(40).write.parquet(path)
+    before_files = len(glob.glob(f"{path}/*.parquet"))
+    assert before_files >= 40
+    before_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+
+    n_out = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
+    after_files = len(glob.glob(f"{path}/*.parquet"))
+    assert after_files == n_out < before_files / 4
+    after_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+    assert after_rows == before_rows
