@@ -119,3 +119,70 @@ def text_profile(docs: DataFrame, col: str = "text") -> DataFrame:
         fingerprint_md5(col).alias("fp_md5"),
         fingerprint_rolling(col).alias("fp_roll"),
     )
+
+
+#: PII patterns shared verbatim by the Spark query and the DuckDB
+#: oracle — restricted to syntax Java regex and RE2 interpret
+#: identically (char classes, +/{m,}, literal dots; no backrefs or
+#: lookaround, which RE2 lacks).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Replace emails / phone numbers / SSNs with typed placeholder
+    tags — the scrubbing step every training corpus passes before
+    anything else sees it. Chained JVM regexp_replace, one scan, no
+    Python. Order matters: SSN before phone (an SSN is a substring
+    shape of neither, but phone-like 3-3-4 must not eat 3-2-4 first)."""
+    out = F.col(col)
+    for kind in ("email", "ssn", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Per-kind match counts (pre-redaction) for audit metrics."""
+    return {
+        kind: F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def repetition_stats(col: str = "text") -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher-style quality
+    rules): distinct-token ratio, the most-frequent token's share, and
+    the duplicate-bigram fraction. Computed with one tokenize + array
+    expressions — per-row, no shuffle; heavily repetitive documents
+    (boilerplate, keyword spam, decode loops) score near 0 distinct
+    ratio / high top-token share and get filtered before training.
+
+    The top-token share is O(distinct × tokens) interpreted lambda work
+    per row — fine for document-sized rows composed into a single-scan
+    profile; for corpora of very long documents use an explode+groupBy
+    twin instead (the minhash lesson, NOTES.md).
+
+    Single-token documents: bigram ratio is defined as 0.0 (guarded —
+    ANSI element_at would throw out-of-bounds, and Spark/DuckDB
+    disagree on NULLs inside array_distinct)."""
+    toks = f"split({col}, ' ')"
+    bigrams = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    return {
+        "distinct_token_ratio": F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
+        ),
+        "top_token_share": F.expr(
+            f"CAST(array_max(transform(array_distinct({toks}), t -> "
+            f"size(filter({toks}, x -> x = t)))) AS DOUBLE) / size({toks})"
+        ),
+        "dup_bigram_ratio": F.expr(
+            f"CASE WHEN size({toks}) < 2 THEN 0.0D ELSE "
+            f"1.0D - CAST(size(array_distinct({bigrams})) AS DOUBLE) / size({bigrams}) END"
+        ),
+    }

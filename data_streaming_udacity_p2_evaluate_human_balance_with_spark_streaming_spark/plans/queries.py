@@ -1844,6 +1844,101 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
 
 
+#: planted-PII suffix (the synthetic docs contain no natural PII, so
+#: redaction is exercised on deterministic plants — every 3rd doc)
+_PII_SUFFIX = " reach me at u{id}@mail.example.com or 415-555-0133 ssn 123-45-6789"
+
+
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    e, s, p = PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["phone"]
+    aug = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN "
+        "' reach me at u' || CAST(doc_id AS VARCHAR) || '@mail.example.com "
+        "or 415-555-0133 ssn 123-45-6789' ELSE '' END"
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}', '<PHONE>', 'g')
+        AS redacted,
+      len(regexp_extract_all(t, '{e}')) AS n_email,
+      len(regexp_extract_all(t, '{s}')) AS n_ssn,
+      len(regexp_extract_all(t, '{p}')) AS n_phone
+    FROM aug
+    """
+
+
+@register("pii_redaction", _pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus gets
+    before anything downstream reads it: chained JVM regexp_replace
+    for emails/SSNs/phones plus per-kind audit counts, one scan, no
+    shuffle. PII is PLANTED on every 3rd document (the fixture has
+    none) so both redaction and counting are exercised non-vacuously;
+    patterns are restricted to Java-regex/RE2-common syntax so the
+    DuckDB oracle replays them byte-for-byte."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string(
+                    " reach me at u%d@mail.example.com or 415-555-0133 ssn 123-45-6789",
+                    "doc_id",
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return aug.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)
+        AS top_token_share,
+      CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1) END
+        AS dup_bigram_ratio
+    FROM t
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (Gopher-style rules):
+    distinct-token ratio, top-token share, duplicate-bigram fraction —
+    per-row array expressions, single scan, no shuffle. The oracle
+    replays the identical integer-ratio arithmetic (exact doubles)."""
+    from ..operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats("text")
+    return docs.select(
+        "doc_id",
+        stats["distinct_token_ratio"].alias("distinct_token_ratio"),
+        stats["top_token_share"].alias("top_token_share"),
+        stats["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+    )
+
+
 #: training-mixture spec: downsample dominant English, trim Chinese,
 #: keep the rest — groups absent from the spec are dropped
 _MIXTURE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.8}
@@ -3021,6 +3116,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "grouped_median_pandas",
     "mixture_sample_by_lang",
     "mixture_resample_epochs",
+    "pii_redaction",
+    "doc_repetition_stats",
 )
 
 

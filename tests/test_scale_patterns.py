@@ -457,3 +457,74 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert after_files == n_out < before_files / 4
     after_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
     assert after_rows == before_rows
+
+
+def test_redact_pii_and_counts(spark):
+    """Redaction must replace every planted PII span with its typed tag
+    and the audit counts must see the same spans."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.co.uk and b@x.io today"),
+            (1, "call 415-555-0133 or 212-555-9999"),
+            (2, "ssn 123-45-6789 masquerading as 123-456-7890 phone"),
+            (3, "no pii here"),
+        ],
+        ["id", "text"],
+    )
+    counts = pii_counts("text")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            counts["email"].alias("ne"),
+            counts["ssn"].alias("ns"),
+            counts["phone"].alias("np"),
+        ).collect()
+    }
+    assert out[0].red == "mail <EMAIL> and <EMAIL> today"
+    assert (out[0].ne, out[0].ns, out[0].np) == (2, 0, 0)
+    assert out[1].red == "call <PHONE> or <PHONE>"
+    assert out[2].red == "ssn <SSN> masquerading as <PHONE> phone"
+    assert (out[2].ns, out[2].np) == (1, 1)
+    assert out[3].red == "no pii here"
+    assert (out[3].ne, out[3].ns, out[3].np) == (0, 0, 0)
+
+
+def test_repetition_stats_edges(spark):
+    """Repetition signals on degenerate and fully-repetitive docs:
+    single token (bigram ratio defined 0), all-same tokens, all-unique
+    tokens."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "solo"),
+            (1, "a a a a"),
+            (2, "w x y z"),
+            (3, "a b a b a b"),
+        ],
+        ["id", "text"],
+    )
+    s = repetition_stats("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            s["distinct_token_ratio"].alias("dr"),
+            s["top_token_share"].alias("ts"),
+            s["dup_bigram_ratio"].alias("db"),
+        ).collect()
+    }
+    assert (rows[0].dr, rows[0].ts, rows[0].db) == (1.0, 1.0, 0.0)
+    assert rows[1].dr == 0.25 and rows[1].ts == 1.0 and rows[1].db == 1.0 - 1 / 3
+    assert rows[2].dr == 1.0 and rows[2].ts == 0.25 and rows[2].db == 0.0
+    # 'a b a b a b': 6 toks, 2 distinct; bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
+    assert rows[3].dr == 2 / 6 and rows[3].ts == 0.5 and rows[3].db == 1.0 - 2 / 5
