@@ -27,6 +27,43 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize_scale(vec_col: str, bits: int = 8) -> Column:
+    """Per-vector symmetric quantization scale: max|v| mapped to the
+    top of the signed `bits`-bit range (127 for int8). The 1e-30 floor
+    keeps all-zero vectors finite instead of dividing by zero."""
+    top = (1 << (bits - 1)) - 1
+    return F.expr(
+        f"greatest(array_max(transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> abs(x))), 1e-30D) / {top}.0D"
+    )
+
+
+def quantize_vec(vec_col: str, scale_col: str) -> Column:
+    """Symmetric scalar quantization to int codes: round-half-up of
+    v/s. floor(x + 0.5) rather than round(): Spark and DuckDB agree on
+    floor bit-for-bit, while their round()s differ in mode (HALF_UP vs
+    half-even) — and DuckDB's CAST(double AS INT) rounds where Spark
+    truncates, so the cast must only ever see an exact integral."""
+    return F.expr(
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> CAST(floor(x / {scale_col} + 0.5D) AS INT))"
+    )
+
+
+def int_dot(a: str, b: str) -> Column:
+    """Exact integer dot product of two int-code arrays (bigint —
+    ANSI-safe: |code| ≤ 127 so each term ≤ 16129, far below 2^63)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
+        f"CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+
+
+def int_norm(a: str) -> Column:
+    """sqrt of the exact integer self-dot (double)."""
+    return F.expr(
+        f"sqrt(CAST(aggregate({a}, CAST(0 AS BIGINT), (s, v) -> s + CAST(v AS BIGINT) * v) AS DOUBLE))"
+    )
+
+
 def plane_weight(p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     plane p, dimension d — blake2b-derived, no RNG state, identical

@@ -1829,6 +1829,58 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries_df, k=_ANN_K)
 
 
+@register(
+    "ann_quantized_topk",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+      FROM base
+    ),
+    codes AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS q
+      FROM scaled
+    ),
+    normed AS (
+      SELECT vec_id, q,
+        sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS qn
+      FROM codes
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
+          i -> CAST(qs.q[i] AS BIGINT) * c.q[i])) AS BIGINT) AS qdot,
+        CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
+          i -> CAST(qs.q[i] AS BIGINT) * c.q[i])) AS DOUBLE) / (qs.qn * c.qn) AS qcos
+      FROM normed qs, normed c
+      WHERE qs.vec_id < {_ANN_NQ} AND c.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
+      SELECT query_id, neighbor_id, qdot, qcos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized cosine top-k — the compressed-store scale
+    path (codes are 4× smaller than float32, so 100 TB of embeddings
+    scans and shuffles as 25 TB). The per-vector scale cancels out of
+    cosine, leaving EXACT integer dot products: unlike float scoring,
+    the quantized scores are bit-identical on any engine by
+    construction (no summation-order ulp concerns) — the oracle
+    replays quantization and scoring verbatim."""
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_topk(emb, queries_df, k=_ANN_K)
+
+
 @register("ann_ivf_topk", None)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells + n_probe nearest cells per query) — the
@@ -3118,6 +3170,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "mixture_resample_epochs",
     "pii_redaction",
     "doc_repetition_stats",
+    "ann_quantized_topk",
 )
 
 

@@ -117,6 +117,43 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall > 0.2, f"ANN recall suspiciously low: {recall}"
 
 
+def test_quantized_topk_recall_and_exactness(spark):
+    """int8 quantization at 64 dims should barely perturb the cosine
+    ranking (scores move by ~1/127 relative), and the integer dot
+    products must be exact — verified against a driver-side replay of
+    the same round-half-up quantization."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    quant = similarity.quantized_topk(emb, queries, k=10)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    qrows = quant.collect()
+    quant_set = {(r.query_id, r.neighbor_id) for r in qrows}
+    recall = len(exact_set & quant_set) / len(exact_set)
+    assert recall >= 0.9, f"quantized recall too low: {recall}"
+
+    import math
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id") < 20).collect()
+    }
+
+    def codes(v):
+        s = max(max(abs(x) for x in v), 1e-30) / 127.0
+        return [math.floor(x / s + 0.5) for x in v]
+
+    checked = 0
+    for r in qrows:
+        if r.query_id in vecs and r.neighbor_id in vecs:
+            qa, qb = codes(vecs[r.query_id]), codes(vecs[r.neighbor_id])
+            assert r.qdot == sum(a * b for a, b in zip(qa, qb))
+            checked += 1
+    assert checked > 0  # planted near-dups guarantee some <20 pairs
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
