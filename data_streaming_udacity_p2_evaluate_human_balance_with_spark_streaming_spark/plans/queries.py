@@ -1881,6 +1881,47 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(emb, queries_df, k=_ANN_K)
 
 
+_CMS_THRESHOLD = 75
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events),
+    hs AS (SELECT unnest(generate_series(0, 3)) AS i),
+    cells AS (
+      SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 2) AS bucket,
+        COUNT(*) AS cnt
+      FROM ev CROSS JOIN hs GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1),
+    est AS (
+      SELECT e.user_id, e.exact_count, MIN(c.cnt) AS est_count
+      FROM exact e CROSS JOIN hs
+      JOIN cells c ON c.i = hs.i
+        AND c.bucket = substr(md5(CAST(hs.i AS VARCHAR) || ':'
+          || CAST(e.user_id AS VARCHAR)), 1, 2)
+      GROUP BY 1, 2
+    )
+    SELECT user_id, est_count, exact_count FROM est
+    WHERE est_count >= {_CMS_THRESHOLD}
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream: frequency
+    estimates from a fixed 4×256-cell grid whose size never grows with
+    the data (map-side hash aggregation IS the per-partition sketch
+    merge — the shuffle moves ≤ partitions·1024 cells, not rows). The
+    exact count rides along as the audit column; CMS never
+    under-counts, so est_count ≥ exact_count and no true heavy hitter
+    is missed. Bucket labels are md5 hex prefixes, replayed
+    byte-for-byte by the oracle."""
+    from ..operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", threshold=_CMS_THRESHOLD)
+
+
 @register("ann_ivf_topk", None)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells + n_probe nearest cells per query) — the
@@ -3171,6 +3212,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "pii_redaction",
     "doc_repetition_stats",
     "ann_quantized_topk",
+    "heavy_hitters_cms",
 )
 
 

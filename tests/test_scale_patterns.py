@@ -528,3 +528,38 @@ def test_repetition_stats_edges(spark):
     assert rows[2].dr == 1.0 and rows[2].ts == 0.25 and rows[2].db == 0.0
     # 'a b a b a b': 6 toks, 2 distinct; bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
     assert rows[3].dr == 2 / 6 and rows[3].ts == 0.5 and rows[3].db == 1.0 - 2 / 5
+
+
+def test_cms_merge_equals_whole_and_never_undercounts(spark):
+    """The two defining CMS properties: sketches over disjoint slices
+    cell-sum-merge to the whole-data sketch, and point estimates never
+    under-count (planted heavy hitter included)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+        heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    # 200 distinct light keys + one planted heavy hitter (300 rows)
+    rows = [(i % 200,) for i in range(1000)] + [(9999,)] * 300
+    df = spark.createDataFrame(rows, ["k"])
+
+    whole = {(r.i, r.bucket): r.cnt for r in cms_build(df, "k").collect()}
+    a, b = df.filter(F.col("k") % 2 == 0), df.filter(F.col("k") % 2 == 1)
+    merged = {
+        (r.i, r.bucket): r.cnt
+        for r in cms_merge(cms_build(a, "k"), cms_build(b, "k")).collect()
+    }
+    assert merged == whole
+
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = {r.k: r.est_count for r in cms_estimate(exact, cms_build(df, "k"), "k").collect()}
+    truth = {r.k: r.exact_count for r in exact.collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)  # never under-counts
+
+    hh = heavy_hitters(df, "k", threshold=250)
+    got = {r.k: (r.est_count, r.exact_count) for r in hh.collect()}
+    assert 9999 in got and got[9999][1] == 300 and got[9999][0] >= 300
