@@ -33,17 +33,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one synthetic table. Plain `spark.read.parquet` so
     pushdown/pruning stay available to Catalyst.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no type for — with `spark.sql.legacy.parquet.nanosAsLong` it scans
-    as bigint and we normalize to a microsecond timestamp here (DuckDB
-    reads the same file natively at ns and truncates to µs in Python,
-    so oracle values agree)."""
+    `events.ts` has shipped in two physical encodings across driver
+    testdata generations: TIMESTAMP(NANOS) (no Spark type — scanned as
+    bigint under `spark.sql.legacy.parquet.nanosAsLong` and rebuilt
+    here) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (scanned as
+    TIMESTAMP_NTZ, which `unix_micros`/long casts reject). Both are
+    normalized to a plain session-tz TIMESTAMP with the session tz
+    pinned to UTC, so epoch extractions are deterministic and agree
+    with DuckDB's naive-timestamp reading of the same file."""
     if name == "events":
         # must also hold on driver-provided sessions, not just get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ wall-clock == UTC instant only if the session tz is UTC;
+            # pin it so the cast (and every downstream unix_micros) is
+            # reproducible on driver-provided sessions too.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
