@@ -1,0 +1,356 @@
+"""Product-analytics and sketch queries beyond the reference surface.
+
+The reference computes per-customer risk over a single stream
+(SURVEY.md §3); a team running it on a warehouse-scale event table
+immediately needs the classic follow-ups — funnels, retention cohorts,
+rolling windows, trend fits — plus curation ops (per-domain caps, fuzzy
+near-match) and mergeable sketches for the 100 TB path. Everything here
+is a `@register` query with a full DuckDB oracle; each docstring carries
+the scale argument for its plan shape.
+
+Registered by the `from . import analytics` at the bottom of
+`plans.queries` so registration order (and the driver window, see
+`_DRIVER_WINDOW_FIRST`) stays in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table
+from .queries import register
+
+
+@register(
+    "event_funnel_stages",
+    """
+    WITH u1 AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), u2 AS (
+      SELECT e.user_id, t1,
+        min(CASE WHEN e.event_type = 'click' AND e.ts > t1 THEN e.ts END) AS t2
+      FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id, t1
+    ), u3 AS (
+      SELECT e.user_id, t1, t2,
+        min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2 THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, t1, t2
+    )
+    SELECT count(*) AS n_users, count(t1) AS n_view,
+           count(t2) AS n_view_click, count(t3) AS n_full_funnel
+    FROM u3
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → later click → later purchase).
+
+    Stage timestamps are successive conditional mins, each window
+    referencing the previous stage's column. All three Window ops share
+    one partitionBy(user_id) spec, so Catalyst plans a SINGLE shuffle and
+    runs the windows back-to-back in one stage; the final global count is
+    a partial-agg reduce of one row per task. At 100 TB this is one
+    user-keyed exchange — the same cost as any per-user aggregate — and
+    no join (the oracle's CTE joins are the SQL spelling, not the plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return df.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias(
+            "n_view"
+        ),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias(
+            "n_view_click"
+        ),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias(
+            "n_full_funnel"
+        ),
+    )
+
+
+@register(
+    "retention_cohort_weeks",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT cohort AS cohort_week,
+      CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+      count(*) AS n_users
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-active
+    week, counted in each later week they return.
+
+    Both date_trunc('week', …) calls land on Monday in Spark and DuckDB,
+    so offsets are exact multiples of 7 days. Plan: one user-keyed
+    aggregate for cohorts, one (user, week) distinct, then an equi-join
+    back on user_id — the distinct's hash partitioning already clusters
+    user_id, and AQE usually plans the cohort side (one row per user,
+    two small columns) as the build side. The output is bounded by
+    weeks², independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "rolling_hour_avg",
+    """
+    SELECT event_id, user_id,
+      round(avg(value) OVER w, 4) AS roll_avg,
+      count(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour average per user — an event-time RANGE
+    frame, the batch twin of a sliding streaming window.
+
+    Spark range frames need a numeric sort key, so the frame runs over
+    unix_micros(ts) with [-3.6e9, 0]; inclusive bounds match DuckDB's
+    INTERVAL frame exactly (ties at the boundary land in both). One
+    shuffle on user_id; the frame is evaluated with a sliding two-pointer
+    over each partition, O(n) per user, no quadratic blowup on dense
+    users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "regr_value_vs_time",
+    """
+    SELECT event_type,
+      round(regr_slope(value, date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 86400000000.0), 4) AS slope_per_day,
+      round(regr_intercept(value, date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 86400000000.0), 4) AS intercept,
+      round(regr_r2(value, date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 86400000000.0), 6) AS r2,
+      CAST(regr_count(value, date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 86400000000.0) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_regr_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of value over time via the SQL-standard
+    regr_* aggregates (one pass, mergeable partial aggregation — the
+    distributed shape; no iterative solver needed for 1-D OLS).
+
+    The x axis is days since 2024-01-01, not raw epoch: centering keeps
+    x ~O(10) so the covariance/variance terms don't cancel catastrophically
+    and both engines agree at 4 decimal places."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        / 86_400_000_000.0
+    ).alias("x")
+    d = ev.select("event_type", F.col("value"), x)
+    return d.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "x"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        F.regr_count("value", "x").cast("long").alias("n"),
+    )
+
+
+@register(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most K=10 documents per source, chosen by
+    md5(doc_id) order — a deterministic, engine-agnostic shuffle that
+    both sides replicate bit-for-bit (no rand(), no partition-layout
+    dependence). This is the standard pretraining-mix guard against a
+    single crawl domain dominating the corpus.
+
+    Plan: one hash partition on source + per-key sort. For mega-domains
+    (a single source holding ~a whole executor's worth of docs) the
+    row_number sort is the skew point; the two-phase refinement — local
+    per-partition top-K on (source, md5) then global top-K per source —
+    bounds any task at K·partitions rows and reuses
+    operators/ranking.py's machinery. At K=10 per source the output is
+    negligible next to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "quantile_bins_sketch",
+    """
+    WITH binned AS (
+      SELECT o_orderpriority, CAST(floor(o_totalprice / 2500) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), c AS (
+      SELECT o_orderpriority, bin, cnt,
+        sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+        sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM binned
+    )
+    SELECT o_orderpriority,
+      CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bin END) * 2500 AS DOUBLE) AS p50_edge,
+      CAST(min(CASE WHEN 100 * cum >= 90 * total THEN bin END) * 2500 AS DOUBLE) AS p90_edge,
+      CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bin END) * 2500 AS DOUBLE) AS p99_edge,
+      CAST(max(total) AS BIGINT) AS n
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def q_quantile_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantiles — the mergeable-sketch answer to
+    percentiles at 100 TB. Unlike percentile_approx (whose internal
+    t-digest no SQL oracle can replicate), a fixed 2500-wide binning is
+    exactly reproducible in DuckDB, and the p-edge-of-bin estimate is
+    deterministic integer arithmetic end-to-end.
+
+    Plan: partial-aggregated groupBy down to ≤(priorities × 200) rows —
+    the only full-data pass — then windows/joins over the tiny sketch
+    table. Sketches from different data shards union + re-aggregate
+    without rescanning (mergeability is the point)."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 2500).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("o_orderpriority")
+    c = binned.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "total", F.sum("cnt").over(wtot)
+    )
+
+    def edge(p: int):
+        return (
+            F.min(F.when(100 * F.col("cum") >= p * F.col("total"), F.col("bin")))
+            * 2500
+        ).cast("double")
+
+    return c.groupBy("o_orderpriority").agg(
+        edge(50).alias("p50_edge"),
+        edge(90).alias("p90_edge"),
+        edge(99).alias("p99_edge"),
+        F.max("total").cast("long").alias("n"),
+    )
+
+
+@register(
+    "fuzzy_prefix_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, split_part(text, ' ', 1) AS w1,
+             substr(text, 1, 32) AS p
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.p, b.p) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 14
+    """,
+)
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share (lang, first token)
+    — a hash-partitionable equi-join key — and survive if the Levenshtein
+    distance of their 32-char prefixes is ≤ 14. The classic record-linkage
+    shape: a cheap blocking key prunes the O(n²) pair space to
+    O(Σ block²), then the expensive edit distance runs only inside
+    blocks. Both engines share one edit-distance definition
+    (unit-cost insert/delete/substitute), so dist is exact-integer
+    comparable.
+
+    At 100 TB the block key is the knob: (lang, first-token) here;
+    real corpora would use a coarser LSH or length band. The join is a
+    plain shuffled equi-join on the block key — never a cartesian
+    (asserted in test_plan_shapes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring_index("text", " ", 1).alias("w1"),
+        F.substring("text", 1, 32).alias("p"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 14)
+    )

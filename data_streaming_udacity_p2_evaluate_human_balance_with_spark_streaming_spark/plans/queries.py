@@ -3170,7 +3170,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "stratified_split_counts",
     "salted_skew_join",
     "curation_end_to_end",
-    "ann_cosine_topk",
+    # ann_cosine_topk already has a CORRECTNESS_r01 row — it rotates
+    # behind the window with the other checked parity queries.
     "ann_ivf_topk",
     "ann_ivf_fixed_topk",
     "ann_lsh_topk",
@@ -3213,6 +3214,17 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "doc_repetition_stats",
     "ann_quantized_topk",
     "heavy_hitters_cms",
+    # round-3 second wave (plans/analytics.py) — positions 50+: the window
+    # is saturated with never-checked entries, so these queue for the
+    # next round's CORRECTNESS window (test_oracle_parity enforces that
+    # no window slot is wasted meanwhile).
+    "event_funnel_stages",
+    "retention_cohort_weeks",
+    "rolling_hour_avg",
+    "regr_value_vs_time",
+    "domain_cap_sample",
+    "quantile_bins_sketch",
+    "fuzzy_prefix_pairs",
 )
 
 
@@ -3238,3 +3250,10 @@ def all_oracles() -> dict[str, str]:
         for name in _driver_order()
         if REGISTRY[name][1] is not None
     }
+
+
+# Second-wave registrations live in their own module; importing it here
+# (after `register` and the core registry exist) keeps all_queries()
+# complete for every consumer of plans.queries. Circular-import-safe:
+# analytics only needs names defined above.
+from . import analytics as _analytics  # noqa: E402,F401

@@ -70,4 +70,12 @@ def test_unchecked_queries_inside_driver_window():
             pass
     order = list(all_queries())
     outside = [n for i, n in enumerate(order) if i >= 50 and n not in seen]
-    assert not outside, f"never-driver-checked queries outside the 50-row window: {outside}"
+    if outside:
+        # More never-checked queries than window slots is allowed (they
+        # queue for the next round) — but only if no slot is wasted on a
+        # query that already has a driver row.
+        wasted = [n for n in order[:50] if n in seen]
+        assert not wasted, (
+            f"already-driver-checked queries occupy window slots {wasted} "
+            f"while never-checked queries wait outside: {outside}"
+        )

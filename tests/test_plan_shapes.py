@@ -263,3 +263,38 @@ def test_inspect_helpers_report_plan_properties(spark):
 
     decode = REGISTRY["customer_decode"][0](spark, SF_SMOKE)
     assert pi.exchange_count(decode) == 0  # narrow pipeline: no shuffle
+
+
+def test_funnel_single_user_exchange(spark):
+    """All three funnel stage-windows share one partitionBy(user_id)
+    spec: the plan must contain exactly ONE user_id hash exchange (plus
+    the final single-partition agg exchange), with the Window ops
+    stacked on it."""
+    plan = _plan(spark, "event_funnel_stages")
+    assert "CartesianProduct" not in plan
+    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert user_exchanges == 1, plan
+
+
+def test_fuzzy_pairs_blocked_equijoin(spark):
+    """The fuzzy match must join on the blocking key, never cartesian
+    or broadcast-nested-loop over all pairs."""
+    plan = _plan(spark, "fuzzy_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_sketch_partial_aggregation(spark):
+    """The only full-data pass is the binning groupBy, which must
+    partial-aggregate below its exchange (the sketch property: shuffles
+    carry ≤200 bins per priority, not raw rows)."""
+    plan = _plan(spark, "quantile_bins_sketch")
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+
+
+def test_rolling_range_frame_single_exchange(spark):
+    """The RANGE frame evaluates with one user_id exchange and no
+    row-duplication (no explode/join in the plan)."""
+    plan = _plan(spark, "rolling_hour_avg")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
