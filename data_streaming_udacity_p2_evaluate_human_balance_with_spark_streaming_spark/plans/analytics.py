@@ -354,3 +354,74 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 14)
     )
+
+
+@register(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+)
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-2016
+    spelling of per-key top-k. Catalyst decorrelates it into an
+    equi-join + per-key ranking (verified: the probe plan shows a
+    BroadcastHashJoin on c_custkey, no nested-loop re-execution per
+    customer row), so it scales like any join + window, not like a
+    per-row subquery. Tie-break on o_orderkey keeps both engines
+    deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_ord")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM lat_cust c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_ord o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        """
+    )
+
+
+@register(
+    "recursive_customer_tree_depth",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, CAST(0 AS BIGINT) AS depth FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, chain.depth + 1
+      FROM customer c JOIN chain
+        ON CAST(floor(c.c_custkey / 2) AS BIGINT) = chain.c_custkey
+    )
+    SELECT depth, count(*) AS n FROM chain GROUP BY depth
+    """,
+)
+def q_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) traversing the implicit binary tree
+    custkey → floor(custkey/2): per-depth node counts. Exercises the
+    engine's iterative-union executor; DuckDB runs the identical SQL.
+
+    Scale note: each recursion step is a full join against the base
+    table, and the unified intermediate grows with depth — fine for
+    O(log n)-deep hierarchies like this (depth ≈ log2(customers)); for
+    deep/unbounded graph reachability use
+    operators.dedup.connected_components, which localCheckpoints each
+    frontier (bounded lineage) and early-terminates."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_cust")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey, CAST(0 AS BIGINT) AS depth
+          FROM rec_cust WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, chain.depth + 1
+          FROM rec_cust c JOIN chain
+            ON CAST(floor(c.c_custkey / 2) AS BIGINT) = chain.c_custkey
+        )
+        SELECT depth, count(*) AS n FROM chain GROUP BY depth
+        """
+    )

@@ -3225,6 +3225,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "domain_cap_sample",
     "quantile_bins_sketch",
     "fuzzy_prefix_pairs",
+    "lateral_top2_orders",
+    "recursive_customer_tree_depth",
 )
 
 

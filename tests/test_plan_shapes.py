@@ -298,3 +298,12 @@ def test_rolling_range_frame_single_exchange(spark):
     plan = _plan(spark, "rolling_hour_avg")
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_top2_decorrelates(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    join + per-key ranking — not re-execute per outer row (no nested
+    loop, no cartesian)."""
+    plan = _plan(spark, "lateral_top2_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
