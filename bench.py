@@ -63,6 +63,16 @@ HEADLINE = [
     "zorder_cells",
     "chunk_documents",
     "dedup_cluster_assignment",
+    # round-3 second wave (plans/analytics.py)
+    "event_funnel_stages",
+    "retention_cohort_weeks",
+    "rolling_hour_avg",
+    "regr_value_vs_time",
+    "domain_cap_sample",
+    "quantile_bins_sketch",
+    "fuzzy_prefix_pairs",
+    "lateral_top2_orders",
+    "recursive_customer_tree_depth",
 ]
 
 

@@ -83,3 +83,40 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .load(sf_dir)
     )
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV batch source. With an explicit schema the reader skips the
+    inference pass (one full scan saved — at 100 TB schema inference is
+    a real job, not a convenience); timestamps parse via the default
+    ISO format. `columnPruning` keeps unprojected columns unparsed even
+    though CSV can't skip bytes on disk."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """NDJSON batch source (one object per line — the only JSON shape
+    that splits across workers; multiline JSON documents serialize the
+    whole file through one task). Explicit schema skips inference and
+    lets Jackson parse only projected fields."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def stream_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Streaming twin of ``load_json`` — file-source micro-batching over
+    an NDJSON directory. Schema is mandatory (streaming sources can't
+    infer)."""
+    return spark.readStream.schema(schema).json(path)

@@ -111,3 +111,69 @@ def test_streaming_dropduplicates_with_watermark(spark):
         ("a@test.com", "2024-01-01 00:10:00"),
         ("b@test.com", "2024-01-01 00:05:00"),
     ]
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    """parquet → csv → read back with explicit schema: values identical,
+    including timestamp micros (ISO format survives the text hop)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_csv,
+        load_table,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "ev_csv")
+    ev.write.option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(out)
+    back = load_csv(spark, out, schema=ev.schema)
+    assert back.schema == ev.schema
+    a = {r.event_id: (r.ts, r.user_id, r.event_type, r.value) for r in ev.collect()}
+    b = {r.event_id: (r.ts, r.user_id, r.event_type, r.value) for r in back.collect()}
+    assert a == b
+
+
+def test_json_roundtrip_preserves_values(spark, tmp_path):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_json,
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_json")
+    docs.write.json(out)
+    back = load_json(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in docs.collect())
+    b = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect())
+    assert a == b
+
+
+def test_json_stream_replays_batch(spark, tmp_path):
+    """NDJSON streaming twin drains to the same rows the batch reader
+    sees (file source micro-batching)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+        stream_json,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        QueryRunner,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        to_memory,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_stream_json")
+    docs.write.json(out)
+    runner = QueryRunner()
+    try:
+        stream = stream_json(spark, out, docs.schema)
+        runner.add("json_stream", to_memory(stream, "json_stream_tbl"))
+        runner.drain("json_stream")
+        got = spark.sql("SELECT count(*) AS n FROM json_stream_tbl").collect()[0].n
+        assert got == docs.count()
+    finally:
+        runner.stop_all()
