@@ -133,6 +133,17 @@ def main() -> None:
     spread = max(
         (max(ts) / min(ts) for ts in passes.values() if min(ts) > 0), default=1.0
     )
+    # Aggregate (time-weighted) spread: scheduler jitter on a 0.2 s query
+    # can hit 2× without meaning anything, so the contended flag keys on
+    # the whole-suite ratio — a genuinely contended box inflates every
+    # pass (~1.4× uniform in round-2's driver runs), a quiet one sits
+    # near 1.0 even when one tiny query wobbles.
+    agg_spread = (
+        sum(max(ts) for ts in passes.values())
+        / max(sum(min(ts) for ts in passes.values()), 1e-9)
+        if passes
+        else 1.0
+    )
     failed = sorted(set(errors) - set(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -152,7 +163,8 @@ def main() -> None:
                 "n_passes": n_passes,
                 "loadavg_1m": [round(x, 2) for x in load_samples],
                 "max_pass_spread": round(spread, 3),
-                "contended": spread > 1.5,
+                "agg_pass_spread": round(agg_spread, 3),
+                "contended": agg_spread > 1.3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
