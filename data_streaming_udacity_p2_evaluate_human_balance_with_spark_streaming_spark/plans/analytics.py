@@ -425,3 +425,26 @@ def q_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT depth, count(*) AS n FROM chain GROUP BY depth
         """
     )
+
+
+@register("quality_classifier_scores", None)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label quality classifier over the documents table: heuristic
+    repetition rule labels, LogisticRegression fit (distributed LBFGS),
+    then scoring as a pure JVM sigmoid expression (operators/models.py).
+    Rows-only like the KMeans IVF path: iterative optimization is not
+    SQL-expressible, so no DuckDB oracle; determinism and
+    expression-vs-transform parity are covered in tests/test_models.py."""
+    from ..operators.models import (
+        quality_feature_frame,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(docs).persist()
+    try:
+        model = train_quality_classifier(feats, max_iter=15)
+    finally:
+        feats.unpersist()
+    return score_quality(docs, model)

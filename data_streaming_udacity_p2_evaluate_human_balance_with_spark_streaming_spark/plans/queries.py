@@ -3227,6 +3227,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "fuzzy_prefix_pairs",
     "lateral_top2_orders",
     "recursive_customer_tree_depth",
+    "quality_classifier_scores",
 )
 
 

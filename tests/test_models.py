@@ -1,0 +1,89 @@
+"""Weak-label quality classifier: separation on planted data,
+expression-vs-MLlib-transform parity, and training determinism."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.models import (
+    FEATURES,
+    quality_feature_frame,
+    score_expression,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """400 deterministic docs: half natural (distinct tokens, stopwords),
+    half spam (one phrase repeated -> dup-bigram heavy)."""
+    clean = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick value of row "),
+            F.col("id").cast("string"),
+            F.lit(" and a table with scan filter merge sort batch stream "),
+            F.col("id").cast("string"),
+            F.lit(" window"),
+        ).alias("text"),
+    )
+    spam = spark.range(200, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), (F.col("id") % 3).cast("string")), 40)
+        ).alias("text"),
+    )
+    return clean.unionByName(spam)
+
+
+def test_classifier_separates_planted_holdout(spark, planted):
+    feats = quality_feature_frame(planted).persist()
+    train = feats.filter(F.xxhash64("doc_id") % 5 != 0)
+    hold = feats.filter(F.xxhash64("doc_id") % 5 == 0)
+    model = train_quality_classifier(train)
+    scored = hold.withColumn("p", score_expression(model))
+    rows = scored.select("doc_id", "weak_label", "p").collect()
+    feats.unpersist()
+    assert len(rows) > 30
+    acc = sum(1 for r in rows if (r.p > 0.5) == (r.weak_label == 1.0)) / len(rows)
+    assert acc >= 0.95, f"holdout accuracy {acc}"
+    # the label rule fired on the planted halves as designed
+    assert {r.weak_label for r in rows} == {0.0, 1.0}
+
+
+def test_score_expression_matches_mllib_transform(spark, planted):
+    """The broadcast sigmoid expression must reproduce MLlib's own
+    probability output — the JVM scoring path is the model, not an
+    approximation of it."""
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_feature_frame(planted)
+    model = train_quality_classifier(feats)
+    va = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
+    via_transform = {
+        r.doc_id: float(r.probability[1])
+        for r in model.transform(va.transform(feats)).select("doc_id", "probability").collect()
+    }
+    via_expr = {
+        r.doc_id: r.p
+        for r in feats.withColumn("p", score_expression(model)).select("doc_id", "p").collect()
+    }
+    assert via_transform.keys() == via_expr.keys()
+    assert all(abs(via_transform[k] - via_expr[k]) < 1e-9 for k in via_expr)
+
+
+def test_training_is_deterministic(spark, planted):
+    feats = quality_feature_frame(planted)
+    m1 = train_quality_classifier(feats)
+    m2 = train_quality_classifier(feats)
+    assert list(m1.coefficients) == list(m2.coefficients)
+    assert m1.intercept == m2.intercept
+
+
+def test_scored_frame_shape(spark, planted):
+    feats = quality_feature_frame(planted)
+    model = train_quality_classifier(feats)
+    out = score_quality(planted, model)
+    assert out.columns == ["doc_id", "weak_label", "p_low_quality"]
+    sample = out.limit(5).collect()
+    assert all(0.0 <= r.p_low_quality <= 1.0 for r in sample)
