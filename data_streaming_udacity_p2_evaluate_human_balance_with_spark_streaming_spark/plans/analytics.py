@@ -448,3 +448,51 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     return score_quality(docs, model)
+
+
+def _rp_oracle() -> str:
+    """DuckDB replica of the 8-plane random projection: identical
+    blake2b-derived literal weights, identical sequential dot order
+    (list_dot_product folds left like Spark's aggregate)."""
+    from ..functions.vectors import plane_weight
+
+    comps = []
+    for p in range(8):
+        w = ", ".join(repr(plane_weight(p, d)) for d in range(64))
+        comps.append(
+            f"round(list_dot_product(embedding::DOUBLE[], [{w}]) / sqrt(8.0), 6) AS r{p}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(comps) + " FROM embeddings"
+    )
+
+
+@register("embedding_random_projection", _rp_oracle())
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-dim → 8-dim: each
+    component is v · r_p / sqrt(k) over a deterministic blake2b-derived
+    plane (functions/vectors.py:plane_weight — zero driver state, no
+    RNG, so retries/speculative tasks project identically and the
+    oracle embeds the same literals).
+
+    The projection is a narrow per-row map — no shuffle, stays in
+    whole-stage codegen — and is the standard pre-step that makes
+    downstream ANN / clustering / dedup distance math 8× cheaper while
+    approximately preserving pairwise distances. Composes directly with
+    ann_* queries by swapping the embedding column for the projected
+    one."""
+    from ..functions.vectors import plane_dots
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    proj = emb.withColumn("pd", plane_dots("v", 8, n_dims=64))
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.expr(f"element_at(pd, {p + 1})") / F.sqrt(F.lit(8.0)), 6).alias(
+                f"r{p}"
+            )
+            for p in range(8)
+        ],
+    )

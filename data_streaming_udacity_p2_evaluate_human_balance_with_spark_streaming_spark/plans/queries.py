@@ -3228,6 +3228,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "lateral_top2_orders",
     "recursive_customer_tree_depth",
     "quality_classifier_scores",
+    "embedding_random_projection",
 )
 
 
