@@ -29,6 +29,7 @@ def running_risk_stats(
     user_col: str = "user_id",
     score_col: str = "value",
     idle_ttl_ms: int | None = None,
+    emit_eviction_marker: bool = False,
 ) -> DataFrame:
     """Continuously-updated per-customer risk stats. Emits one row per
     (key, micro-batch) with the post-batch running aggregate.
@@ -41,6 +42,12 @@ def running_risk_stats(
     `idle_ttl_ms` of processing time is EVICTED (a later event simply
     restarts its running aggregate from zero), so state tracks the
     active keyset, not the all-time keyset.
+
+    `emit_eviction_marker=True` turns evictions into CDC-style
+    tombstones (`n_events = -1`) instead of silent drops, so downstream
+    consumers (and tests) can OBSERVE state retirement — otherwise an
+    eviction happens in a timeout-only micro-batch that emits nothing
+    and is indistinguishable from idleness.
     """
     user, score = user_col, score_col
 
@@ -54,6 +61,15 @@ def running_risk_stats(
 
         if state.hasTimedOut:
             state.remove()
+            if emit_eviction_marker:
+                yield _pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [-1],
+                        "total_score": [0.0],
+                        "avg_score": [0.0],
+                    }
+                )
             return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:

@@ -300,7 +300,7 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
                 rows += [json.loads(line) for line in f if line.strip()]
         return rows
 
-    def run(extra, n_expected, settle=0.0):
+    def run(extra, done):
         if extra:
             import uuid as _u
 
@@ -308,10 +308,14 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
                 for r in extra:
                     f.write(json.dumps(r) + "\n")
         stream = spark.readStream.format("json").schema(schema).load(d)
-        out = running_risk_stats(stream, idle_ttl_ms=500)
+        # eviction markers make state retirement OBSERVABLE: without
+        # them the eviction happens in a timeout-only micro-batch that
+        # emits nothing, and the only way to wait for it is a sleep —
+        # which races on a loaded box.
+        out = running_risk_stats(stream, idle_ttl_ms=500, emit_eviction_marker=True)
 
         def sink(df, _e):
-            if not df.isEmpty():  # timeout-only batches emit nothing
+            if not df.isEmpty():  # timeout-only batches may emit nothing
                 df.write.mode("append").json(out_dir)
 
         q = (
@@ -323,28 +327,37 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
         # Neither availableNow nor processAllAvailable() quiesces while
         # a processing-time timeout is pending (the engine keeps
         # scheduling timeout-only batches) — poll the sink for the
-        # expected emission count, then stop.
+        # expected condition, then stop.
         deadline = _t.time() + 120
-        while len(emitted()) < n_expected and _t.time() < deadline:
+        while not done(emitted()) and _t.time() < deadline:
             _t.sleep(0.5)
-        # eviction happens in a TIMEOUT-ONLY batch that emits nothing —
-        # stopping the moment the data rows land can beat the timer
-        # batch to it. Hold the query open long enough for lapsed
-        # timers to fire before stopping.
-        if settle:
-            _t.sleep(settle)
         q.stop()
         q.awaitTermination()
+        assert done(emitted()), emitted()
 
-    run(None, 1)
+    def tombstoned(rows):
+        return any(r["user_id"] == 1 and r["n_events"] == -1 for r in rows)
+
+    run(None, lambda rows: len(rows) >= 1)
     _t.sleep(2.0)  # key 1 idles past its 500ms TTL
-    run([{"user_id": 2, "value": 5.0}], 2, settle=5.0)  # let the timeout fire
-    run([{"user_id": 1, "value": 30.0}], 3)  # key 1 returns after eviction
+    # feed key 2 to trigger a batch; hold the query open until key 1's
+    # eviction tombstone is actually observed (no timing guess)
+    run([{"user_id": 2, "value": 5.0}], tombstoned)
+    run(
+        [{"user_id": 1, "value": 30.0}],
+        lambda rows: any(
+            r["user_id"] == 1 and r["n_events"] == 1 and r["total_score"] == 30.0
+            for r in rows
+        ),
+    )
     u1 = sorted(
-        (r["n_events"], r["total_score"]) for r in emitted() if r["user_id"] == 1
+        (r["n_events"], r["total_score"])
+        for r in emitted()
+        if r["user_id"] == 1 and r["n_events"] > 0
     )
     # first batch: (1, 10.0); post-eviction: restarted at (1, 30.0) — NOT (2, 40.0)
     assert u1 == [(1, 10.0), (1, 30.0)]
+    assert tombstoned(emitted())
 
 
 def test_running_risk_stats_tws_matches_v1(spark):
