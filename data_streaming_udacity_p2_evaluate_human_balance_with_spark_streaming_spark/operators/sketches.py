@@ -101,3 +101,118 @@ def heavy_hitters(
     return est.filter(F.col("est_count") >= threshold).select(
         col, "est_count", "exact_count"
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog: md5-register construction both engines replay
+# byte-for-byte, with EXACT-INTEGER register sums (no fp summation-order
+# divergence), so even the estimate is oracle-comparable.
+# --------------------------------------------------------------------------
+
+#: p=8 → 256 registers; rho drawn from the next 48 bits of the md5.
+HLL_M = 256
+_HLL_W_HEX = 12  # 48 bits of rho-stream
+_HLL_RHO_MAX = 4 * _HLL_W_HEX + 1  # all-zero stream
+#: alpha_256 (Flajolet et al. 2007): 0.7213/(1 + 1.079/m). Emitted as a
+#: literal so Spark and DuckDB fold the identical double.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_register_exprs(key_sql: str) -> dict[str, str]:
+    """SQL fragments (valid in Spark AND DuckDB up to the hex→int cast,
+    which the caller supplies per dialect) for the HLL register of one
+    key: bucket in [0,256) from the first 2 md5 hex chars, rho = leading
+    zero bits of the next 48 + 1, computed with pure integer/string ops
+    — `floor(log2(w))` would wobble at power-of-two boundaries."""
+    h = f"md5({key_sql})"
+    stripped = f"regexp_replace(substring({h}, 3, {_HLL_W_HEX}), '^0+', '')"
+    msb = (
+        f"CASE WHEN substring({stripped}, 1, 1) IN ('1') THEN 1 "
+        f"WHEN substring({stripped}, 1, 1) IN ('2','3') THEN 2 "
+        f"WHEN substring({stripped}, 1, 1) IN ('4','5','6','7') THEN 3 "
+        f"ELSE 4 END"
+    )
+    rho = (
+        f"CASE WHEN {stripped} = '' THEN {_HLL_RHO_MAX} "
+        f"ELSE 4 * ({_HLL_W_HEX} - length({stripped})) + (4 - {msb}) + 1 END"
+    )
+    return {"bucket_hex": f"substring({h}, 1, 2)", "rho": rho}
+
+
+def hll_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate, fully deterministically:
+    registers are max(rho) per (group, bucket); the harmonic-mean
+    denominator is the exact integer Σ 2^(rho_max - rho) (each term ≤
+    2^48, 256 registers → fits bigint), so both engines divide the same
+    literal numerator by the same integer. Small-range correction uses
+    linear counting when the raw estimate ≤ 2.5·m.
+
+    Scale shape identical to the CMS: map-side hash aggregation IS the
+    sketch merge; the shuffle carries ≤ 256 registers per group per
+    partition regardless of input rows."""
+    e = hll_register_exprs(f"CAST({key_col} AS STRING)")
+    regs = (
+        df.select(
+            F.col(group_col),
+            F.expr(e["bucket_hex"]).alias("bucket_hex"),
+            F.expr(e["rho"]).alias("rho"),
+        )
+        .groupBy(group_col, "bucket_hex")
+        .agg(F.max("rho").alias("rho"))
+    )
+    m = HLL_M
+    summary = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")).alias(
+            "s_int"
+        ),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    # raw = alpha * m^2 * 2^rho_max / S'  where S' = Σ_j 2^(rho_max - M[j])
+    # over ALL m registers: empty ones have M[j]=0 and contribute 2^rho_max
+    # each — omitting them is the classic small-cardinality overestimate.
+    numer = f"{HLL_ALPHA!r} * {m} * {m} * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}) AS DOUBLE)"
+    s_all = f"(s_int + ({m} - n_regs) * shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"  # empty registers (rho=49 keys are ~impossible)
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return summary.select(
+        F.col(group_col),
+        F.expr(f"round({est}, 4)").alias("est_distinct"),
+        F.col("n_regs").cast("long").alias("n_registers"),
+    )
+
+
+def hll_estimate_oracle_sql(table: str, group_col: str, key_col: str) -> str:
+    """DuckDB replica of `hll_estimate` — identical register math; the
+    only dialect difference is hex→int, which this estimator never
+    needs (buckets stay hex labels, the sum is over shifted integers:
+    DuckDB's `1::BIGINT << n`)."""
+    e = hll_register_exprs(f"CAST({key_col} AS VARCHAR)")
+    m = HLL_M
+    # CAST the alpha literal: DuckDB types bare decimals as DECIMAL and
+    # overflows multiplying by m² — Spark folds it as double either way
+    numer = f"CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} * CAST((1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)"
+    s_all = f"(s_int + ({m} - n_regs) * (1::BIGINT << {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return f"""
+    WITH regs AS (
+      SELECT {group_col}, {e["bucket_hex"]} AS bucket_hex, MAX({e["rho"]}) AS rho
+      FROM {table} GROUP BY 1, 2
+    ), summary AS (
+      SELECT {group_col},
+        SUM((1::BIGINT << ({_HLL_RHO_MAX} - rho)))::BIGINT AS s_int,
+        COUNT(*) AS n_regs
+      FROM regs GROUP BY 1
+    )
+    SELECT {group_col}, round({est}, 4) AS est_distinct,
+           CAST(n_regs AS BIGINT) AS n_registers
+    FROM summary
+    """

@@ -496,3 +496,62 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
             for p in range(8)
         ],
     )
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_estimate_oracle_sql
+
+    return hll_estimate_oracle_sql("events", "event_type", "user_id")
+
+
+@register("hll_distinct_portable", _hll_oracle())
+def q_hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user HLL whose ESTIMATE the oracle reproduces
+    exactly — unlike approx_count_distinct (opaque JVM sketch, rows-only
+    check), the md5-register construction and the exact-integer harmonic
+    denominator (Σ 2^(rho_max−rho), a bigint — immune to fp
+    summation-order divergence) are engine-portable, so sketch MERGE
+    semantics themselves are under the correctness gate. Shuffle carries
+    ≤256 registers per (group, partition) no matter the input size."""
+    from ..operators.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_estimate(ev, "event_type", "user_id")
+
+
+@register(
+    "incremental_ingest_dedup",
+    """
+    WITH incoming AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 5 = 0
+    ), existing AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+    ), fresh AS (
+      SELECT i.doc_id, i.digest FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = i.digest)
+    )
+    SELECT min(doc_id) AS doc_id, digest, count(*) AS n_copies_in_batch
+    FROM fresh GROUP BY digest
+    """,
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup — the nightly-ingest shape: an
+    incoming batch (doc_id % 5 = 0 stands in for the new partition) is
+    deduped against the existing corpus by content digest (LEFT ANTI on
+    md5 — 32-byte shuffle keys, payloads never move) and then within
+    itself (keep the lowest doc_id per digest). At 100 TB the existing
+    side is a digest-only column scan, and in production the anti-join
+    probe side would be further pruned by a digest bloom/index; the
+    plan here is the same two-exchange shape either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    existing = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("digest")
+    )
+    fresh = incoming.join(existing, "digest", "left_anti")
+    return fresh.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies_in_batch"),
+    ).select("doc_id", "digest", "n_copies_in_batch")

@@ -3229,6 +3229,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "recursive_customer_tree_depth",
     "quality_classifier_scores",
     "embedding_random_projection",
+    "hll_distinct_portable",
+    "incremental_ingest_dedup",
 )
 
 

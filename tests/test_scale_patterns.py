@@ -563,3 +563,27 @@ def test_cms_merge_equals_whole_and_never_undercounts(spark):
     hh = heavy_hitters(df, "k", threshold=250)
     got = {r.k: (r.est_count, r.exact_count) for r in hh.collect()}
     assert 9999 in got and got[9999][1] == 300 and got[9999][0] >= 300
+
+
+def test_hll_portable_estimate_accuracy(spark):
+    """256-register HLL standard error is 1.04/sqrt(256) ≈ 6.5%; the
+    estimate must land within 3σ (20%) of truth at both small (linear
+    counting branch) and large (raw branch) cardinalities."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # group 0: 200 distinct keys; group 1: 5k; group 2: 20k
+        F.when(F.col("id") % 3 == 0, F.col("id") % 200)
+        .when(F.col("id") % 3 == 1, F.col("id") % 5000)
+        .otherwise(F.col("id") % 20000)
+        .alias("k"),
+    )
+    est = {r.g: r.est_distinct for r in hll_estimate(df, "g", "k").collect()}
+    truth = {"0": 200, "1": 5000, "2": 20000}
+    for g, t in truth.items():
+        assert abs(est[g] - t) / t < 0.20, (g, est[g], t)
