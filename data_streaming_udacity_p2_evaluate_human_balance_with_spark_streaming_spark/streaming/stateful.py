@@ -216,3 +216,84 @@ def dedup_guard(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, stage bigint, t1_us bigint, t2_us bigint, t3_us bigint"
+)
+FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+
+
+def funnel_stage_tracker(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of plans.analytics.q_event_funnel: per-user
+    ordered-funnel progression tracked in state. Stage k completes at
+    the earliest event of type stages[k] AFTER stage k-1's completion;
+    state is three epoch-microsecond stamps per user (fixed-size — the
+    RocksDB store scales with the keyset, not event volume).
+
+    Emits the user's (stage, t1..t3) after every micro-batch that
+    advances it (update semantics). Replaying a finite stream through
+    any micro-batch split converges to the batch query's stage
+    assignment: within a batch the group's rows are sorted by event
+    time before the state transition runs, so batch boundaries can't
+    reorder a user's history."""
+    s1, s2, s3 = stages
+    user, typ, ts = user_col, type_col, ts_col
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained: shipped by value, workers don't import this pkg
+        import pandas as _pd
+
+        if state.hasTimedOut:  # no TTL configured; defensive
+            state.remove()
+            return
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        pdf = _pd.concat(list(batches))
+        pdf = pdf.sort_values(ts)
+        advanced = False
+        for _, row in pdf.iterrows():
+            et = row[typ]
+            t_us = int(row[ts].value // 1_000)  # pandas ns -> µs
+            if t1 is None:
+                if et == s1:
+                    t1, advanced = t_us, True
+            elif t2 is None:
+                if et == s2 and t_us > t1:
+                    t2, advanced = t_us, True
+            elif t3 is None:
+                if et == s3 and t_us > t2:
+                    t3, advanced = t_us, True
+        if advanced:
+            state.update((t1, t2, t3))
+            stage = (t1 is not None) + (t2 is not None) + (t3 is not None)
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage": [stage],
+                    "t1_us": [t1],
+                    "t2_us": [t2],
+                    "t3_us": [t3],
+                }
+            )
+
+    return (
+        events.select(user, typ, ts)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

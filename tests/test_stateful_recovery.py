@@ -394,3 +394,112 @@ def test_running_risk_stats_tws_matches_v1(spark):
         for r in spark.sql("SELECT * FROM risk_tws").collect()
     }
     assert got == {1: (2, 30.0, 15.0), 2: (1, 5.0, 5.0)}
+
+
+def test_funnel_tracker_matches_batch_funnel(spark, tmp_path):
+    """Replaying a time-ordered event stream through the stateful funnel
+    tracker in FOUR micro-batches must converge to exactly the batch
+    funnel's per-user stage stamps (streaming/batch equivalence — the
+    strongest check a non-SQL streaming op has)."""
+    import os as _os
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        funnel_stage_tracker,
+    )
+
+    # deterministic corpus: 40 users, event pattern varies by user id
+    types = ["view", "click", "purchase", "error", "view"]
+    rows = []
+    for u in range(40):
+        for k in range(10):
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_type": types[(u * 3 + k * (u % 4 + 1)) % len(types)],
+                    "ts": f"2024-01-01T00:{k:02d}:{(u * 7) % 60:02d}.000Z",
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    d = str(tmp_path / "funnel_stream")
+    _os.makedirs(d)
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in rows[i * quarter : (i + 1) * quarter]:
+                f.write(json.dumps(r) + "\n")
+        # distinct mtimes: the file source processes oldest-first
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+        _t.sleep(0.01)
+
+    schema = _parse_datatype_string("user_id bigint, event_type string, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        funnel_stage_tracker(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_stream_tbl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # the memory sink appends every update; the user's FINAL stamps are
+    # the highest-stage emission (stage only ever advances)
+    got = {}
+    for r in sorted(
+        spark.sql("SELECT * FROM funnel_stream_tbl").collect(), key=lambda r: r.stage
+    ):
+        got[r.user_id] = (r.t1_us, r.t2_us, r.t3_us)
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], r["ts"]) for r in rows],
+        "user_id bigint, event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    w = Window.partitionBy("user_id")
+    b = batch.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    b = b.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    b = b.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    expected = {}
+    for r in (
+        b.select(
+            "user_id",
+            F.unix_micros("t1").alias("t1"),
+            F.unix_micros("t2").alias("t2"),
+            F.unix_micros("t3").alias("t3"),
+        )
+        .distinct()
+        .collect()
+    ):
+        if r.t1 is not None:  # users who never entered the funnel emit nothing
+            expected[r.user_id] = (r.t1, r.t2, r.t3)
+    assert got == expected
