@@ -306,10 +306,14 @@ def q_quantile_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_prefix_pairs",
     """
-    WITH d AS (
+    WITH d0 AS (
       SELECT doc_id, lang, split_part(text, ' ', 1) AS w1,
              substr(text, 1, 32) AS p
       FROM documents
+    ), ok_blocks AS (
+      SELECT lang, w1 FROM d0 GROUP BY lang, w1 HAVING count(*) <= 1000
+    ), d AS (
+      SELECT d0.* FROM d0 JOIN ok_blocks USING (lang, w1)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.p, b.p) AS dist
@@ -331,14 +335,24 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the block key is the knob: (lang, first-token) here;
     real corpora would use a coarser LSH or length band. The join is a
     plain shuffled equi-join on the block key — never a cartesian
-    (asserted in test_plan_shapes)."""
+    (asserted in test_plan_shapes) — and a mega-block guard drops any
+    block over 1000 members before the self-join (same policy as the
+    SimHash chunk guard): one skewed block key must not go quadratic;
+    dropped blocks are the caller's signal to pick a finer key."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    d0 = docs.select(
         "doc_id",
         "lang",
         F.substring_index("text", " ", 1).alias("w1"),
         F.substring("text", 1, 32).alias("p"),
     )
+    ok = (
+        d0.groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 1000)
+        .drop("_n")
+    )
+    d = d0.join(ok, ["lang", "w1"])
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(

@@ -324,3 +324,37 @@ def test_connected_components_frees_checkpoint_blocks(spark):
     dedup.connected_components(pairs, max_iter=6).collect()
     after = len(sc.getRDDStorageInfo())
     assert after <= before + 1, (before, after)
+
+
+def test_fuzzy_block_guard_drops_mega_blocks(spark):
+    """A planted mega-block (>1000 docs sharing (lang, first token))
+    must be excluded from the pair join — one skewed block key can't go
+    quadratic — while small blocks still match."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    import tempfile
+
+    big = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("megablock common prefix text nr "), F.col("id").cast("string")).alias("text"),
+        F.lit("srcX").alias("source"),
+        F.length(F.concat(F.lit("megablock common prefix text nr "), F.col("id").cast("string"))).alias("n_chars"),
+    )
+    small = spark.range(1200, 1203).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("tinyblock shared prefix body nr "), (F.col("id") % 2).cast("string")).alias("text"),
+        F.lit("srcY").alias("source"),
+        F.length(F.lit("x")).alias("n_chars"),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        big.unionByName(small).write.parquet(f"{td}/documents.parquet")
+        fn, _ = REGISTRY["fuzzy_prefix_pairs"]
+        rows = fn(spark, td).collect()
+    ids = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    assert ids, "small block should still produce pairs"
+    assert all(i >= 1200 for i in ids), f"mega-block leaked into pairs: {sorted(ids)[:5]}"
