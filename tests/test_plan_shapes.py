@@ -272,7 +272,11 @@ def test_funnel_single_user_exchange(spark):
     stacked on it."""
     plan = _plan(spark, "event_funnel_stages")
     assert "CartesianProduct" not in plan
-    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    # single-column spec = the windows' exchange; the final countDistinct
+    # expand-agg also hashes on (user_id + flag columns) but its key
+    # PRINT ORDER depends on expression ids, so match only the
+    # one-column form
+    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan))
     assert user_exchanges == 1, plan
 
 
