@@ -569,3 +569,64 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies_in_batch"),
     ).select("doc_id", "digest", "n_copies_in_batch")
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+           AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table join: fact lineitem against two
+    independent dimension chains (customer→orders and supplier), closed
+    by the c_nationkey = s_nationkey equality and the region filter.
+    Exact decimal intermediates surfaced as doubles (the q1 recipe, so
+    partial-agg combine order can't move the result).
+
+    Scale shape: the region→nation→supplier chain and customer are
+    broadcast-sized after the 'ASIA' filter prunes 4/5 of nations;
+    Catalyst pushes the o_orderdate range to the orders scan
+    (PushedFilters) so the only big shuffle is lineitem↔orders on
+    orderkey. AQE reorders/broadcasts from runtime sizes — exactly the
+    plan a hand-tuned 100 TB run wants."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec2, dec4 = "decimal(18,2)", "decimal(8,4)"
+    rev = F.col("l_extendedprice").cast(dec2) * (
+        F.lit(1).cast(dec4) - F.col("l_discount").cast(dec4)
+    )
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
+    )

@@ -3231,6 +3231,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "embedding_random_projection",
     "hll_distinct_portable",
     "incremental_ingest_dedup",
+    "tpch_q5_local_supplier_volume",
 )
 
 

@@ -311,3 +311,13 @@ def test_lateral_top2_decorrelates(spark):
     plan = _plan(spark, "lateral_top2_orders")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_pushdown_and_broadcasts(spark):
+    """Six-table join: the o_orderdate range must reach the orders scan
+    as PushedFilters, the post-filter dimension chain must broadcast,
+    and nothing may plan as cartesian."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -300,10 +300,10 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
                 rows += [json.loads(line) for line in f if line.strip()]
         return rows
 
-    def run(extra, done):
-        if extra:
-            import uuid as _u
+    def run(extra, done, tick=False):
+        import uuid as _u
 
+        if extra:
             with open(f"{d}/p{_u.uuid4().hex}.json", "w") as f:
                 for r in extra:
                     f.write(json.dumps(r) + "\n")
@@ -325,12 +325,20 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
             .start()
         )
         # Neither availableNow nor processAllAvailable() quiesces while
-        # a processing-time timeout is pending (the engine keeps
-        # scheduling timeout-only batches) — poll the sink for the
-        # expected condition, then stop.
+        # a processing-time timeout is pending — poll the sink for the
+        # expected condition, then stop. With tick=True, feed dummy
+        # events for throwaway keys while waiting: processing-time
+        # timeouts are only EVALUATED when a micro-batch runs, and on a
+        # starved box the engine's own idle timer batches can lag
+        # arbitrarily — a data batch forces the evaluation.
         deadline = _t.time() + 120
+        n_tick = 0
         while not done(emitted()) and _t.time() < deadline:
             _t.sleep(0.5)
+            if tick and n_tick < 40:
+                n_tick += 1
+                with open(f"{d}/tick{_u.uuid4().hex}.json", "w") as f:
+                    f.write(json.dumps({"user_id": 1000 + n_tick, "value": 0.0}) + "\n")
         q.stop()
         q.awaitTermination()
         assert done(emitted()), emitted()
@@ -341,8 +349,9 @@ def test_running_risk_stats_ttl_evicts_idle_state(spark, tmp_path):
     run(None, lambda rows: len(rows) >= 1)
     _t.sleep(2.0)  # key 1 idles past its 500ms TTL
     # feed key 2 to trigger a batch; hold the query open until key 1's
-    # eviction tombstone is actually observed (no timing guess)
-    run([{"user_id": 2, "value": 5.0}], tombstoned)
+    # eviction tombstone is actually observed (no timing guess), forcing
+    # batches with tick events so timeout evaluation can't starve
+    run([{"user_id": 2, "value": 5.0}], tombstoned, tick=True)
     run(
         [{"user_id": 1, "value": 30.0}],
         lambda rows: any(
