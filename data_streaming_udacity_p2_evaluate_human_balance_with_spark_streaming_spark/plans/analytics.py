@@ -630,3 +630,55 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
     )
+
+
+@register(
+    "domain_cap_sample_scale",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS salt
+      FROM documents
+    ), local AS (
+      SELECT doc_id, source, h FROM (
+        SELECT doc_id, source, h,
+          row_number() OVER (PARTITION BY source, salt ORDER BY h, doc_id) AS lrn
+        FROM keyed) WHERE lrn <= 10
+    )
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM local) WHERE rn <= 10
+    """,
+)
+def q_domain_cap_sample_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of domain_cap_sample: two-phase top-K. Phase 1
+    ranks within (source, salt) — salt = md5-derived, 16-way — so a
+    mega-domain's sort splits across 16 keys instead of serializing on
+    one; phase 2 ranks the ≤16·K survivors per source. Correct because
+    every member of a source's global top-K is in its salt's local
+    top-K; deterministic (content-derived salt — no partition-layout
+    dependence, retry-stable) and therefore fully oracled, unlike a
+    spark_partition_id-salted variant. Equality with the single-window
+    form is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn(
+        "salt",
+        F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 16"),
+    )
+    wl = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    local = (
+        keyed.withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= 10)
+        .drop("lrn", "salt")
+    )
+    wg = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        local.withColumn("rn", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "rn")
+    )

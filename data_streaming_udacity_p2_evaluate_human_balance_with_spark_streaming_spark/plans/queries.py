@@ -3232,6 +3232,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "hll_distinct_portable",
     "incremental_ingest_dedup",
     "tpch_q5_local_supplier_volume",
+    "domain_cap_sample_scale",
 )
 
 

@@ -587,3 +587,18 @@ def test_hll_portable_estimate_accuracy(spark):
     truth = {"0": 200, "1": 5000, "2": 20000}
     for g, t in truth.items():
         assert abs(est[g] - t) / t < 0.20, (g, est[g], t)
+
+
+def test_domain_cap_scale_twin_equals_window_form(spark):
+    """The salted two-phase top-K must select EXACTLY the same
+    (doc_id, source, rn) rows as the single-window form."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    plain = {tuple(r) for r in REGISTRY["domain_cap_sample"][0](spark, SF_SMOKE).collect()}
+    scale = {
+        tuple(r)
+        for r in REGISTRY["domain_cap_sample_scale"][0](spark, SF_SMOKE).collect()
+    }
+    assert plain == scale and plain
