@@ -73,6 +73,14 @@ HEADLINE = [
     "fuzzy_prefix_pairs",
     "lateral_top2_orders",
     "recursive_customer_tree_depth",
+    "hll_distinct_portable",
+    "incremental_ingest_dedup",
+    "tpch_q5_local_supplier_volume",
+    "embedding_random_projection",
+    "domain_cap_sample_scale",
+    # quality_classifier_scores intentionally excluded: it's model
+    # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
+    # SF), not a query — benching it would drown the query signal.
 ]
 
 

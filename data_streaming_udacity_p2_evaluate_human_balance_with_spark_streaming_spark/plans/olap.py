@@ -1,0 +1,536 @@
+"""TPC-H-shaped OLAP wave: the decision-support query patterns a team
+running the reference's risk pipeline (SURVEY.md §3) against a warehouse
+would reach for next. Q1/Q3/Q5 live in `plans.queries`; this module adds
+the remaining shapes the driver's TPC-H-ish tables can express — semi-join
+existence counts (Q4), single-scan filter aggregates (Q6), nation-pair
+volume matrices (Q7), group-filter-rejoin (Q18), disjunctive predicate
+pushdown (Q19) — each adapted to the columns TESTDATA.md actually ships
+(no l_shipmode/l_commitdate/partsupp; adaptations noted per query).
+
+Every query follows the repo's oracle-parity recipes: DECIMAL-exact money
+arithmetic surfaced as DOUBLE (the q1/q5 recipe), BIGINT counts, identical
+aliases both sides. Registered via `from . import olap` in plans.queries;
+driver-window placement in `_DRIVER_WINDOW_FIRST` (queued behind the
+round-3 second wave for the r4 CORRECTNESS window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .queries import register
+
+# The exact-money recipe shared by every revenue aggregate below.
+_DEC2, _DEC4 = "decimal(18,2)", "decimal(8,4)"
+
+
+def _revenue_expr():
+    """SUM-safe l_extendedprice*(1-l_discount) with exact decimal
+    intermediates so partial-agg combine order cannot move the result."""
+    return F.col("l_extendedprice").cast(_DEC2) * (
+        F.lit(1).cast(_DEC4) - F.col("l_discount").cast(_DEC4)
+    )
+
+
+_REVENUE_SQL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))"
+)
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(8,4)))
+           AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — revenue-increase forecast: one scan, three pushable
+    predicates, one global sum of l_extendedprice*l_discount.
+
+    Scale shape: the whole query is a scan→partial-agg→1-row reduce; all
+    three predicates and the two-column projection reach the parquet
+    reader (PushedFilters + ReadSchema in the plan), so at 100 TB the
+    job reads only row groups whose l_shipdate min/max overlap 1996 and
+    ships 16 bytes per task to the driver. The canonical 'is pushdown
+    working' probe (sparkpykafkajoin.py has no analogue — pure OLAP
+    extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    promo = F.col("l_extendedprice").cast(_DEC2) * F.col("l_discount").cast(_DEC4)
+    return filtered.agg(
+        F.sum(promo).cast("decimal(38,6)").cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 — order-priority checking. Adaptation: the reference
+    tables carry no l_commitdate/l_receiptdate, so the EXISTS predicate
+    is 'has a returned line' (l_returnflag='R') instead of 'late line';
+    the plan shape — date-pruned orders LEFT SEMI JOIN lineitem on
+    orderkey, then a tiny 5-group count — is identical.
+
+    Scale shape: the semi join shuffles only (o_orderkey,
+    o_orderpriority) against lineitem's (l_orderkey) — no payload
+    columns, no dedup needed (semi join stops at first match, vs the
+    DISTINCT-then-inner alternative which would add an exchange). The
+    date range prunes orders at the scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    semi = orders.join(
+        returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(CAST({_REVENUE_SQL} AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — volume shipping between nation pairs. Adaptation: the
+    synthetic nations are NATION_0..24, so the FRANCE/GERMANY pair filter
+    becomes nationkey<3 distinct pairs (6 ordered pairs × 2 years).
+
+    Scale shape: two independent dimension chains hang off the fact —
+    supplier→n1 and orders→customer→n2. Supplier and both nation sides
+    broadcast; orders↔lineitem on orderkey is the one big shuffle.
+    Critically the nation-pair filters apply to the BROADCAST sides
+    before the fact join (Catalyst pushes n_nationkey<3 through the join
+    into the supplier/customer builds), so ~88% of fact rows drop at the
+    first join, not at the final filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("n1_key") != F.col("n2_key"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(F.sum(_revenue_expr()).cast("decimal(38,6)").cast("double").alias("revenue"))
+
+
+@register(
+    "tpch_q10_returned_item_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST({_REVENUE_SQL} AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — top-20 customers by lost (returned-item) revenue in a
+    quarter. Columns trimmed to what the synthetic customer table has
+    (no address/phone/comment).
+
+    Scale shape: returnflag + date filters prune both fact inputs at
+    their scans; nation broadcasts; lineitem↔orders then ↔customer are
+    the shuffles, and the per-customer agg reuses the customer-key
+    exchange. The final top-20 is TakeOrderedAndProject (deterministic
+    via the c_custkey tiebreak) — no global sort materializes. The
+    pattern behind any 'worst offenders' report over the reference's
+    risk stream at warehouse scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_revenue_expr()).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
+    return agg.select("c_custkey", "c_name", "revenue", "n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    ).limit(20)
+
+
+@register(
+    "tpch_q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 — shipping-priority split. Adaptation: no l_shipmode
+    column, so the GROUP BY is l_returnflag (3 groups vs Q12's 2 ship
+    modes); the signature conditional-count-over-join shape is intact.
+
+    Scale shape: one orderkey shuffle joining date-pruned lineitem to
+    orders projected to (o_orderkey, o_orderpriority); the CASE sums
+    partial-aggregate map-side so the final exchange carries 3 rows per
+    task. The priority IN-list evaluates JVM-side in whole-stage
+    codegen — no UDF."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""
+    WITH agg AS (
+      SELECT
+        CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS DOUBLE)
+          AS promo_revenue,
+        CAST(CAST({_REVENUE_SQL} AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    )
+    SELECT promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+    FROM agg
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion-effect revenue share (p_type='PROMO' exact
+    match; the synthetic p_type has no trailing words to LIKE over).
+
+    Scale shape: part broadcasts (one month of lineitem joins against
+    the full part dim; at 100 TB part is ~1/1000th of lineitem and
+    AQE would broadcast it from runtime stats — forced here so the plan
+    is shuffle-free outside the 1-row reduce). Both sums come off one
+    joined pass; the percentage divides the two exact decimals as
+    doubles (identical IEEE division both engines) and rounds to 4dp."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _revenue_expr()).otherwise(
+        F.lit(0).cast(_DEC2)
+    )
+    agg = joined.agg(
+        F.sum(promo).cast("decimal(38,6)").cast("double").alias("promo_revenue"),
+        F.sum(_revenue_expr())
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 19, 29, 39, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 — supplier-count by part attributes. Adaptation: no
+    partsupp table, so supplier-part relationships come from observed
+    lineitem rows (count DISTINCT l_suppkey per part group); no
+    supplier-comment exclusion subquery (no comment column).
+
+    Scale shape: the part-side predicates (brand exclusion + size
+    IN-list) prune the BROADCAST build before the fact join, so ~88% of
+    lineitem drops at the join. count(DISTINCT) plans as two exchanges
+    (expand + final) on (group, suppkey) digest-width keys — the
+    standard Spark distinct-agg shape, skew-safe because the first
+    hop includes suppkey in the key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 9, 19, 29, 39, 49))
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume customers (orders whose lines sum past a
+    quantity threshold; 150 sized to the synthetic ~6-line orders).
+
+    Scale shape: the HAVING subquery is a lineitem self-aggregation on
+    orderkey — 2 narrow columns in, one bigint key out — and feeds a
+    LEFT SEMI join against orders (IN (subquery) plans as semi, no
+    dedup exchange). The qualifying ~0.1% of orders then join customer
+    broadcast-side and re-join lineitem for the final per-order sum,
+    reusing the orderkey partitioning from the first agg. Top-100 is
+    TakeOrderedAndProject with the o_orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "bok"),
+        F.col("o_orderkey") == F.col("bok"),
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey")).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    agg = joined.groupBy(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+    return agg.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(CAST({_REVENUE_SQL} AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue under disjunctive predicates
+    (three OR'd brand/size/quantity conjunct groups; container and
+    shipmode terms dropped — columns absent).
+
+    Scale shape: Catalyst splits the disjunction by table: the
+    single-table OR over (p_brand, p_size) terms pushes into the
+    broadcast part build, and the l_quantity OR-envelope
+    (1 <= qty <= 30) is derivable per-branch only after the join, so
+    the cross-table residual evaluates in the join's codegen stage.
+    What matters at 100 TB: the part side shrinks to 3 brands before
+    broadcast, and no branch falls back to a cartesian — one hash join,
+    zero shuffles on the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (qty >= 1)
+            & (qty <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (qty >= 10)
+            & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 20)
+            & (qty <= 30)
+        )
+    )
+    return joined.filter(branch).agg(
+        F.sum(_revenue_expr()).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: deterministic per-language mixture sampling via md5-prefix
+# thresholds (NOTES.md round-3 candidate). Complements mixture_sample_by_lang
+# (modulo-on-hash) with the threshold form production samplers prefer: the
+# keep-set is MONOTONE in the rate — raising a language's rate only ADDS
+# documents, never swaps them — which makes mixture re-weighting between
+# training runs an incremental ingest instead of a full reshuffle.
+# --------------------------------------------------------------------------
+
+
+_MIX_RATES = {"en": 0.25, "de": 0.75, "es": 0.5, "fr": 0.5, "zh": 1.0}
+
+
+def _hex_threshold(rate: float) -> str:
+    """First-4-hex-digit threshold: keep iff substr(md5,1,4) < this.
+    'g' sorts above every hex digit, so rate>=1 keeps every row."""
+    return "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+
+
+@register(
+    "mixture_sample_md5_threshold",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM keyed
+    WHERE h4 < CASE lang
+      WHEN 'en' THEN '4000' WHEN 'de' THEN 'c000' WHEN 'es' THEN '8000'
+      WHEN 'fr' THEN '8000' ELSE 'g' END
+    GROUP BY lang
+    """,
+)
+def q_mixture_sample_md5_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture sampling by md5-prefix threshold: keep a
+    document iff the first 4 hex digits of md5(doc_id) sort below the
+    language's threshold (rate*65536 in hex; 'g' sorts above every hex
+    digit = keep-all). Equal-length lowercase-hex comparison IS numeric
+    comparison, so both engines evaluate the same keep-set with no
+    float arithmetic anywhere.
+
+    Why threshold, not modulo: the keep-set is monotone in the rate —
+    re-weighting the mixture between runs only adds/removes the margin,
+    so downstream shards can be updated incrementally. Scale shape: one
+    scan, no shuffle before the per-lang count; the hash is
+    content-derived (doc_id), so retries and repartitioning cannot
+    change the sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.create_map(
+        *[
+            x
+            for lang, rate in sorted(_MIX_RATES.items())
+            for x in (F.lit(lang), F.lit(_hex_threshold(rate)))
+        ]
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h4"),
+    )
+    kept = keyed.filter(F.col("h4") < thr[F.col("lang")])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

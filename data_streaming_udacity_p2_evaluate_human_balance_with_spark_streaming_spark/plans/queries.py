@@ -3233,6 +3233,18 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "incremental_ingest_dedup",
     "tpch_q5_local_supplier_volume",
     "domain_cap_sample_scale",
+    # round-3 third wave (plans/olap.py) — TPC-H breadth + threshold
+    # mixture sampling; queue behind the second wave for the r4 window.
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_item_revenue",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "mixture_sample_md5_threshold",
 )
 
 
@@ -3265,3 +3277,4 @@ def all_oracles() -> dict[str, str]:
 # complete for every consumer of plans.queries. Circular-import-safe:
 # analytics only needs names defined above.
 from . import analytics as _analytics  # noqa: E402,F401
+from . import olap as _olap  # noqa: E402,F401

@@ -321,3 +321,73 @@ def test_tpch_q5_pushdown_and_broadcasts(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan), plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q6_full_pushdown_single_scan(spark):
+    """Q6 is the canonical pushdown probe: all three predicates must
+    reach the lineitem scan as PushedFilters, the ReadSchema must carry
+    only the four referenced columns, and the whole query must be
+    scan -> partial agg -> single-row reduce (no join, no Window).
+
+    The default spark.sql.maxMetadataStringLength=100 truncates the
+    PushedFilters list mid-name; raise it while capturing the plan."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "tpch_q6_forecast_revenue")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan), plan
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_tpch_q4_semi_join_no_distinct(spark):
+    """EXISTS must plan as a LEFT SEMI hash join -- the semi short-circuits
+    at first match, so no dedup exchange on the lineitem side."""
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_take_ordered_top20(spark):
+    """The global top-20 must compile to TakeOrderedAndProject (per-task
+    heaps + driver merge), never a global Sort."""
+    plan = _plan(spark, "tpch_q10_returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q14_promo_revenue", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive_revenue"],
+)
+def test_part_dim_broadcasts(spark, name):
+    """Every lineitem-x-part query must broadcast the part side (forced
+    in-code; at 100 TB AQE would pick the same) and keep the fact side
+    shuffle-free up to the aggregate."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_semi_join_and_take_ordered(spark):
+    """The HAVING subquery must feed a LEFT SEMI join (IN (subquery)
+    without a dedup exchange) and the top-100 must be
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q18_large_volume_customer")
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_threshold_single_scan_no_prejoin_shuffle(spark):
+    """Threshold sampling is scan -> filter -> per-lang agg: exactly one
+    exchange (the final lang groupBy), no join anywhere."""
+    plan = _plan(spark, "mixture_sample_md5_threshold")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg pair
