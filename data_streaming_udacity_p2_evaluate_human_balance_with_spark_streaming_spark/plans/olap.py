@@ -534,3 +534,97 @@ def q_mixture_sample_md5_threshold(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "mixture_temperature_resample",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n, least(1.0, round(8.0 / sqrt(n), 6)) AS rate FROM counts
+    ), keyed AS (
+      SELECT d.lang, r.n, r.rate,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang, max(n) AS n_total, max(rate) AS rate, count(*) AS n_kept
+    FROM keyed WHERE h < floor(rate * 65536)
+    GROUP BY lang
+    """,
+)
+def q_mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the T5/unigram-LM alpha
+    trick, alpha=0.5): each language's keep-rate is proportional to
+    n^(alpha-1) = 1/sqrt(n), so head languages are downsampled toward a
+    flatter mixture while tail languages keep everything (rate capped at
+    1). The rate rounds to 6dp BEFORE thresholding — both engines then
+    floor the identical double — and membership is the md5-prefix
+    integer compare, so the kept set is bit-deterministic and, as in
+    mixture_sample_md5_threshold, monotone under rate increases.
+
+    Scale shape: pass 1 is a tiny per-lang count (at 100 TB you'd read
+    it from table stats instead); the 5-row rates table broadcast-joins
+    back onto the corpus scan, and the filter + final per-lang count
+    need no additional exchange beyond the 5-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.select(
+        "lang",
+        "n",
+        F.least(F.lit(1.0), F.round(F.lit(8.0) / F.sqrt("n"), 6)).alias("rate"),
+    )
+    keyed = docs.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n",
+        "rate",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    kept = keyed.filter(F.col("h") < F.floor(F.col("rate") * 65536))
+    return kept.groupBy("lang").agg(
+        F.max("n").alias("n_total"),
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+@register(
+    "global_shuffle_order",
+    """
+    WITH ordered AS (
+      SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS shuf,
+             row_number() OVER (ORDER BY md5('42-' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS global_rn
+      FROM documents
+    )
+    SELECT doc_id, shuf, global_rn FROM ordered
+    WHERE global_rn % 100 = 1
+    """,
+)
+def q_global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order: shuffle key = md5(seed ||
+    doc_id), position = global row number in shuffle-key order. Training
+    runs need the SAME permutation across re-executions (resume from
+    step N, data-order ablations), which rand() cannot give — the
+    content-derived key can. Output samples every 100th position so the
+    oracle row count stays bounded while still certifying positions from
+    every range partition.
+
+    Scale shape: built on operators.ranking.global_row_number — range
+    partition by shuffle key, per-partition local row_number, broadcast
+    triangular offset join — so there is NO single-partition window
+    anywhere (the oracle's OVER (ORDER BY ...) is the SQL spelling, not
+    the plan). The modulo filter evaluates after numbering; at 100 TB
+    the full numbered permutation is what a shard-writer would consume."""
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42-"), F.col("doc_id").cast("string"))).alias("shuf"),
+    )
+    numbered = global_row_number(docs, ["shuf", "doc_id"], rn_col="global_rn")
+    return numbered.filter((F.col("global_rn") % 100) == 1).select(
+        "doc_id", "shuf", F.col("global_rn").cast("long").alias("global_rn")
+    )

@@ -3245,6 +3245,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue",
     "mixture_sample_md5_threshold",
+    "mixture_temperature_resample",
+    "global_shuffle_order",
 )
 
 

@@ -391,3 +391,22 @@ def test_mixture_threshold_single_scan_no_prejoin_shuffle(spark):
     plan = _plan(spark, "mixture_sample_md5_threshold")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # partial->final agg pair
+
+
+def test_global_shuffle_order_no_single_partition_window(spark):
+    """The reproducible-permutation query must rank via the two-pass
+    range-partitioned machinery: any Window in the plan is partitioned
+    by the range-partition id, never a global no-partition window."""
+    plan = _plan(spark, "global_shuffle_order")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_temperature_broadcasts_rates(spark):
+    """The 5-row per-lang rates table must broadcast back onto the
+    corpus scan — the sample filter may not shuffle the documents."""
+    plan = _plan(spark, "mixture_temperature_resample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
