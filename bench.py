@@ -78,6 +78,14 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "embedding_random_projection",
     "domain_cap_sample_scale",
+    # round-3 third wave: the diagnostic TPC-H shapes (pushdown probe,
+    # broadcast-dim star, semi+top-k) and the new pipeline ops.
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_large_volume_customer",
+    "mixture_temperature_resample",
+    "global_shuffle_order",
+    "chunk_exact_dedup",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

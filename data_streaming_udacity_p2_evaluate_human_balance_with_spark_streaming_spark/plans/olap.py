@@ -628,3 +628,87 @@ def q_global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.filter((F.col("global_rn") % 100) == 1).select(
         "doc_id", "shuf", F.col("global_rn").cast("long").alias("global_rn")
     )
+
+
+@register(
+    "chunk_exact_dedup",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id, md5(array_to_string(w[i*10+1:i*10+10], ' ')) AS chunk_hash
+      FROM words, (SELECT unnest(range(0, 30)) AS i)
+      WHERE len(w) >= (i+1)*10
+    )
+    SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(doc_id) AS doc_min
+    FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup (the RefinedWeb/C4 'repeated
+    passage' detector): split each document into non-overlapping 10-word
+    windows (first 30 windows) and report every window whose md5 occurs
+    in more than one document — boilerplate headers, license blocks,
+    and near-dup fragments that document-level dedup cannot see.
+
+    Scale shape: one scan; the explode is stride-windowed (output tokens
+    ~= input tokens, NOT the n^2 of sliding shingles) and projects to
+    (md5 digest, doc_id) BEFORE the exchange, so the shuffle carries 40
+    bytes/row regardless of document size. The distinct-doc count uses
+    Spark's two-phase distinct-agg expand. Detection twin of
+    chunk_documents (which materializes the chunks themselves)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    docs = docs.filter(F.size("w") >= 10)
+    idx = F.sequence(
+        F.lit(0),
+        F.least(F.lit(29), (F.floor(F.size("w") / 10) - 1).cast("int")),
+    )
+    chunks = docs.select(
+        "doc_id", "w", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("w", F.col("i") * 10 + 1, 10), " ")).alias(
+            "chunk_hash"
+        ),
+    )
+    agg = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("doc_id").alias("doc_min"),
+    )
+    return agg.filter(F.col("n_docs") > 1)
+
+
+@register(
+    "try_safe_arithmetic",
+    """
+    SELECT count(*) AS n,
+           count(value / nullif(user_id % 3, 0)) AS n_div_ok,
+           count(CASE WHEN user_id <= 7
+                      THEN 9223372036854775800 + user_id END) AS n_add_ok,
+           count(TRY_CAST(event_type AS INT)) AS n_cast_ok
+    FROM events
+    """,
+)
+def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface: Spark 4 runs queries with
+    spark.sql.ansi.enabled=true, where /0, bigint overflow, and bad
+    casts THROW instead of silently returning NULL — a single poisoned
+    row can kill a 1000-executor job hours in. The try_* family is the
+    production answer: per-row failures degrade to NULL and the counts
+    quantify them. DuckDB has no try_divide/try_add, so the oracle
+    spells the same semantics with nullif/CASE guards.
+
+    Scale shape: single scan, codegen'd expressions, 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.try_divide("value", F.col("user_id") % 3)).alias("n_div_ok"),
+        F.count(
+            F.try_add(F.lit(9223372036854775800), F.col("user_id").cast("bigint"))
+        ).alias("n_add_ok"),
+        F.count(F.col("event_type").try_cast("int")).alias("n_cast_ok"),
+    )

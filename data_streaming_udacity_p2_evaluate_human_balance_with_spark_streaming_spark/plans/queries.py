@@ -3247,6 +3247,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "mixture_sample_md5_threshold",
     "mixture_temperature_resample",
     "global_shuffle_order",
+    "chunk_exact_dedup",
+    "try_safe_arithmetic",
 )
 
 

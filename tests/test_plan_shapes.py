@@ -7,6 +7,7 @@ no cartesian products — straight from `explain` output.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
     REGISTRY,
@@ -410,3 +411,32 @@ def test_mixture_temperature_broadcasts_rates(spark):
     plan = _plan(spark, "mixture_temperature_resample")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_observe_quality_single_pass_metrics(spark):
+    """Observation metrics must ride the materializing job itself —
+    row/null counters with zero extra scans. Verify values against
+    directly computed ones and that the observed plan adds no Exchange."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.inspect import (
+        observe_quality,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    observed, obs = observe_quality(df, numeric_col="o_totalprice")
+    n_collected = len(observed.collect())
+    got = obs.get
+    assert got["n_rows"] == n_collected
+    assert got["n_any_null"] == df.filter(
+        "o_orderkey IS NULL OR o_totalprice IS NULL OR o_orderpriority IS NULL"
+    ).count()
+    row = df.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    assert got["min_o_totalprice"] == row.lo and got["max_o_totalprice"] == row.hi
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # metrics piggyback, no shuffle

@@ -602,3 +602,30 @@ def test_domain_cap_scale_twin_equals_window_form(spark):
         for r in REGISTRY["domain_cap_sample_scale"][0](spark, SF_SMOKE).collect()
     }
     assert plain == scale and plain
+
+
+def test_md5_threshold_sampling_monotone_in_rate(spark):
+    """The threshold sampler's design claim: the keep-set at a lower
+    rate is a SUBSET of the keep-set at any higher rate (raising a
+    language's mixture weight only adds documents — incremental
+    re-weighting, never a reshuffle). Verify subset inclusion across an
+    increasing rate ladder on the real documents table, plus the exact
+    keep-fraction tolerance at the top rate."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    keyed = docs.select("doc_id", h4.alias("h4"))
+    ladder = [0.1, 0.25, 0.5, 0.9]
+    kept = {
+        r: {
+            row.doc_id
+            for row in keyed.filter(
+                F.col("h4") < F.lit(format(int(r * 65536), "04x"))
+            ).collect()
+        }
+        for r in ladder
+    }
+    n_docs = docs.count()
+    for lo, hi in zip(ladder, ladder[1:]):
+        assert kept[lo] <= kept[hi], (lo, hi)
+    for r in ladder:
+        assert abs(len(kept[r]) / n_docs - r) < 0.05, (r, len(kept[r]), n_docs)
