@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import MOD31 as MOD  # 31-bit hashes: ANSI-overflow-safe
 from ..functions.hashing import char_shingles, hashed, minhash_perm, word_shingles
@@ -282,14 +283,14 @@ def simhash_near_dups(
     # simhash aggregate for both sides (4 ints per row — tiny)
     chunked = chunked.persist()
     if max_bucket is not None:
-        # one extra hash-agg on the (already persisted) 4-int rows; the
-        # size join co-partitions with the self-join's (chunk, ck) keys
-        sizes = chunked.groupBy("chunk", "ck").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
-        chunked = chunked.join(
-            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
-            ["chunk", "ck"],
+        # bucket-size gate as a COUNT window over (chunk, ck): one
+        # exchange on exactly the self-join's keys (vs the agg+join
+        # form's two), and the join below reuses that partitioning
+        bucket_w = Window.partitionBy("chunk", "ck")
+        chunked = (
+            chunked.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
