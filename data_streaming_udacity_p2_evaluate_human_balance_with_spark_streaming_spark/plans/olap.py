@@ -712,3 +712,100 @@ def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_add_ok"),
         F.count(F.col("event_type").try_cast("int")).alias("n_cast_ok"),
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution (the comment-based
+    order exclusion is dropped: no o_comment column). Two-level
+    aggregation: orders-per-customer via LEFT OUTER join (customers
+    with zero orders must appear, count=0), then the histogram of those
+    counts.
+
+    Scale shape: count(o_orderkey) ignores the null-extended rows, so
+    level 1 is one custkey shuffle; level 2 regroups ~|customers| tiny
+    (bigint, bigint) rows by count value — negligible. A 100 TB
+    refinement would pre-aggregate orders by o_custkey BELOW the join
+    (partial count before the shuffle); Catalyst already pushes the
+    count's partial aggregation map-side here, which is the same win."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 — sales opportunity: customers with above-average
+    balance and no recent order. Adaptations: country code =
+    c_nationkey (no phone column to take a prefix of), and 'never
+    ordered' becomes 'no order in a 2-month window' — the synthetic
+    keyspace is dense (every customer has orders), so the literal Q22
+    anti-join is degenerate; the lapsed-high-value-customer intent and
+    the plan shape survive. Composes the scalar aggregate subquery
+    (average balance, computed once and broadcast) with a LEFT ANTI
+    join against date-pruned orders.
+
+    Scale shape: the average is a 1-row DataFrame crossJoin-broadcast —
+    NOT a driver-side collect, so the pipeline stays lazy end-to-end
+    (the q_tfidf lesson from round 2). The anti join shuffles only
+    (c_custkey) vs (o_custkey) bigints; the decimal cast makes the
+    average exact so the > comparison can't flip on fp summation
+    order."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast(_DEC2).alias("bal"),
+    )
+    avg_bal = cust.filter(F.col("bal") > 0).agg(F.avg("bal").alias("ab"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("bal") > F.col("ab"))
+    never_ordered = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return never_ordered.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").cast("decimal(38,2)").cast("double").alias("totacctbal"),
+    )

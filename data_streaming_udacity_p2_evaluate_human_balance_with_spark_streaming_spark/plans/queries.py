@@ -3249,6 +3249,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "global_shuffle_order",
     "chunk_exact_dedup",
     "try_safe_arithmetic",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
 )
 
 

@@ -440,3 +440,20 @@ def test_observe_quality_single_pass_metrics(spark):
     assert got["min_o_totalprice"] == row.lo and got["max_o_totalprice"] == row.hi
     plan = observed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # metrics piggyback, no shuffle
+
+
+def test_tpch_q22_anti_join_lazy_average(spark):
+    """Q22's scalar average must enter the plan as a broadcast 1-row
+    join (lazy end-to-end — no driver-side collect), and the
+    no-recent-order predicate must plan as LEFT ANTI."""
+    plan = _plan(spark, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_tpch_q13_left_outer_preserves_zero_counts(spark):
+    """Q13 must keep customers with zero orders (LEFT OUTER) and
+    partial-aggregate the per-customer counts map-side."""
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan, plan
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
