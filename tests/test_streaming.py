@@ -585,3 +585,44 @@ def test_stream_static_broadcast_enrichment(spark, runner):
         ("c1@test.com", "10.0", "gold"),
         ("c2@test.com", "-3.0", "basic"),
     }
+
+
+def test_streaming_mixture_sample_matches_batch(spark, runner):
+    """Curation-at-ingest: mixture_sample is pure stateless row logic
+    (md5-prefix vs broadcast per-group thresholds), so it must run
+    unchanged on a streaming DataFrame and keep EXACTLY the rows the
+    batch form keeps — the content-derived hash cannot depend on
+    micro-batch boundaries. Certifies the sampler as a streaming
+    operator without a separate implementation."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [
+        {"doc_id": i, "lang": lang, "text": f"doc {i}"}
+        for i, lang in enumerate(
+            ["en", "de", "es"] * 40
+        )
+    ]
+    schema = _parse_datatype_string("doc_id bigint, lang string, text string")
+    rates = {"en": 0.3, "de": 0.8, "es": 1.0}
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["text"]) for r in rows], schema=schema
+    )
+    batch_kept = {
+        r.doc_id
+        for r in mixture_sample(batch_df, rates).collect()
+    }
+
+    stream = stream_from_rows(spark, rows, schema)
+    sampled = mixture_sample(stream, rates)
+    q = runner.add("mixstream", to_memory(sampled.select("doc_id"), "mixstream_out"))
+    q.awaitTermination()
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT * FROM mixstream_out").collect()
+    }
+    assert stream_kept == batch_kept
+    assert 0 < len(stream_kept) < len(rows)
