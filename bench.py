@@ -82,6 +82,7 @@ HEADLINE = [
     # broadcast-dim star, semi+top-k) and the new pipeline ops.
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q18_large_volume_customer",
     "mixture_temperature_resample",
     "global_shuffle_order",

@@ -1,11 +1,20 @@
 """TPC-H-shaped OLAP wave: the decision-support query patterns a team
 running the reference's risk pipeline (SURVEY.md §3) against a warehouse
 would reach for next. Q1/Q3/Q5 live in `plans.queries`; this module adds
-the remaining shapes the driver's TPC-H-ish tables can express — semi-join
+every remaining shape the driver's TPC-H-ish tables can express — semi-join
 existence counts (Q4), single-scan filter aggregates (Q6), nation-pair
-volume matrices (Q7), group-filter-rejoin (Q18), disjunctive predicate
-pushdown (Q19) — each adapted to the columns TESTDATA.md actually ships
-(no l_shipmode/l_commitdate/partsupp; adaptations noted per query).
+volume matrices (Q7), deep star joins with conditional shares (Q8),
+top-k reports (Q10), outer-join histograms (Q13), broadcast-dim ratios
+(Q14), scalar-max view queries (Q15), distinct-aggs (Q16), decorrelated
+per-group averages (Q17), group-filter-rejoin (Q18), disjunctive
+predicate pushdown (Q19), anti-join opportunity reports (Q22) — 17 of
+the 22 TPC-H queries in all; Q2/Q9/Q11/Q20/Q21 need partsupp /
+l_shipmode / l_commitdate / comment columns TESTDATA.md doesn't ship.
+Each query is adapted to the available columns (noted per docstring).
+
+Also here: the LLM-pipeline third wave — md5-threshold and temperature
+mixture samplers, the reproducible global shuffle order, sub-document
+span dedup, and the ANSI try_* safety surface.
 
 Every query follows the repo's oracle-parity recipes: DECIMAL-exact money
 arithmetic surfaced as DOUBLE (the q1/q5 recipe), BIGINT counts, identical
@@ -808,4 +817,185 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal").cast("decimal(38,2)").cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS volume,
+        n2.n_name AS supp_nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+      round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6))
+                 AS DOUBLE)
+            / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: NATION_5's slice of PROMO-part
+    volume sold into ASIA, by order year. The deepest join in the
+    expressible set: 8 tables, two independent nation chains (customer
+    region gates the rows; supplier nation feeds the share split).
+
+    Scale shape: every dimension chain (part filtered to 1/6 of types,
+    region-gated nation, supplier) broadcasts; lineitem↔orders on
+    orderkey is again the only big shuffle. The share is a conditional
+    sum over one pass — no second scan, no join back. Exact decimal
+    sums surface as doubles; the final division is identical IEEE on
+    both engines, rounded to 6dp."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = _revenue_expr()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast(_DEC2)
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(nation_vol).cast("decimal(38,6)").cast("double").alias("nv"),
+        F.sum(vol).cast("decimal(38,6)").cast("double").alias("tv"),
+    )
+    return agg.select(
+        "o_year", F.round(F.col("nv") / F.col("tv"), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST({_REVENUE_SQL} AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier by quarterly revenue (the reference SQL
+    uses a view + scalar max subquery; here the revenue frontier is a
+    shared DataFrame consumed twice).
+
+    Scale shape: the per-supplier revenue aggregate is computed ONCE
+    and persisted (both the max and the equality filter read the cached
+    frontier — the same pin-the-frontier discipline as ranking.py); the
+    scalar max enters as a broadcast 1-row join, not a collect. Ties
+    all surface, matching the SQL semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_revenue_expr())
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(
+        F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap_key, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
+           count(*) AS n_lines
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN avg_qty ON l_partkey = ap_key
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity-order revenue: lines of Brand#1 parts
+    whose quantity is below half the part's average (no p_container
+    column, so the container predicate is dropped). The correlated
+    per-part average decorrelates into a self-aggregate + equi-join —
+    the form Spark and DuckDB both plan; no per-row re-execution.
+
+    Scale shape: the per-part average is a partial-agg'd partkey
+    shuffle of 2 narrow columns; joining it back co-partitions with the
+    fact's partkey hash. The 0.5 factor multiplies the AVERAGE (one row
+    per part), not every fact row. Brand filter broadcasts through the
+    part dim. At TPC-H spec the avg would be restricted to the brand's
+    parts via semi-join pushdown; computed over all parts here to keep
+    the oracle CTE identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return joined.agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC2))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).alias("n_lines"),
     )

@@ -3251,6 +3251,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "try_safe_arithmetic",
     "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
 )
 
 

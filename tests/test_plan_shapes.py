@@ -457,3 +457,20 @@ def test_tpch_q13_left_outer_preserves_zero_counts(spark):
     plan = _plan(spark, "tpch_q13_customer_distribution")
     assert "LeftOuter" in plan, plan
     assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+
+
+def test_tpch_q8_one_fact_shuffle(spark):
+    """The 8-table Q8: every dimension chain must broadcast — the only
+    sort-merge (big) shuffle pair allowed is lineitem/orders on
+    orderkey, plus the customer join."""
+    plan = _plan(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelated_avg_no_nested_loop(spark):
+    """The per-part average must decorrelate to a self-aggregate +
+    equi-join (partkey-copartitioned), never re-execute per fact row."""
+    plan = _plan(spark, "tpch_q17_small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
