@@ -695,10 +695,12 @@ def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_safe_arithmetic",
     """
     SELECT count(*) AS n,
-           count(value / nullif(user_id % 3, 0)) AS n_div_ok,
-           count(CASE WHEN user_id <= 7
-                      THEN 9223372036854775800 + user_id END) AS n_add_ok,
-           count(TRY_CAST(event_type AS INT)) AS n_cast_ok
+           count(value / nullif(user_id % 100, 0)) AS n_div_ok,
+           count(CASE WHEN user_id % 100 <> 99
+                      THEN 9223372036854775709 + (user_id % 100) END) AS n_add_ok,
+           count(TRY_CAST(CASE WHEN user_id % 100 = 0 THEN event_type
+                               ELSE CAST(user_id AS VARCHAR) END AS INT))
+             AS n_cast_ok
     FROM events
     """,
 )
@@ -711,15 +713,27 @@ def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantify them. DuckDB has no try_divide/try_add, so the oracle
     spells the same semantics with nullif/CASE guards.
 
+    Failures are planted on ~1% of rows (mod-100 slices) because that
+    is the operating envelope: Spark's try_* failure path THROWS AND
+    CATCHES a JVM exception per failing row (~20 µs each, measured —
+    an all-failing column costs ~3 s per 100k rows per core). try_* is
+    a guard for rare poison rows; a column that fails systematically
+    is a schema bug the pipeline should fix upstream, not try_-wrap.
+
     Scale shape: single scan, codegen'd expressions, 1-row reduce."""
     ev = load_table(spark, sf_dir, "events")
+    mod = F.col("user_id") % 100
     return ev.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.try_divide("value", F.col("user_id") % 3)).alias("n_div_ok"),
+        F.count(F.try_divide("value", mod)).alias("n_div_ok"),
         F.count(
-            F.try_add(F.lit(9223372036854775800), F.col("user_id").cast("bigint"))
+            F.try_add(F.lit(9223372036854775709), mod.cast("bigint"))
         ).alias("n_add_ok"),
-        F.count(F.col("event_type").try_cast("int")).alias("n_cast_ok"),
+        F.count(
+            F.when(mod == 0, F.col("event_type"))
+            .otherwise(F.col("user_id").cast("string"))
+            .try_cast("int")
+        ).alias("n_cast_ok"),
     )
 
 
