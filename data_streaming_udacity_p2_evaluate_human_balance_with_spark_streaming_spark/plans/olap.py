@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.files import load_table
 from .queries import register
@@ -1012,4 +1013,79 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 8))::BIGINT AS h
+      FROM words, (SELECT unnest(range(0, 400)) AS i)
+      WHERE len(w) >= i + 5
+    ), wins AS (
+      SELECT doc_id,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        count(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE wlen = 4
+    )
+    SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS doc_min
+    FROM fps GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every 5-token gram, slide a
+    4-gram window, keep each window's MINIMUM hash as a fingerprint.
+    Guarantee: any shared span of >= w+k-1 = 8 tokens yields at least
+    one shared fingerprint, at expected density 2/(w+1) ~ 40% of grams
+    — a principled size/recall dial that plain stride chunking
+    (chunk_exact_dedup) lacks. Output: fingerprints appearing in more
+    than one document.
+
+    Scale shape: the gram explode is bounded (cap 400 grams/doc); the
+    window partitions BY DOCUMENT — thousands of rows max per key, so
+    the one doc_id exchange never concentrates (this is the safe kind
+    of window, unlike global ranking); fingerprints shuffle as 32-bit
+    ints for the final group. 32-bit md5-prefix hashes keep the oracle
+    bit-identical (DuckDB has no xxhash64) and every product ANSI-safe."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    idx = F.sequence(
+        F.lit(0), F.least(F.lit(399), (F.size("w") - 5).cast("int"))
+    )
+    grams = docs.select(
+        "doc_id", "w", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("w", F.col("i") + 1, 5), " ")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(win).alias("fp"),
+        F.count("h").over(win).alias("wlen"),
+    )
+    fps = wins.filter(F.col("wlen") == 4).select("doc_id", "fp").distinct()
+    return (
+        fps.groupBy(F.col("fp").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("doc_min"))
+        .filter(F.col("n_docs") > 1)
     )

@@ -3254,6 +3254,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
+    "winnowing_fingerprints",
 )
 
 

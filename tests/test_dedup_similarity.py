@@ -358,3 +358,58 @@ def test_fuzzy_block_guard_drops_mega_blocks(spark):
     ids = {r.doc_a for r in rows} | {r.doc_b for r in rows}
     assert ids, "small block should still produce pairs"
     assert all(i >= 1200 for i in ids), f"mega-block leaked into pairs: {sorted(ids)[:5]}"
+
+
+def test_winnowing_guarantee_planted_span(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03): any shared
+    span of >= w+k-1 tokens (4+5-1 = 8 here) MUST yield at least one
+    shared fingerprint. Plant a 12-token span inside two otherwise
+    disjoint documents and a third unrelated document; the pair must
+    share a fingerprint, the loner must share none."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one unique lead tokens here {shared} tail one ending"),
+            (2, f"two other prefix words now {shared} different two close"),
+            (3, "entirely unrelated text with nothing in common at all "
+                "padded further so winnowing has windows to pick from"),
+        ],
+        "doc_id bigint, text string",
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    idx = F.sequence(F.lit(0), F.least(F.lit(399), (F.size("w") - 5).cast("int")))
+    grams = toks.select("doc_id", F.explode(idx).alias("i"), "w").select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("w", F.col("i") + 1, 5), " ")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    fps = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(win).alias("fp"),
+            F.count("h").over(win).alias("wlen"),
+        )
+        .filter(F.col("wlen") == 4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "planted 12-token span must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
