@@ -629,3 +629,48 @@ def test_md5_threshold_sampling_monotone_in_rate(spark):
         assert kept[lo] <= kept[hi], (lo, hi)
     for r in ladder:
         assert abs(len(kept[r]) / n_docs - r) < 0.05, (r, len(kept[r]), n_docs)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Certify (not just configure) AQE skew handling: a sort-merge
+    join where one key holds 50% of the fact rows must come out of AQE
+    re-planning as SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead — the hot partition split across tasks at runtime.
+    This is the no-code-change answer for MODERATE skew at 100 TB;
+    operators/joins.py:salted_join remains the heavy-artillery form
+    for pathological keys (AQE cannot split a single-key build side
+    under broadcast, and salting also fixes the agg-side)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim-"), F.col("id").cast("string")).alias("attr"),
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 200_000
+        final = (
+            j._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+        )
+        assert "isFinalPlan=true" in final, final
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert "skewed" in final, final  # AQEShuffleRead marks the split read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
