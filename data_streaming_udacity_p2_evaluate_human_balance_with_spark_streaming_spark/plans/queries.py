@@ -2410,15 +2410,49 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None)
+@register(
+    "multimodal_features",
+    """
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(1, length(text) // 64) AS s
+      FROM documents
+    )
+    SELECT doc_id, n AS n_bytes, 'fake/raw' AS format,
+      printf('%.1f', CAST(n AS DOUBLE)) || ',' ||
+      printf('%.1f', CAST(ascii(substr(text, 1, 1)) AS DOUBLE)) || ',' ||
+      printf('%.1f', CAST(ascii(substr(text, n, 1)) AS DOUBLE)) || ',' ||
+      printf('%.1f', CAST(list_sum(list_transform(range(0, n, s),
+        i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))) % 997 AS DOUBLE))
+      AS feat_str
+    FROM f
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (deterministic stub standing in for a codec). Rows-only:
-    exercises the Pandas-UDF plumbing the real decoder would use."""
+    mapInPandas (deterministic stub standing in for a codec) —
+    exercises the Pandas-UDF plumbing the real decoder would use.
+
+    Upgraded from rows-only to a full oracle in round 3: the stub
+    features are pure byte arithmetic (length, first/last byte,
+    strided byte-sum mod 997) and the synthetic text is ASCII, so
+    DuckDB replicates them with ascii(substr(...)) over a strided
+    range — certifying the Arrow batch path END-TO-END (values, not
+    just row counts). The feature vector is emitted as a '%.1f' joined
+    string because raw array<double> columns are unhashable in the
+    driver's pandas compare (NOTES.md round-2)."""
     from ..operators.multimodal import as_binary_payload, extract_features
 
     mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(mm)
+    feats = extract_features(mm)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        F.array_join(
+            F.transform("feat", lambda x: F.format_string("%.1f", x)), ","
+        ).alias("feat_str"),
+    )
 
 
 @register(
