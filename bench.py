@@ -87,6 +87,7 @@ HEADLINE = [
     "mixture_temperature_resample",
     "global_shuffle_order",
     "chunk_exact_dedup",
+    "winnowing_fingerprints",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.
