@@ -474,3 +474,21 @@ def test_tpch_q17_decorrelated_avg_no_nested_loop(spark):
     plan = _plan(spark, "tpch_q17_small_quantity_revenue")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_reads_persisted_revenue_frontier(spark):
+    """Q15's revenue aggregate is consumed twice (scalar max + equality
+    filter); it must be persisted so both branches read the cache
+    instead of re-aggregating lineitem, and the max must enter as a
+    broadcast — not a collect."""
+    fn, _ = REGISTRY["tpch_q15_top_supplier"]
+    df = fn(spark, SF_SMOKE)
+    try:
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+        )
+        assert "InMemoryTableScan" in final, final
+        assert "Broadcast" in final, final
+    finally:
+        spark.catalog.clearCache()
