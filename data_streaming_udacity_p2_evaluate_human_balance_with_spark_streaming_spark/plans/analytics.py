@@ -9,8 +9,8 @@ is a `@register` query with a full DuckDB oracle; each docstring carries
 the scale argument for its plan shape.
 
 Registered by the `from . import analytics` at the bottom of
-`plans.queries` so registration order (and the driver window, see
-`_DRIVER_WINDOW_FIRST`) stays in one place.
+`plans.queries` so registration order stays in one place; driver-window
+placement is computed (`_driver_order`: never-checked names first).
 """
 
 from __future__ import annotations

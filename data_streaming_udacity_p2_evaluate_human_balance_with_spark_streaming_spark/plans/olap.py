@@ -19,8 +19,8 @@ span dedup, and the ANSI try_* safety surface.
 Every query follows the repo's oracle-parity recipes: DECIMAL-exact money
 arithmetic surfaced as DOUBLE (the q1/q5 recipe), BIGINT counts, identical
 aliases both sides. Registered via `from . import olap` in plans.queries;
-driver-window placement in `_DRIVER_WINDOW_FIRST` (queued behind the
-round-3 second wave for the r4 CORRECTNESS window).
+driver-window placement is computed (`_driver_order`: never-checked
+names first, so these claim slots the round after they land).
 """
 
 from __future__ import annotations

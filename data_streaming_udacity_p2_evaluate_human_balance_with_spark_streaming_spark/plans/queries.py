@@ -3187,121 +3187,47 @@ def q_json_multi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of queries()
-# in dict order. Rounds 1-2 verified the first 50 registration-order
-# entries (reference-parity + core OLAP, all pass in CORRECTNESS_r01/r02);
-# everything registered later had only local driver-emulation runs. Rotate
-# the never-driver-checked block to the front so round 3 produces driver
-# rows for it; the already-twice-verified parity queries move behind the
-# window (they remain in queries() and in driver_check.py's all-entries
-# local run, so regressions still surface).
-_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r2 registration positions 50-88 — never in a CORRECTNESS_r* file.
-    "variant_shred_props",
-    "runtime_filtered_join",
-    "pack_shards_token_budget",
-    "decontaminate_ngram_overlap",
-    "embedding_centroid_per_label",
-    "stratified_split_counts",
-    "salted_skew_join",
-    "curation_end_to_end",
-    # ann_cosine_topk already has a CORRECTNESS_r01 row — it rotates
-    # behind the window with the other checked parity queries.
-    "ann_ivf_topk",
-    "ann_ivf_fixed_topk",
-    "ann_lsh_topk",
-    "multimodal_metadata",
-    "multimodal_features",
-    "tfidf_top_terms",
-    "group_concat_sorted",
-    "running_total_per_user",
-    "cube_type_segment",
-    "ntile_quartiles",
-    "ntile_quartiles_scale",
-    "training_data_clean_pipeline",
-    "segment_risk_profile",
-    "top_bigrams",
-    "hash_sample_10pct",
-    "unpivot_customer_metrics",
-    "null_safe_equality",
-    "misc_math_functions",
-    "date_spine_zero_fill",
-    "first_last_value_frames",
-    "percent_rank_cume_dist",
-    "percent_rank_cume_dist_scale",
-    "stats_aggregates",
-    "posexplode_tokens",
-    "grouping_id_rollup",
-    "dedup_exact_by_hash",
-    "string_padding_functions",
-    "nulls_ordering",
-    "map_functions",
-    "python_datasource_sim",
-    "json_multi_extract",
-    # new in round 3 (ann_ivf_fixed_topk is in the ANN block above)
-    "zorder_cells",
-    "chunk_documents",
-    "dedup_cluster_assignment",
-    "grouped_median_pandas",
-    "mixture_sample_by_lang",
-    "mixture_resample_epochs",
-    "pii_redaction",
-    "doc_repetition_stats",
-    "ann_quantized_topk",
-    "heavy_hitters_cms",
-    # round-3 second wave (plans/analytics.py) — positions 50+: the window
-    # is saturated with never-checked entries, so these queue for the
-    # next round's CORRECTNESS window (test_oracle_parity enforces that
-    # no window slot is wasted meanwhile).
-    "event_funnel_stages",
-    "retention_cohort_weeks",
-    "rolling_hour_avg",
-    "regr_value_vs_time",
-    "domain_cap_sample",
-    "quantile_bins_sketch",
-    "fuzzy_prefix_pairs",
-    "lateral_top2_orders",
-    "recursive_customer_tree_depth",
-    "quality_classifier_scores",
-    "embedding_random_projection",
-    "hll_distinct_portable",
-    "incremental_ingest_dedup",
-    "tpch_q5_local_supplier_volume",
-    "domain_cap_sample_scale",
-    # round-3 third wave (plans/olap.py) — TPC-H breadth + threshold
-    # mixture sampling; queue behind the second wave for the r4 window.
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_item_revenue",
-    "tpch_q12_priority_by_returnflag",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "mixture_sample_md5_threshold",
-    "mixture_temperature_resample",
-    "global_shuffle_order",
-    "chunk_exact_dedup",
-    "try_safe_arithmetic",
-    "tpch_q13_customer_distribution",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "winnowing_fingerprints",
-)
+# in dict order. Rounds 1-3 rotated a hand-maintained tuple
+# (_DRIVER_WINDOW_FIRST) each round, which kept going stale the moment a
+# driver round landed (the round-3 verdict's one red test). The window is
+# now computed: any registry entry that has never appeared in a
+# CORRECTNESS_r*.json sorts to the front (registration order within each
+# group), so new queries automatically claim window slots and
+# already-checked queries automatically rotate behind. Checked queries
+# remain in queries() and in driver_check.py's all-entries local run, so
+# regressions still surface locally.
+
+
+def _driver_checked() -> frozenset[str]:
+    """Query names that already have a driver CORRECTNESS row (any round,
+    green or not — a row with err is still a consumed check the builder
+    must fix in place, not re-queue)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    # plans/queries.py -> plans -> package -> repo root
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen |= set(_json.load(fh))
+        except Exception:
+            pass
+    return frozenset(seen)
 
 
 def _driver_order() -> list[str]:
-    """Priority names first (new, never-driver-checked queries), then the
-    rest in registration order."""
-    front = [n for n in _DRIVER_WINDOW_FIRST if n in REGISTRY]
-    front_set = set(front)
-    # Queries registered AFTER the r2 snapshot (i.e. new this round) also
-    # belong in the driver window: append any name not in the r1/r2
-    # CORRECTNESS files and not already in front.
-    rest = [n for n in REGISTRY if n not in front_set]
-    return front + rest
+    """Never-driver-checked names first (registration order), then the
+    already-checked rest — so the driver's first-50 CORRECTNESS window
+    always lands on queries that need a row."""
+    seen = _driver_checked()
+    unchecked = [n for n in REGISTRY if n not in seen]
+    checked = [n for n in REGISTRY if n in seen]
+    return unchecked + checked
 
 
 def all_queries() -> dict[str, QueryFn]:

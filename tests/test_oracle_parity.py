@@ -51,8 +51,9 @@ def test_unchecked_queries_inside_driver_window():
     of queries(). Any registry entry that has never appeared in a
     CORRECTNESS_r*.json must therefore sit inside that window, or it
     will never get a driver row (the round-2 verdict's top finding).
-    Registering a new query without adding it to _DRIVER_WINDOW_FIRST
-    (plans/queries.py) fails here."""
+    plans/queries._driver_order now computes this (never-checked names
+    first), so this guard can only fire if that computation regresses
+    or >50 unchecked queries queue while a checked one holds a slot."""
     import glob
     import json
     import os
