@@ -98,7 +98,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
-        app_name="stedi-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="stedi-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # keep stdout clean: the driver parses the FINAL stdout line as the
+        # bench JSON, and console progress bars (\r frames) were interleaved
+        # into the captured stream in round-2/3 artifacts
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     # Warm each plan at the smallest SF first: identical expressions →
     # identical generated code → codegen cache hits at the measured SF.
@@ -164,30 +170,43 @@ def main() -> None:
     )
     failed = sorted(set(errors) - set(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                # a failure must DEGRADE the metric, never improve it: with
-                # any query failed the headline value is null (a sum over
-                # fewer queries would look BETTER than a clean round)
-                "value": round(sum(timings.values()), 3) if not failed else None,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "failed": failed,
-                "n_ok": len(timings),
-                "n_requested": len(HEADLINE),
-                "n_passes": n_passes,
-                "loadavg_1m": [round(x, 2) for x in load_samples],
-                "max_pass_spread": round(spread, 3),
-                "agg_pass_spread": round(agg_spread, 3),
-                "contended": agg_spread > 1.3,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "total_sec",
+        # a failure must DEGRADE the metric, never improve it: with
+        # any query failed the headline value is null (a sum over
+        # fewer queries would look BETTER than a clean round)
+        "value": round(sum(timings.values()), 3) if not failed else None,
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "n_ok": len(timings),
+        "n_requested": len(HEADLINE),
+        "contended": agg_spread > 1.3,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Bulky diagnostics (all passes, load samples, spreads) go to a side
+    # file: round-3's stdout JSON carried them inline, grew past the
+    # driver's line-capture limit, and came back `parsed: null`. The
+    # stdout contract is ONE compact final line.
+    detail = dict(
+        result,
+        passes=passes,
+        errors=errors,
+        n_passes=n_passes,
+        loadavg_1m=[round(x, 2) for x in load_samples],
+        max_pass_spread=round(spread, 3),
+        agg_pass_spread=round(agg_spread, 3),
     )
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     spark.stop()
+    print(json.dumps(result, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
