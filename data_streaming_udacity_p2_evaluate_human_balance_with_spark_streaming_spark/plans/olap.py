@@ -538,7 +538,10 @@ def q_mixture_sample_md5_threshold(spark: SparkSession, sf_dir: str) -> DataFram
         "lang",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h4"),
     )
-    kept = keyed.filter(F.col("h4") < thr[F.col("lang")])
+    # a lang absent from the rate map defaults to keep-all ('g' sorts
+    # above every hex digit) — matching the oracle's CASE ... ELSE 'g';
+    # a bare map lookup would return NULL and silently drop those rows
+    kept = keyed.filter(F.col("h4") < F.coalesce(thr[F.col("lang")], F.lit("g")))
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_doc"),
@@ -777,7 +780,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_global_sales_opportunity",
     """
     WITH avg_bal AS (
-      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+      SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ab
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
@@ -814,7 +817,13 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.col("c_acctbal").cast(_DEC2).alias("bal"),
     )
-    avg_bal = cust.filter(F.col("bal") > 0).agg(F.avg("bal").alias("ab"))
+    # both engines compare against the SAME double: Spark's
+    # avg(decimal(18,2)) is decimal(22,6) (half-up) while DuckDB's is
+    # DOUBLE — left as-is the `bal > ab` membership could flip for a
+    # balance within ~1e-6 of the mean, so cast the average explicitly
+    avg_bal = cust.filter(F.col("bal") > 0).agg(
+        F.avg("bal").cast("double").alias("ab")
+    )
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -936,11 +945,16 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses a view + scalar max subquery; here the revenue frontier is a
     shared DataFrame consumed twice).
 
-    Scale shape: the per-supplier revenue aggregate is computed ONCE
-    and persisted (both the max and the equality filter read the cached
-    frontier — the same pin-the-frontier discipline as ranking.py); the
-    scalar max enters as a broadcast 1-row join, not a collect. Ties
-    all surface, matching the SQL semantics."""
+    Scale shape: the per-supplier revenue aggregate is computed ONCE —
+    a lazy localCheckpoint materialized on first action, read by both
+    the max and the equality filter (the same pin-the-frontier
+    discipline as ranking.py); the scalar max enters as a broadcast
+    1-row join, not a collect. localCheckpoint rather than persist():
+    cache entries live in the CacheManager until an explicit unpersist
+    and would leak across the ~80 queries a sequential driver run
+    executes after this one, while checkpoint blocks are released by
+    the ContextCleaner as soon as the result frame is dereferenced.
+    Ties all surface, matching the SQL semantics."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -953,7 +967,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     top = revenue.crossJoin(F.broadcast(mx)).filter(

@@ -38,9 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bigint under `spark.sql.legacy.parquet.nanosAsLong` and rebuilt
     here) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (scanned as
     TIMESTAMP_NTZ, which `unix_micros`/long casts reject). Both are
-    normalized to a plain session-tz TIMESTAMP with the session tz
-    pinned to UTC, so epoch extractions are deterministic and agree
-    with DuckDB's naive-timestamp reading of the same file."""
+    normalized to a TIMESTAMP whose instant equals the stored wall
+    clock read as UTC — matching DuckDB's naive-timestamp reading of
+    the same file. The NTZ path does this per-expression
+    (convert_timezone through the session tz, which cancels), NOT by
+    mutating spark.sql.session.timeZone: a loader must never change
+    timestamp semantics for every subsequent query on a caller's
+    session."""
     if name == "events":
         # must also hold on driver-provided sessions, not just get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,11 +54,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            # NTZ wall-clock == UTC instant only if the session tz is UTC;
-            # pin it so the cast (and every downstream unix_micros) is
-            # reproducible on driver-provided sessions too.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # NTZ wall clock → the same instant under ANY session tz:
+            # convert_timezone renders the UTC wall clock in the session
+            # tz, and the cast re-interprets it in the session tz — the
+            # two shifts cancel, leaving instant = wall_clock@UTC.
+            # (Verified equal across UTC and America/New_York sessions.)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    " as timestamp)"
+                ),
+            )
     return df
 
 

@@ -238,11 +238,19 @@ def funnel_stage_tracker(
     RocksDB store scales with the keyset, not event volume).
 
     Emits the user's (stage, t1..t3) after every micro-batch that
-    advances it (update semantics). Replaying a finite stream through
-    any micro-batch split converges to the batch query's stage
-    assignment: within a batch the group's rows are sorted by event
-    time before the state transition runs, so batch boundaries can't
-    reorder a user's history."""
+    advances it (update semantics).
+
+    PRECONDITION — ordered replay: convergence to the batch funnel is
+    guaranteed only when the source replays events in global event-time
+    order (true of the repo's file-replay twins, which emit sorted
+    parquet). Within a batch the group's rows are sorted by event time
+    before the state transition runs, so any micro-batch SPLIT of an
+    ordered stream converges; but the per-batch sort cannot recover
+    CROSS-batch disorder — a late-arriving earlier `view`/`click`
+    after a later stage already stamped is silently ignored (state
+    stamps never rewind), which the batch query would have counted.
+    Consumers with out-of-order sources need a watermark-buffered
+    reorder stage upstream; this operator is not late-data-tolerant."""
     s1, s2, s3 = stages
     user, typ, ts = user_col, type_col, ts_col
 

@@ -478,17 +478,19 @@ def test_tpch_q17_decorrelated_avg_no_nested_loop(spark):
 
 def test_tpch_q15_reads_persisted_revenue_frontier(spark):
     """Q15's revenue aggregate is consumed twice (scalar max + equality
-    filter); it must be persisted so both branches read the cache
-    instead of re-aggregating lineitem, and the max must enter as a
-    broadcast — not a collect."""
+    filter); it must be materialized once (lazy localCheckpoint) so
+    both branches read the checkpointed RDD instead of re-aggregating
+    lineitem, and the max must enter as a broadcast — not a collect.
+    localCheckpoint (vs persist) so the blocks are ContextCleaner-freed
+    on dereference instead of leaking in the CacheManager across a
+    sequential all-registry driver run."""
     fn, _ = REGISTRY["tpch_q15_top_supplier"]
     df = fn(spark, SF_SMOKE)
-    try:
-        df.collect()
-        final = (
-            df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
-        )
-        assert "InMemoryTableScan" in final, final
-        assert "Broadcast" in final, final
-    finally:
-        spark.catalog.clearCache()
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    assert "ExistingRDD" in final, final
+    assert "Broadcast" in final, final
+    # the frontier must NOT have left a CacheManager entry behind
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
