@@ -34,12 +34,20 @@ from .text import repetition_stats, stopword_ratio, token_count
 FEATURES = ("distinct_token_ratio", "top_token_share", "n_tokens", "stopword_ratio")
 
 
-def quality_feature_frame(docs: DataFrame, col: str = "text") -> DataFrame:
+def quality_feature_frame(
+    docs: DataFrame, col: str = "text", label_threshold: float = 0.2
+) -> DataFrame:
     """One-scan JVM feature extraction + the weak label.
 
-    Weak label (1 = low quality): duplicate-bigram fraction over 0.2 —
-    the Gopher-style repetition rule. The label column rides along for
-    training/eval; scoring paths can drop it."""
+    Weak label (1 = low quality): duplicate-bigram fraction over
+    `label_threshold` — the Gopher-style repetition rule. 0.2 is the
+    literature operating point for genuinely spammy text (the planted
+    fixtures in tests/test_models.py sit far above it); callers
+    labeling a CLEAN corpus must calibrate the threshold to a quantile
+    that actually splits it, or LBFGS degenerates on a constant label
+    (intercept → ±inf, coefficients 0 — observed on the synthetic
+    documents table, whose dup-bigram ratio maxes at 0.13). The label
+    column rides along for training/eval; scoring paths can drop it."""
     reps = repetition_stats(col)
     return docs.select(
         "doc_id",
@@ -47,7 +55,7 @@ def quality_feature_frame(docs: DataFrame, col: str = "text") -> DataFrame:
         reps["top_token_share"].alias("top_token_share"),
         token_count(col).cast("double").alias("n_tokens"),
         stopword_ratio(col).alias("stopword_ratio"),
-        (reps["dup_bigram_ratio"] > 0.2).cast("double").alias("weak_label"),
+        (reps["dup_bigram_ratio"] > label_threshold).cast("double").alias("weak_label"),
     )
 
 
@@ -66,6 +74,36 @@ def train_quality_classifier(feats: DataFrame, max_iter: int = 30, reg: float = 
     return lr.fit(va.transform(feats))
 
 
+#: Serving-path coefficients frozen from a one-time LBFGS fit
+#: (max_iter=15, reg=0.01, label_threshold=0.065) on the sf0.01
+#: documents table — training is an offline job; SERVING is literal
+#: arithmetic, so a deployed filter pins the exact model version as
+#: code. Order matches FEATURES. Signs sanity-check the semantics:
+#: repetitive docs (high top_token_share, low distinct ratio, few
+#: stopwords) score high.
+FROZEN_INTERCEPT = -3.24717046797201
+FROZEN_COEFS = (
+    -4.49582477894105,  # distinct_token_ratio
+    19.967030975467523,  # top_token_share
+    0.021812184602536196,  # n_tokens
+    -3.383430552493673,  # stopword_ratio
+)
+
+
+def frozen_logit_expr(feature_cols: tuple[str, ...] = FEATURES) -> Column:
+    """The frozen model's logit as a strict left-to-right fused chain:
+    intercept + Σ coef·feature. Every op is IEEE double add/multiply —
+    deterministic and bit-identical in any engine that evaluates the
+    same textual order (the DuckDB oracle writes the identical chain),
+    unlike sigmoid whose exp() is not correctly-rounded and may differ
+    in the last ulp across libms. Filtering on the logit is equivalent:
+    sigmoid is monotone, so p > t  ⟺  logit > ln(t/(1-t))."""
+    z = F.lit(FROZEN_INTERCEPT)
+    for c, name in zip(FROZEN_COEFS, feature_cols):
+        z = z + F.lit(c) * F.col(name)
+    return z
+
+
 def score_expression(model, feature_cols: tuple[str, ...] = FEATURES) -> Column:
     """Broadcast the trained model back into a pure JVM expression:
     sigmoid(intercept + Σ coef·feature). At 100 TB this is the whole
@@ -80,10 +118,12 @@ def score_expression(model, feature_cols: tuple[str, ...] = FEATURES) -> Column:
     return 1.0 / (1.0 + F.exp(-z))
 
 
-def score_quality(docs: DataFrame, model, col: str = "text") -> DataFrame:
+def score_quality(
+    docs: DataFrame, model, col: str = "text", label_threshold: float = 0.2
+) -> DataFrame:
     """Feature-extract + score in one composable projection; filter on
     `p_low_quality` downstream."""
-    feats = quality_feature_frame(docs, col)
+    feats = quality_feature_frame(docs, col, label_threshold)
     return feats.withColumn(
         "p_low_quality", F.round(score_expression(model), 6)
     ).select("doc_id", "weak_label", "p_low_quality")

@@ -441,14 +441,24 @@ def q_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weak-label threshold calibrated to the SYNTHETIC corpus: its
+#: dup-bigram ratio maxes at 0.13 (the literature's 0.2 never fires →
+#: constant label → degenerate LBFGS), so label near the p90 — ~10%
+#: positive at every shipped SF, a real two-class problem.
+_QUALITY_LABEL_THRESHOLD = 0.065
+
+
 @register("quality_classifier_scores", None)
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-label quality classifier over the documents table: heuristic
-    repetition rule labels, LogisticRegression fit (distributed LBFGS),
-    then scoring as a pure JVM sigmoid expression (operators/models.py).
-    Rows-only like the KMeans IVF path: iterative optimization is not
-    SQL-expressible, so no DuckDB oracle; determinism and
-    expression-vs-transform parity are covered in tests/test_models.py."""
+    repetition rule labels (corpus-calibrated threshold — see
+    _QUALITY_LABEL_THRESHOLD), LogisticRegression fit (distributed
+    LBFGS), then scoring as a pure JVM sigmoid expression
+    (operators/models.py). Rows-only like the KMeans IVF path:
+    iterative optimization is not SQL-expressible, so no DuckDB oracle;
+    determinism and expression-vs-transform parity are covered in
+    tests/test_models.py, and the frozen-coefficient serving path is
+    fully oracled as `quality_logit_frozen`."""
     from ..operators.models import (
         quality_feature_frame,
         score_quality,
@@ -456,12 +466,68 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = quality_feature_frame(docs).persist()
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    ).persist()
     try:
         model = train_quality_classifier(feats, max_iter=15)
     finally:
         feats.unpersist()
-    return score_quality(docs, model)
+    return score_quality(
+        docs, model, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+
+
+def _frozen_quality_oracle() -> str:
+    """DuckDB replica of the frozen-coefficient quality filter: the
+    identical feature arithmetic (exact integer-ratio doubles) and the
+    identical left-to-right logit chain, literal-for-literal."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t)
+    SELECT doc_id, round({z}, 6) AS logit,
+      CAST(({z}) > 0 AS BIGINT) AS flag_low_quality
+    FROM f
+    """
+
+
+@register("quality_logit_frozen", _frozen_quality_oracle())
+def q_quality_logit_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's SERVING path with the model frozen as
+    literals (operators/models.py FROZEN_COEFS): one scan, features and
+    logit all inside whole-stage codegen — at 100 TB the corpus-wide
+    quality filter costs the same as an arithmetic projection, and the
+    deployed model version is pinned in code, not in a model store.
+    Emits the logit rather than the sigmoid: add/multiply are IEEE
+    bit-deterministic across engines while exp() is not, and sigmoid
+    monotonicity makes logit thresholds equivalent — so this path is
+    fully DuckDB-oracle-able where the trained twin
+    (`quality_classifier_scores`) is rows-only."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(docs)
+    z = frozen_logit_expr()
+    return feats.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        (z > 0).cast("bigint").alias("flag_low_quality"),
+    )
 
 
 def _rp_oracle() -> str:

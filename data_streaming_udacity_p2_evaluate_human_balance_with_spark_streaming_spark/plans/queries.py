@@ -1926,15 +1926,21 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells + n_probe nearest cells per query) — the
     index-based scale path. Rows-only: iterative ML training isn't
-    SQL-expressible; recall vs the exact baseline is asserted in
-    tests/test_dedup_similarity.py."""
+    SQL-expressible; the correctness gate is the registry-level recall
+    bound vs the exact brute-force top-k
+    (tests/test_dedup_similarity.py::test_registry_ivf_topk_recall_bound,
+    ≥0.55 at these exact parameters; measured 0.68/0.60 at
+    sf0.001/sf0.01). n_probe=5 of 16 cells: a 31% corpus scan — the
+    quality/throughput operating point the recall bound certifies."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries_df, k=_ANN_K, cache_key=f"{sf_dir}/embeddings")
+    return ivf_topk(
+        emb, queries_df, k=_ANN_K, n_probe=5, cache_key=f"{sf_dir}/embeddings"
+    )
 
 
 #: planted-PII suffix (the synthetic docs contain no natural PII, so

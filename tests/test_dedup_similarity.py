@@ -413,3 +413,28 @@ def test_winnowing_guarantee_planted_span(spark):
     }
     assert by_doc[1] & by_doc[2], "planted 12-token span must share a fingerprint"
     assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+
+def test_registry_ivf_topk_recall_bound(spark):
+    """The REGISTRY query `ann_ivf_topk` is rows-only for the driver
+    (KMeans training isn't SQL-expressible), so this is its correctness
+    gate: recall vs the exact brute-force top-k at the query's own
+    parameters (16 cells, 5 probes — a 5/16 corpus scan). The bound is
+    what earns the query its registry slot; if it ever drops toward the
+    random-scan baseline (~31%), the index is broken, not just slow.
+    Measured 0.68 here (0.60 at sf0.01) — deterministic given the
+    seeded KMeans."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"][0](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_topk"][0](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"registry IVF recall {recall} below bound"
