@@ -81,6 +81,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     shingle_mode: str = "word",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band
     of their minhash signature collide. Returns (doc_a, doc_b) with
@@ -88,9 +89,16 @@ def minhash_lsh_candidates(
     switches to k-char shingles (code/CJK robustness).
 
     Scale shape: explode to `bands` rows/doc → groupBy band bucket →
-    pairs only within buckets. Skewed mega-buckets (boilerplate spam)
-    are capped by AQE skew splitting; at extreme skew add a bucket-size
-    cap filter before pairing.
+    pairs only within buckets. `max_bucket` guards the quadratic
+    ceiling exactly as in simhash_near_dups: a band bucket flooded by
+    boilerplate/replay spam (every copy has an identical signature, so
+    every band collides) would self-join quadratically; buckets larger
+    than the cap are dropped from candidate generation — exact dedup
+    already collapses identical payloads, and near-identical floods
+    surface through their OTHER, un-flooded bands. The gate is a count
+    window over the join's own keys (band, bucket), so it adds no
+    exchange beyond the one the self-join needs. Pass None to disable
+    (exact small-corpus semantics — the oracle-parity configuration).
     """
     shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
     rows = num_hashes // bands
@@ -121,6 +129,13 @@ def minhash_lsh_candidates(
     # the self-join would otherwise recompute shingling + 32 permutations
     # for BOTH sides; banded is tiny (3 ints × docs × bands), so persist it
     banded = banded.persist()
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -180,6 +195,7 @@ def minhash_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     shingle_mode: str = "word",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     threshold. Output (doc_a, doc_b, jaccard). Soundness is exact by
@@ -191,6 +207,7 @@ def minhash_near_dups(
         bands=bands,
         shingle_k=shingle_k,
         shingle_mode=shingle_mode,
+        max_bucket=max_bucket,
     )
     return ngram_jaccard(
         docs, cands, shingle_k=shingle_k, shingle_mode=shingle_mode
@@ -472,6 +489,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup via OR-amplified random-hyperplane LSH
     prefilter + exact cosine verify.
@@ -487,7 +505,11 @@ def embedding_near_dups(
     re-joined only for the surviving candidate pairs (candidates <<
     corpus at any realistic dup rate). At larger corpora raise
     `n_planes` (halves bucket occupancy per extra plane) and `n_tables`
-    to hold recall."""
+    to hold recall. `max_bucket` is the same quadratic-ceiling guard as
+    the minhash/simhash paths: a (table, bucket) cell flooded by
+    identical embeddings (re-encoded boilerplate) is dropped from
+    candidate generation — the count window runs over the join's own
+    keys, adding no extra exchange. Pass None to disable."""
     from ..functions.vectors import infer_dim
     from .similarity import cosine_expr, hyperplane_bucket
 
@@ -514,6 +536,13 @@ def embedding_near_dups(
         .select("_id", "tb.tab", "tb.bucket")
         .persist()
     )
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("tab", "bucket")
+        bucketed = (
+            bucketed.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     pairs = (
         l.join(

@@ -438,3 +438,66 @@ def test_registry_ivf_topk_recall_bound(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"registry IVF recall {recall} below bound"
+
+
+def test_minhash_mega_bucket_guard(spark):
+    """A planted flood of identical documents gives every band bucket
+    the full flood membership (identical signatures collide in ALL
+    bands); with max_bucket set the flooded buckets are dropped so the
+    band self-join can't go quadratic, while pairs outside the flood
+    are untouched. The count-window gate runs over the join's own
+    (band, bucket) keys — asserted below: the executed plan carries
+    exactly ONE (band, bucket) exchange, shared by the window and the
+    self-join, and no cartesian."""
+    import re
+
+    docs = _near_dup_docs(spark)
+    flood = spark.createDataFrame(
+        [(1_000_000 + i, "spam spam spam wonderful spam " * 10) for i in range(40)],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(flood)
+    planted = {(10 * i, 10 * i + 1) for i in range(30)}
+    unc = dedup.minhash_lsh_candidates(corpus, max_bucket=None)
+    cap = dedup.minhash_lsh_candidates(corpus, max_bucket=30)
+    up = {(r.doc_a, r.doc_b) for r in unc.collect()}
+    cp = {(r.doc_a, r.doc_b) for r in cap.collect()}
+    assert sum(1 for p in up if p[0] >= 1_000_000) == 40 * 39 // 2
+    assert not any(p[0] >= 1_000_000 for p in cp)  # flood gone
+    # natural planted pairs are unaffected (their buckets are tiny)
+    assert cp & planted == up & planted
+    assert len(cp & planted) >= 27  # ≥0.9 recall preserved under the cap
+    final = (
+        cap._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    assert "Cartesian" not in final
+    bucket_exchanges = [
+        keys
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
+        if "band" in keys and "bucket" in keys
+    ]
+    assert len(bucket_exchanges) == 1, bucket_exchanges
+    spark.catalog.clearCache()
+
+
+def test_embedding_mega_bucket_guard(spark):
+    """Same guard on the hyperplane-LSH (table, bucket) cells: a flood
+    of identical embeddings lands in one cell per table and must be
+    dropped from candidate generation when it exceeds max_bucket."""
+    emb_rows = [
+        (i, [float((i * 7 + d) % 13) - 6.0 for d in range(16)]) for i in range(100)
+    ]
+    emb_rows += [(1_000_000 + i, [1.0] * 16) for i in range(40)]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    unc = dedup.embedding_near_dups(
+        emb, threshold=0.999, n_planes=4, n_tables=2, max_bucket=None
+    )
+    cap = dedup.embedding_near_dups(
+        emb, threshold=0.999, n_planes=4, n_tables=2, max_bucket=30
+    )
+    ue = {(r.id_a, r.id_b) for r in unc.collect()}
+    ce = {(r.id_a, r.id_b) for r in cap.collect()}
+    assert sum(1 for p in ue if p[0] >= 1_000_000) == 40 * 39 // 2
+    assert not any(p[0] >= 1_000_000 for p in ce)
+    assert ce == {p for p in ue if p[0] < 1_000_000}
+    spark.catalog.clearCache()
