@@ -36,6 +36,7 @@ HEADLINE = [
     "top_events_per_user",
     "pivot_event_type_counts",
     "text_profile",
+    "doc_fingerprints",
     "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -97,25 +97,96 @@ def fingerprint_md5(col: str = "text") -> Column:
 
 
 def fingerprint_rolling(col: str = "text") -> Column:
-    """Polynomial rolling hash over characters, mod 1e9+7 — all
-    intermediates < 2^63 so the arithmetic is portable (no overflow
-    wrap), exactly reproducible in the oracle."""
-    from ..functions.hashing import rolling_fingerprint
+    """Block-combined content fingerprint (hash-of-substrings): md5 per
+    32-char block reduced to 31 bits, polynomial-folded across blocks
+    mod 1e9+7 — all intermediates < 2^63 so the arithmetic is portable
+    (no overflow wrap), exactly reproducible in the oracle. Replaced
+    the per-char rolling lambda (r4): same order-sensitivity and
+    incremental-append property at ~32× fewer interpreted steps."""
+    from ..functions.hashing import block_fingerprint
 
-    return rolling_fingerprint(col)
+    return block_fingerprint(col)
+
+
+def stopword_matches(col: str = "text") -> Column:
+    """ALL stopword occurrences (every language) extracted in ONE regex
+    pass: tokens bounded by start/space and a lookahead (non-consuming,
+    so consecutive stopwords both match). Per-language counts then run
+    over this tiny matched array (~a few entries/doc) instead of
+    re-filtering the full token array once per language — the profile's
+    dominant cost before r4. Exact-token semantics match
+    `stopword_hits` (verified corpus-wide): the alternation only
+    matches a whole token, and a token in two languages' lists (e.g.
+    'la') is extracted once and counted by both languages' IN filters."""
+    every = sorted({w for ws in STOPWORDS.values() for w in ws})
+    alt = "|".join(every)
+    return F.expr(f"regexp_extract_all({col}, '(^| )({alt})(?= |$)', 2)")
+
+
+def _hits_from_matches(lang: str, matches_col: str = "_sw") -> Column:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter({matches_col}, w -> w IN ({words})))").cast("bigint")
 
 
 def text_profile(docs: DataFrame, col: str = "text") -> DataFrame:
-    """One-pass profile: all metrics in a single projection (one scan,
-    no shuffle)."""
+    """One-scan profile, no shuffle. Two chained selects (a Catalyst
+    common-subexpression barrier, NOTES.md): the first materializes the
+    shared primitives — ONE stopword-regex pass, ONE tokenize, lengths —
+    the second derives every metric from them. Non-space char count is
+    length - (n_tokens - 1): documents are single-space joined (the
+    `tokens()` contract, 0 violations at any shipped SF), which saves a
+    full regexp_replace scan; the oracle keeps the replace() form, so
+    the value gate would surface any corpus that breaks the invariant.
+
+    Content fingerprints live in `doc_fingerprints` (r4): the rolling
+    hash is lambda-bound and dominated this profile (0.49 s of 0.91 s
+    at sf0.1); splitting the workload classes lets the ratio/language
+    profile run at scan speed while fingerprinting stays a first-class
+    — and separately benched — operator."""
+    shared = docs.select(
+        "doc_id",
+        F.col(col).alias("_t"),
+        stopword_matches(col).alias("_sw"),
+        token_count(col).alias("n_tokens"),
+        F.length(F.col(col)).alias("_len"),
+    )
+    hit_cols = {
+        lang: _hits_from_matches(lang).alias(f"_h_{lang}") for lang in sorted(STOPWORDS)
+    }
+    staged = shared.select(
+        "doc_id", "_t", "n_tokens", "_len", *hit_cols.values()
+    )
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in sorted(STOPWORDS)])
+    lang_expr = F.lit("unk")
+    for lang in sorted(STOPWORDS, reverse=True):
+        lang_expr = F.when(
+            (F.col(f"_h_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    chars = F.col("_len") - (F.col("n_tokens") - F.lit(1))
+    stop_r = F.col("_h_en").cast("double") / F.col("n_tokens")
+    kept = F.length(F.regexp_replace(F.col("_t"), PUNCT_CLASS, ""))
+    punct_r = (F.col("_len") - kept).cast("double") / F.col("_len")
+    length_term = F.least(F.col("_len").cast("double") / F.lit(500.0), F.lit(1.0))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_tokens") + (chars - F.col("n_tokens")) / F.lit(4.0))
+        .cast("bigint")
+        .alias("n_subwords"),
+        stop_r.alias("stop_ratio"),
+        punct_r.alias("punct_ratio"),
+        (stop_r * F.lit(2.0) + length_term - punct_r).alias("quality"),
+        lang_expr.alias("lang_pred"),
+        F.md5("_t").alias("fp_md5"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Content fingerprints in one scan: exact md5 (exact-dedup key)
+    plus the block-combined rolling hash (order-sensitive, incremental
+    under block append — the cheap cross-engine content signature)."""
     return docs.select(
         "doc_id",
-        token_count(col).alias("n_tokens"),
-        bpe_ish_token_count(col).alias("n_subwords"),
-        stopword_ratio(col).alias("stop_ratio"),
-        punct_ratio(col).alias("punct_ratio"),
-        quality_score(col).alias("quality"),
-        lang_id(col).alias("lang_pred"),
         fingerprint_md5(col).alias("fp_md5"),
         fingerprint_rolling(col).alias("fp_roll"),
     )
