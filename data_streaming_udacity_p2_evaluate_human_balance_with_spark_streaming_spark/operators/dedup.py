@@ -333,6 +333,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 6,
     early_stop: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster assignment over a near-dup pair graph: each node gets
     cluster = the minimum doc id reachable within `max_iter` hops —
@@ -396,6 +397,7 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels) if early_stop else None
+    iterations, converged = 0, False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -408,12 +410,19 @@ def connected_components(
         )
         _free(labels)
         labels = new_labels
+        iterations += 1
         if early_stop:
             s = _label_sum(labels)
             if s == prev_sum:
+                converged = True
                 break
             prev_sum = s
     _free(edges)
+    if stats is not None:
+        # observability for tests/operators: how many propagation rounds
+        # ran and whether the fixpoint (not the iteration cap) ended them
+        stats["iterations"] = iterations
+        stats["converged"] = converged
     return labels.select("node", F.col("label").alias("cluster"))
 
 

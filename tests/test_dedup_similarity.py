@@ -501,3 +501,27 @@ def test_embedding_mega_bucket_guard(spark):
     assert not any(p[0] >= 1_000_000 for p in ce)
     assert ce == {p for p in ue if p[0] < 1_000_000}
     spark.catalog.clearCache()
+
+
+def test_connected_components_long_chain_early_stop(spark):
+    """A planted path graph of diameter 15 (far beyond the default
+    max_iter=6): with a generous iteration cap, early_stop must end the
+    loop at the FIXPOINT — one confirmation round after the 15 rounds
+    min-label propagation needs — not at the cap, and every node must
+    carry the true component minimum. Certifies the early-stop
+    detection is a real fixpoint test on deep graphs, not something
+    only exercised on the shallow quasi-clique graphs dedup produces."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = {
+        r.node: r.cluster
+        for r in dedup.connected_components(
+            chain, max_iter=30, early_stop=True, stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(16)}
+    assert stats["converged"], stats
+    # 15 propagation rounds + 1 unchanged-sum confirmation, never the cap
+    assert stats["iterations"] <= 16, stats
