@@ -89,6 +89,12 @@ HEADLINE = [
     "global_shuffle_order",
     "chunk_exact_dedup",
     "winnowing_fingerprints",
+    # round-4 wave: curation compositions + serving-path scoring
+    "quality_logit_frozen",
+    "dedup_cluster_keep_best",
+    "ngram_novelty_scores",
+    "multimodal_frame_sample",
+    "hll_distinct_merge_by_source",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

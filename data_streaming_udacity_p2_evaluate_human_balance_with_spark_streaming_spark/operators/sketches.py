@@ -216,3 +216,95 @@ def hll_estimate_oracle_sql(table: str, group_col: str, key_col: str) -> str:
            CAST(n_regs AS BIGINT) AS n_registers
     FROM summary
     """
+
+
+def _hll_summary_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Registers → estimate (shared by hll_estimate and the merge path):
+    exact-integer harmonic denominator, linear-counting small-range
+    correction — see hll_estimate."""
+    m = HLL_M
+    summary = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")).alias(
+            "s_int"
+        ),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    numer = f"{HLL_ALPHA!r} * {m} * {m} * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}) AS DOUBLE)"
+    s_all = f"(s_int + ({m} - n_regs) * shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return summary.select(
+        F.col(group_col),
+        F.expr(f"round({est}, 4)").alias("est_distinct"),
+        F.col("n_regs").cast("long").alias("n_registers"),
+    )
+
+
+def hll_merge_estimate(
+    df: DataFrame, group_col: str, key_col: str, all_label: str = "ALL"
+) -> DataFrame:
+    """Per-group HLL estimates PLUS the merged-sketch global row: the
+    `all_label` group's registers are the per-bucket MAX over every
+    group's registers — the sketch-union operation — not a rescan of
+    the raw keys. This is the property that makes HLL usable at 100 TB:
+    per-partition/per-day sketches (256 registers each) merge
+    associatively into exact-union estimates without touching raw data
+    again; the oracle replays the identical merge, putting MERGE
+    semantics themselves under the value gate (a pytest additionally
+    pins merged == direct-global-scan estimate)."""
+    e = hll_register_exprs(f"CAST({key_col} AS STRING)")
+    regs = (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.expr(e["bucket_hex"]).alias("bucket_hex"),
+            F.expr(e["rho"]).alias("rho"),
+        )
+        .groupBy(group_col, "bucket_hex")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = (
+        regs.groupBy("bucket_hex")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit(all_label).alias(group_col), "bucket_hex", "rho")
+    )
+    return _hll_summary_estimate(regs.unionByName(merged), group_col)
+
+
+def hll_merge_oracle_sql(
+    table: str, group_col: str, key_col: str, all_label: str = "ALL"
+) -> str:
+    """DuckDB replica of `hll_merge_estimate` (same register math as
+    hll_estimate_oracle_sql plus the per-bucket max merge)."""
+    e = hll_register_exprs(f"CAST({key_col} AS VARCHAR)")
+    m = HLL_M
+    numer = f"CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} * CAST((1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)"
+    s_all = f"(s_int + ({m} - n_regs) * (1::BIGINT << {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return f"""
+    WITH regs AS (
+      SELECT CAST({group_col} AS VARCHAR) AS {group_col},
+             {e["bucket_hex"]} AS bucket_hex, MAX({e["rho"]}) AS rho
+      FROM {table} GROUP BY 1, 2
+    ), with_merged AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT '{all_label}', bucket_hex, MAX(rho) FROM regs GROUP BY 2
+    ), summary AS (
+      SELECT {group_col},
+        SUM((1::BIGINT << ({_HLL_RHO_MAX} - rho)))::BIGINT AS s_int,
+        COUNT(*) AS n_regs
+      FROM with_merged GROUP BY 1
+    )
+    SELECT {group_col}, round({est}, 4) AS est_distinct,
+           CAST(n_regs AS BIGINT) AS n_registers
+    FROM summary
+    """

@@ -1103,3 +1103,243 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("doc_min"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 wave: curation compositions — keep-best consolidation, bigram
+# novelty, multimodal frame sampling, mergeable-HLL union.
+# --------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    """Clusters via the exact-Jaccard recursive-CTE components (the
+    dedup_cluster_assignment oracle), quality via the frozen-coefficient
+    logit chain (quality_logit_frozen) — composed: argmin(logit, doc_id)
+    per cluster."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ), clusters AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+    feats AS (
+      SELECT doc_id,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+        CAST(list_max(list_transform(list_distinct(toks),
+          x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), member AS (
+      SELECT f.doc_id, COALESCE(c.cluster, f.doc_id) AS cluster, {z} AS logit
+      FROM feats f LEFT JOIN clusters c ON c.node = f.doc_id
+    ), ranked AS (
+      SELECT cluster, doc_id, logit,
+        row_number() OVER (PARTITION BY cluster ORDER BY logit, doc_id) AS rn,
+        count(*) OVER (PARTITION BY cluster) AS n_members
+      FROM member
+    )
+    SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keep_id, round(logit, 6) AS best_logit
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("dedup_cluster_keep_best", _keep_best_oracle())
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup consolidation policy a training pipeline
+    actually ships: LSH pairs → connected components → keep the
+    HIGHEST-QUALITY member per cluster (lowest frozen-model logit =
+    least spammy; doc_id breaks ties), singletons keep themselves.
+
+    Scale shape: cluster labels exist only for clustered nodes (a tiny
+    frame at any realistic dup rate) and broadcast-join back onto the
+    corpus; the per-cluster argmin is ONE hash aggregate via
+    min(struct(logit, doc_id)) — struct comparison is field-ordered, so
+    it's the exact (logit, doc_id) lexicographic argmin with map-side
+    partial aggregation, no window over the corpus. The oracle replays
+    clusters via the recursive-CTE exact components and quality via the
+    identical literal logit chain."""
+    from ..operators.dedup import connected_components, minhash_near_dups
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    labels = connected_components(pairs)
+    scored = quality_feature_frame(docs).select(
+        "doc_id", frozen_logit_expr().alias("logit")
+    )
+    member = (
+        scored.join(
+            F.broadcast(labels), scored["doc_id"] == labels["node"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+            "logit",
+        )
+    )
+    best = member.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.struct("logit", "doc_id")).alias("_b"),
+    )
+    return best.select(
+        "cluster",
+        "n_members",
+        F.col("_b.doc_id").alias("keep_id"),
+        F.round(F.col("_b.logit"), 6).alias("best_logit"),
+    )
+
+
+@register(
+    "ngram_novelty_scores",
+    """
+    WITH docbg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ), counts AS (
+      SELECT bg, COUNT(*) AS cnt FROM docbg GROUP BY bg
+    )
+    SELECT doc_id,
+      COUNT(*) AS n_bigrams,
+      round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_bg_freq,
+      round(CAST(COUNT(*) FILTER (cnt = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_ratio
+    FROM docbg JOIN counts USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency novelty signals per document: for each doc, the
+    mean corpus-wide frequency of its bigrams (high = boilerplate that
+    repeats across the corpus, low = novel text) and the share of its
+    bigrams that are corpus-hapax (appear exactly once anywhere) — the
+    cheap cross-document complement to the WITHIN-document repetition
+    rules (doc_repetition_stats). Pure integer counts and exact
+    divisions, so the oracle matches bit-for-bit.
+
+    Scale shape: explode bigrams once; the corpus count and the
+    join-back co-partition on the same bigram key, so the second
+    exchange is the only extra cost; per-doc stats then partial-agg on
+    doc_id. At 100 TB you'd hash the bigram to a 64-bit key before the
+    shuffle (string keys only kept here for oracle portability —
+    DuckDB lacks xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    bigrams = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    docbg = (
+        docs.filter(F.expr(f"size({toks}) >= 2"))
+        .select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
+    )
+    counts = docbg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        docbg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bg_freq"),
+            F.round(
+                F.sum((F.col("cnt") == 1).cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+        unnest(generate_series(0,
+          CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) - 1)) AS frame_id
+      FROM documents
+    )
+    SELECT doc_id, frame_id,
+      md5(substring(text, CAST(frame_id * 256 + 1 AS BIGINT), 256)) AS frame_digest,
+      CAST(length(substring(text, CAST(frame_id * 256 + 1 AS BIGINT), 256)) AS BIGINT)
+        AS frame_chars
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the multimodal layout
+    (operators/multimodal.py frame_sample): one row per fixed-size
+    payload chunk — the video-decode fan-out shape. Frame COUNT comes
+    from the byte length in the metadata struct while slicing is
+    character-based (the payload stands in for an opaque blob), so
+    multi-byte languages produce trailing empty frames — deterministic,
+    replayed exactly by the oracle. Emits a digest + length per frame
+    (compact audit columns), not the frame bytes.
+
+    Scale shape: explode(sequence) is a narrow per-row fan-out — no
+    shuffle anywhere; payloads never move between executors, and a real
+    codec would decode each frame in a follow-up mapInPandas over the
+    same partitioning."""
+    from ..operators.multimodal import as_binary_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(as_binary_payload(docs), every_n_bytes=256)
+    return frames.select(
+        "doc_id",
+        F.col("frame_id").cast("bigint").alias("frame_id"),
+        F.md5("frame_payload").alias("frame_digest"),
+        F.length("frame_payload").cast("bigint").alias("frame_chars"),
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from ..operators.sketches import hll_merge_oracle_sql
+
+    return hll_merge_oracle_sql("documents", "source", "doc_id")
+
+
+@register("hll_distinct_merge_by_source", _hll_merge_oracle())
+def q_hll_distinct_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-UNION under the value gate: per-source portable-HLL
+    distinct estimates plus the 'ALL' row whose registers are the
+    per-bucket max over the per-source sketches — the associative merge
+    that lets per-day/per-shard sketches roll up at 100 TB without
+    rescanning raw keys. The oracle replays registers AND the merge;
+    tests additionally pin merged == direct-global-scan estimate
+    (operators/sketches.py hll_merge_estimate)."""
+    from ..operators.sketches import hll_merge_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_merge_estimate(docs, "source", "doc_id")

@@ -589,6 +589,36 @@ def test_hll_portable_estimate_accuracy(spark):
         assert abs(est[g] - t) / t < 0.20, (g, est[g], t)
 
 
+def test_hll_merge_equals_direct_global_estimate(spark):
+    """The merged-sketch 'ALL' row (per-bucket max over per-group
+    registers) must equal the estimate from a direct global scan with a
+    constant group — the associativity property that lets per-shard
+    sketches roll up without rescanning raw keys. Exact equality, not
+    a tolerance: both paths produce identical registers by
+    construction, so any divergence is a merge bug."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_estimate,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 7_000).alias("k"),
+    )
+    merged = {
+        r.g: (r.est_distinct, r.n_registers)
+        for r in hll_merge_estimate(df, "g", "k").collect()
+    }
+    direct = {
+        r.g: (r.est_distinct, r.n_registers)
+        for r in hll_estimate(df.withColumn("g", F.lit("ALL")), "g", "k").collect()
+    }
+    assert merged["ALL"] == direct["ALL"], (merged["ALL"], direct["ALL"])
+    assert set(merged) == {"0", "1", "2", "3", "ALL"}
+
+
 def test_domain_cap_scale_twin_equals_window_form(spark):
     """The salted two-phase top-K must select EXACTLY the same
     (doc_id, source, rn) rows as the single-window form."""
