@@ -192,12 +192,17 @@ def test_runtime_bloom_filter_join(spark):
 def test_curation_end_to_end_scale_shape(spark):
     """The composed curation plan must inherit every stage's scale
     property: no cartesian, no nested-loop over the corpus, and no
-    global (non-_pid) window."""
+    GLOBAL window. Keyed windows are fine: the `_pid` range-partition
+    windows of the two-pass cumsum, and (r4) the (band, bucket)
+    count-window mega-bucket gate, which partitions on the LSH join's
+    own keys."""
     plan = _plan(spark, "curation_end_to_end")
     assert "CartesianProduct" not in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert "_pid" in line, line
+            # a keyed Window line ends with its partition columns:
+            # `..., [part_col#1, ...]`; a global window has none
+            assert "_pid" in line or ("bucket" in line and "band" in line), line
 
 
 def test_ngram_jaccard_band_is_equijoin(spark):
@@ -484,6 +489,9 @@ def test_tpch_q15_reads_persisted_revenue_frontier(spark):
     localCheckpoint (vs persist) so the blocks are ContextCleaner-freed
     on dereference instead of leaking in the CacheManager across a
     sequential all-registry driver run."""
+    # session-shared fixture: other tests' caches must not bleed into
+    # the isEmpty assertion below
+    spark.catalog.clearCache()
     fn, _ = REGISTRY["tpch_q15_top_supplier"]
     df = fn(spark, SF_SMOKE)
     df.collect()
@@ -494,3 +502,47 @@ def test_tpch_q15_reads_persisted_revenue_frontier(spark):
     assert "Broadcast" in final, final
     # the frontier must NOT have left a CacheManager entry behind
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_keep_best_single_aggregate_no_window(spark):
+    """dedup_cluster_keep_best's per-cluster argmin must be the
+    min(struct(logit, doc_id)) hash aggregate (map-side partials, one
+    cluster exchange), NOT a corpus-wide row_number window, and the
+    tiny cluster-label frame must broadcast onto the corpus scan."""
+    plan = _plan(spark, "dedup_cluster_keep_best")
+    assert "CartesianProduct" not in plan
+    # the consolidation tail (above the checkpointed CC labels, which
+    # appear as an ExistingRDD leaf) must be window-free: the argmin is
+    # the struct-min hash aggregate, not row_number
+    tail = plan.split("Scan ExistingRDD")[0]
+    assert "row_number" not in tail
+    assert "windowspecdefinition" not in tail
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_copartitions_on_bigram(spark):
+    """The corpus bigram count and the join-back must share the bigram
+    hash partitioning (count reuses the join's exchange), with the only
+    other exchange being the final per-doc aggregate — and never a
+    cartesian or nested loop."""
+    import re
+
+    fn, _ = REGISTRY["ngram_novelty_scores"]
+    df = fn(spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", final)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["bg", "doc_id"], keys
+
+
+def test_frame_sample_is_narrow(spark):
+    """multimodal_frame_sample must be a pure per-row fan-out: zero
+    exchanges, zero joins — payloads never move between executors."""
+    plan = _plan(spark, "multimodal_frame_sample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
