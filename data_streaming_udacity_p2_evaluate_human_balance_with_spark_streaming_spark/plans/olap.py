@@ -1255,15 +1255,17 @@ def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (string keys only kept here for oracle portability —
     DuckDB lacks xxhash64)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    # tokenize ONCE into an attribute before the lambda touches it —
+    # inlining split() into the transform re-splits the text twice per
+    # element (interpreted); measured 5.3 s → sub-second at sf0.1
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.expr("size(toks) >= 2")
+    )
     bigrams = (
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
-    docbg = (
-        docs.filter(F.expr(f"size({toks}) >= 2"))
-        .select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
-    )
+    docbg = toked.select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
     counts = docbg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         docbg.join(counts, "bg")

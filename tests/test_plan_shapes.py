@@ -192,17 +192,13 @@ def test_runtime_bloom_filter_join(spark):
 def test_curation_end_to_end_scale_shape(spark):
     """The composed curation plan must inherit every stage's scale
     property: no cartesian, no nested-loop over the corpus, and no
-    GLOBAL window. Keyed windows are fine: the `_pid` range-partition
-    windows of the two-pass cumsum, and (r4) the (band, bucket)
-    count-window mega-bucket gate, which partitions on the LSH join's
-    own keys."""
+    global (non-_pid) window. (The r4 mega-bucket gate is a broadcast
+    anti-join, not a window, so the _pid rule stays strict.)"""
     plan = _plan(spark, "curation_end_to_end")
     assert "CartesianProduct" not in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            # a keyed Window line ends with its partition columns:
-            # `..., [part_col#1, ...]`; a global window has none
-            assert "_pid" in line or ("bucket" in line and "band" in line), line
+            assert "_pid" in line, line
 
 
 def test_ngram_jaccard_band_is_equijoin(spark):
