@@ -123,6 +123,23 @@ def main() -> None:
             fn, _ = REGISTRY[name]
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+    # One UNTIMED pass at the measured SF: the first sf_dir execution
+    # pays first-touch costs (page cache, JIT at real batch sizes) that
+    # made timed pass 1 systematically ~2x pass 2 — which polluted the
+    # pass-spread contention signal with warm-up, not box noise. After
+    # this, the timed passes measure steady state and `contended`
+    # means what it says.
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # the timed loop records the error
+        spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
     # N timed passes, min per query: single-shot numbers on a shared
     # box swing 2-4× from scheduler noise; the min is the reproducible
