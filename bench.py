@@ -95,6 +95,16 @@ HEADLINE = [
     "ngram_novelty_scores",
     "multimodal_frame_sample",
     "hll_distinct_merge_by_source",
+    # round-4 second wave (plans/warehouse.py): temporal joins +
+    # tokenizer/corpus statistics
+    "range_join_error_bursts",
+    "scd2_point_in_time_state",
+    "time_bucket_rollup_multi",
+    "bpe_pair_merge_counts",
+    "inverted_index_postings",
+    "skew_key_profile",
+    "anomaly_zscore_events",
+    "doc_length_histogram",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

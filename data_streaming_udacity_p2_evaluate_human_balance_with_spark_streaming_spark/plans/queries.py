@@ -3279,3 +3279,4 @@ def all_oracles() -> dict[str, str]:
 # analytics only needs names defined above.
 from . import analytics as _analytics  # noqa: E402,F401
 from . import olap as _olap  # noqa: E402,F401
+from . import warehouse as _warehouse  # noqa: E402,F401

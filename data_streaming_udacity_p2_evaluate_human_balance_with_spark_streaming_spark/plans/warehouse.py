@@ -1,0 +1,489 @@
+"""Round-4 second wave: warehouse/temporal joins and tokenizer-pipeline
+ops the reference's users would reach for next.
+
+The reference joins two live streams on an equi-key
+(`sparkpykafkajoin.py:131`); production teams immediately need the
+non-equi temporal variants (range join, SCD2 point-in-time) and the
+corpus-statistics ops that feed tokenizer training (BPE pair counts,
+inverted index) and data triage (skew profile, outlier flags, length
+histograms). Everything here is a `@register` query with a full DuckDB
+oracle; docstrings carry the 100 TB plan-shape argument.
+
+Float parity discipline (driver compares doubles by exact repr): every
+mean/variance/sum-of-doubles goes through DECIMAL(18,6) partial sums —
+decimal addition is associative, so Spark's partition-order-dependent
+aggregation and DuckDB's sequential scan produce the SAME exact value;
+only then do we cast to double and do division/sqrt, which are
+IEEE-exact given identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table
+from .queries import register
+
+# 30-minute incident window for the range join, expressed once so the
+# Spark plan and the oracle can't drift. Incidents are a deterministic
+# 1/16 md5-prefix sample of error events: a value threshold would be
+# SF-dependent (the synthetic value range grows with SF — a fixed cut
+# matched ZERO rows at sf≤0.01), while a content-hash rate is
+# scale-invariant and layout/retry-stable.
+_INCIDENT_MIN = 30
+
+
+@register(
+    "range_join_error_bursts",
+    f"""
+    WITH inc AS (
+      SELECT event_id AS incident_id, ts AS start_ts,
+             ts + INTERVAL {_INCIDENT_MIN} MINUTES AS end_ts
+      FROM events
+      WHERE event_type = 'error'
+        AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT incident_id, start_ts,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM inc JOIN events e
+      ON e.ts >= inc.start_ts AND e.ts < inc.end_ts
+     AND e.event_id <> inc.incident_id
+    GROUP BY incident_id, start_ts
+    """,
+)
+def q_range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi-key (blast radius of severe errors: all
+    events, any user, inside each incident's 30-minute window).
+
+    Spark would plan the raw inequality join as BroadcastNestedLoop —
+    O(|incidents|·|events|) compares. The scale shape is BINNING: floor
+    both sides to 30-minute bins; an interval of exactly one bin width
+    overlaps ≤2 bins, so the interval side expands ×2 and the join
+    becomes a hash equi-join on `bin` with the time predicate as a
+    residual. Each event lives in exactly one bin, so a (incident,
+    event) pair can match only once — no post-join dedup. At 100 TB
+    this is one shuffle on a dense integer key; the severe-incident
+    side is tiny by construction (value-threshold filter) and
+    broadcastable, but the binned form stays correct when it isn't.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bin_micros = _INCIDENT_MIN * 60 * 1_000_000
+    inc = (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & (F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0")
+        )
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_INCIDENT_MIN} MINUTES")).alias(
+                "end_ts"
+            ),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("start_ts") / bin_micros),
+                    F.floor(F.unix_micros("start_ts") / bin_micros) + 1,
+                )
+            ),
+        )
+    )
+    probe = ev.withColumn("bin", F.floor(F.unix_micros("ts") / bin_micros))
+    joined = probe.join(
+        F.broadcast(inc),
+        (probe["bin"] == inc["bin"])
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts"))
+        & (F.col("event_id") != F.col("incident_id")),
+    )
+    return joined.groupBy("incident_id", "start_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "scd2_point_in_time_state",
+    """
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.state, d.valid_from AS state_since
+    FROM events p JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_scd2_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build + point-in-time join: non-purchase events become a
+    type-2 slowly-changing dimension (valid_from = ts, valid_to =
+    lead(ts) per user); each purchase joins the interval containing its
+    timestamp to recover the user's state at purchase time.
+
+    Differs from `asof_latest_order_before_event` on purpose: that one
+    aggregates max(struct) over an inequality join; this one
+    materializes versioned intervals first — the warehouse SCD2 idiom —
+    so interval containment yields exactly ≤1 match and needs no
+    post-join reduction. Shapes: the lead() window and the join hash on
+    the SAME user key, so Catalyst plans one user-keyed exchange per
+    side; per-user interval counts bound the inequality fan-out. At
+    100 TB both sides partition on user_id and nothing is quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase")
+    return fact.join(
+        dim,
+        (F.col("d_user_id") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "state",
+        F.col("valid_from").alias("state_since"),
+    )
+
+
+@register(
+    "time_bucket_rollup_multi",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bh,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bd,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS bw,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN grouping(bh) = 0 THEN 'hour'
+                WHEN grouping(bd) = 0 THEN 'day'
+                ELSE 'week' END AS gran,
+           coalesce(bh, bd, bw) AS bucket_start,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM b GROUP BY GROUPING SETS ((bh), (bd), (bw))
+    """,
+)
+def q_time_bucket_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: ONE pass over the
+    fact table produces hour, day, AND week grains via GROUPING SETS —
+    what a timeseries store maintains as three materialized rollups.
+
+    Catalyst plans GROUPING SETS as a single Expand (3 rows per input
+    row, null-ing the unused grain) feeding one hash aggregate with
+    map-side partials — one shuffle total vs three separate scans+aggs.
+    The grain key is dense (hours of a month), so no skew. Decimal
+    partial sums keep the double totals bit-identical to the oracle
+    regardless of partition order.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_tb")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT date_trunc('hour', ts) AS bh,
+                 date_trunc('day', ts) AS bd,
+                 date_trunc('week', ts) AS bw,
+                 value
+          FROM events_tb
+        )
+        SELECT CASE WHEN grouping(bh) = 0 THEN 'hour'
+                    WHEN grouping(bd) = 0 THEN 'day'
+                    ELSE 'week' END AS gran,
+               coalesce(bh, bd, bw) AS bucket_start,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+                 AS total_value
+        FROM b GROUP BY GROUPING SETS ((bh), (bd), (bw))
+        """
+    )
+
+
+@register(
+    "bpe_pair_merge_counts",
+    """
+    WITH words AS (
+      SELECT w, count(*) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair, wf
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step 1: corpus-weighted adjacent
+    character-pair counts (the statistic a merge round maximizes).
+
+    The classic trick makes this cheap at 100 TB: aggregate to the
+    WORD-FREQUENCY dictionary first (vocab ≪ corpus — one shuffle on
+    word), then expand each distinct word into its ≤len-1 overlapping
+    pairs and weight by frequency — pair expansion touches the vocab,
+    not the corpus. `transform(sequence(...))` runs over the already-
+    tokenized attribute (never re-split inside a lambda — NOTES rule),
+    and the final top-50 is TakeOrdered on the bounded pair vocab with
+    a total (n DESC, pair) order, so the boundary is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH perdoc AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+             AS postings_head
+    FROM perdoc GROUP BY term HAVING count(*) >= 30
+    """,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term → document frequency, total term
+    frequency, head of the sorted posting list) for corpus search and
+    quality triage.
+
+    Scale shape: tokenize once, reduce to (term, doc) term frequencies
+    — one term-keyed shuffle with map-side partials — then rank doc_ids
+    per term and KEEP ONLY rank ≤ 5 before any collect, so the
+    collected posting head is bounded at 5 entries per term no matter
+    how common the term is (collect_set of a stopword's full posting
+    list would be a driver-killer at 100 TB). The row_number window and
+    the final agg reuse the same term partitioning — Catalyst plans one
+    exchange for both.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = perdoc.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN rn <= 5 "
+                    "THEN doc_id END)), x -> CAST(x AS STRING))"
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df_docs") >= 30)
+    )
+
+
+@register(
+    "skew_key_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
+           CAST(n AS DOUBLE) * n_keys / total AS rel_to_avg
+    FROM counts, tot
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the 10 heaviest join/agg keys with their
+    corpus share and multiple-of-average — the numbers that decide
+    whether a downstream join needs salting or AQE skew handling
+    (`salted_skew_join` is the consumer of this diagnosis).
+
+    Shape: one user-keyed partial-agg shuffle; the totals are a 1-row
+    aggregate OVER the per-key counts (not a second fact scan) crossed
+    back in via broadcast; top-10 is TakeOrdered with a total order.
+    Integer-ratio doubles (n/total) are exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+                "rel_to_avg"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s1,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mean,
+             sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                  / (n - 1)) AS std
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.mean) / m.std AS z
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value - m.mean) / m.std) > 3.0
+    """,
+)
+def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging (|z| > 3 per event_type) — the
+    numeric analogue of text quality filtering in a curation pipeline.
+
+    Two-pass: tiny per-type moment aggregate (map-side partials, 5
+    rows), broadcast back onto the fact scan — no second shuffle. Float
+    parity is engineered, not hoped for: the moments are DECIMAL(18,6)
+    sums (associative → partition-order independent), and mean/std/z
+    are then IEEE double ops over identical operands, so the |z| > 3
+    boundary cannot flip between engines. stddev here is the sample
+    std via the moment identity, NOT stddev_samp, precisely because the
+    builtin's compensated summation is order-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    # decimal → double goes through a STRING cast on BOTH engines:
+    # DuckDB's direct decimal→double divides two doubles (two roundings,
+    # ±1 ULP vs Java's correctly-rounded BigDecimal.doubleValue), which
+    # shifted 32 of 188 z-values by one bit at sf0.01. Decimal-digit
+    # strings parse correctly-rounded everywhere (strtod / parseDouble),
+    # so the string hop makes the double bit-identical cross-engine.
+    s1d = F.col("s1").cast("string").cast("double")
+    s2d = F.col("s2").cast("string").cast("double")
+    m = s.select(
+        "event_type",
+        (s1d / F.col("n")).alias("mean"),
+        F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY log2_bucket
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 document-length histogram — the first plot anyone makes of
+    a training corpus (truncation/padding budgeting, chunker sizing).
+
+    floor(log2(n)) is computed as length(bin(n)) - 1: integer→binary-
+    string length is exact in both engines, where a float log2 at exact
+    powers of two could round to 9.999… differently per libm. One
+    partial-agg shuffle on ≤64 bucket keys; avg is an exact
+    integer-sum / count division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (F.length(F.bin("n_chars")) - 1).cast("bigint").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+        )
+    )

@@ -542,3 +542,88 @@ def test_frame_sample_is_narrow(spark):
     plan = _plan(spark, "multimodal_frame_sample")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---- round-4 second wave (plans/warehouse.py) ----
+
+
+def test_range_join_binned_to_hash_join(spark):
+    """The no-equi-key range join must NOT plan as a nested-loop over
+    the fact table: binning turns it into a hash equi-join on `bin`
+    (broadcast here — the incident side is tiny by construction) with
+    the time predicate as a residual."""
+    plan = _plan(spark, "range_join_error_bursts")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_join_is_keyed_not_nested_loop(spark):
+    """SCD2 point-in-time join hashes on the user equi-key; the
+    interval-containment predicate rides as a residual/filter, never a
+    nested loop over the fact."""
+    plan = _plan(spark, "scd2_point_in_time_state")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_time_bucket_rollup_single_expand_one_shuffle(spark):
+    """Three grains in one pass: Expand feeds a partially-aggregated
+    hash agg — exactly one hashpartitioning exchange, not three scans."""
+    plan = _plan(spark, "time_bucket_rollup_multi")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+
+
+def test_bpe_pairs_vocab_first_take_ordered(spark):
+    """Pair expansion happens on the word-frequency dict (post-agg),
+    and the top-50 is TakeOrdered — no global sort of all pairs."""
+    plan = _plan(spark, "bpe_pair_merge_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["pair", "w"], keys
+
+
+def test_inverted_index_term_copartition(spark):
+    """(term, doc) reduce, per-term ranking, and the final term agg
+    must all hash on term — two term-rooted exchanges, no extra
+    repartition for the window or final aggregate."""
+    plan = _plan(spark, "inverted_index_postings")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = [k.split("#")[0] for k in keys]
+    assert roots and set(roots) == {"term"}, keys
+    assert len(roots) <= 2, keys
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_take_ordered_single_count_shuffle(spark):
+    """Key counts shuffle once on user_id; totals come from the counts
+    (1-row broadcast back), and top-10 is TakeOrdered."""
+    plan = _plan(spark, "skew_key_profile")
+    assert "TakeOrderedAndProject" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["user_id"], keys
+
+
+def test_zscore_broadcasts_moments(spark):
+    """Per-type moments (5 rows) broadcast back onto the fact scan —
+    the fact table shuffles only for the tiny moment aggregate, and the
+    join itself is a broadcast hash join on event_type."""
+    plan = _plan(spark, "anomaly_zscore_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["event_type"], keys
+
+
+def test_doc_length_histogram_partial_agg(spark):
+    """≤64 bucket keys: map-side combine below one exchange."""
+    plan = _plan(spark, "doc_length_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
