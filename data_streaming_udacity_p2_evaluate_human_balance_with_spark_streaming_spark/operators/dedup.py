@@ -393,9 +393,18 @@ def connected_components(
             pass
 
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # repartition BY KEY with NO explicit count before checkpointing:
+    # the symmetrized union would otherwise checkpoint at 2× the input
+    # partition count (64 static partitions for a few thousand edges at
+    # sf0.1), and every iteration's join re-reads them as a 64-task
+    # stage. A count-less hash repartition lets AQE size the layout to
+    # the data (1 partition for small graphs, proportional at 100 TB),
+    # cutting per-iteration wall ~2× on the bench graphs.
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
