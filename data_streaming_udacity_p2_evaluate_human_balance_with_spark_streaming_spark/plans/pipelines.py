@@ -29,7 +29,12 @@ def customer_decode_pipeline(raw_kv: DataFrame) -> DataFrame:
 def risk_event_pipeline(raw_kv: DataFrame) -> DataFrame:
     """`sparkpyeventskafkastreamtoconsole.py` (SURVEY.md §3.3): parse
     stedi-events JSON → (customer, score)."""
-    parsed = decode.parse_json(decode.cast_kv_to_string(raw_kv), "value", STEDI_EVENT)
+    # once=True: the flagship join infers isnotnull(customer) on this
+    # leg; without the barrier that filter re-evaluates the JSON parse
+    # per row (see decode.evaluated_once)
+    parsed = decode.parse_json(
+        decode.cast_kv_to_string(raw_kv), "value", STEDI_EVENT, once=True
+    )
     return parsed.select("customer", "score")
 
 

@@ -627,3 +627,14 @@ def test_doc_length_histogram_partial_agg(spark):
     plan = _plan(spark, "doc_length_histogram")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+
+
+def test_flagship_decode_chain_evaluated_once(spark):
+    """The null-rejection filter and the join's inferred key null-check
+    must NOT re-inline the envelope decode chain into their conditions:
+    the evaluated_once Generate barrier keeps the executed plan at one
+    from_json per parse site (4 total across both legs' two parses —
+    it was 8 when pushdown duplicated the chains)."""
+    plan = _plan(spark, "flagship_stedi_join")
+    assert "Generate explode" in plan
+    assert plan.count("from_json") <= 4, plan.count("from_json")
