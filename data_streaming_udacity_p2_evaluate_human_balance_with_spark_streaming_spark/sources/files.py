@@ -126,6 +126,22 @@ def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch source (Spark-native columnar alternative to parquet;
+    common in Hive-era lakes). ORC carries its schema, supports
+    predicate pushdown via min/max + Bloom stripe statistics, and
+    vectorizes through the same columnar reader as parquet — so every
+    registry query runs unchanged over an ORC copy of the tables
+    (`test_orc_roundtrip_and_pushdown` proves values AND the pushed
+    filters)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer twin (snappy by default, like parquet)."""
+    df.write.mode(mode).orc(path)
+
+
 def stream_json(spark: SparkSession, path: str, schema) -> DataFrame:
     """Streaming twin of ``load_json`` — file-source micro-batching over
     an NDJSON directory. Schema is mandatory (streaming sources can't

@@ -177,3 +177,26 @@ def test_json_stream_replays_batch(spark, tmp_path):
         assert got == docs.count()
     finally:
         runner.stop_all()
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """parquet → ORC → read back: values identical AND filters reach
+    the ORC scan (PushedFilters non-empty) — the format is a drop-in
+    source for every registry query."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_orc,
+        load_table,
+        write_orc,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = load_orc(spark, out)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    filtered = back.filter(back.o_totalprice > 100000).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:120]
