@@ -105,6 +105,12 @@ HEADLINE = [
     "skew_key_profile",
     "anomaly_zscore_events",
     "doc_length_histogram",
+    # round-4 third wave: corpus quality/balance ops
+    "lang_id_confusion",
+    "ngram_diversity_by_source",
+    "quality_top_quartile_per_source",
+    "source_overlap_matrix",
+    "label_balance_downsample",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -487,3 +487,252 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Third r4 wave: corpus-quality and balance ops over documents/embeddings.
+# --------------------------------------------------------------------------
+
+
+def _lang_pred_sql() -> str:
+    """DuckDB CASE chain replicating operators.text.lang_id, generated
+    from the SAME STOPWORDS constants (formulas can't drift)."""
+    from ..operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+
+    def hit(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+    best = "greatest(" + ", ".join(hit(lg) for lg in langs) + ")"
+    return (
+        "CASE WHEN " + best + " = 0 THEN 'unk' "
+        + " ".join(f"WHEN {hit(lg)} = {best} THEN '{lg}'" for lg in langs)
+        + " ELSE 'unk' END"
+    )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_lang_pred_sql()} AS lang_pred, count(*) AS n_docs
+    FROM documents GROUP BY lang, lang_pred
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: heuristic stopword-hit classifier
+    (operators.text.lang_id) against the corpus's labeled `lang` — the
+    acceptance report one runs before trusting the classifier to route
+    a 100 TB crawl. Pure JVM expressions into a ≤|langs|² hash
+    aggregate; one scan, one tiny shuffle."""
+    from ..operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "ngram_diversity_by_source",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    bgs AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT source, bg, count(*) AS c FROM bgs GROUP BY source, bg)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio,
+           CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*)
+             AS hapax_share
+    FROM cnt GROUP BY source
+    """,
+)
+def q_ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-style diversity audit per source: bigram type/token
+    ratio and hapax share — low diversity flags template/boilerplate
+    farms before they flood a training mix.
+
+    Tokenize ONCE into an attribute, then a transform lambda builds
+    bigrams (never re-split inside the lambda — NOTES rule); two
+    partial-agg shuffles, the first keyed (source, bg), the second the
+    20-row source rollup. Integer-ratio doubles are exact cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bgs = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bgs.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
+        (
+            F.count(F.when(F.col("c") == 1, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("hapax_share"),
+    )
+
+
+@register(
+    "quality_top_quartile_per_source",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+        (CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+         / len(string_split(text, ' '))) * 2.0
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        - CAST(length(text) -
+               length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, score, CAST(rn AS BIGINT) AS q_rank
+    FROM ranked WHERE rn * 4 <= n
+    """,
+)
+def q_quality_top_quartile_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality gate: keep each source's top quartile by the
+    composite quality score — the complement to absolute-threshold
+    filtering (a uniformly low-quality source still contributes its
+    best, a high-quality one isn't over-represented).
+
+    One window pass per source partition (row_number + count share the
+    partitioning → one exchange); `rn*4 <= n` is the integer form of
+    "top 25%" — no float percentile, so the keep boundary is exact in
+    both engines. The quality score reuses operators.text.quality_score
+    (the oracle SQL is generated against the same constants in
+    text_profile; repeated literally here)."""
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score("text").alias("score"))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") * 4 <= F.col("n"))
+        .select("doc_id", "source", "score", F.col("rn").cast("bigint").alias("q_rank"))
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_shingles
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-content overlap (shared distinct trigram
+    shingles) — the similarity matrix that informs mixture weights and
+    flags mirror/scraper source pairs before near-dup spends compute.
+
+    Scale shape: the self-join key is the SHINGLE after per-source
+    distinct — fan-out per shingle is bounded by the number of sources
+    (≤ 20² pairs), never by corpus size, so the join output is
+    |distinct shingles| × O(sources²) worst case and the result is the
+    tiny source×source matrix. One shuffle for the distinct, one for
+    the join, one ≤190-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+@register(
+    "label_balance_downsample",
+    """
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT min(n) AS m FROM counts),
+    ranked AS (
+      SELECT vec_id, label,
+        row_number() OVER (PARTITION BY label
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def q_label_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance downsampling: every label keeps exactly
+    min-class-count rows, chosen by md5 order — deterministic across
+    runs/layouts/retries (content-derived, not partition-derived), so
+    a rebalanced training set is reproducible and oracle-able.
+
+    One label-keyed window pass for the ranking; the min-count is a
+    1-row aggregate over the ≤|labels| counts, broadcast back. The
+    embedding payload never moves — only (vec_id, label) rank."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("vec_id", "label")
+    )

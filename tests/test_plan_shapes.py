@@ -638,3 +638,54 @@ def test_flagship_decode_chain_evaluated_once(spark):
     plan = _plan(spark, "flagship_stedi_join")
     assert "Generate explode" in plan
     assert plan.count("from_json") <= 4, plan.count("from_json")
+
+
+def test_lang_id_confusion_single_partial_agg(spark):
+    plan = _plan(spark, "lang_id_confusion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+
+
+def test_ngram_diversity_source_rooted_exchanges(spark):
+    """Both aggregates key on source first — no re-keying between the
+    (source, bg) reduce and the per-source rollup."""
+    plan = _plan(spark, "ngram_diversity_by_source")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["source"], keys
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_quartile_one_source_exchange(spark):
+    """row_number and the per-source count share one partitioning —
+    a single source-keyed exchange, never a global window."""
+    plan = _plan(spark, "quality_top_quartile_per_source")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["source"], keys
+    assert "SinglePartition" not in plan
+
+
+def test_source_overlap_join_on_shingle(spark):
+    """The self-join hashes on the shingle (per-shingle fan-out bounded
+    by |sources|); never a cartesian/nested loop."""
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_label_balance_no_global_window(spark):
+    """Ranking is label-partitioned (no global window); the min-count
+    reaches the fact side as a 1-row broadcast (the IdentityBroadcast /
+    scalar pattern), and the embedding payload is pruned from every
+    scan — only (vec_id, label) move."""
+    plan = _plan(spark, "label_balance_downsample")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["label"], keys
+    # row_number must ride the label partitioning, not SinglePartition
+    assert "windowspecdefinition(label" in plan
+    assert "BroadcastExchange" in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "embedding" not in m.group(1), m.group(1)
