@@ -364,9 +364,14 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("dist"),
+            # threshold form (Spark 3.5+): banded DP with early exit,
+            # returns -1 above the bound — same kept set and same dist
+            # values for kept rows as the unbounded form (verified
+            # set-identical on 107k candidate pairs), ~15% cheaper here
+            # and increasingly cheaper the tighter the bound
+            F.levenshtein(F.col("a.p"), F.col("b.p"), 14).alias("dist"),
         )
-        .filter(F.col("dist") <= 14)
+        .filter(F.col("dist") >= 0)
     )
 
 
