@@ -449,6 +449,107 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster"))
 
 
+def connected_components_jump(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 12,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Pointer-jumping variant of `connected_components` for graphs of
+    UNKNOWN or adversarial diameter: each round does (1) the same
+    neighbor min-propagation, then (2) a shortcut join that replaces
+    every label with its label's label (path halving). Distance to the
+    component minimum roughly halves per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 64-edge path
+    converges in ~7 rounds where plain propagation needs 64 (certified
+    in tests/test_dedup_similarity.py). This is the same round budget
+    the large-star/small-star construction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") achieves, with simpler
+    per-round plans: two keyed equi-joins + one hash aggregate.
+
+    Near-dup graphs are shallow quasi-cliques, so the DEFAULT operator
+    stays `connected_components` (one join per round beats two when 2-3
+    rounds suffice); reach for this one when the pair graph comes from
+    transitive linkage (fuzzy matching chains, citation/link graphs)
+    where a few long paths would otherwise dominate the iteration
+    count. Labels are always existing node ids (mins of the node set),
+    so the shortcut join is a total inner join — no row loss.
+
+    Same engineering contract as the plain variant: localCheckpoint
+    per round (lineage reset), eager block release of superseded
+    frontiers, label-sum fixpoint detection (labels only decrease)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # SELF-LOOPS instead of an in-loop `labels ∪ msgs` union: with
+    # (v, v) edges, min-over-messages alone already includes v's own
+    # label, so each round is join → aggregate with NO Union node.
+    # This sidesteps a Catalyst fragility: Union constraint rewriting
+    # (UnionBase.rewriteConstraints) throws `key not found: node#...`
+    # when a union child's constraints mention the join-produced
+    # frontier attrs this variant's shortcut creates — plain
+    # propagation tolerates it, pointer jumping did not.
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    edges = (
+        sym.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    iterations, converged = 0, False
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label").alias("label")
+        )
+        # checkpoint BEFORE the shortcut: the self-join needs a leaf
+        # plan on both sides (and the next iteration reads this frame
+        # twice — lineage reset, same contract as the plain variant)
+        propagated = (
+            msgs.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        _free(labels)
+        # shortcut (path halving): label <- min(label, label(label)).
+        # Inner join is total: every label is an existing node id.
+        l, m = propagated.alias("l"), propagated.alias("m")
+        new_labels = (
+            l.join(m, F.col("l.label") == F.col("m.node"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(F.col("l.label"), F.col("m.label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        _free(propagated)
+        labels = new_labels
+        iterations += 1
+        s = _label_sum(labels)
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    _free(edges)
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def streaming_near_dup_filter(
     docs: DataFrame,
     ts_col: str = "ts",

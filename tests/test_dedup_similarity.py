@@ -521,3 +521,43 @@ def test_connected_components_long_chain_early_stop(spark):
     assert stats["converged"], stats
     # 15 propagation rounds + 1 unchanged-sum confirmation, never the cap
     assert stats["iterations"] <= 16, stats
+
+
+def test_pointer_jumping_log_rounds_on_deep_path(spark):
+    """connected_components_jump must converge in O(log diameter)
+    rounds: a 64-edge path (diameter 64 — plain propagation would need
+    64 rounds) converges to the all-zero component in ≤ 9 rounds
+    including the fixpoint confirmation, with exact labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = {
+        r.node: r.cluster
+        for r in dedup.connected_components_jump(
+            chain, max_iter=20, stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(65)}
+    assert stats["converged"], stats
+    assert stats["iterations"] <= 9, stats
+    spark.catalog.clearCache()
+
+
+def test_pointer_jumping_matches_plain_on_quasi_cliques(spark):
+    """On the shallow graphs dedup actually produces, both variants
+    assign identical clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    a = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs, max_iter=8).collect()
+    }
+    b = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components_jump(pairs).collect()
+    }
+    assert a == b
+    spark.catalog.clearCache()
