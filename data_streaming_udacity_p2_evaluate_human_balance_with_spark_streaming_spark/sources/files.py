@@ -142,6 +142,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def load_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """XML batch source (built into Spark 4 — no external package).
+    Explicit schema skips the inference scan; `row_tag` names the
+    repeating element. XML does not split inside a file, so at scale
+    the corpus must arrive as many files (same caveat as multiline
+    JSON)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML writer twin (rootTag/rowTag contract mirrored by load_xml)."""
+    df.write.mode(mode).format("xml").option("rootTag", "rows").option(
+        "rowTag", row_tag
+    ).save(path)
+
+
 def stream_json(spark: SparkSession, path: str, schema) -> DataFrame:
     """Streaming twin of ``load_json`` — file-source micro-batching over
     an NDJSON directory. Schema is mandatory (streaming sources can't

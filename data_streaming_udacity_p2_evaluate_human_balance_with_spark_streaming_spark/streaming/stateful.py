@@ -305,3 +305,22 @@ def funnel_stage_tracker(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_query_state(spark, checkpoint: str, **options):
+    """Read a streaming query's CHECKPOINTED STATE as a DataFrame via
+    the Spark 4 `statestore` data source — the observability tool for
+    stateful pipelines at scale: inspect hot keys, audit state size per
+    partition, or verify an aggregate's internal totals without
+    stopping the query. Returns rows of (key struct, value struct,
+    partition_id); options pass through (e.g. batchId=N for
+    time-travel to an earlier micro-batch, storeName for join state).
+
+    The reference's join pipeline keeps all its state opaque inside
+    the checkpoint (`sparkpykafkajoin.py:152`); this surfaces it —
+    `tests/test_streaming.py::test_statestore_reader_exposes_agg_state`
+    certifies the state matches the query's own output."""
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint)

@@ -200,3 +200,27 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     filtered = back.filter(back.o_totalprice > 100000).select("o_orderkey")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:120]
+
+
+def test_xml_roundtrip_preserves_values(spark, tmp_path):
+    """parquet → XML → read back with explicit schema: values identical
+    including markup-hostile text (&, <, > escape correctly through the
+    Spark 4 built-in XML source)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+        load_xml,
+        write_xml,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    hostile = spark.createDataFrame(
+        [(999_999, "a & b < c > d \"quoted\" 'apos'", "en", "srcX", 27)],
+        docs.schema,
+    )
+    both = docs.unionByName(hostile)
+    out = str(tmp_path / "docs_xml")
+    write_xml(both, out, row_tag="doc")
+    back = load_xml(spark, out, row_tag="doc", schema=both.schema)
+    a = sorted(map(tuple, both.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

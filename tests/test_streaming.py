@@ -626,3 +626,37 @@ def test_streaming_mixture_sample_matches_batch(spark, runner):
     }
     assert stream_kept == batch_kept
     assert 0 < len(stream_kept) < len(rows)
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    """The statestore data source must surface a stateful aggregate's
+    checkpointed per-key state, matching the query's visible output —
+    streaming observability without stopping the pipeline."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        read_query_state,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "k string, v double"
+    ).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("k string, v double").json(src)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sst_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    visible = {(r.k, r.total) for r in spark.sql("SELECT * FROM sst_out").collect()}
+    state = {
+        (r["key"]["k"], r["value"]["sum"])
+        for r in read_query_state(spark, ckpt).collect()
+    }
+    assert state == visible == {("a", 4.0), ("b", 2.0)}
