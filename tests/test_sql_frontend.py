@@ -58,3 +58,30 @@ def test_cte_and_window_sql(spark):
         """
     ).collect()
     assert len(rows) == 10
+
+
+def test_cli_list_and_json_run():
+    """`python -m <pkg>` drives the registry from the shell — list
+    shows oracle markers; run --json emits NDJSON rows."""
+    import json
+    import subprocess
+    import sys
+
+    pkg = "data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark"
+    out = subprocess.run(
+        [sys.executable, "-m", pkg, "list"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    lines = out.stdout.strip().splitlines()
+    assert any(l.startswith("* ") for l in lines)
+    assert len(lines) >= 150
+
+    run = subprocess.run(
+        [sys.executable, "-m", pkg, "run", "doc_length_histogram",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2", "--json"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    rows = [json.loads(l) for l in run.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and {"log2_bucket", "n_docs"} <= set(rows[0])
