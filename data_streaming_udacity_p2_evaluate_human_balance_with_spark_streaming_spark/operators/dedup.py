@@ -181,16 +181,34 @@ def ngram_jaccard(
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     step after LSH). Joins the shingle sets back to the pairs.
 
-    Scale note: when candidates << corpus (low dup rate over billions of
-    docs), first persist `pairs` and semi-join docs against the distinct
-    candidate ids BEFORE building shingle sets — measured here, that
-    variant only wins above ~10⁶ docs; below that the extra
-    shuffle/stage overhead dominates, so the simple two-join shape is
-    kept as the default."""
+    Shape (r4 rework): `pairs` feeds three consumers (the candidate-id
+    set and both set joins) and the shingle sets feed two — without
+    materialization each consumer re-runs its whole upstream (the LSH
+    band join, the corpus shingling), i.e. up to THREE shingle passes
+    per near-dup query. Both frontiers are pinned with LAZY
+    localCheckpoint (materialize on first use; ContextCleaner frees the
+    blocks when the frame is dereferenced — no CacheManager entry to
+    leak across a long session, the q15 lesson). Shingle sets are built
+    only for docs that appear in some candidate pair (semi-join first):
+    at a realistic dup rate that's a small fraction of the corpus, so
+    the expensive array_distinct(shingles) runs on candidates only —
+    the only shape that survives 100 TB. AQE picks the semi-join
+    strategy (broadcast at bench scale)."""
     shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
-    sets_df = spread(docs, id_col).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingle_fn(text_col, shingle_k)).alias("sset"),
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = (
+        spread(docs, id_col)
+        .join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingle_fn(text_col, shingle_k)).alias("sset"),
+        )
+        .localCheckpoint(eager=False)
     )
     return (
         pairs.join(sets_df.withColumnRenamed("_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
