@@ -704,3 +704,58 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_range_join_equals_naive_on_boundaries(spark):
+    """The binning lemma behind range_join_error_bursts: events exactly
+    ON bin edges / interval ends must match the naive inequality join —
+    pairs meet in exactly one bin, [start, end) half-open edges hold.
+    Planted timestamps sit exactly at 30-min boundaries (never occurs
+    in the µs-resolution testdata, so the oracle can't exercise it)."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    base = 1_700_000_000_000_000  # µs, arbitrary epoch anchor
+    bin_us = 30 * 60 * 1_000_000
+    # events at: bin edge, mid-bin, end-boundary of a window, 1µs before
+    for i, off in enumerate(
+        [0, 1, bin_us - 1, bin_us, bin_us + 1, 2 * bin_us, 2 * bin_us - 1]
+    ):
+        rows.append((100 + i, base + off))
+    ev = spark.createDataFrame(rows, "event_id long, us long").select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    # incidents anchored at a bin edge and mid-bin
+    inc = spark.createDataFrame(
+        [(1, base), (2, base + bin_us // 2)], "incident_id long, sus long"
+    ).select(
+        "incident_id",
+        F.timestamp_micros(F.col("sus")).alias("start_ts"),
+        F.timestamp_micros(F.col("sus") + bin_us).alias("end_ts"),
+    )
+    naive = (
+        ev.crossJoin(inc)
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .select("incident_id", "event_id")
+    )
+    binned_inc = inc.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("start_ts") / bin_us),
+                F.floor(F.unix_micros("start_ts") / bin_us) + 1,
+            )
+        ),
+    )
+    probe = ev.withColumn("bin", F.floor(F.unix_micros("ts") / bin_us))
+    binned = probe.join(
+        binned_inc,
+        (probe["bin"] == binned_inc["bin"])
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts")),
+    ).select("incident_id", "event_id")
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, binned.collect()))
+    assert a == b and len(a) > 0
+    # no pair may appear twice (each event lives in exactly one bin)
+    assert len(b) == len(set(b))
