@@ -760,3 +760,89 @@ def q_dedup_cluster_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dups(docs, threshold=0.5)
     return connected_components_jump(pairs)
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral fingerprint behind funnel design
+    and bot detection (uniform rows ⇒ random traffic; heavy diagonal ⇒
+    replay/bot).
+
+    One user-keyed exchange for the lead() window, then a ≤|types|²
+    partial-agg rollup — the same two-shuffle budget as any
+    sessionization. Deterministic ordering tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "nucleus_sample_per_source",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, rn,
+        sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_chars,
+        sum(n_chars) OVER (PARTITION BY source) AS tot_chars
+      FROM scored
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rnk
+    FROM cum WHERE cum_chars * 10 <= tot_chars * 8
+    """,
+)
+def q_nucleus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style (top-p) corpus selection: per source, keep the
+    largest documents until 80% of the source's total character mass is
+    covered — the mass-based complement to count caps (domain_cap) and
+    rank gates (quality_top_quartile): sources with a few huge docs
+    keep few, long-tail sources keep many.
+
+    The keep predicate is INTEGER arithmetic (`cum*10 <= tot*8`), so
+    the 0.8 boundary is exact in both engines — no float cumulative
+    ratio. Both windows and the running sum share one source-keyed
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    wo = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    wt = Window.partitionBy("source")
+    return (
+        docs.withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "cum_chars", F.sum("n_chars").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tot_chars", F.sum("n_chars").over(wt))
+        .filter(F.col("cum_chars") * 10 <= F.col("tot_chars") * 8)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rnk"))
+    )

@@ -689,3 +689,23 @@ def test_label_balance_no_global_window(spark):
     assert "BroadcastExchange" in plan
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "embedding" not in m.group(1), m.group(1)
+
+
+def test_transition_matrix_one_user_exchange(spark):
+    """lead() window keys on user_id; the transition rollup is a
+    ≤|types|² partial agg — exactly two hash exchanges, no more."""
+    plan = _plan(spark, "event_transition_matrix")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    # the rollup exchange keys on the pre-alias (event_type, next_type)
+    assert roots == ["event_type", "user_id"], keys
+
+
+def test_nucleus_sample_single_source_exchange(spark):
+    """row_number, running sum, and the total share ONE source-keyed
+    exchange; no SinglePartition window anywhere."""
+    plan = _plan(spark, "nucleus_sample_per_source")
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    roots = sorted({k.split("#")[0] for k in keys})
+    assert roots == ["source"], keys
+    assert "windowspecdefinition(source" in plan
