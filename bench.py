@@ -111,6 +111,10 @@ HEADLINE = [
     "quality_top_quartile_per_source",
     "source_overlap_matrix",
     "label_balance_downsample",
+    "dedup_cluster_pointer_jumping",
+    "event_transition_matrix",
+    "nucleus_sample_per_source",
+    "table_profile_events",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -846,3 +846,48 @@ def q_nucleus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_chars") * 10 <= F.col("tot_chars") * 8)
         .select("doc_id", "source", F.col("rn").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "table_profile_events",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) - count(value) AS null_values,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / count(value) AS mean_value
+    FROM events
+    """,
+)
+def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (row/null/distinct counts, ranges,
+    exact mean) — the first query anyone runs against an unknown 100 TB
+    table, and the input to partitioning/skew decisions.
+
+    ONE scan, one aggregate: Spark plans the two distinct-counts as an
+    Expand (3 rows per input) feeding partial aggregates, so the
+    shuffle carries per-partition partials — no second pass, no
+    per-column jobs (vs df.summary(), which launches one job per
+    statistic). min/max are selections (no float arithmetic); the mean
+    goes through the decimal→string→double hop for cross-engine bit
+    equality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_values"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count("value")
+        ).alias("mean_value"),
+    )
