@@ -709,3 +709,13 @@ def test_nucleus_sample_single_source_exchange(spark):
     roots = sorted({k.split("#")[0] for k in keys})
     assert roots == ["source"], keys
     assert "windowspecdefinition(source" in plan
+
+
+def test_table_profile_single_pass(spark):
+    """Both distinct-counts and all plain aggregates ride ONE scan: an
+    Expand feeds partial aggregates — no per-statistic jobs, no second
+    scan of events."""
+    plan = _plan(spark, "table_profile_events")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
