@@ -307,6 +307,76 @@ def funnel_stage_tracker(
     )
 
 
+TRANSITION_OUTPUT_SCHEMA = "user_id bigint, from_type string, to_type string, n bigint"
+TRANSITION_STATE_SCHEMA = "last_type string, last_ts_us bigint"
+
+
+def transition_tracker(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of plans.warehouse.q_event_transition_matrix:
+    per-user first-order transition counts tracked in state. State is
+    ONE (last_type, last_ts) pair per user — fixed-size regardless of
+    event volume — and each micro-batch emits the (from, to) counts it
+    observed, so the downstream `groupBy(from,to).sum(n)` over the
+    emitted stream equals the batch lead()-window matrix.
+
+    Same ordered-replay PRECONDITION as funnel_stage_tracker: rows are
+    event-time sorted within each batch, so any micro-batch split of an
+    ordered stream converges; cross-batch disorder would thread a late
+    event into the wrong position (the batch window would not). The
+    equivalence is certified by
+    tests/test_streaming.py::test_transition_tracker_matches_batch."""
+    user, typ, ts = user_col, type_col, ts_col
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained: shipped by value, workers don't import this pkg
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_type, last_ts = state.get if state.exists else (None, None)
+        pdf = _pd.concat(list(batches)).sort_values(ts)
+        counts: dict = {}
+        for _, row in pdf.iterrows():
+            et = row[typ]
+            t_us = int(row[ts].value // 1_000)
+            if last_type is not None:
+                pair = (last_type, et)
+                counts[pair] = counts.get(pair, 0) + 1
+            last_type, last_ts = et, t_us
+        state.update((last_type, last_ts))
+        if counts:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "from_type": [p[0] for p in counts],
+                    "to_type": [p[1] for p in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return (
+        events.select(user, typ, ts)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def read_query_state(spark, checkpoint: str, **options):
     """Read a streaming query's CHECKPOINTED STATE as a DataFrame via
     the Spark 4 `statestore` data source — the observability tool for

@@ -512,3 +512,85 @@ def test_funnel_tracker_matches_batch_funnel(spark, tmp_path):
         if r.t1 is not None:  # users who never entered the funnel emit nothing
             expected[r.user_id] = (r.t1, r.t2, r.t3)
     assert got == expected
+
+
+def test_transition_tracker_matches_batch(spark, tmp_path):
+    """Replaying a time-ordered event stream through the stateful
+    transition tracker in FOUR micro-batches, then summing the emitted
+    per-batch counts, must equal the batch lead()-window transition
+    matrix exactly (streaming/batch equivalence)."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        transition_tracker,
+    )
+
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    for u in range(30):
+        for k in range(12):
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_type": types[(u * 5 + k * (u % 3 + 1)) % len(types)],
+                    "ts": f"2024-01-01T00:{k:02d}:{(u * 11) % 60:02d}.000Z",
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    d = str(tmp_path / "trans_stream")
+    _os.makedirs(d)
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in rows[i * quarter : (i + 1) * quarter]:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("user_id bigint, event_type string, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        transition_tracker(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("trans_stream_tbl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = {
+        (r.from_type, r.to_type): r.total
+        for r in spark.sql(
+            "SELECT from_type, to_type, SUM(n) AS total"
+            " FROM trans_stream_tbl GROUP BY from_type, to_type"
+        ).collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], r["ts"]) for r in rows],
+        "user_id bigint, event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    expected = {
+        (r.from_type, r.to_type): r.total
+        for r in batch.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    assert streamed == expected and len(expected) > 5
