@@ -87,3 +87,40 @@ def test_scored_frame_shape(spark, planted):
     assert out.columns == ["doc_id", "weak_label", "p_low_quality"]
     sample = out.limit(5).collect()
     assert all(0.0 <= r.p_low_quality <= 1.0 for r in sample)
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """BPE loop certification on a corpus whose merge sequence is
+    hand-computable. Corpus words: 'abab' ×3, 'abc' ×1.
+    Round 1 pairs: (a,b):7 [2 per 'abab' ×3 + 1 in 'abc'], (b,a):3,
+    (b,c):1 → merge ('a','b') → words: [ab,ab]×3, [ab,c].
+    Round 2 pairs: (ab,ab):3, (ab,c):1 → merge ('ab','ab').
+    Round 3: only (abab,?) none adjacent except [abab] and [ab,c]:
+    (ab,c):1 → merge ('ab','c'). Vocabulary collapses accordingly."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [("abab abab abab abc",)], "text string"
+    )
+    merges, vocab = bpe_train(docs, n_merges=3)
+    assert merges == [("a", "b"), ("ab", "ab"), ("ab", "c")], merges
+    v = {r["symbol"]: r["count"] for r in vocab.collect()}
+    assert v == {"abab": 3, "abc": 1}, v
+    spark.catalog.clearCache()
+
+
+def test_bpe_train_early_stop_on_single_symbols(spark):
+    """When every word is one symbol, no pairs exist — the loop must
+    stop early and return the char vocabulary."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("a b a c",)], "text string")
+    merges, vocab = bpe_train(docs, n_merges=5)
+    assert merges == []
+    v = {r["symbol"]: r["count"] for r in vocab.collect()}
+    assert v == {"a": 2, "b": 1, "c": 1}
+    spark.catalog.clearCache()
