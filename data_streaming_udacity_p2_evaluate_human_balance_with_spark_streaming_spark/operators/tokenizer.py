@@ -130,3 +130,33 @@ def bpe_train(
         .agg(F.sum("wf").alias("count"))
     )
     return merges, vocab
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a trained merge list to the corpus: every word is split to
+    characters, then each merge rewrites adjacent pairs IN TRAINING
+    ORDER (the BPE encoding rule). The merges chain into one nested
+    Column expression per word — no driver loop at encode time, no
+    Python in the row path — so encoding is a single narrow projection
+    at any corpus size. Token count per doc is `size(flatten(...))`.
+    """
+    word_syms = F.expr(f"transform(split({text_col}, ' '), w -> split(w, ''))")
+
+    def encode_word(syms: Column) -> Column:
+        for a, b in merges:
+            syms = _merge_pair(syms, a, b)
+        return syms
+
+    # transform over words with the merge chain applied via a Python
+    # closure is not possible inside `transform`'s lambda (it takes a
+    # Column function) — but _merge_pair IS a Column function, so the
+    # chain composes directly.
+    toks = F.flatten(
+        F.transform(word_syms, lambda w: encode_word(w))
+    )
+    return docs.withColumn(out_col, toks)

@@ -124,3 +124,22 @@ def test_bpe_train_early_stop_on_single_symbols(spark):
     v = {r["symbol"]: r["count"] for r in vocab.collect()}
     assert v == {"a": 2, "b": 1, "c": 1}
     spark.catalog.clearCache()
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    """Encoding with the trained merges reproduces the training-corpus
+    segmentation ('abab'→[abab], 'abc'→[abc]) and segments UNSEEN words
+    by the same rules ('abd'→[ab,d] — only the learned merges apply)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    train_docs = spark.createDataFrame([("abab abab abab abc",)], "text string")
+    merges, _ = bpe_train(train_docs, n_merges=3)
+    enc = bpe_encode(
+        spark.createDataFrame([("abab abc abd x",)], "text string"), merges
+    )
+    toks = enc.collect()[0]["tokens"]
+    assert toks == ["abab", "abc", "ab", "d", "x"], toks
+    spark.catalog.clearCache()
