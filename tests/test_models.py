@@ -143,3 +143,38 @@ def test_bpe_encode_applies_trained_merges(spark):
     toks = enc.collect()[0]["tokens"]
     assert toks == ["abab", "abc", "ab", "d", "x"], toks
     spark.catalog.clearCache()
+
+
+def test_bpe_encode_concat_invariant(spark):
+    """For ANY merge list, concatenating a word's tokens must rebuild
+    the word exactly (merges only group adjacent symbols — they never
+    create, drop, or reorder characters), and no token may span a word
+    boundary. Checked over a 200-word deterministic corpus with enough
+    merges to produce multi-char tokens."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    alphabet = "abcde"
+    words = [
+        "".join(alphabet[(i * 7 + j * 3) % len(alphabet)] for j in range(2 + i % 6))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    merges, _ = bpe_train(docs, n_merges=8)
+    assert len(merges) == 8  # corpus is repetitive enough to find 8
+    enc = bpe_encode(docs, merges)
+    toks = enc.collect()[0]["tokens"]
+    # word boundaries: greedily consume tokens to rebuild each word
+    it = iter(toks)
+    for w in words:
+        built = ""
+        while built != w:
+            t = next(it)
+            built += t
+            assert w.startswith(built), (w, built)
+    assert next(it, None) is None  # no leftover tokens
+    spark.catalog.clearCache()
