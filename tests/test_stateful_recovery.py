@@ -594,3 +594,75 @@ def test_transition_tracker_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == expected and len(expected) > 5
+
+
+def test_transition_tracker_recovers_state_across_restart(spark, tmp_path):
+    """Kill + resume the transition tracker from its checkpoint: the
+    per-user (last_type, last_ts) state must RESTORE, so the first
+    event of the resumed run forms a transition with the last event of
+    the killed run — summed counts equal the batch matrix over the full
+    event sequence."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        transition_tracker,
+    )
+
+    rows1 = [
+        {"user_id": 1, "event_type": "view", "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01T00:01:00.000Z"},
+    ]
+    rows2 = [
+        # first event after restart: transition (click -> purchase)
+        # exists ONLY if state survived the restart
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01T00:02:00.000Z"},
+    ]
+    d = str(tmp_path / "trans_restart")
+    _os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    schema = _parse_datatype_string("user_id bigint, event_type string, ts timestamp")
+
+    out_dir = str(tmp_path / "trans_out")
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch →
+        # parquet append is the restart-capable landing pattern
+        stream = spark.readStream.format("json").schema(schema).load(d)
+
+        def land(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            transition_tracker(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(f"{d}/f0.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+    first = {
+        (r.from_type, r.to_type) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first == {("view", "click")}
+
+    with open(f"{d}/f1.json", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+    emitted = spark.read.parquet(out_dir)
+    total = {
+        (r.from_type, r.to_type): r.total
+        for r in emitted.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert total == {("view", "click"): 1, ("click", "purchase"): 1}

@@ -660,3 +660,75 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
         for r in read_query_state(spark, ckpt).collect()
     }
     assert state == visible == {("a", 4.0), ("b", 2.0)}
+
+
+def test_watermarked_left_outer_stream_join_emits_null_after_expiry(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched left row must emit
+    with NULL right columns once the watermark passes its join window —
+    the semantics that make outer enrichment possible at scale (state
+    is evicted, not held forever). A second micro-batch far in the
+    future advances both watermarks past the first batch's window."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        watermarked_stream_join,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _os.makedirs(ldir), _os.makedirs(rdir)
+    lrows1 = [
+        {"email": "a@test.com", "cts": "2024-01-01T00:00:00.000Z"},
+        {"email": "c@test.com", "cts": "2024-01-01T00:01:00.000Z"},
+    ]
+    rrows1 = [
+        {"customer": "a@test.com", "score": "5.0", "ets": "2024-01-01T00:05:00.000Z"}
+    ]
+    # watermark pushers: 3 hours later, keys that match nothing
+    lrows2 = [{"email": "z@test.com", "cts": "2024-01-01T03:00:00.000Z"}]
+    rrows2 = [
+        {"customer": "zz@test.com", "score": "0.0", "ets": "2024-01-01T03:00:00.000Z"}
+    ]
+    for d, batches in ((ldir, (lrows1, lrows2)), (rdir, (rrows1, rrows2))):
+        for i, rows in enumerate(batches):
+            with open(f"{d}/f{i}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    lschema = _parse_datatype_string("email string, cts timestamp")
+    rschema = _parse_datatype_string("customer string, score string, ets timestamp")
+    left = (
+        spark.readStream.format("json").schema(lschema)
+        .option("maxFilesPerTrigger", "1").load(ldir)
+    )
+    right = (
+        spark.readStream.format("json").schema(rschema)
+        .option("maxFilesPerTrigger", "1").load(rdir)
+    )
+    joined = watermarked_stream_join(
+        left,
+        right,
+        "email = customer",
+        "cts",
+        "ets",
+        watermark="10 minutes",
+        range_cond="ets BETWEEN cts AND cts + INTERVAL 10 MINUTES",
+        how="left_outer",
+    )
+    q = (
+        joined.select("email", "score")
+        .writeStream.format("memory")
+        .queryName("lo_join_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.email, r.score) for r in spark.sql("SELECT * FROM lo_join_tbl").collect()}
+    # a@ matched inside the window; c@ expired unmatched -> NULL score.
+    # The 3h pushers themselves are still inside their own windows at
+    # query end, so they must NOT emit.
+    assert got == {("a@test.com", "5.0"), ("c@test.com", None)}, got
