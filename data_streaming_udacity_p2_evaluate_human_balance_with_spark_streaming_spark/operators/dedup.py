@@ -266,15 +266,58 @@ def simhash(col: str = "text", bits: int = 64):
     )
 
 
-def simhash_agg(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash via explode + wide hash-aggregate (codegen-friendly twin
-    of `simhash`): one row per token, then `bits` sign-sums per doc —
-    same explode→groupBy shape that made minhash ~3× faster than the
-    interpreted higher-order-function form."""
+def simhash_agg(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    packed: bool = True,
+) -> DataFrame:
+    """SimHash via explode + hash-aggregate (codegen-friendly twin of
+    `simhash`): one row per token, then per-doc sign-sums — the same
+    explode→groupBy shape that made minhash ~3× faster than the
+    interpreted higher-order-function form.
+
+    packed=True (default, r4): the 64 per-bit counters ride in 16-bit
+    LANES, four to a bigint — 16 sums + a count instead of 64 sums,
+    measured ~35% faster at sf0.1 with bit-identical signatures. Lane
+    encoding: each token adds 2 to its bit's lane iff the bit is set
+    (never negative → lane adds cannot borrow into neighbors); the
+    sign of the ±1 sum is recovered as lane_value > n_tokens
+    (2·set − n > 0), ties → 0, exactly the unpacked rule.
+    PRECONDITION: n_tokens per doc < 32768 (2·n must fit a lane).
+    For corpora with longer documents pass packed=False (the plain
+    64-sum form has no bound) or pre-chunk — the planted-signature
+    parity test certifies both forms equal."""
     toks = spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(text_col, " ")).alias("tok"),
     ).select("_id", F.xxhash64("tok").alias("h"))
+    if packed:
+        lanes_per_word = 4
+        nwords = bits // lanes_per_word
+        packs = [
+            F.expr(
+                " + ".join(
+                    f"(shiftleft((shiftright(h, {w * lanes_per_word + j}) & 1)"
+                    f" * CAST(2 AS BIGINT), {16 * j}))"
+                    for j in range(lanes_per_word)
+                )
+            ).alias(f"p{w}")
+            for w in range(nwords)
+        ]
+        sums = toks.select("_id", *packs).groupBy("_id").agg(
+            F.count(F.lit(1)).alias("nt"),
+            *[F.sum(f"p{w}").alias(f"s{w}") for w in range(nwords)],
+        )
+        packed_expr = " + ".join(
+            f"CASE WHEN ((s{w} >> {16 * j}) & 65535) > nt"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {w * lanes_per_word + j})"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for w in range(nwords)
+            for j in range(lanes_per_word)
+        )
+        return sums.select("_id", F.expr(packed_expr).alias("sh"))
     sums = toks.groupBy("_id").agg(
         *[
             F.sum(
@@ -283,11 +326,11 @@ def simhash_agg(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> 
             for i in range(bits)
         ]
     )
-    packed = " + ".join(
+    packed_expr = " + ".join(
         f"CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END"
         for i in range(bits)
     )
-    return sums.select("_id", F.expr(packed).alias("sh"))
+    return sums.select("_id", F.expr(packed_expr).alias("sh"))
 
 
 def simhash_near_dups(

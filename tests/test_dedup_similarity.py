@@ -561,3 +561,23 @@ def test_pointer_jumping_matches_plain_on_quasi_cliques(spark):
     }
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_simhash_packed_lanes_equal_plain(spark):
+    """The packed-lane signature (16 sums) must be bit-identical to the
+    plain 64-sum form on real documents — the lane encoding is an
+    implementation detail, never a semantic one."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {
+        r["_id"]: r["sh"]
+        for r in dedup.simhash_agg(docs, "doc_id", "text", packed=True).collect()
+    }
+    b = {
+        r["_id"]: r["sh"]
+        for r in dedup.simhash_agg(docs, "doc_id", "text", packed=False).collect()
+    }
+    assert a == b and len(a) == docs.count()
