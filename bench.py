@@ -115,6 +115,11 @@ HEADLINE = [
     "event_transition_matrix",
     "nucleus_sample_per_source",
     "table_profile_events",
+    # round-4 fifth wave (plans/simjoin.py): exact similarity joins +
+    # grid sampling
+    "sparse_cosine_pairs",
+    "setsim_prefix_filter_pairs",
+    "systematic_pps_sample",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

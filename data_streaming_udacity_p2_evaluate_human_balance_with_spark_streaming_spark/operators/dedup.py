@@ -749,3 +749,161 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.30,
+    shingle_k: int = 3,
+    df_cap: int = 64,
+) -> DataFrame:
+    """All-pairs sparse-vector cosine similarity via an inverted-index
+    (postings) join — the exact counterpart to LSH near-dup: each doc
+    is an idf-weighted bag of its k-gram shingles, and pairs are
+    generated ONLY for docs sharing a posting, never all-pairs
+    (Elsayed/Lin/Oard's MapReduce pairwise-similarity construction).
+
+    Scale shape: one explode to (doc, shingle) rows; document
+    frequencies by one hash aggregate; the postings join self-joins on
+    the shingle key, so the pair fan-out per shingle is df² — `df_cap`
+    drops postings for shingles more common than the cap BEFORE the
+    join, which is simultaneously the idf rationale (df ≈ corpus ⇒
+    idf ≈ 0 ⇒ negligible contribution) and the hard quadratic guard
+    (pairs per shingle ≤ df_cap²). At 100 TB the postings key would be
+    md5(shingle) (16-byte digest, not text) — kept as text here so the
+    DuckDB oracle can replicate the join byte-for-byte.
+
+    Float parity (cross-engine exactness): weights are INTEGER
+    w(t) = floor(1e6 / df(t)), contributions w², summed as BIGINT —
+    integer addition is associative, so Spark's partition-order
+    aggregation and DuckDB's sequential scan agree exactly. Norms stay
+    < 2^53, so the final double conversion, multiply, sqrt, and divide
+    are IEEE-identical on identical operands. Never sum raw doubles
+    across engines (NOTES.md decimal/double rules).
+
+    Returns (doc_a, doc_b, cosine ≥ threshold) with doc_a < doc_b.
+    """
+    sets_df = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_k)).alias("sset"),
+        )
+    )
+    ex = sets_df.select("_id", F.explode("sset").alias("sh"))
+    wtab = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))  # sset distinct ⇒ count = doc freq
+        .filter(F.col("_df") <= df_cap)
+        .select(
+            "sh",
+            (
+                F.floor(F.lit(1_000_000.0) / F.col("_df")).cast("long")
+                * F.floor(F.lit(1_000_000.0) / F.col("_df")).cast("long")
+            ).alias("wsq"),
+        )
+    )
+    # postings feed three consumers (norms + both self-join sides):
+    # lazy localCheckpoint so shingling/df run once (ContextCleaner
+    # frees the blocks on dereference — the q15 lesson)
+    post = ex.join(wtab, "sh").localCheckpoint(eager=False)
+    norms = post.groupBy("_id").agg(F.sum("wsq").alias("nrm"))
+    l, r = post.alias("l"), post.alias("r")
+    num = (
+        l.join(
+            r,
+            (F.col("l.sh") == F.col("r.sh")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .agg(F.sum("l.wsq").alias("_num"))
+    )
+    cos = F.col("_num").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        num.join(norms.select(F.col("_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def prefix_filter_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ threshold) via prefix
+    filtering (SSJoin/PPJoin family) — the lossless counterpart to the
+    probabilistic MinHash pipeline: identical output contract
+    (doc_a, doc_b, jaccard), provably zero false negatives.
+
+    Prefix theorem: order the shingle vocabulary by a global total
+    order (document frequency asc, shingle asc — rarest first). If
+    J(x,y) ≥ t then |x∩y| ≥ t·|x|, and the first common shingle (in
+    that order) sits within the first |x| − ⌈t·|x|⌉ + 1 shingles of x
+    (at most |x| − |x∩y| non-shared shingles precede it) — and
+    symmetrically for y. So docs sharing NO prefix shingle cannot reach
+    the threshold, and a hash self-join on exploded prefixes finds
+    every qualifying pair. A symmetric length filter
+    (min(|x|,|y|) ≥ t·max(|x|,|y|), necessary since J ≤ min/max) prunes
+    further before the verify.
+
+    Scale shape: prefixes prefer the RAREST shingles, so posting lists
+    under the join are short by construction (the frequency order is
+    itself the skew guard — boilerplate shingles sort last and rarely
+    enter prefixes). Per-doc prefix extraction is sort_array over that
+    doc's own (df, shingle) structs — bounded per-row work, no window.
+    Verify reuses ngram_jaccard (exact, candidates-only shingling).
+    """
+    sets_df = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_k)).alias("sset"),
+        )
+        .localCheckpoint(eager=False)  # feeds df-count + prefix build
+    )
+    ex = sets_df.select("_id", F.size("sset").alias("sz"), F.explode("sset").alias("sh"))
+    df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    # global order = (df, shingle); per-doc prefix = first
+    # sz - ceil(t*sz) + 1 entries of the doc's shingles in that order
+    prefix = (
+        ex.join(df_tab, "sh")
+        .groupBy("_id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "sh"))).alias("_ord"))
+        .select(
+            "_id",
+            "sz",
+            F.explode(
+                F.slice(
+                    "_ord",
+                    F.lit(1),
+                    (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+                )
+            ).alias("_p"),
+        )
+        .select("_id", "sz", F.col("_p.sh").alias("sh"))
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l._id") < F.col("r._id"))
+            # symmetric length filter: J(x,y) ≤ min/max
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .distinct()
+    )
+    return ngram_jaccard(docs, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -96,3 +96,65 @@ def mixture_resample(
         .withColumn(epoch_col, F.explode(F.expr("sequence(0, _n - 1)")))
         .drop("_whole", "_fthr", "_n")
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling:
+    draw exactly `k` picks where each row's inclusion count is
+    proportional to its integer weight (token/char budget sampling for
+    training mixtures — big documents proportionally more likely, with
+    the classic variance-free systematic grid rather than independent
+    draws).
+
+    Construction: lay the rows on a line in a deterministic pseudo-
+    random order (md5(id), id — reshuffle-proof, partition-independent),
+    each occupying an interval of length = its weight × k (the ×k
+    rescale makes the grid step EXACTLY the raw total — no fractional
+    step, no remainder drift); place k grid points at offset total/2,
+    spaced total apart; a row is picked once per grid point inside its
+    interval (a row wider than the step can be picked twice — that's
+    PPS semantics, multiplicity reported in `n_picks`). Exactly k picks
+    total, always: the j-th point lands at total DIV 2 + j·total for
+    j = 0..k−1, all inside (0, k·total].
+
+    Why not Efraimidis–Spirakis priority keys (u^(1/w)): pow() is not
+    correctly rounded and differs across engines — un-oracle-able.
+    Here EVERYTHING is integer arithmetic on positive operands
+    (truncating division == floor division for both engines), so the
+    sample is bit-reproducible across Spark, DuckDB, runs, and
+    layouts.
+
+    Scale shape: the cumulative sum uses the two-pass range-partitioned
+    form (ranking.global_running_sum) — no single-partition window; the
+    (total, step) scalars attach via a 1-row broadcast join. One range
+    exchange + one tiny triangular join, nothing else.
+    """
+    from .ranking import global_running_sum
+
+    ordered = df.select(
+        id_col,
+        F.col(weight_col).cast("long").alias("_w"),
+        F.md5(F.col(id_col).cast("string")).alias("_ok"),
+    )
+    cum = global_running_sum(ordered, ["_ok", id_col], "_w", out_col="_cum")
+    totals = cum.groupBy().agg(F.max("_cum").alias("_total"))
+    # grid step == _total exactly (intervals rescaled ×k); picks(c) =
+    # #grid points ≤ c over grid {_total DIV 2 + j*_total : j ≥ 0}; the
+    # shifted numerator keeps operands positive ⇒ DIV (truncate) ==
+    # floor division in Spark AND DuckDB
+    picks = "CAST(({c} + _total - (_total DIV 2)) DIV _total AS BIGINT)"
+    return (
+        cum.join(F.broadcast(totals))
+        .withColumn(
+            "n_picks",
+            F.expr(picks.format(c=f"(_cum * {int(k)})"))
+            - F.expr(picks.format(c=f"((_cum - _w) * {int(k)})")),
+        )
+        .filter(F.col("n_picks") > 0)
+        .select(id_col, F.col("_w").alias("weight"), "n_picks")
+    )

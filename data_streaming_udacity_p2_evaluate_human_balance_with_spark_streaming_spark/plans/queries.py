@@ -3280,3 +3280,4 @@ def all_oracles() -> dict[str, str]:
 from . import analytics as _analytics  # noqa: E402,F401
 from . import olap as _olap  # noqa: E402,F401
 from . import warehouse as _warehouse  # noqa: E402,F401
+from . import simjoin as _simjoin  # noqa: E402,F401

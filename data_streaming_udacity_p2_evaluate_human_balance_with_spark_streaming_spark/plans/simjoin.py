@@ -1,0 +1,141 @@
+"""Round-4 fifth wave: exact set-similarity joins and grid sampling.
+
+The LSH family (dedup_minhash_*, dedup_embedding_cosine) generates
+candidates probabilistically; production curation pipelines also need
+the EXACT counterparts — an inverted-index sparse-cosine join
+(Elsayed/Lin/Oard pairwise-similarity shape) and a lossless
+prefix-filtered Jaccard join (SSJoin/PPJoin family) — plus
+budget-proportional sampling (systematic PPS) whose determinism
+survives engine/layout/retry changes. No analytics of any kind exists
+in the reference (three linear streaming scripts, SURVEY.md §2);
+north-star extensions per the build brief. All three queries carry
+full DuckDB oracles; cross-engine float discipline per NOTES.md
+(integer partial sums only; doubles appear only in final
+division/sqrt on identical operands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import prefix_filter_near_dups, sparse_cosine_pairs
+from ..operators.sampling import systematic_pps_sample
+from ..sources.files import load_table
+from .queries import register
+
+#: shared with dedup_minhash_lsh: exact all-pairs word-3-gram Jaccard.
+#: The prefix-filter join is LOSSLESS (prefix theorem, see
+#: operators/dedup.py:prefix_filter_near_dups), so unlike the LSH
+#: queries this equality is unconditional — no fixture-gap argument
+#: needed for recall.
+_EXACT_JACCARD_ORACLE = """
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@register(
+    "sparse_cosine_pairs",
+    """
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    w AS (
+      SELECT sh,
+             CAST(floor(1000000.0 / count(*)) AS BIGINT)
+               * CAST(floor(1000000.0 / count(*)) AS BIGINT) AS wsq
+      FROM ex GROUP BY sh HAVING count(*) <= 64
+    ),
+    post AS (SELECT e.doc_id, e.sh, w.wsq FROM ex e JOIN w USING (sh)),
+    norms AS (SELECT doc_id, sum(wsq) AS nrm FROM post GROUP BY doc_id),
+    num AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wsq) AS num
+      FROM post a JOIN post b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      CAST(num AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+    FROM num JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(num AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.30
+    """,
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sparse-cosine similarity join over idf-weighted
+    shingle vectors (threshold 0.30, df cap 64). The exact complement
+    of the MinHash pipeline: pairs come from a postings equi-join whose
+    per-key fan-out the df cap bounds — never all-pairs. Integer w²
+    partial sums keep the oracle bit-identical (NOTES.md float rules).
+    Fixture: the 25 planted near-dup pairs score ≥ 0.80 and nothing
+    else reaches 0.30 (measured gap at sf0.001/0.01) — wide margin, no
+    boundary sensitivity."""
+    return sparse_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("setsim_prefix_filter_pairs", _EXACT_JACCARD_ORACLE)
+def q_setsim_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filtered Jaccard self-join ≥ 0.5 (SSJoin/PPJoin
+    construction): global rarity order on shingles, per-doc prefix of
+    length |s| − ⌈t·|s|⌉ + 1, hash join on exploded prefixes + symmetric
+    length filter, exact-Jaccard verify. The oracle is exact all-pairs
+    Jaccard — equality is UNCONDITIONAL (the filter provably admits
+    every qualifying pair; the verify step discards every false
+    positive), unlike the banded-LSH twins whose recall argument leans
+    on the fixture's similarity gap."""
+    return prefix_filter_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+_PPS_K = 40
+
+
+@register(
+    "systematic_pps_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS _w,
+             md5(CAST(doc_id AS VARCHAR)) AS _ok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, _w,
+             sum(_w) OVER (ORDER BY _ok, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM w
+    ),
+    t AS (SELECT max(_cum) AS _total FROM cum)
+    SELECT doc_id, _w AS weight,
+      CAST(((_cum * {_PPS_K} + _total - (_total // 2)) // _total)
+         - (((_cum - _w) * {_PPS_K} + _total - (_total // 2)) // _total)
+        AS BIGINT) AS n_picks
+    FROM cum, t
+    WHERE ((_cum * {_PPS_K} + _total - (_total // 2)) // _total)
+        - (((_cum - _w) * {_PPS_K} + _total - (_total // 2)) // _total) > 0
+    """,
+)
+def q_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of the corpus, char-budget-weighted:
+    exactly 40 picks, inclusion count ∝ n_chars, bit-reproducible
+    across engines/layouts (pure integer arithmetic on an md5-ordered
+    line — no pow(), no RNG). Cumulative sum is the two-pass
+    range-partitioned form, no single-partition window."""
+    return systematic_pps_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", _PPS_K
+    )

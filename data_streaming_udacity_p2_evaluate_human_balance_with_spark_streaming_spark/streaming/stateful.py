@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_score double, avg_score double"
@@ -394,3 +395,97 @@ def read_query_state(spark, checkpoint: str, **options):
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(checkpoint)
+
+
+TOPK_OUTPUT_SCHEMA = "window_start timestamp, rank int, event_type string, n bigint"
+TOPK_STATE_SCHEMA = "types array<string>, counts array<bigint>"
+
+
+def windowed_topk(
+    events: DataFrame,
+    window_minutes: int = 10,
+    delay: str = "10 minutes",
+    k: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming windowed TOP-K: the k most frequent event types per
+    tumbling event-time window, emitted ONCE per window when the
+    watermark closes it. Built-in streaming aggregation can count per
+    (window, type) but cannot RANK within a window (window functions
+    are unsupported on streams); this is the canonical
+    applyInPandasWithState + EventTimeTimeout construction:
+
+    - key = window start; state = the window's (type, count) vector —
+      bounded by the number of DISTINCT types, not by event volume
+      (each micro-batch is pre-reduced with value_counts before it
+      touches state);
+    - nothing is emitted while the window is open (append semantics —
+      every emission is final, safe for downstream joins/sinks);
+    - when the watermark passes window end, the registered event-time
+      timeout fires, the state sorts its ≤|types| entries, emits k
+      rows, and deletes itself — state lifetime is window + lateness,
+      so total state is O(active_windows × distinct_types).
+
+    Ties broken by (count desc, type asc) — deterministic across
+    partitionings. The batch twin (groupBy window/type + rank ≤ k) is
+    certified equal by
+    tests/test_streaming.py::test_windowed_topk_matches_batch."""
+    typ, ts = type_col, ts_col
+    win_ms = window_minutes * 60_000
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained: shipped by value, workers don't import this pkg
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            types, counts = state.get
+            order = sorted(zip(types, counts), key=lambda p: (-p[1], p[0]))[:k]
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "window_start": [key[0]] * len(order),
+                    "rank": list(range(1, len(order) + 1)),
+                    "event_type": [p[0] for p in order],
+                    "n": [int(p[1]) for p in order],
+                }
+            )
+            return
+        acc: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in batches:
+            # pre-reduce the batch before it touches state: state work
+            # is O(distinct types), never O(rows)
+            for t, c in pdf[typ].value_counts().items():
+                acc[t] = acc.get(t, 0) + int(c)
+        state.update((list(acc.keys()), [int(v) for v in acc.values()]))
+        # fire when the watermark passes window end (must be set
+        # strictly beyond the current watermark: a straggler batch for
+        # an already-closable window re-arms one watermark tick ahead)
+        end_ms = int(key[0].timestamp() * 1000) + win_ms
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return (
+        events.withWatermark(ts_col, delay)
+        # keep the watermarked ts attribute in the projection: the
+        # event-time-timeout analyzer requires it to survive up to the
+        # stateful operator, not merely appear below it
+        .select(
+            F.window(ts_col, f"{window_minutes} minutes")["start"].alias("wstart"),
+            F.col(typ),
+            F.col(ts_col),
+        )
+        .groupBy("wstart")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -581,3 +581,78 @@ def test_simhash_packed_lanes_equal_plain(spark):
         for r in dedup.simhash_agg(docs, "doc_id", "text", packed=False).collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_prefix_filter_equals_exact_all_pairs(spark):
+    """The prefix-filtered join is LOSSLESS: on the planted corpus its
+    output must equal brute-force all-pairs Jaccard >= t exactly —
+    both membership AND values (soundness from the verify step,
+    completeness from the prefix theorem)."""
+    docs = _near_dup_docs(spark)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_near_dups(docs, threshold=0.5).collect()
+    }
+    # exact reference: cross join on the tiny planted corpus
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(dedup.shingles("text", 3)).alias("s")
+    )
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    exact = {
+        (r.doc_a, r.doc_b): r.j
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / (F.size("sa") + F.size("sb") - inter)).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == exact
+    assert len(exact) >= 30  # the planted pairs are all above threshold
+
+
+def test_sparse_cosine_finds_planted_and_caps_df(spark):
+    """Planted near-dups must score high; a shingle flooded past the
+    df cap must contribute NOTHING (postings for it are dropped before
+    the join, so a corpus-wide boilerplate shingle cannot fan out
+    df^2 pairs)."""
+    docs = _near_dup_docs(spark)
+    out = {(r.doc_a, r.doc_b): r.cosine for r in
+           dedup.sparse_cosine_pairs(docs, threshold=0.3).collect()}
+    planted = {(10 * i, 10 * i + 1) for i in range(30)}
+    hit = sum(1 for p in planted if p in out)
+    assert hit == 30, f"planted recall {hit}/30"
+    for v in out.values():
+        assert v <= 1.0000001
+    # flood: every doc shares one boilerplate shingle; with df_cap
+    # below the corpus size the flooded shingle is pruned and the
+    # unrelated docs still produce no pairs
+    flooded = docs.withColumn("text", F.concat(F.lit("AA BB CC "), "text"))
+    out2 = dedup.sparse_cosine_pairs(flooded, threshold=0.3, df_cap=50)
+    pairs2 = {(r.doc_a, r.doc_b) for r in out2.collect()}
+    unrelated = {p for p in pairs2 if p not in planted}
+    assert not unrelated, f"boilerplate shingle created cross-pairs: {list(unrelated)[:5]}"
+
+
+def test_systematic_pps_exact_k_and_proportionality(spark):
+    """Exactly k picks, always (the grid construction guarantees it);
+    heavy rows get proportionally more multiplicity."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, 10 if i % 50 else 5000) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    for k in (7, 40, 173):
+        out = systematic_pps_sample(df, "n_chars", k).collect()
+        assert sum(r.n_picks for r in out) == k, f"k={k}"
+    # proportionality: the 10 heavy rows hold 5000*10/(5000*10+490*10)
+    # ≈ 91% of the mass → at k=40 they must take the large majority
+    out = systematic_pps_sample(df, "n_chars", 40).collect()
+    heavy = sum(r.n_picks for r in out if r.weight == 5000)
+    assert heavy >= 30, f"heavy rows got {heavy}/40 picks"
+    spark.catalog.clearCache()

@@ -719,3 +719,36 @@ def test_table_profile_single_pass(spark):
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
     assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+
+
+def test_sparse_cosine_postings_equijoin(spark):
+    """The postings self-join must be a hash equi-join on the shingle
+    key — never a cartesian/BNLJ — and the df cap must gate postings
+    BEFORE the join (a Filter on the aggregate side)."""
+    plan = _plan(spark, "sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_prefix_filter_join_shape(spark):
+    """Prefix-filtered set-similarity join: exploded-prefix equi-join,
+    no cartesian, and no global window (per-doc prefix extraction is
+    sort_array over the row's own structs, not a ranking window)."""
+    plan = _plan(spark, "setsim_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan.lower()
+    spark.catalog.clearCache()
+
+
+def test_systematic_pps_no_single_partition_window(spark):
+    """The cumulative sum must be the two-pass range-partitioned form:
+    any window runs partitioned by _pid, and the scalar totals attach
+    via a broadcast (1-row) join, which is the only legitimate
+    single-partition stage."""
+    plan = _plan(spark, "systematic_pps_sample")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), f"non-_pid window: {m.group(0)}"
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()

@@ -732,3 +732,99 @@ def test_watermarked_left_outer_stream_join_emits_null_after_expiry(spark, tmp_p
     # The 3h pushers themselves are still inside their own windows at
     # query end, so they must NOT emit.
     assert got == {("a@test.com", "5.0"), ("c@test.com", None)}, got
+
+
+def test_windowed_topk_matches_batch(spark, tmp_path):
+    """Streaming windowed top-k (EventTimeTimeout emission) must equal
+    the batch groupBy(window, type) + rank ≤ k result for every window
+    the watermark closed. A far-future sentinel event advances the
+    watermark past all real windows so each one emits exactly once."""
+    import json as _json
+    import os as _os
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        windowed_topk,
+    )
+
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for m in range(40):  # 4 ten-minute windows of real data
+        for j in range((m * 3) % 4 + 1):
+            rows.append(
+                {
+                    "event_type": types[(m + j * j) % len(types)],
+                    "ts": f"2024-01-01T00:{m:02d}:{(7 * j) % 60:02d}.000Z",
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    # sentinel far in the future: pushes the watermark beyond every
+    # real window's end + delay so all 4 windows time out and emit
+    sentinel = {"event_type": "view", "ts": "2024-01-01T12:00:00.000Z"}
+
+    d = str(tmp_path / "topk_stream")
+    _os.makedirs(d)
+    third = (len(rows) + 2) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :], [sentinel]]
+    for i, chunk in enumerate(chunks):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+        _t.sleep(0.01)
+
+    schema = _parse_datatype_string("event_type string, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        windowed_topk(stream, window_minutes=10, delay="10 minutes", k=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("topk_stream_tbl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # timeouts fire in a trigger AFTER the watermark advances; hold
+        # the query open until the closed windows have emitted
+        for _ in range(100):
+            if spark.sql("SELECT count(*) c FROM topk_stream_tbl").first().c >= 4:
+                break
+            _t.sleep(0.2)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = {
+        (r.window_start.isoformat(), r.rank): (r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM topk_stream_tbl").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["ts"]) for r in rows],
+        "event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    w = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    exp_rows = (
+        batch.groupBy(
+            F.window("ts", "10 minutes")["start"].alias("wstart"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    expected = {
+        (r.wstart.isoformat(), r.rank): (r.event_type, r.n) for r in exp_rows
+    }
+    assert got == expected
+    assert len({ws for ws, _ in got}) == 4
