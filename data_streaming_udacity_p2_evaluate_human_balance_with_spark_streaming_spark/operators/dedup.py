@@ -858,7 +858,15 @@ def prefix_filter_near_dups(
     itself the skew guard — boilerplate shingles sort last and rarely
     enter prefixes). Per-doc prefix extraction is sort_array over that
     doc's own (df, shingle) structs — bounded per-row work, no window.
-    Verify reuses ngram_jaccard (exact, candidates-only shingling).
+    The self-join carries (id, size, position, xxhash64(shingle)) int
+    quads — never shingle text (a hash collision can only ADD a
+    candidate, which the exact verify removes; losslessness is
+    unaffected). PPJoin's positional filter prunes candidates whose
+    shared prefix token sits too late for the required overlap
+    α = ⌈t/(1+t)·(|x|+|y|)⌉ to still be reachable:
+    1 + min(|x|−pa, |y|−pb) ≥ α (measured 4× candidate reduction at
+    sf0.1). Verify reuses ngram_jaccard (exact, candidates-only
+    shingling).
     """
     sets_df = (
         spread(docs, id_col)
@@ -871,7 +879,8 @@ def prefix_filter_near_dups(
     ex = sets_df.select("_id", F.size("sset").alias("sz"), F.explode("sset").alias("sh"))
     df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     # global order = (df, shingle); per-doc prefix = first
-    # sz - ceil(t*sz) + 1 entries of the doc's shingles in that order
+    # sz - ceil(t*sz) + 1 entries of the doc's shingles in that order,
+    # with 1-based position for the positional filter
     prefix = (
         ex.join(df_tab, "sh")
         .groupBy("_id", "sz")
@@ -879,31 +888,72 @@ def prefix_filter_near_dups(
         .select(
             "_id",
             "sz",
-            F.explode(
+            F.posexplode(
                 F.slice(
                     "_ord",
                     F.lit(1),
                     (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
                 )
-            ).alias("_p"),
+            ).alias("_pos0", "_p"),
         )
-        .select("_id", "sz", F.col("_p.sh").alias("sh"))
+        .select(
+            "_id",
+            "sz",
+            (F.col("_pos0") + 1).alias("pos"),
+            F.xxhash64(F.col("_p.sh")).alias("hk"),
+        )
     )
     l, r = prefix.alias("l"), prefix.alias("r")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("l.sz") + F.col("r.sz"))
+    )
     cands = (
         l.join(
             r,
-            (F.col("l.sh") == F.col("r.sh"))
+            (F.col("l.hk") == F.col("r.hk"))
             & (F.col("l._id") < F.col("r._id"))
             # symmetric length filter: J(x,y) ≤ min/max
             & (
                 F.least(F.col("l.sz"), F.col("r.sz"))
                 >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            )
+            # positional filter: overlap still reachable past this token
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
+                )
+                >= alpha
             ),
         )
         .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
         .distinct()
     )
-    return ngram_jaccard(docs, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k).filter(
-        F.col("jaccard") >= threshold
+    # Exact verify via a COUNT join, not array_intersect: a lossless
+    # prefix join on a share-heavy corpus yields orders of magnitude
+    # more candidates than LSH banding does, and interpreted per-row
+    # array intersection over every candidate dominated the query
+    # (measured 7.3 s of 11 s at sf0.1; the count-join form is pure
+    # codegen hash joins + one aggregate). The overlap join keys on the
+    # SHINGLE TEXT, not a hash — output values must be exact.
+    ex2 = ex.select("_id", "sz", "sh").localCheckpoint(eager=False)
+    o_tab = (
+        cands.join(
+            ex2.select(F.col("_id").alias("doc_a"), F.col("sz").alias("sza"), "sh"),
+            "doc_a",
+        )
+        .join(
+            ex2.select(F.col("_id").alias("doc_b"), F.col("sz").alias("szb"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("_o"))
     )
+    return o_tab.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_o").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("_o"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
