@@ -409,6 +409,7 @@ def connected_components(
     max_iter: int = 6,
     early_stop: bool = True,
     stats: dict | None = None,
+    rounds_per_checkpoint: int = 1,
 ) -> DataFrame:
     """Cluster assignment over a near-dup pair graph: each node gets
     cluster = the minimum doc id reachable within `max_iter` hops —
@@ -461,8 +462,19 @@ def connected_components(
     # stage. A count-less hash repartition lets AQE size the layout to
     # the data (1 partition for small graphs, proportional at 100 TB),
     # cutting per-iteration wall ~2× on the bench graphs.
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # SELF-LOOP edges (node→node): min-over-messages then includes the
+    # node's own label, so the propagation step is ONE join + ONE
+    # aggregate with no union in the loop — both cheaper and immune to
+    # the Catalyst union-constraint failure hit when a union child's
+    # constraints reference join-produced frontier attributes (the
+    # pointer-jumping lesson, NOTES.md r4)
     edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        sym.unionByName(
+            sym.select("src").distinct().select("src", F.col("src").alias("dst"))
+        )
         .repartition("src")
         .localCheckpoint()
     )
@@ -482,19 +494,32 @@ def connected_components(
 
     prev_sum = _label_sum(labels) if early_stop else None
     iterations, converged = 0, False
-    for _ in range(max_iter):
-        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # eager: safe to free the predecessor now
-        )
+    # rounds_per_checkpoint > 1 fuses that many propagation rounds into
+    # one materialized job: each fused round adds a join+agg layer to
+    # the plan (bounded depth — no lineage explosion), and the
+    # checkpoint + convergence collect run once per GROUP. On the
+    # shallow quasi-clique graphs dedup produces, per-round cost is
+    # job-scheduling overhead, not data volume, so halving the job
+    # count is a direct win; the price is fixpoint detection at group
+    # granularity (up to rounds_per_checkpoint−1 extra rounds of work
+    # after convergence — keep the default 1 when exact round counts
+    # matter).
+    while iterations < max_iter:
+        chunk = min(rounds_per_checkpoint, max_iter - iterations)
+        stepped = labels
+        for _ in range(chunk):
+            # self-loops make the union redundant: messages to dst
+            # already include dst's own label
+            stepped = (
+                edges.join(stepped, edges["src"] == stepped["node"])
+                .select(F.col("dst").alias("node"), "label")
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        new_labels = stepped.localCheckpoint()  # eager: predecessor freeable
         _free(labels)
         labels = new_labels
-        iterations += 1
+        iterations += chunk
         if early_stop:
             s = _label_sum(labels)
             if s == prev_sum:
