@@ -139,3 +139,49 @@ def q_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_pps_sample(
         load_table(spark, sf_dir, "documents"), "n_chars", _PPS_K
     )
+
+
+@register(
+    "windowed_topk_batch",
+    """
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type ASC) AS rank
+      FROM counts
+    )
+    SELECT window_start, CAST(rank AS INT) AS rank, event_type, n
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_windowed_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful.windowed_topk: the 3 most
+    frequent event types per hourly window, ties broken (count desc,
+    type asc) — identical contract to the streaming op's append-final
+    emissions, here over the full events table with a DuckDB oracle.
+
+    Scale shape: counts first (one (window, type) hash aggregate with
+    map-side partials — the only corpus-wide exchange), THEN the rank
+    window over the per-window type sets, whose partitions are bounded
+    by |distinct types| rows — never a corpus-sized window partition.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n")
+    )

@@ -752,3 +752,19 @@ def test_systematic_pps_no_single_partition_window(spark):
         assert "_pid" in m.group(1), f"non-_pid window: {m.group(0)}"
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_windowed_topk_batch_window_above_aggregate(spark):
+    """The rank window must run over the (window, type) AGGREGATE — a
+    per-window partition of ≤|types| rows — never over raw events. The
+    executed plan must show the hash aggregate below the Window node
+    (partial aggregation pattern), and the window keyed on
+    window_start."""
+    plan = _plan(spark, "windowed_topk_batch")
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1
+    # Window node is printed ABOVE its child aggregate in the tree dump
+    assert w < agg, plan[:2000]
+    m = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "window_start" in m.group(1), m
