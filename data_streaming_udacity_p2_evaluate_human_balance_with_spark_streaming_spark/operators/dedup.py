@@ -471,18 +471,17 @@ def connected_components(
     # the Catalyst union-constraint failure hit when a union child's
     # constraints reference join-produced frontier attributes (the
     # pointer-jumping lesson, NOTES.md r4)
+    # node set computed ONCE: it seeds both the self-loops and the
+    # initial labels (a second distinct over the symmetrized edges
+    # would repeat the aggregate)
+    nodes = sym.select("src").distinct().localCheckpoint()
     edges = (
-        sym.unionByName(
-            sym.select("src").distinct().select("src", F.col("src").alias("dst"))
-        )
+        sym.unionByName(nodes.select("src", F.col("src").alias("dst")))
         .repartition("src")
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
     )
     # convergence signal: labels only ever DECREASE (min-propagation),
     # so the label sum is strictly monotone until fixpoint — an
@@ -527,6 +526,11 @@ def connected_components(
                 break
             prev_sum = s
     _free(edges)
+    if iterations > 0:
+        # the initial labels frame was a PROJECTION of the nodes
+        # checkpoint; once the first iteration materialized its own
+        # checkpoint nothing reads nodes anymore
+        _free(nodes)
     if stats is not None:
         # observability for tests/operators: how many propagation rounds
         # ran and whether the fixpoint (not the iteration cap) ended them
