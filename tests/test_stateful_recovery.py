@@ -666,3 +666,91 @@ def test_transition_tracker_recovers_state_across_restart(spark, tmp_path):
         .collect()
     }
     assert total == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_windowed_topk_recovers_counts_across_restart(spark, tmp_path):
+    """Kill + resume windowed_topk from its checkpoint MID-WINDOW: the
+    window's partial counts must restore, so the top-k emitted after
+    the watermark closes the window reflects events from BOTH runs —
+    the pre-restart majority type can only win if its pre-restart
+    counts survived."""
+    import os as _os
+    import time as _t
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        windowed_topk,
+    )
+
+    # run 1: 3 views, 1 click in window [00:00, 00:10) — no emission
+    rows1 = [
+        {"event_type": "view", "ts": "2024-01-01T00:00:10.000Z"},
+        {"event_type": "view", "ts": "2024-01-01T00:01:00.000Z"},
+        {"event_type": "view", "ts": "2024-01-01T00:02:00.000Z"},
+        {"event_type": "click", "ts": "2024-01-01T00:03:00.000Z"},
+    ]
+    # run 2: 2 clicks in the SAME window + a sentinel that closes it.
+    # view wins 3-3 on the count tie ONLY via (n desc, type asc) if the
+    # restored state still holds run 1's counts; without recovery the
+    # window would report click 2, view 0.
+    rows2 = [
+        {"event_type": "click", "ts": "2024-01-01T00:04:00.000Z"},
+        {"event_type": "click", "ts": "2024-01-01T00:05:00.000Z"},
+        {"event_type": "view", "ts": "2024-01-01T12:00:00.000Z"},  # sentinel
+    ]
+    d = str(tmp_path / "topk_restart")
+    _os.makedirs(d)
+    ckpt = str(tmp_path / "topk_ckpt")
+    out_dir = str(tmp_path / "topk_out")
+    schema = _parse_datatype_string("event_type string, ts timestamp")
+
+    def land(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with open(f"{d}/f0.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.format("json").schema(schema).load(d)
+    q = (
+        windowed_topk(stream, window_minutes=10, delay="10 minutes", k=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    with open(f"{d}/f1.json", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.format("json").schema(schema).load(d)
+    q = (
+        windowed_topk(stream, window_minutes=10, delay="10 minutes", k=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for _ in range(100):
+            try:
+                if spark.read.parquet(out_dir).count() >= 2:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.2)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = {
+        (r.window_start.isoformat(), r.rank): (r.event_type, r.n)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.window_start.isoformat().startswith("2024-01-01T00:0")
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 1): ("click", 3),
+        ("2024-01-01T00:00:00", 2): ("view", 3),
+    }, got
