@@ -204,3 +204,75 @@ def test_chunking_reconstructs_documents(spark, docs):
             rebuilt.extend(c.chunk_text.split(" ")[:_CHUNK_S])
         rebuilt.extend(chunks[-1].chunk_text.split(" "))
         assert rebuilt == toks_i, (i, rebuilt, toks_i)
+
+
+_vocab = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_doc_tokens = st.lists(_vocab, min_size=3, max_size=12)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc_tokens, min_size=2, max_size=8))
+def test_prefix_filter_lossless_on_arbitrary_corpora(spark, docs):
+    """For ARBITRARY small corpora drawn from a tight vocabulary (so
+    high-Jaccard pairs actually occur), the prefix-filtered join's
+    output must equal brute-force all-pairs 3-gram Jaccard >= 0.5 in
+    BOTH membership and values — the losslessness theorem checked on
+    inputs nobody hand-picked, including pathological ones (identical
+    docs, all-same-token docs, docs shorter than the shingle width)."""
+    from pyspark.sql import functions as F2
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in dedup.prefix_filter_near_dups(df, threshold=0.5).collect()
+    }
+
+    # brute force in pure Python (the shingle rule mirrors word_shingles:
+    # docs shorter than the shingle width collapse to one whole-text shingle)
+    def sset(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sset(docs[i]), sset(docs[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                expected[(i, j)] = round(jac, 12)
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    k=st.sampled_from([1, 3, 17]),
+)
+def test_systematic_pps_exact_k_arbitrary_weights(spark, weights, k):
+    """For ARBITRARY positive integer weights and sample sizes: the
+    grid construction emits EXACTLY k picks (the core invariant —
+    independent-draw samplers only achieve k in expectation), and no
+    row is picked more than ceil(k*w/total) + 1 times (a row cannot
+    contain more grid points than its rescaled width covers)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    )
+    out = systematic_pps_sample(df, "n_chars", k).collect()
+    total = sum(weights)
+    assert sum(r.n_picks for r in out) == k
+    for r in out:
+        assert r.n_picks <= (k * r.weight) // total + 1
+    spark.catalog.clearCache()
