@@ -821,7 +821,12 @@ def sparse_cosine_pairs(
             F.array_distinct(word_shingles(text_col, shingle_k)).alias("sset"),
         )
     )
-    ex = sets_df.select("_id", F.explode("sset").alias("sh"))
+    # ex feeds the df aggregate AND the postings join: pin it so the
+    # corpus is shingled ONCE (the ngram_jaccard lesson — un-pinned
+    # frontiers re-run their whole upstream per consumer)
+    ex = sets_df.select("_id", F.explode("sset").alias("sh")).localCheckpoint(
+        eager=False
+    )
     wtab = (
         ex.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))  # sset distinct ⇒ count = doc freq
