@@ -121,6 +121,7 @@ HEADLINE = [
     "setsim_prefix_filter_pairs",
     "systematic_pps_sample",
     "windowed_topk_batch",
+    "bot_regularity_timing",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

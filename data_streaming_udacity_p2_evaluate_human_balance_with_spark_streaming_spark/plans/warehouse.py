@@ -902,3 +902,93 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value")
         ).alias("mean_value"),
     )
+
+
+@register(
+    "bot_regularity_timing",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(count(gap_s) AS DECIMAL(4,0)) AS ng,
+             CAST(sum(CAST(gap_s AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS s1,
+             CAST(sum(CAST(gap_s AS DECIMAL(18,0)) * CAST(gap_s AS DECIMAL(18,0)))
+                  AS DECIMAL(18,0)) AS s2
+      FROM g GROUP BY user_id HAVING count(*) >= 20
+    )
+    SELECT user_id, n_events,
+           CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_gap_s,
+           sqrt(CAST(CAST(ng * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(s1 * s1 AS VARCHAR) AS DOUBLE)) AS gap_cv
+    FROM agg
+    """,
+)
+def q_bot_regularity_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event TIMING regularity: per
+    user, the coefficient of variation of the gaps between consecutive
+    events. Scripted traffic fires on near-constant intervals
+    (cv → 0); humans are bursty (cv ≳ 1). The complement to
+    anomaly_zscore_events (which flags VALUE outliers) and
+    event_transition_matrix (which fingerprints SEQUENCES) — together
+    the three standard behavioral-triage axes for scrubbing training
+    corpora of machine-generated logs.
+
+    Scale shape: the lag window is partitioned by user (bounded rows
+    per partition, never corpus-wide); one grouped aggregate after it;
+    no second pass. Float parity: gaps are INTEGER seconds; Σg and Σg²
+    are DECIMAL partial sums (associative — partition order can't
+    change them); cv² = (n·Σg² − (Σg)²)/(Σg)² is pure decimal integer
+    arithmetic surfaced through the decimal→string→double hop (the
+    anomaly_zscore lesson: direct decimal→double is not correctly
+    rounded in DuckDB), and sqrt/divide on identical doubles are
+    IEEE-exact. Sums are re-cast to DECIMAL(18,0) BEFORE multiplying:
+    both engines cap decimal precision at 38, and 18+18 stays inside
+    it while their native sum widths (28 Spark / 38 DuckDB) would not.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # `/` then cast("long") == DuckDB's integer `//` here: the µs delta
+    # is exact in double (< 2^53) and a 1e-16 rounding error cannot
+    # bridge the ≥1e-6 distance to the next integer, so truncation
+    # agrees with integer floor for these positive operands
+    g = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+    )
+    agg = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_s").cast("decimal(4,0)").alias("ng"),
+            F.sum(F.col("gap_s").cast("decimal(18,0)"))
+            .cast("decimal(18,0)")
+            .alias("s1"),
+            F.sum(
+                F.col("gap_s").cast("decimal(18,0)")
+                * F.col("gap_s").cast("decimal(18,0)")
+            )
+            .cast("decimal(18,0)")
+            .alias("s2"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        (F.col("s1").cast("double") / F.col("ng").cast("double")).alias("mean_gap_s"),
+        F.sqrt(
+            (F.col("ng") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("string")
+            .cast("double")
+            / (F.col("s1") * F.col("s1")).cast("string").cast("double")
+        ).alias("gap_cv"),
+    )

@@ -768,3 +768,14 @@ def test_windowed_topk_batch_window_above_aggregate(spark):
     assert w < agg, plan[:2000]
     m = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
     assert m and "window_start" in m.group(1), m
+
+
+def test_bot_regularity_single_user_exchange(spark):
+    """The lag window and the grouped aggregate both key on user_id —
+    the executed plan must contain exactly one user-rooted exchange
+    (the window's), with the aggregate reusing its partitioning, and
+    every window partitioned by user_id."""
+    plan = _plan(spark, "bot_regularity_timing")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
