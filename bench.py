@@ -122,6 +122,7 @@ HEADLINE = [
     "systematic_pps_sample",
     "windowed_topk_batch",
     "bot_regularity_timing",
+    "incremental_near_dup_lsh",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -93,6 +93,49 @@ def _drop_mega_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataF
     return df.join(F.broadcast(flooded), keys, "left_anti")
 
 
+def lsh_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """(_id, band, bucket) LSH banding triples for a corpus — the
+    shared signature stage of the self-join (minhash_lsh_candidates)
+    and cross-corpus (incremental_near_dup) pipelines. In production
+    this IS the near-dup index: computed once per corpus snapshot,
+    stored banded, and probed by each incoming batch.
+
+    Shingle → hash once → EXPLODE → `num_hashes` min() hash-aggregates.
+    Higher-order lambdas (transform/array_min) are interpreted
+    per-element; a groupBy with plain min aggregates stays inside
+    whole-stage codegen — measured ~3× faster at sf0.1. The shuffle
+    this introduces carries only (id, num_hashes partial mins) per map
+    partition thanks to map-side combine."""
+    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
+    rows = num_hashes // bands
+    hashed_df = spread(docs, id_col).select(
+        F.col(id_col).alias("_id"), shingle_fn(text_col, shingle_k).alias("sh")
+    ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
+    sig = hashed_df.groupBy("_id").agg(
+        *[
+            F.min(F.expr(minhash_perm("h", j))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    ).select("_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, xxhash64(array_join(slice(sig, b * {rows} + 1, {rows}), ',')) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -121,32 +164,15 @@ def minhash_lsh_candidates(
     would sort the full banded table. Pass None to disable (exact
     small-corpus semantics — the oracle-parity configuration).
     """
-    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
-    rows = num_hashes // bands
-    # shingle → hash once → EXPLODE → 32 min() hash-aggregates.
-    # Higher-order lambdas (transform/array_min) are interpreted
-    # per-element; a groupBy with plain min aggregates stays inside
-    # whole-stage codegen — measured ~3× faster at sf0.1. The shuffle
-    # this introduces carries only (id, 32 partial mins) per map
-    # partition thanks to map-side combine.
-    hashed_df = spread(docs, id_col).select(
-        F.col(id_col).alias("_id"), shingle_fn(text_col, shingle_k).alias("sh")
-    ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
-    sig = hashed_df.groupBy("_id").agg(
-        *[
-            F.min(F.expr(minhash_perm("h", j))).alias(f"mh_{j}")
-            for j in range(num_hashes)
-        ]
-    ).select("_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("sig"))
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, xxhash64(array_join(slice(sig, b * {rows} + 1, {rows}), ',')) AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = lsh_band_table(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    )
     # persist FIRST: shingling + 32 permutations are the expensive part,
     # and every consumer below (the gate's count branch, the gate's
     # anti-join left side, both self-join sides) must read the cached
@@ -991,3 +1017,65 @@ def prefix_filter_near_dups(
             / (F.col("sza") + F.col("szb") - F.col("_o"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup: which incoming batch documents are
+    near-duplicates of something already in the corpus — the LSH
+    complement to the exact-digest incremental_ingest_dedup query
+    (that one only catches byte-identical payloads; this catches the
+    lightly-edited re-crawls that dominate real ingest).
+
+    Scale shape: both sides go through lsh_band_table; candidates come
+    from a (band, bucket) EQUI-join of batch bands against corpus
+    bands — in production the corpus table is the precomputed index
+    (build once per snapshot, probe per batch), so per-batch cost is
+    O(batch signatures + collisions), never O(corpus). The mega-bucket
+    gate runs on the CORPUS side (the flood side — a boilerplate
+    bucket there would fan every batch doc out quadratically). Verify
+    is exact Jaccard over the union frame (ids must be disjoint across
+    the two sides — true for any id scheme worth having).
+
+    Returns (batch_id, corpus_id, jaccard ≥ threshold)."""
+    bb = lsh_band_table(
+        batch, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).localCheckpoint(eager=False)
+    cb = lsh_band_table(
+        corpus, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).localCheckpoint(eager=False)
+    if max_bucket is not None:
+        cb = _drop_mega_buckets(cb, ["band", "bucket"], max_bucket)
+    cands = (
+        bb.alias("b")
+        .join(
+            cb.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b._id").alias("doc_a"), F.col("c._id").alias("doc_b"))
+        .distinct()
+    )
+    both = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    return (
+        ngram_jaccard(both, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("batch_id"),
+            F.col("doc_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )

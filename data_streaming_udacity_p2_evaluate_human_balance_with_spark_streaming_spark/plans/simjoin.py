@@ -185,3 +185,55 @@ def q_windowed_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "rank", "event_type", "n")
     )
+
+
+@register(
+    "incremental_near_dup_lsh",
+    """
+    WITH d AS (
+      SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+               AS is_batch
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, is_batch,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM d
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, is_batch, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.is_batch AND NOT b.is_batch
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = batch_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def q_incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: an incoming batch (a deterministic
+    3/16 md5 split of documents — scale-invariant rate, the
+    SF-dependent-threshold lesson) probed against the existing corpus
+    via the shared LSH band index. Catches the lightly-edited re-crawls
+    the exact-digest `incremental_ingest_dedup` query cannot. Oracle:
+    exact batch×corpus Jaccard ≥ 0.5 — valid as recall certification
+    for the same fixture-gap reason as dedup_minhash_lsh (every true
+    pair ≥ 0.9, where 8×4 banding misses with p ≈ 2e-4); soundness is
+    exact by construction (verify step)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    return incremental_near_dup(
+        docs.filter(~is_batch), docs.filter(is_batch)
+    )

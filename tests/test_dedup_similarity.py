@@ -656,3 +656,29 @@ def test_systematic_pps_exact_k_and_proportionality(spark):
     heavy = sum(r.n_picks for r in out if r.weight == 5000)
     assert heavy >= 30, f"heavy rows got {heavy}/40 picks"
     spark.catalog.clearCache()
+
+
+def test_incremental_near_dup_finds_cross_pairs_only(spark):
+    """Batch docs near-duplicating CORPUS docs are found; batch-batch
+    and corpus-corpus near-dups are NOT reported (the incremental
+    contract: the batch is checked against the index, not itself)."""
+    corpus_rows, batch_rows = [], []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa t%d u%d v%d"
+    for i in range(20):
+        text = base % (i, i, i) + " " + " ".join(f"c{i}_{j}" for j in range(15))
+        corpus_rows.append((i, text))
+        if i % 2 == 0:
+            # batch near-dup of corpus doc i
+            batch_rows.append((1000 + i, text[:-4] + "ZZZ"))
+    # batch-batch near-dup pair that must NOT be reported
+    t = "omega psi chi phi upsilon tau sigma rho pi omicron " + " ".join(
+        f"b{j}" for j in range(15)
+    )
+    batch_rows += [(2000, t), (2001, t[:-4] + "YYY")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {(r.batch_id, r.corpus_id) for r in
+           dedup.incremental_near_dup(corpus, batch).collect()}
+    expected = {(1000 + i, i) for i in range(0, 20, 2)}
+    assert got == expected, got
+    spark.catalog.clearCache()
