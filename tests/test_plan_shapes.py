@@ -779,3 +779,13 @@ def test_bot_regularity_single_user_exchange(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
+
+
+def test_incremental_near_dup_equijoin_no_cartesian(spark):
+    """Batch-vs-corpus candidate generation must be a hash equi-join on
+    (band, bucket) — never cartesian/BNLJ — and the exact verify joins
+    stay hash joins."""
+    plan = _plan(spark, "incremental_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
