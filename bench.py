@@ -123,6 +123,7 @@ HEADLINE = [
     "windowed_topk_batch",
     "bot_regularity_timing",
     "incremental_near_dup_lsh",
+    "normalized_exact_dedup",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

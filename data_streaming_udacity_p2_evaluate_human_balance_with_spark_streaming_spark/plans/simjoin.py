@@ -237,3 +237,75 @@ def q_incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup(
         docs.filter(~is_batch), docs.filter(is_batch)
     )
+
+
+@register(
+    "normalized_exact_dedup",
+    """
+    WITH variants AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             upper(text) || '  !!' AS text
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM variants
+    ),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM all_docs
+    )
+    SELECT md5(norm_text) AS norm_digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM n GROUP BY norm_text HAVING count(*) > 1
+    """,
+)
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-dedup: exact dedup AFTER text normalization
+    (lowercase, strip non-alphanumerics, collapse whitespace) — the
+    standard pre-pass that catches trivially-reformatted copies
+    (case/punctuation/spacing variants) that byte-exact dedup misses
+    and near-dup LSH wastes candidates on. Output groups by the
+    NORMALIZED payload: digest, the kept (minimum) id, and copy count
+    for groups with actual duplicates.
+
+    Scale shape: one narrow normalization projection + one hash
+    aggregate keyed on the normalized text (at 100 TB the exchange key
+    would be the md5 digest, not the text — kept as text here so the
+    group-by matches the oracle byte-for-byte; the digest column shows
+    the production contract). The normalization is three regexp passes
+    shared verbatim (RE2-compatible, 'g' semantics match Spark's
+    regexp_replace replace-all) with the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 4/16 md5 sample of reformatted variants (uppercase +
+    # trailing punctuation/extra spaces): the payloads byte-exact dedup
+    # misses and this pass must merge — synthesized from the corpus so
+    # the oracle replays them exactly (the flagship fixture pattern)
+    variants = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    n = docs.unionByName(variants).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ).alias("norm_text"),
+    )
+    return (
+        n.groupBy("norm_text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select(F.md5("norm_text").alias("norm_digest"), "keep_id", "n_copies")
+    )
