@@ -1029,6 +1029,7 @@ def incremental_near_dup(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket: int | None = 100_000,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus NEAR-dup: which incoming batch documents are
     near-duplicates of something already in the corpus — the LSH
@@ -1046,15 +1047,25 @@ def incremental_near_dup(
     is exact Jaccard over the union frame (ids must be disjoint across
     the two sides — true for any id scheme worth having).
 
+    Pass `corpus_bands` (a persisted/stored lsh_band_table of the
+    corpus, e.g. read back from parquet) to skip re-signing the corpus
+    — the build-once-probe-many path; it must have been built with the
+    SAME num_hashes/bands/shingle parameters or recall silently drops
+    to zero (different bucket spaces never collide).
+
     Returns (batch_id, corpus_id, jaccard ≥ threshold)."""
     bb = lsh_band_table(
         batch, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     ).localCheckpoint(eager=False)
-    cb = lsh_band_table(
-        corpus, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-    ).localCheckpoint(eager=False)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else lsh_band_table(
+            corpus, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        ).localCheckpoint(eager=False)
+    )
     if max_bucket is not None:
         cb = _drop_mega_buckets(cb, ["band", "bucket"], max_bucket)
     cands = (

@@ -682,3 +682,32 @@ def test_incremental_near_dup_finds_cross_pairs_only(spark):
     expected = {(1000 + i, i) for i in range(0, 20, 2)}
     assert got == expected, got
     spark.catalog.clearCache()
+
+
+def test_incremental_near_dup_precomputed_index_roundtrip(spark, tmp_path):
+    """The build-once-probe-many path: lsh_band_table written to
+    parquet and read back must give IDENTICAL results to the inline
+    build — certifying the band table is a storable index (stable
+    across write/read, no session-dependent state)."""
+    corpus_rows, batch_rows = [], []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa t%d u%d v%d"
+    for i in range(20):
+        text = base % (i, i, i) + " " + " ".join(f"c{i}_{j}" for j in range(15))
+        corpus_rows.append((i, text))
+        if i % 3 == 0:
+            batch_rows.append((1000 + i, text[:-4] + "ZZZ"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    inline = {(r.batch_id, r.corpus_id, round(r.jaccard, 12)) for r in
+              dedup.incremental_near_dup(corpus, batch).collect()}
+
+    idx_path = str(tmp_path / "band_index")
+    dedup.lsh_band_table(corpus).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    via_index = {(r.batch_id, r.corpus_id, round(r.jaccard, 12)) for r in
+                 dedup.incremental_near_dup(
+                     corpus, batch, corpus_bands=stored
+                 ).collect()}
+    assert inline == via_index and len(inline) == 7
+    spark.catalog.clearCache()
