@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: default grid: 4 hash rows × 256 buckets (2 hex chars) → ε ≈ 1.1%·N,
 #: δ ≈ 1.8%; 1024 cells regardless of input size.
@@ -308,3 +309,71 @@ def hll_merge_oracle_sql(
            CAST(n_regs AS BIGINT) AS n_registers
     FROM summary
     """
+
+
+def kmv_samples(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Bottom-k (KMV) sample per group: the k lexicographically
+    smallest distinct md5(key) digests. Hex comparison is monotone in
+    the hash value, so "k smallest strings" == "k smallest numbers"
+    without any engine-specific hex→int conversion — the property that
+    makes the sketch fully DuckDB-oracle-able.
+
+    A KMV sample is MERGEABLE (k smallest of a union = k smallest of
+    the concatenated samples) and supports SET operations — the thing
+    HLL cannot do: intersection/Jaccard between groups come straight
+    from sample membership (Beyer et al., "On synopses for distinct-
+    value estimation under multiset operations").
+
+    Scale shape: one distinct on (group, digest) — map-side partial —
+    then a per-group rank window (bounded by the group's distinct
+    count; the sort is the honest cost of exact bottom-k, and at
+    extreme group cardinality the distinct pre-pass has already
+    collapsed the data to unique digests)."""
+    dh = df.select(
+        F.col(group_col), F.md5(F.col(key_col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    return (
+        dh.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(group_col, "_h", "_rk")
+    )
+
+
+def kmv_jaccard_pairs(
+    samples: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between groups from their KMV
+    samples: for pair (a, b), take the k smallest digests of the
+    merged samples, count how many belong to BOTH samples, divide by
+    the merged-sample size. Unbiased for |A∩B|/|A∪B| with σ ≈
+    1/√k (~6% at k=256). Everything after the samples is tiny
+    (|groups|·k rows), so the pair fan-out is |groups|² — the point of
+    sketch set-ops: corpus-scale overlap questions answered on
+    kilobytes."""
+    # enumerate ordered pairs via the distinct group list (tiny)
+    groups = samples.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    union_rows = (
+        samples.select(F.col(group_col).alias("g"), "_h")
+        .join(F.broadcast(pairs), (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")))
+        .groupBy("ga", "gb", "_h")
+        .agg(F.count(F.lit(1)).alias("_sides"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("_h")
+    topk = union_rows.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    return topk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias("sample_inter"),
+        (
+            F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("jaccard_est"),
+    )

@@ -309,3 +309,57 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .select(F.md5("norm_text").alias("norm_digest"), "keep_id", "n_copies")
     )
+
+
+_KMV_K = 256
+
+
+@register(
+    "kmv_type_user_overlap",
+    f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    samples AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM dh QUALIFY rk <= {_KMV_K}
+    ),
+    groups AS (SELECT DISTINCT event_type AS g FROM samples),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb FROM groups a JOIN groups b ON a.g < b.g
+    ),
+    union_rows AS (
+      SELECT p.ga, p.gb, s.h, count(*) AS sides
+      FROM samples s JOIN pairs p ON s.event_type = p.ga OR s.event_type = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    topk AS (
+      SELECT ga, gb, sides,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+      FROM union_rows QUALIFY rk <= {_KMV_K}
+    )
+    SELECT ga, gb, count(*) AS k_used,
+           sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS sample_inter,
+           CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS jaccard_est
+    FROM topk GROUP BY ga, gb
+    """,
+)
+def q_kmv_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap between event types via KMV (bottom-k) sketch
+    set operations — the Jaccard/intersection question HLL cannot
+    answer. Hex md5 strings ARE the hash values (lexicographic ==
+    numeric order), so the whole sketch — sampling, merge, estimate —
+    is deterministic and byte-replicable in DuckDB: the oracle runs
+    the identical construction, making this the rare APPROXIMATE
+    operator with an EXACT oracle (the estimate itself is the
+    certified value; its accuracy vs truth is pytest-gated
+    separately). Scale: after the (type, digest) distinct, everything
+    operates on ≤ |types|·k digest rows."""
+    from ..operators.sketches import kmv_jaccard_pairs, kmv_samples
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = kmv_samples(ev, "event_type", "user_id", k=_KMV_K)
+    return kmv_jaccard_pairs(samples, "event_type", k=_KMV_K)

@@ -759,3 +759,40 @@ def test_binned_range_join_equals_naive_on_boundaries(spark):
     assert a == b and len(a) > 0
     # no pair may appear twice (each event lives in exactly one bin)
     assert len(b) == len(set(b))
+
+
+def test_kmv_jaccard_estimate_accuracy_and_mergeability(spark):
+    """KMV set-overlap: (1) the Jaccard estimate lands within 4σ
+    (σ≈1/√k) of the true user-set Jaccard on planted overlapping
+    groups; (2) mergeability — the pairwise estimate computed from the
+    two groups' bottom-k SAMPLES equals the estimate computed from
+    bottom-k over their full digest union (k smallest of a union = k
+    smallest of concatenated samples)."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        kmv_jaccard_pairs,
+        kmv_samples,
+    )
+
+    # two groups over user ranges with a known 50% overlap:
+    # A = [0, 4000), B = [2000, 6000) → |A∩B| = 2000, |A∪B| = 6000
+    rows = [("A", u) for u in range(4000)] + [("B", u) for u in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "grp string, user_id long")
+    k = 256
+    est = kmv_jaccard_pairs(kmv_samples(df, "grp", "user_id", k=k), "grp", k=k).collect()
+    assert len(est) == 1
+    true_j = 2000 / 6000
+    sigma = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(est[0].jaccard_est - true_j) <= 4 * sigma + 1e-9, est
+    assert est[0].k_used == k
+
+    # mergeability: estimate from full-union bottom-k must be identical
+    dh = df.select("grp", F.md5(F.col("user_id").cast("string")).alias("_h")).distinct()
+    union_topk = (
+        dh.groupBy("_h").agg(F.count(F.lit(1)).alias("_sides"))
+        .orderBy("_h").limit(k)
+    )
+    inter = union_topk.filter(F.col("_sides") == 2).count()
+    assert est[0].sample_inter == inter
+    spark.catalog.clearCache()
