@@ -125,6 +125,7 @@ HEADLINE = [
     "incremental_near_dup_lsh",
     "normalized_exact_dedup",
     "kmv_type_user_overlap",
+    "triangle_parts_copurchase",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -363,3 +363,82 @@ def q_kmv_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     samples = kmv_samples(ev, "event_type", "user_id", k=_KMV_K)
     return kmv_jaccard_pairs(samples, "event_type", k=_KMV_K)
+
+
+@register(
+    "triangle_parts_copurchase",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.pa x, e1.pb y, e2.pb z
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    pern AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT node AS part, n_triangles,
+           row_number() OVER (ORDER BY n_triangles DESC, node ASC) AS rank
+    FROM pern QUALIFY rank <= 20
+    """,
+)
+def q_triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by TRIANGLE participation in the co-purchase graph
+    (parts co-ordered within an order; deterministic 4/16 md5 node
+    sample keeps the synthetic graph's density — avg degree ~120 —
+    bench-sized at every SF, the hash-rate-not-absolute-value rule).
+    Triangle-dense nodes sit in cohesive co-purchase communities — the
+    cohesion signal CC can't give (CC says "connected", triangles say
+    "tightly connected").
+
+    Spark side uses the degree-ORIENTED wedge closure
+    (operators/graphs.py:triangle_counts — each triangle found exactly
+    once at its lowest-order vertex; orientation bounds wedge fan-out
+    by O(√m) out-degrees); the oracle brute-forces the 3-way join on
+    the a<b<c representation. Identical per-node counts certify the
+    orientation argument end-to-end. The final top-20 rank runs over
+    per-node counts (|V| rows), not the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.graphs import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    counts = triangle_counts(e)
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("node").alias("part"), "n_triangles", "rank")
+    )

@@ -711,3 +711,26 @@ def test_incremental_near_dup_precomputed_index_roundtrip(spark, tmp_path):
                  ).collect()}
     assert inline == via_index and len(inline) == 7
     spark.catalog.clearCache()
+
+
+def test_triangle_counts_known_graph(spark):
+    """Hand-verifiable graph: K4 on {1,2,3,4} (4 triangles, each node
+    in 3), plus a pendant (4-5) and an isolated edge (6-7) that join
+    no triangle, plus a hub (0) connected to 1..4 — the hub adds
+    C(4,2)=6 wedge closures only where 1..4 are themselves adjacent
+    (all 6 pairs in K4), so hub triangles = 6, and each K4 node gains
+    3 hub triangles. Exercises orientation ties, hubs, pendants, and
+    non-participating nodes."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        triangle_counts,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = k4 + [(4, 5), (6, 7)] + [(0, i) for i in (1, 2, 3, 4)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    # K4 alone: each of 1..4 in 3 triangles. Hub 0 closes every K4
+    # edge into a triangle: +6 for the hub, +3 for each K4 node
+    # (the 3 K4 edges it sits on, each closed by 0).
+    assert got == {0: 6, 1: 6, 2: 6, 3: 6, 4: 6}, got
+    spark.catalog.clearCache()

@@ -789,3 +789,13 @@ def test_incremental_near_dup_equijoin_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_triangle_closure_all_equijoins(spark):
+    """Wedge formation and closure must be hash equi-joins (pivot key,
+    then (v,w) pair key) — no cartesian/BNLJ anywhere in the plan; the
+    only window is the final top-20 rank over per-node counts."""
+    plan = _plan(spark, "triangle_parts_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
