@@ -126,6 +126,7 @@ HEADLINE = [
     "normalized_exact_dedup",
     "kmv_type_user_overlap",
     "triangle_parts_copurchase",
+    "multiset_ops_all",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

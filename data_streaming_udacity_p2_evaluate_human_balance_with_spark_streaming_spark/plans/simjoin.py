@@ -442,3 +442,43 @@ def q_triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("node").alias("part"), "n_triangles", "rank")
     )
+
+
+@register(
+    "multiset_ops_all",
+    """
+    WITH ev AS (SELECT user_id AS id FROM events WHERE event_type = 'purchase'),
+    ords AS (SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect' AS op, id FROM (SELECT id FROM ev INTERSECT ALL SELECT id FROM ords)
+    UNION ALL
+    SELECT 'except' AS op, id FROM (SELECT id FROM ev EXCEPT ALL SELECT id FROM ords)
+    """,
+)
+def q_multiset_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL (min of
+    multiplicities) and EXCEPT ALL (multiplicity subtraction) between
+    purchase events and urgent orders, keyed on customer id. The ALL
+    variants are the audit primitives for event-ledger reconciliation
+    (how many purchase events have a matching urgent order, counting
+    duplicates); the DISTINCT forms already covered by
+    users_intersect_customers / customers_except_users lose exactly
+    the multiplicity information this keeps.
+
+    Scale: Spark plans both as a single aggregate-per-side + join on
+    the id (count-min / count-subtract), one keyed exchange each — the
+    same shape a hand-written groupBy implementation would produce."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("id"))
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("id"))
+    )
+    inter = ev.intersectAll(ords).select(F.lit("intersect").alias("op"), "id")
+    exc = ev.exceptAll(ords).select(F.lit("except").alias("op"), "id")
+    return inter.unionByName(exc)
