@@ -127,6 +127,7 @@ HEADLINE = [
     "kmv_type_user_overlap",
     "triangle_parts_copurchase",
     "multiset_ops_all",
+    "kcore_parts_copurchase",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -81,3 +81,81 @@ def triangle_counts(
         .unionByName(closed.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    where every node has degree ≥ k, computed by iterative peeling
+    (delete all nodes with degree < k; repeat until fixpoint). The
+    standard graph-cleanup pass before community/cohesion analysis —
+    pendant chains and sparse fuzz vanish, dense structure stays.
+
+    Iteration shape (the connected_components discipline): each round
+    is one degree aggregate + one broadcast-able anti-join of the
+    surviving edge list against the peeled node set; the edge frontier
+    is localCheckpoint-ed per round (bounded plan depth) and superseded
+    checkpoints are freed eagerly (non-evictable blocks leak
+    otherwise). Peeling terminates in ≤ |V| rounds; real graphs need
+    few — each round removes every currently-under-k node at once.
+    Fixpoint = a round that deletes nothing (count unchanged — one
+    scalar collect per round, same as the CC label-sum signal).
+
+    Fully DuckDB-oracle-able despite the fixpoint loop: a recursive
+    CTE can't DELETE, but it can re-emit the peeled working set with
+    an iteration counter — and peeling is idempotent past the
+    fixpoint, so "iterate exactly N" equals "iterate to fixpoint"
+    whenever convergence lands within N (the registered query's cap;
+    its pytest asserts convergence via `stats`). Plus hand-verified
+    K5+pendant-chain structure tests.
+
+    Returns the surviving edges (a_col, b_col)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    cur = edges.select(a_col, b_col).repartition(a_col).localCheckpoint()
+    n_edges = cur.count()
+    rounds, converged = 0, False
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col(a_col).alias("n"))
+            .unionByName(cur.select(F.col(b_col).alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        peel = deg.filter(F.col("d") < k).select("n")
+        nxt = (
+            cur.join(
+                F.broadcast(peel.select(F.col("n").alias(a_col))), a_col, "left_anti"
+            )
+            .join(
+                F.broadcast(peel.select(F.col("n").alias(b_col))), b_col, "left_anti"
+            )
+            .select(a_col, b_col)
+            .localCheckpoint()
+        )
+        _free(cur)
+        cur = nxt
+        rounds += 1
+        m = cur.count()
+        if m == n_edges:
+            converged = True
+            break
+        n_edges = m
+        if m == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    return cur

@@ -482,3 +482,75 @@ def q_multiset_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = ev.intersectAll(ords).select(F.lit("intersect").alias("op"), "id")
     exc = ev.exceptAll(ords).select(F.lit("except").alias("op"), "id")
     return inter.unionByName(exc)
+
+
+_KCORE_K = 18
+_KCORE_ITERS = 10
+
+
+@register(
+    "kcore_parts_copurchase",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    core(it, pa, pb) AS (
+      SELECT 0, pa, pb FROM base
+      UNION ALL
+      SELECT it + 1, pa, pb FROM (
+        WITH cur AS (SELECT * FROM core),
+        deg AS (SELECT n, count(*) d FROM
+                 (SELECT pa n FROM cur UNION ALL SELECT pb FROM cur) GROUP BY n),
+        keep AS (SELECT n FROM deg WHERE d >= {_KCORE_K})
+        SELECT it, pa, pb FROM cur
+        WHERE pa IN (SELECT n FROM keep) AND pb IN (SELECT n FROM keep)
+          AND it < {_KCORE_ITERS}
+      )
+    )
+    SELECT pa, pb FROM core WHERE it = {_KCORE_ITERS}
+    """,
+)
+def q_kcore_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18-core of the (sampled) co-purchase graph (k chosen so the
+    fixture actually peels over MULTIPLE rounds to a NONEMPTY fixpoint
+    at both checked SFs — k=3 was vacuous on this dense graph, min
+    degree 11; k≥22 cascades to empty) — the graph-cleanup
+    pass that peels pendant chains and sparse fuzz before cohesion
+    analysis, by iterative deletion to fixpoint
+    (operators/graphs.py:k_core). The oracle expresses the SAME
+    peeling as a fixed-10-iteration recursive CTE (idempotent after
+    the fixpoint, so "iterate exactly 10" == "iterate to fixpoint"
+    whenever convergence happens within the cap — the engine side
+    asserts convergence via its stats out-param in pytest; peeling
+    removes every under-k node per round, so 10 rounds is generous
+    for any graph whose chains are shorter than 10)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graphs import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    return k_core(e, _KCORE_K, max_iter=_KCORE_ITERS)

@@ -734,3 +734,68 @@ def test_triangle_counts_known_graph(spark):
     # (the 3 K4 edges it sits on, each closed by 0).
     assert got == {0: 6, 1: 6, 2: 6, 3: 6, 4: 6}, got
     spark.catalog.clearCache()
+
+
+def test_k_core_peels_to_dense_structure(spark):
+    """K5 with a pendant path hanging off one vertex: the 3-core must
+    be exactly the K5 edges (the path peels away over multiple rounds
+    — each round only exposes the next chain node, exercising the
+    fixpoint loop, not just one pass); the 5-core is empty (K5 nodes
+    have degree 4)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        k_core,
+    )
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(k5 + path, "pa long, pb long")
+    stats = {}
+    got = {(r.pa, r.pb) for r in k_core(df, 3, stats=stats).collect()}
+    assert got == set(k5), got
+    assert stats["converged"]
+    assert stats["rounds"] >= 2  # the chain peels one node per round
+    stats5 = {}
+    assert k_core(df, 5, stats=stats5).count() == 0
+    assert stats5["converged"]
+    spark.catalog.clearCache()
+
+
+def test_kcore_registry_query_converges_within_cap(spark):
+    """The registered 18-core query's oracle equality relies on Spark
+    converging within the oracle's fixed 10-round cap — assert it
+    directly at the smallest fixture."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        k_core,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    stats = {}
+    out = k_core(e, 18, max_iter=10, stats=stats)
+    assert out.count() > 0
+    assert stats["converged"], stats
+    assert stats["rounds"] <= 9, stats
+    spark.catalog.clearCache()
