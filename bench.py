@@ -128,6 +128,7 @@ HEADLINE = [
     "triangle_parts_copurchase",
     "multiset_ops_all",
     "kcore_parts_copurchase",
+    "pagerank_parts_copurchase",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -159,3 +159,69 @@ def k_core(
         stats["rounds"] = rounds
         stats["converged"] = converged
     return cur
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 10,
+    a_col: str = "pa",
+    b_col: str = "pb",
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over an undirected simple graph in FIXED-POINT INTEGER
+    arithmetic: ranks are integers at `scale` (1e12 = 12 decimal
+    digits), contributions are r DIV outdeg, damping is
+    (damping_pct·Σ) DIV 100. Floating-point PageRank is un-oracle-able
+    (per-node sums depend on partition order and cross-engine libm);
+    the integer recurrence is EXACTLY deterministic — integer addition
+    is associative and truncating division of positives is floor in
+    every engine — so a DuckDB recursive CTE reproduces every rank
+    bit-for-bit. Truncation injects <1 ulp-of-scale per op: at 1e12,
+    ranking order is unaffected for any realistic graph.
+
+    Overflow bound: damping_pct · |V| · scale must stay under 2^63 —
+    |V| < 10^8 at the defaults; lower `scale` for bigger graphs.
+
+    Iteration shape (the CC discipline): each of the fixed `iterations`
+    rounds is one join (ranks onto out-edges) + one aggregate
+    (contributions per destination); the rank frontier is
+    localCheckpoint-ed per round and superseded checkpoints freed
+    eagerly. Symmetrized edges mean no dangling nodes (every node has
+    out-degree ≥ 1), so total mass is conserved up to truncation.
+
+    Returns (node, rank) with rank the final fixed-point integer."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint()
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = (
+        e2.select("src").distinct()
+        .select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select("dst", F.expr("r DIV od").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        new_ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.expr(f"({damping_pct} * _sum) DIV 100")).alias("r"),
+        ).localCheckpoint()
+        _free(ranks)
+        ranks = new_ranks
+    _free(e2)
+    return ranks

@@ -554,3 +554,91 @@ def q_kcore_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(e, _KCORE_K, max_iter=_KCORE_ITERS)
+
+
+_PR_ITERS = 10
+
+
+@register(
+    "pagerank_parts_copurchase",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    e2 AS (
+      SELECT s.src, s.dst, d.od
+      FROM sym s JOIN (SELECT src, count(*) od FROM sym GROUP BY src) d
+        ON d.src = s.src
+    ),
+    pr(it, node, r) AS (
+      SELECT 0, src, CAST(1000000000000 AS BIGINT)
+      FROM (SELECT DISTINCT src FROM e2)
+      UNION ALL
+      SELECT it + 1, dst,
+             CAST(150000000000 + (85 * c) // 100 AS BIGINT)
+      FROM (
+        WITH cur AS (SELECT * FROM pr)
+        SELECT e2.dst, max(cur.it) AS it, sum(cur.r // e2.od) AS c
+        FROM e2 JOIN cur ON cur.node = e2.src
+        WHERE cur.it < {_PR_ITERS}
+        GROUP BY e2.dst
+      )
+    ),
+    final AS (SELECT node, r FROM pr WHERE it = {_PR_ITERS})
+    SELECT node AS part, r AS rank_fp,
+           row_number() OVER (ORDER BY r DESC, node ASC) AS rank
+    FROM final QUALIFY rank <= 20
+    """,
+)
+def q_pagerank_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by fixed-point-integer PageRank over the sampled
+    co-purchase graph (operators/graphs.py:pagerank_integer, 10
+    rounds, damping 0.85, scale 1e12). An ITERATIVE NUMERIC operator
+    with a bit-exact DuckDB oracle: float PageRank can't cross engines
+    (summation order + libm), but the integer recurrence — r DIV
+    outdeg contributions, (85·Σ) DIV 100 damping — is associative and
+    floor-exact in both, so the recursive CTE replays every round to
+    the digit. The rank_fp VALUE is certified, not just the
+    ordering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.graphs import pagerank_integer
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    ranks = pagerank_integer(e, iterations=_PR_ITERS)
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("node").alias("part"), F.col("r").alias("rank_fp"), "rank")
+    )

@@ -799,3 +799,35 @@ def test_kcore_registry_query_converges_within_cap(spark):
     assert stats["converged"], stats
     assert stats["rounds"] <= 9, stats
     spark.catalog.clearCache()
+
+
+def test_pagerank_integer_matches_python_replica(spark):
+    """Fixed-point PageRank must equal a pure-Python integer replica
+    of the recurrence EXACTLY (to the last digit) on an asymmetric
+    graph — certifying the arithmetic contract (DIV-floor
+    contributions, integer damping) independent of the SQL oracle."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (4, 0)]  # hub + triangle + pendant
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.r for r in pagerank_integer(df, iterations=10).collect()}
+
+    S = 1_000_000_000_000
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    r = {n: S for n in adj}
+    for _ in range(10):
+        contrib = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            share = r[n] // len(nbrs)
+            for m in nbrs:
+                contrib[m] += share
+        r = {n: (S * 15) // 100 + (85 * c) // 100 for n, c in contrib.items()}
+    assert got == r, (got, r)
+    # the hub must out-rank the pendant leaf
+    assert got[0] > got[4]
+    spark.catalog.clearCache()

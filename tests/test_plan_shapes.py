@@ -799,3 +799,12 @@ def test_triangle_closure_all_equijoins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_pagerank_no_cartesian(spark):
+    """Every PageRank round is a keyed join + aggregate — no
+    cartesian/BNLJ anywhere in the final executed plan."""
+    plan = _plan(spark, "pagerank_parts_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
