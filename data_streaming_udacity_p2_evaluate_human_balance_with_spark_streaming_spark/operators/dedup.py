@@ -928,6 +928,18 @@ def prefix_filter_near_dups(
     sf0.1). Verify reuses ngram_jaccard (exact, candidates-only
     shingling).
     """
+    def _safe_ceil(x):
+        # ⌈t·sz⌉ with float-overshoot protection: a product like
+        # 0.07*100 evaluates to 7.000000000000001 and a raw ceil would
+        # shorten the prefix by one token, silently breaking the
+        # zero-false-negative guarantee for non-binary-exact
+        # thresholds. Shrinking by relative 1e-12 (≫ the 2.2e-16
+        # double ulp, ≪ any real 1/sz gap to the next integer) cancels
+        # the overshoot; when the exact product IS an integer the
+        # shrunken value still ceils to it. Errs only toward a
+        # one-longer prefix / one-lower alpha — both lossless.
+        return F.ceil(x * F.lit(1.0 - 1e-12))
+
     sets_df = (
         spread(docs, id_col)
         .select(
@@ -952,7 +964,7 @@ def prefix_filter_near_dups(
                 F.slice(
                     "_ord",
                     F.lit(1),
-                    (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+                    (F.col("sz") - _safe_ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
                 )
             ).alias("_pos0", "_p"),
         )
@@ -964,7 +976,7 @@ def prefix_filter_near_dups(
         )
     )
     l, r = prefix.alias("l"), prefix.alias("r")
-    alpha = F.ceil(
+    alpha = _safe_ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("l.sz") + F.col("r.sz"))
     )
     cands = (

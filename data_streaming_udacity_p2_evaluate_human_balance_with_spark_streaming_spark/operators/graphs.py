@@ -180,8 +180,14 @@ def pagerank_integer(
     bit-for-bit. Truncation injects <1 ulp-of-scale per op: at 1e12,
     ranking order is unaffected for any realistic graph.
 
-    Overflow bound: damping_pct · |V| · scale must stay under 2^63 —
-    |V| < 10^8 at the defaults; lower `scale` for bigger graphs.
+    Overflow bound: a hub node can receive nearly ALL the mass (total
+    mass ≈ |V|·scale), so the un-damped per-destination sum can reach
+    |V|·scale and the `damping_pct · Σ` product must stay under 2^63:
+    |V| < 2^63 / (damping_pct · scale) — ~1.08·10^5 at the defaults
+    (85, 1e12). Lower `scale` for bigger graphs (scale=1e6 admits
+    |V| ~ 10^11). Enforced by a runtime ValueError, because ANSI-off
+    BIGINT arithmetic would otherwise wrap silently and emit wrong
+    ranks with no error.
 
     Iteration shape (the CC discipline): each of the fixed `iterations`
     rounds is one join (ranks onto out-edges) + one aggregate
@@ -210,6 +216,15 @@ def pagerank_integer(
         .select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
         .localCheckpoint()
     )
+    n_nodes = ranks.count()
+    if damping_pct * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"pagerank_integer overflow risk: damping_pct*|V|*scale = "
+            f"{damping_pct}*{n_nodes}*{scale} >= 2^63; a hub node can "
+            f"receive ~|V|*scale mass and the damping product would wrap "
+            f"BIGINT silently (ANSI off). Lower `scale` (need scale < "
+            f"{2**63 // max(1, damping_pct * n_nodes)})."
+        )
     for _ in range(iterations):
         contrib = (
             e2.join(ranks, e2["src"] == ranks["node"])

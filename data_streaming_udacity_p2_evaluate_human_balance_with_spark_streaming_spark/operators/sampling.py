@@ -136,9 +136,29 @@ def systematic_pps_sample(
     """
     from .ranking import global_running_sum
 
+    if k <= 0:
+        raise ValueError(f"systematic_pps_sample: k must be positive, got {k}")
+    # Weights MUST be strictly positive: a negative weight makes the
+    # cumulative line non-monotone (intervals overlap — picks get
+    # duplicated/lost and the exactly-k invariant breaks), and an
+    # all-zero total would divide by zero in the grid expression. Fail
+    # loudly per-row rather than silently mis-sample: assert_true is
+    # NULL when the predicate holds, so the when() wrapper keeps the
+    # check inside the live expression tree (it can't be pruned) at
+    # one JVM comparison per row.
+    w_checked = F.when(
+        F.assert_true(
+            F.col(weight_col) > 0,
+            F.concat(
+                F.lit(f"systematic_pps_sample: non-positive {weight_col}="),
+                F.col(weight_col).cast("string"),
+            ),
+        ).isNull(),
+        F.col(weight_col).cast("long"),
+    )
     ordered = df.select(
         id_col,
-        F.col(weight_col).cast("long").alias("_w"),
+        w_checked.alias("_w"),
         F.md5(F.col(id_col).cast("string")).alias("_ok"),
     )
     cum = global_running_sum(ordered, ["_ok", id_col], "_w", out_col="_cum")

@@ -243,10 +243,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_by_returnflag",
     """
     SELECT l_returnflag,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -370,7 +370,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_volume_customer",
     """
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           o_totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -415,7 +415,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "o_orderkey",
         "o_orderdate",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_totalprice",
     ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
     return agg.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
 

@@ -3229,10 +3229,11 @@ def q_json_multi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regressions still surface locally.
 
 
-def _driver_checked() -> frozenset[str]:
-    """Query names that already have a driver CORRECTNESS row (any round,
-    green or not — a row with err is still a consumed check the builder
-    must fix in place, not re-queue)."""
+def _driver_status() -> dict[str, bool]:
+    """Latest driver CORRECTNESS verdict per query name: True if the
+    most recent row was fully green (hash_match, or rows_match for the
+    documented no-oracle entries), False if its latest row was red. A
+    name absent from every round's file has never been checked."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -3241,24 +3242,38 @@ def _driver_checked() -> frozenset[str]:
     repo = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    seen: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen |= set(_json.load(fh))
+                for name, row in _json.load(fh).items():
+                    if row.get("err") == "no_oracle":
+                        latest[name] = bool(row.get("spark_rows"))
+                    else:
+                        latest[name] = bool(row.get("hash_match"))
         except Exception:
             pass
-    return frozenset(seen)
+    return latest
+
+
+def _driver_checked() -> frozenset[str]:
+    """Query names that already have a driver CORRECTNESS row (any round,
+    green or not — a row with err is still a consumed check the builder
+    must fix in place; red rows re-queue via _driver_order's red tier)."""
+    return frozenset(_driver_status())
 
 
 def _driver_order() -> list[str]:
-    """Never-driver-checked names first (registration order), then the
-    already-checked rest — so the driver's first-50 CORRECTNESS window
-    always lands on queries that need a row."""
-    seen = _driver_checked()
-    unchecked = [n for n in REGISTRY if n not in seen]
-    checked = [n for n in REGISTRY if n in seen]
-    return unchecked + checked
+    """Driver-window priority: (1) never-checked names, (2) names whose
+    LATEST driver row was red (so a fixed regression re-rotates into
+    the next 50-slot CORRECTNESS window automatically instead of
+    sorting behind 100+ green names), (3) the green rest — each tier
+    in registration order."""
+    status = _driver_status()
+    unchecked = [n for n in REGISTRY if n not in status]
+    red = [n for n in REGISTRY if n in status and not status[n]]
+    green = [n for n in REGISTRY if status.get(n)]
+    return unchecked + red + green
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -916,7 +916,7 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT user_id,
              count(*) AS n_events,
-             CAST(count(gap_s) AS DECIMAL(4,0)) AS ng,
+             CAST(count(gap_s) AS DECIMAL(9,0)) AS ng,
              CAST(sum(CAST(gap_s AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS s1,
              CAST(sum(CAST(gap_s AS DECIMAL(18,0)) * CAST(gap_s AS DECIMAL(18,0)))
                   AS DECIMAL(18,0)) AS s2
@@ -950,6 +950,10 @@ def q_bot_regularity_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact. Sums are re-cast to DECIMAL(18,0) BEFORE multiplying:
     both engines cap decimal precision at 38, and 18+18 stays inside
     it while their native sum widths (28 Spark / 38 DuckDB) would not.
+    `ng` is DECIMAL(9,0) — wide enough for 10^9−1 gaps per user (a
+    narrower 4,0 would silently null in Spark / raise in DuckDB past
+    10^4 events per user) while ng·s2 at 9+18 = precision 28 still
+    fits the 38 cap.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -968,7 +972,7 @@ def q_bot_regularity_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.count("gap_s").cast("decimal(4,0)").alias("ng"),
+            F.count("gap_s").cast("decimal(9,0)").alias("ng"),
             F.sum(F.col("gap_s").cast("decimal(18,0)"))
             .cast("decimal(18,0)")
             .alias("s1"),

@@ -416,7 +416,9 @@ def windowed_topk(
     are unsupported on streams); this is the canonical
     applyInPandasWithState + EventTimeTimeout construction:
 
-    - key = window start; state = the window's (type, count) vector —
+    - key = (window start, window-end epoch millis) — the end millis
+      computed in SQL so the event-time timeout is correct under ANY
+      session timezone; state = the window's (type, count) vector —
       bounded by the number of DISTINCT types, not by event volume
       (each micro-batch is pre-reduced with value_counts before it
       touches state);
@@ -432,7 +434,6 @@ def windowed_topk(
     certified equal by
     tests/test_streaming.py::test_windowed_topk_matches_batch."""
     typ, ts = type_col, ts_col
-    win_ms = window_minutes * 60_000
 
     def update(
         key: tuple,
@@ -466,8 +467,13 @@ def windowed_topk(
         state.update((list(acc.keys()), [int(v) for v in acc.values()]))
         # fire when the watermark passes window end (must be set
         # strictly beyond the current watermark: a straggler batch for
-        # an already-closable window re-arms one watermark tick ahead)
-        end_ms = int(key[0].timestamp() * 1000) + win_ms
+        # an already-closable window re-arms one watermark tick ahead).
+        # The end comes from key[1] — epoch millis computed in SQL via
+        # unix_millis(window.end), NOT key[0].timestamp(): the rendered
+        # timestamp key is in spark.sql.session.timeZone, and treating
+        # it as UTC would skew the timeout by the tz offset under any
+        # non-UTC session timezone (windows finalizing early/late).
+        end_ms = int(key[1])
         state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
 
     return (
@@ -477,10 +483,15 @@ def windowed_topk(
         # stateful operator, not merely appear below it
         .select(
             F.window(ts_col, f"{window_minutes} minutes")["start"].alias("wstart"),
+            F.unix_millis(
+                F.window(ts_col, f"{window_minutes} minutes")["end"]
+            ).alias("wend_ms"),
             F.col(typ),
             F.col(ts_col),
         )
-        .groupBy("wstart")
+        # wend_ms is a 1:1 function of wstart — it refines nothing,
+        # it just rides the key so the timeout math is tz-independent
+        .groupBy("wstart", "wend_ms")
         .applyInPandasWithState(
             update,
             outputStructType=TOPK_OUTPUT_SCHEMA,

@@ -831,3 +831,87 @@ def test_pagerank_integer_matches_python_replica(spark):
     # the hub must out-rank the pendant leaf
     assert got[0] > got[4]
     spark.catalog.clearCache()
+
+
+def test_prefix_filter_non_binary_exact_threshold_lossless(spark):
+    """ADVICE r4 regression: thresholds whose float product overshoots
+    an integer (0.07*100 = 7.000000000000001 under IEEE 754) must not
+    shorten the prefix — the join stays LOSSLESS at NON-binary-exact
+    thresholds, equal to brute-force all-pairs Jaccard in membership
+    and value."""
+    docs = _near_dup_docs(spark)
+    for t in (0.07, 0.3, 0.7):
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 12)
+            for r in dedup.prefix_filter_near_dups(docs, threshold=t).collect()
+        }
+        sets_df = docs.select(
+            "doc_id", F.array_distinct(dedup.shingles("text", 3)).alias("s")
+        )
+        a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb"))
+        exact = {
+            (r.doc_a, r.doc_b): round(r.j, 12)
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter.cast("double") / (F.size("sa") + F.size("sb") - inter)).alias(
+                    "j"
+                ),
+            )
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+        assert got == exact, f"t={t}: {len(got)} vs exact {len(exact)}"
+    spark.catalog.clearCache()
+
+
+def test_systematic_pps_rejects_nonpositive_weights(spark):
+    """ADVICE r4 regression: a negative or zero weight breaks the
+    monotone cumulative line (picks duplicated/lost) — the operator
+    must fail loudly, not mis-sample silently; k<=0 is a ValueError."""
+    import pytest as _pytest
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 10), (2, -3), (3, 7)], "doc_id long, n_chars long"
+    )
+    with _pytest.raises(Exception, match="non-positive"):
+        systematic_pps_sample(bad, "n_chars", 3).collect()
+    zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_chars long")
+    with _pytest.raises(Exception, match="non-positive"):
+        systematic_pps_sample(zeros, "n_chars", 2).collect()
+    with _pytest.raises(ValueError, match="k must be positive"):
+        systematic_pps_sample(bad, "n_chars", 0)
+    # positive weights still work end-to-end after the guard
+    ok = spark.createDataFrame([(1, 10), (2, 30)], "doc_id long, n_chars long")
+    out = systematic_pps_sample(ok, "n_chars", 4).collect()
+    assert sum(r.n_picks for r in out) == 4
+    spark.catalog.clearCache()
+
+
+def test_pagerank_integer_overflow_guard(spark):
+    """ADVICE r4 regression: damping_pct*|V|*scale >= 2^63 would wrap
+    BIGINT silently (ANSI off) because a hub can receive ~|V|*scale of
+    mass — the operator must refuse to run rather than emit wrong
+    ranks."""
+    import pytest as _pytest
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "pa long, pb long"
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(edges, iterations=1, scale=2**62)
+    # the default scale on the same graph is fine
+    out = pagerank_integer(edges, iterations=2).collect()
+    assert len(out) == 3
+    spark.catalog.clearCache()

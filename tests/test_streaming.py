@@ -828,3 +828,103 @@ def test_windowed_topk_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len({ws for ws, _ in got}) == 4
+
+
+def test_windowed_topk_non_utc_session_timezone(spark, tmp_path):
+    """ADVICE r4 regression: the event-time timeout must come from
+    unix_millis(window.end) computed in SQL, not from re-interpreting
+    the session-tz-rendered key timestamp as UTC — under a non-UTC
+    session timezone the old form skewed every window close by the tz
+    offset (early finalization drops late-chunk events / re-fires).
+    Runs the stream under America/New_York and checks it still equals
+    the batch twin exactly."""
+    import json as _json
+    import os as _os
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        windowed_topk,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        types = ["view", "click", "purchase"]
+        rows = []
+        for m in range(20):  # 2 ten-minute windows
+            for j in range(m % 3 + 1):
+                rows.append(
+                    {
+                        "event_type": types[(m + j) % len(types)],
+                        "ts": f"2024-01-01T00:{m:02d}:{(11 * j) % 60:02d}.000Z",
+                    }
+                )
+        rows.sort(key=lambda r: r["ts"])
+        sentinel = {"event_type": "view", "ts": "2024-01-01T12:00:00.000Z"}
+
+        d = str(tmp_path / "topk_tz_stream")
+        _os.makedirs(d)
+        half = (len(rows) + 1) // 2
+        chunks = [rows[:half], rows[half:], [sentinel]]
+        for i, chunk in enumerate(chunks):
+            with open(f"{d}/f{i}.json", "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+            _t.sleep(0.01)
+
+        schema = _parse_datatype_string("event_type string, ts timestamp")
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = (
+            windowed_topk(stream, window_minutes=10, delay="10 minutes", k=3)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("topk_tz_tbl")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for _ in range(100):
+                if spark.sql("SELECT count(*) c FROM topk_tz_tbl").first().c >= 2:
+                    break
+                _t.sleep(0.2)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        got = {
+            (r.window_start.isoformat(), r.rank): (r.event_type, r.n)
+            for r in spark.sql("SELECT * FROM topk_tz_tbl").collect()
+        }
+        batch = spark.createDataFrame(
+            [(r["event_type"], r["ts"]) for r in rows],
+            "event_type string, ts_s string",
+        ).withColumn("ts", F.to_timestamp("ts_s"))
+        w = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+        exp_rows = (
+            batch.groupBy(
+                F.window("ts", "10 minutes")["start"].alias("wstart"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .collect()
+        )
+        expected = {
+            (r.wstart.isoformat(), r.rank): (r.event_type, r.n) for r in exp_rows
+        }
+        assert got == expected
+        assert len({ws for ws, _ in got}) == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.catalog.clearCache()
