@@ -419,11 +419,11 @@ def test_registry_ivf_topk_recall_bound(spark):
     """The REGISTRY query `ann_ivf_topk` is rows-only for the driver
     (KMeans training isn't SQL-expressible), so this is its correctness
     gate: recall vs the exact brute-force top-k at the query's own
-    parameters (16 cells, 5 probes — a 5/16 corpus scan). The bound is
-    what earns the query its registry slot; if it ever drops toward the
-    random-scan baseline (~31%), the index is broken, not just slow.
-    Measured 0.68 here (0.60 at sf0.01) — deterministic given the
-    seeded KMeans."""
+    parameters (16 cells, 5 probes, spill-2 multi-assignment — ~2·5/16
+    of the index scanned). The bound is what earns the query its
+    registry slot; if it ever drops toward the probe-fraction baseline,
+    the index is broken, not just slow. Measured 0.89 here (0.94 at
+    sf0.01) — deterministic given the seeded KMeans."""
     from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
         REGISTRY,
     )
@@ -437,7 +437,7 @@ def test_registry_ivf_topk_recall_bound(spark):
         for r in REGISTRY["ann_ivf_topk"][0](spark, SF_SMOKE).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.55, f"registry IVF recall {recall} below bound"
+    assert recall >= 0.8, f"registry IVF recall {recall} below bound"
 
 
 def test_minhash_mega_bucket_guard(spark):
