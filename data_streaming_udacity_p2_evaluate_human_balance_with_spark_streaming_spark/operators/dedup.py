@@ -1102,3 +1102,76 @@ def incremental_near_dup(
             "jaccard",
         )
     )
+
+
+def max_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_k: int = 8,
+    min_len: int = 20,
+) -> DataFrame:
+    """Maximal duplicated substring spans — the ExactSubstr dedup
+    modality (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): report, per document, every MAXIMAL
+    token span of length ≥ `min_len` whose every `seed_k`-token
+    window occurs at least twice in the corpus (across documents OR
+    repeated within one). Complements chunk_exact_dedup (fixed-stride
+    chunks miss spans straddling chunk boundaries) and winnowing
+    (which samples fingerprints — this covers every position).
+
+    Construction (suffix-array semantics without the suffix array):
+    a token position p is COVERED when the k-gram starting at p has
+    global occurrence count ≥ 2; a maximal run of consecutive covered
+    positions [s, e] certifies the token span [s, e + k − 1] is
+    duplicated in every k-window, which for runs ≥ min_len − k + 1 is
+    exactly the "every length-≥L substring that appears twice"
+    removal set of ExactSubstr (L = min_len) at token granularity.
+    Runs are found with the gaps-and-islands trick
+    (p − row_number() is constant within a run).
+
+    Scale shape — and why this beats pairwise span chaining at
+    100 TB: occurrences are never PAIRED (no (occurrence × occurrence)
+    join, so a boilerplate k-gram repeated 10^6 times costs 10^6 rows,
+    not 10^12); the pipeline is one scan + sliding-window digests
+    projected to (doc, pos, 16-byte md5) before any exchange, one
+    hash-aggregate on the digest (map-side combined), one equi-join
+    back, and one per-document window (bounded by document length,
+    never corpus-wide). Digests are md5 of the space-joined window —
+    byte-replayable in any engine (the chunk_exact_dedup recipe).
+
+    Returns (doc_id, start_tok, end_tok, span_len) with 1-based
+    inclusive token positions, span_len = end − start + 1 ≥ min_len.
+    """
+    w = docs.select(
+        F.col(id_col).alias("_id"), F.split(text_col, " ").alias("w")
+    ).filter(F.size("w") >= seed_k)
+    grams = w.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - seed_k + 1)).alias("p"),
+        "w",
+    ).select(
+        "_id",
+        F.col("p").cast("long").alias("p"),
+        F.md5(F.array_join(F.slice("w", F.col("p"), seed_k), " ")).alias("g"),
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") >= 2
+    )
+    covered = grams.join(dup.select("g"), "g").select("_id", "p")
+    iw = Window.partitionBy("_id").orderBy("p")
+    runs = covered.withColumn("grp", F.col("p") - F.row_number().over(iw))
+    return (
+        runs.groupBy("_id", "grp")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + seed_k - 1).alias("end_tok"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )

@@ -642,3 +642,45 @@ def q_pagerank_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("node").alias("part"), F.col("r").alias("rank_fp"), "rank")
     )
+
+
+@register(
+    "exact_substr_spans",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS p, md5(array_to_string(w[i:i+7], ' ')) AS g
+      FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ), spans AS (
+      SELECT doc_id, min(p) AS start_tok, max(p) + 7 AS end_tok
+      FROM cov GROUP BY doc_id, grp
+    )
+    SELECT doc_id, start_tok, end_tok,
+           end_tok - start_tok + 1 AS span_len
+    FROM spans WHERE end_tok - start_tok + 1 >= 20
+    """,
+)
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style maximal duplicated-span dedup (Lee et al.
+    2022): every maximal token span of ≥20 tokens whose every 8-token
+    window repeats somewhere in the corpus — the removal set
+    sub-document span dedup needs but fixed-stride chunking
+    (chunk_exact_dedup) misses when a duplicated passage straddles a
+    chunk boundary, and winnowing only samples. Occurrences are
+    counted, never paired, so a million-fold boilerplate k-gram costs
+    linear rows (see operators/dedup.py:max_dup_spans for the full
+    scale argument). ~45 spans at sf0.01 / ~477 at sf0.1 on the
+    synthetic corpus — the planted-span pytest pins exact
+    boundaries."""
+    from ..operators.dedup import max_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return max_dup_spans(docs, seed_k=8, min_len=20)

@@ -915,3 +915,46 @@ def test_pagerank_integer_overflow_guard(spark):
     out = pagerank_integer(edges, iterations=2).collect()
     assert len(out) == 3
     spark.catalog.clearCache()
+
+
+def test_max_dup_spans_planted_boundaries(spark):
+    """ExactSubstr spans: a 30-token passage planted in two documents
+    must come back with EXACT maximal boundaries in both (not clipped,
+    not extended into the unique surroundings); a 25-token passage
+    repeated twice WITHIN one document must be found twice; unique
+    docs must produce nothing."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        max_dup_spans,
+    )
+
+    shared = " ".join(f"dup{j}" for j in range(30))
+    inner = " ".join(f"rep{j}" for j in range(25))
+    pre_a = " ".join(f"a{j}" for j in range(10))   # tokens 1..10
+    post_a = " ".join(f"z{j}" for j in range(10))
+    pre_b = " ".join(f"b{j}" for j in range(5))    # tokens 1..5
+    mid_c = " ".join(f"c{j}" for j in range(12))
+    rows = [
+        (1, f"{pre_a} {shared} {post_a}"),          # span at 11..40
+        (2, f"{pre_b} {shared}"),                   # span at 6..35
+        (3, f"{inner} {mid_c} {inner}"),            # spans 1..25, 38..62
+        (4, " ".join(f"u{j}" for j in range(60))),  # unique: no spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_len)
+        for r in max_dup_spans(docs, seed_k=8, min_len=20).collect()
+    }
+    assert got == {
+        (1, 11, 40, 30),
+        (2, 6, 35, 30),
+        (3, 1, 25, 25),
+        (3, 38, 62, 25),
+    }, got
+    # raising min_len past the inner plant filters it but keeps the
+    # 30-token cross-document span
+    got28 = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in max_dup_spans(docs, seed_k=8, min_len=28).collect()
+    }
+    assert got28 == {(1, 11, 40), (2, 6, 35)}, got28
+    spark.catalog.clearCache()
