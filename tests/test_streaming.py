@@ -928,3 +928,83 @@ def test_windowed_topk_non_utc_session_timezone(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.catalog.clearCache()
+
+
+def test_transition_tracker_state_bounded_by_keyset(spark, tmp_path):
+    """T6 state bound, proven EMPIRICALLY under sustained replay: 8
+    micro-batches x 125 events stream through transition_tracker, and
+    the checkpointed state (read via the statestore source,
+    time-traveled to EVERY committed batch) holds exactly one row per
+    distinct user at each point — state grows with the keyset, never
+    with event volume (1000 events -> 5 state rows, flat across all 8
+    batches)."""
+    import json as _json
+    import os as _os
+    import time as _t
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        read_query_state,
+        transition_tracker,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    n_users, n_batches = 5, 8
+    src = str(tmp_path / "tt_src")
+    ckpt = str(tmp_path / "tt_ckpt")
+    _os.makedirs(src)
+    types = ["view", "click", "buy"]
+    seq = 0
+    for b in range(n_batches):
+        with open(f"{src}/f{b}.json", "w") as f:
+            for i in range(125):
+                u = i % n_users
+                f.write(
+                    _json.dumps(
+                        {
+                            "user_id": u,
+                            "event_type": types[(b + i) % 3],
+                            "ts": f"2024-01-01T00:{b:02d}:{i % 60:02d}.{seq % 1000:03d}Z",
+                        }
+                    )
+                    + "\n"
+                )
+                seq += 1
+        _os.utime(f"{src}/f{b}.json", (1700000000 + b, 1700000000 + b))
+        _t.sleep(0.01)
+
+    schema = _parse_datatype_string("user_id long, event_type string, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        transition_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("tt_state_bound")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # every committed micro-batch: state rows == keyset size, flat
+    sizes = []
+    for b in range(n_batches):
+        rows = read_query_state(spark, ckpt, batchId=b).collect()
+        keys = {r["key"]["user_id"] for r in rows}
+        sizes.append(len(rows))
+        assert len(rows) == n_users and keys == set(range(n_users)), (
+            f"batch {b}: {len(rows)} state rows"
+        )
+    assert sizes == [n_users] * n_batches
+    # while the stream processed 8x that many EVENTS per user
+    total = spark.sql(
+        "SELECT sum(n) s FROM tt_state_bound"
+    ).first().s
+    assert total == n_batches * 125 - n_users  # first event/user has no 'from'
