@@ -129,6 +129,9 @@ HEADLINE = [
     "multiset_ops_all",
     "kcore_parts_copurchase",
     "pagerank_parts_copurchase",
+    # round-5 wave
+    "exact_substr_spans",
+    "bloom_prefilter_ingest_dedup",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -377,3 +377,89 @@ def kmv_jaccard_pairs(
             / F.count(F.lit(1))
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — the membership sketch completing the family
+# (CMS: frequency, HLL: distinct count, KMV: set ops, Bloom: membership).
+
+#: 2^20 bits (5 hex chars address exactly 16^5 positions) packed into
+#: 32-bit words inside BIGINTs → ≤ 32,768 (word_idx, bits) rows ≈ 512 KB:
+#: broadcastable. At n=10^5 keys / k=4: load 0.33, FPR ≈ (1-e^-0.33)^4
+#: ≈ 0.6%. Scale m via bloom hex chars for bigger corpora (6 chars =
+#: 2^24 bits, still < 10 MB sparse).
+BLOOM_HEX_CHARS = 5
+BLOOM_K = 4
+_BLOOM_WORD = 32  # bits per word; masks stay < 2^31 — DuckDB's checked
+#                   BIGINT << would overflow at 63, and 32-bit masks
+#                   bit_or into BIGINT words identically in both engines
+
+
+def _bloom_pos_exprs(key_sql: str) -> list[str]:
+    """k bit positions for one key, each an independent 20-bit slice of
+    the key's single md5 — pure hex-substring arithmetic, replayable
+    byte-for-byte in any ANSI engine (the portable-HLL recipe; one md5
+    per key, not k)."""
+    h = f"md5({key_sql})"
+    return [
+        f"CAST(conv(substring({h}, {1 + BLOOM_HEX_CHARS * i}, {BLOOM_HEX_CHARS}), 16, 10) AS BIGINT)"
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build a Bloom filter over a key column as a SPARSE word table
+    (word_idx bigint, bits bigint) — the storable/broadcastable form.
+
+    Scale shape: keys explode to k=4 (word, mask) pairs projected
+    before any exchange; one hash-aggregate with map-side bit_or
+    partials folds them into ≤ m/32 words — the shuffle carries words,
+    never keys, so building over 10^12 rows moves ≤ 32k rows per map
+    partition. Merging two filters of the same geometry is
+    union + groupBy(word_idx).bit_or(bits) — associative, partial-
+    aggregable, the same property the CMS/HLL/KMV family leans on."""
+    pos = _bloom_pos_exprs(f"CAST({key_col} AS STRING)")
+    return (
+        df.select(F.explode(F.array(*[F.expr(p) for p in pos])).alias("p"))
+        .select(
+            F.expr(f"p DIV {_BLOOM_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str, out_col: str = "maybe_present") -> DataFrame:
+    """Probe rows against a `bloom_build` table: `out_col` is true iff
+    ALL k of the key's bit positions are set — NO false negatives ever
+    (every inserted key probes true); false positives at the documented
+    FPR. The production prefilter shape: broadcast the word table, and
+    only probe-positive rows continue to the exact (shuffling)
+    verification join — at 100 TB this turns a full-corpus anti-join
+    into a local filter plus a join on <1% of the batch.
+
+    Distinct positions are counted (two of the k slices can collide on
+    one position), so `hit == need` is exact membership logic."""
+    pos = _bloom_pos_exprs(f"CAST({key_col} AS STRING)")
+    keyed = df.select(
+        "*", F.explode(F.array(*[F.expr(p) for p in pos])).alias("_p")
+    ).select(
+        "*",
+        F.expr(f"_p DIV {_BLOOM_WORD}").alias("_w"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {_BLOOM_WORD} AS INT))").alias("_m"),
+    )
+    joined = keyed.join(
+        F.broadcast(bloom.withColumnRenamed("word_idx", "_w")), "_w", "left"
+    )
+    probe_cols = [c for c in df.columns]
+    return (
+        joined.groupBy(*probe_cols)
+        .agg(
+            F.count_distinct("_p").alias("_need"),
+            F.count_distinct(
+                F.when((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("_m")) != 0), F.col("_p"))
+            ).alias("_hit"),
+        )
+        .select(*probe_cols, (F.col("_hit") == F.col("_need")).alias(out_col))
+    )

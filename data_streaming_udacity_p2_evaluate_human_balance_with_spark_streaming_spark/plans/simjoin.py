@@ -684,3 +684,82 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return max_dup_spans(docs, seed_k=8, min_len=20)
+
+
+@register(
+    "bloom_prefilter_ingest_dedup",
+    """
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 5 <> 0
+    ), words AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM (SELECT ('0x' || substring(md5(dg), 1 + 5*i, 5))::BIGINT AS p
+            FROM existing, (SELECT unnest(range(0, 4)) AS i) t)
+      GROUP BY 1
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 10000000, md5(text) FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), ipos AS (
+      SELECT doc_id, dg, ('0x' || substring(md5(dg), 1 + 5*i, 5))::BIGINT AS p
+      FROM incoming, (SELECT unnest(range(0, 4)) AS i) t
+    ), chk AS (
+      SELECT doc_id, dg, count(DISTINCT p) AS need,
+             count(DISTINCT CASE WHEN (w.bits
+               & (1::BIGINT << CAST(p % 32 AS INT))) <> 0 THEN p END) AS hit
+      FROM ipos LEFT JOIN words w ON w.word_idx = p // 32
+      GROUP BY doc_id, dg
+    )
+    SELECT doc_id, hit = need AS maybe_dup,
+           dg IN (SELECT dg FROM existing) AS is_dup
+    FROM chk
+    """,
+)
+def q_bloom_prefilter_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest prefilter — the membership sketch completing
+    the mergeable family (CMS frequency / HLL distinct / KMV set-ops /
+    Bloom membership), in its production role: the existing corpus's
+    content digests build a 2^20-bit filter (≤ 32k sparse words,
+    broadcastable), and an incoming batch probes it locally so only
+    probe-positive rows would continue to the exact verification join.
+    incremental_ingest_dedup ships the same nightly-ingest shape as a
+    full LEFT ANTI shuffle of every batch digest; this is what makes it
+    cheap when dup rates are low. True dups are PLANTED (re-id'd copies
+    of existing docs, doc_id+10^7) since the synthetic corpus has no
+    exact cross-split duplicates; `is_dup` (exact truth) rides along so
+    the output certifies zero false negatives row-by-row against the
+    oracle. Positions are md5-hex slices (the portable-HLL recipe) —
+    the DuckDB oracle replays every bit."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("dg"))
+        .distinct()
+    )
+    bloom = bloom_build(existing, "dg")
+    planted = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1)
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+        .select("doc_id", F.md5("text").alias("dg"))
+    )
+    probed = bloom_probe(bloom, incoming, "dg", out_col="maybe_dup")
+    return (
+        probed.join(
+            existing.withColumn("is_dup", F.lit(True)), "dg", "left"
+        )
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

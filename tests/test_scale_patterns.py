@@ -796,3 +796,56 @@ def test_kmv_jaccard_estimate_accuracy_and_mergeability(spark):
     inter = union_topk.filter(F.col("_sides") == 2).count()
     assert est[0].sample_inter == inter
     spark.catalog.clearCache()
+
+
+def test_bloom_no_false_negatives_and_fpr_bound(spark):
+    """Bloom membership sketch: every inserted key MUST probe true
+    (structural zero-false-negative guarantee), and the false-positive
+    rate on 5000 novel keys stays near the design point
+    ((1-e^(-kn/m))^k ≈ 0.1% at n=2000, m=2^20, k=4 — gate at 1%)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k")
+    )
+    bloom = bloom_build(members, "k")
+    hits = bloom_probe(bloom, members, "k").collect()
+    assert len(hits) == 2000 and all(r.maybe_present for r in hits)
+
+    novel = spark.range(5000).select(
+        F.concat(F.lit("novel-"), F.col("id").cast("string")).alias("k")
+    )
+    fp = sum(
+        1 for r in bloom_probe(bloom, novel, "k").collect() if r.maybe_present
+    )
+    assert fp / 5000 <= 0.01, f"FPR {fp / 5000} above bound"
+    spark.catalog.clearCache()
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    """Merging two filters (union + bit_or per word) must equal the
+    filter built over the concatenated inputs — the associative
+    property that lets 1000 executors build shards independently."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    a = spark.range(0, 800).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").cast("string").alias("k"))
+    merged = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(a, "k")
+        .unionByName(bloom_build(b, "k"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .collect()
+    }
+    direct = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+    spark.catalog.clearCache()
