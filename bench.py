@@ -132,6 +132,7 @@ HEADLINE = [
     # round-5 wave
     "exact_substr_spans",
     "bloom_prefilter_ingest_dedup",
+    "winsorize_value_per_type",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

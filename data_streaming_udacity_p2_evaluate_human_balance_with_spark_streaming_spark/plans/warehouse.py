@@ -996,3 +996,105 @@ def q_bot_regularity_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("s1") * F.col("s1")).cast("string").cast("double")
         ).alias("gap_cv"),
     )
+
+
+@register(
+    "winsorize_value_per_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), cuts AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo,
+             min(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    ), agg AS (
+      SELECT e.event_type, c.lo, c.hi, count(*) AS n,
+             CAST(count(CASE WHEN e.value < c.lo THEN 1 END) AS BIGINT) AS n_low,
+             CAST(count(CASE WHEN e.value > c.hi THEN 1 END) AS BIGINT) AS n_high,
+             sum(CAST(e.value AS DECIMAL(18,6))) AS s_before,
+             sum(CAST(least(greatest(e.value, c.lo), c.hi) AS DECIMAL(18,6)))
+               AS s_after
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+      GROUP BY e.event_type, c.lo, c.hi
+    )
+    SELECT event_type, n, lo, hi, n_low, n_high,
+           CAST(CAST(s_before AS VARCHAR) AS DOUBLE) / n AS mean_before,
+           CAST(CAST(s_after AS VARCHAR) AS DOUBLE) / n AS mean_after
+    FROM agg
+    """,
+)
+def q_winsorize_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clamped) value normalization per event type
+    — the outlier treatment that PRESERVES rows where anomaly_zscore
+    drops them: heavy-tail metric columns get clamped to exact
+    rank-selected percentile cutoffs before feeding mixture weights or
+    model features, so one 10^6× spike can't dominate a mean. Cutoffs
+    are EXACT order statistics picked by integer rank arithmetic
+    (lo = ceil(n/20) = (n+19) DIV 20, hi = ceil(19n/20)) — no float
+    percentile, no interpolation, so both engines select the identical
+    element (the quality_top_quartile_per_source recipe). Means go
+    through DECIMAL(18,6) partial sums and the decimal→string→double
+    hop (the anomaly_zscore float-parity recipe).
+
+    Scale shape: one per-type rank window finds the two cutoff rows
+    (per-group sort; for heavy single types at extreme scale swap this
+    stage for the two-pass range-partitioned rank in operators/ranking
+    — the clamp stage is shape-identical), cutoffs collapse to 5 rows
+    broadcast back onto the fact scan, and the clamped aggregate is
+    map-side partial — no second wide exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+    )
+    cuts = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 19) DIV 20"))
+            | (F.col("rn") == F.expr("(19 * n + 19) DIV 20"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("value"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("value"))
+            ).alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    agg = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_high"),
+            F.sum(dec(F.col("value"))).alias("s_before"),
+            F.sum(dec(clamped)).alias("s_after"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        "n_low",
+        "n_high",
+        (F.col("s_before").cast("string").cast("double") / F.col("n")).alias(
+            "mean_before"
+        ),
+        (F.col("s_after").cast("string").cast("double") / F.col("n")).alias(
+            "mean_after"
+        ),
+    )
