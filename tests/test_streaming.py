@@ -1008,3 +1008,82 @@ def test_transition_tracker_state_bounded_by_keyset(spark, tmp_path):
         "SELECT sum(n) s FROM tt_state_bound"
     ).first().s
     assert total == n_batches * 125 - n_users  # first event/user has no 'from'
+
+
+def test_watermarked_left_semi_stream_join_drops_unmatched(spark, tmp_path):
+    """Left-SEMI stream-stream join (the existence-check enrichment:
+    'keep customer rows that saw a score event in the window, emit
+    them once, carry no right columns'): matched left rows emit
+    exactly once even when the right side matches twice; unmatched
+    left rows never emit and their state evicts at the watermark —
+    completing the stream-join matrix beside the inner and left-outer
+    tests."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        watermarked_stream_join,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _os.makedirs(ldir), _os.makedirs(rdir)
+    lrows1 = [
+        {"email": "a@test.com", "cts": "2024-01-01T00:00:00.000Z"},
+        {"email": "c@test.com", "cts": "2024-01-01T00:01:00.000Z"},
+    ]
+    # a@ matches TWICE inside the window: semi must still emit once
+    rrows1 = [
+        {"customer": "a@test.com", "score": "5.0", "ets": "2024-01-01T00:04:00.000Z"},
+        {"customer": "a@test.com", "score": "6.0", "ets": "2024-01-01T00:05:00.000Z"},
+    ]
+    lrows2 = [{"email": "z@test.com", "cts": "2024-01-01T03:00:00.000Z"}]
+    rrows2 = [
+        {"customer": "zz@test.com", "score": "0.0", "ets": "2024-01-01T03:00:00.000Z"}
+    ]
+    for d, batches in ((ldir, (lrows1, lrows2)), (rdir, (rrows1, rrows2))):
+        for i, rows in enumerate(batches):
+            with open(f"{d}/f{i}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    lschema = _parse_datatype_string("email string, cts timestamp")
+    rschema = _parse_datatype_string("customer string, score string, ets timestamp")
+    left = (
+        spark.readStream.format("json").schema(lschema)
+        .option("maxFilesPerTrigger", "1").load(ldir)
+    )
+    right = (
+        spark.readStream.format("json").schema(rschema)
+        .option("maxFilesPerTrigger", "1").load(rdir)
+    )
+    joined = watermarked_stream_join(
+        left,
+        right,
+        "email = customer",
+        "cts",
+        "ets",
+        watermark="10 minutes",
+        range_cond="ets BETWEEN cts AND cts + INTERVAL 10 MINUTES",
+        how="left_semi",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ls_join_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ls_join_tbl").collect()
+    # only left columns exist on a semi join
+    assert {f.name for f in spark.table("ls_join_tbl").schema.fields} == {
+        "email",
+        "cts",
+    }
+    emails = sorted(r.email for r in rows)
+    # a@ once (despite 2 matches); c@ never (unmatched, state evicted);
+    # the watermark pushers are unmatched too
+    assert emails == ["a@test.com"], emails
