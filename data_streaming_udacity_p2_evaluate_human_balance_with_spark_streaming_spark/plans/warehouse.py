@@ -1098,3 +1098,50 @@ def q_winsorize_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after"
         ),
     )
+
+
+@register(
+    "corrupt_json_quarantine",
+    """
+    WITH aug AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0
+                  THEN substring(props, 1, length(props) - 2)
+                  ELSE props END AS raw
+      FROM events
+    )
+    SELECT event_id, raw
+    FROM aug
+    WHERE NOT json_valid(raw) OR json_extract(raw, '$.k') IS NULL
+    """,
+)
+def q_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine — the dead-letter leg every JSON
+    ingest needs (the reference's whole pipeline is schema-on-read
+    from_json over Kafka payloads, `sparkpykafkajoin.py:86-101`, but it
+    silently nulls malformed rows): rows whose payload fails to parse
+    are ROUTED with their raw bytes preserved for replay, instead of
+    vanishing into nulls mid-pipeline. Corruption is planted
+    deterministically (every 13th event's props loses its last two
+    chars) since the synthetic feed is 100% well-formed.
+
+    Parity note: Spark's from_json (PERMISSIVE) yields a null field
+    for unparseable input; DuckDB spells the same disposition as NOT
+    json_valid OR missing '$.k' — equivalent on any input whose valid
+    form always carries k, which the driver MATCH certifies row by
+    row.
+
+    Scale shape: one scan, the CASE + parse are row-local JVM codegen
+    (from_json, no UDF), and only the ~7.7% quarantined rows leave the
+    scan — no shuffle at all in the plan."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    raw = F.when(
+        F.col("event_id") % 13 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(raw, "k bigint")
+    return (
+        ev.select("event_id", raw.alias("raw"), parsed.alias("_p"))
+        .filter(F.col("_p.k").isNull())
+        .select("event_id", "raw")
+    )
