@@ -1145,3 +1145,93 @@ def q_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_p.k").isNull())
         .select("event_id", "raw")
     )
+
+
+@register(
+    "sensor_gap_interpolation",
+    """
+    WITH aug AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), ctx AS (
+      SELECT event_id, user_id, us, v,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(t := us, x := v) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pr,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(t := us, x := v) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+      FROM aug
+    )
+    SELECT event_id, user_id,
+      CASE
+        WHEN pr IS NOT NULL AND nx IS NOT NULL THEN
+          (pr).x + ((nx).x - (pr).x)
+            * (CAST(us - (pr).t AS DOUBLE) / CAST((nx).t - (pr).t AS DOUBLE))
+        WHEN pr IS NOT NULL THEN (pr).x
+        ELSE (nx).x
+      END AS filled
+    FROM ctx WHERE v IS NULL
+    """,
+)
+def q_sensor_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor readings — the gap-fill
+    every timeseries pipeline runs before feature extraction (the
+    reference's domain IS sensor risk scores; a dropped reading must
+    not zero a rolling feature). Every 11th event's value is planted
+    NULL, then filled per user from the bracketing non-null readings:
+    v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev), with
+    forward-fill at the tail and back-fill at the head.
+
+    The bracketing reading and ITS timestamp travel together as one
+    struct through IGNORE NULLS window frames (last over preceding,
+    first over following) — two frames on the same user-keyed sort, so
+    Catalyst plans ONE exchange + one sort for both. Float parity:
+    both engines build the identical expression tree over int64 micro
+    deltas cast to double, so the interpolated doubles are bit-exact
+    (IEEE ops on identical operands — the anomaly_zscore discipline).
+
+    Scale shape: per-user windows (bounded), no second exchange, and
+    only the ~9% planted-null rows leave the projection."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    aug = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    sv = F.when(
+        F.col("v").isNotNull(), F.struct(F.col("us").alias("t"), F.col("v").alias("x"))
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, Window.unboundedFollowing)
+    ctx = aug.select(
+        "event_id",
+        "user_id",
+        "us",
+        "v",
+        F.last(sv, ignorenulls=True).over(wp).alias("pr"),
+        F.first(sv, ignorenulls=True).over(wn).alias("nx"),
+    )
+    frac = (F.col("us") - F.col("pr.t")).cast("double") / (
+        F.col("nx.t") - F.col("pr.t")
+    ).cast("double")
+    filled = (
+        F.when(
+            F.col("pr").isNotNull() & F.col("nx").isNotNull(),
+            F.col("pr.x") + (F.col("nx.x") - F.col("pr.x")) * frac,
+        )
+        .when(F.col("pr").isNotNull(), F.col("pr.x"))
+        .otherwise(F.col("nx.x"))
+    )
+    return ctx.filter(F.col("v").isNull()).select(
+        "event_id", "user_id", filled.alias("filled")
+    )

@@ -832,3 +832,17 @@ def test_bloom_probe_broadcasts_word_table(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_sensor_gap_interpolation_single_exchange(spark):
+    """Both IGNORE NULLS frames (bracketing reading before/after) ride
+    the SAME user-keyed sort: exactly one exchange in the plan — a
+    second one would mean the frames were planned as separate
+    windows."""
+    plan = _plan(spark, "sensor_gap_interpolation")
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
