@@ -175,3 +175,94 @@ def test_ndjson_sink_batch_write(spark, tmp_path):
             rows.extend(json.loads(line)["key"] for line in f)
     assert sorted(rows) == sorted(f"k{i}" for i in range(25))
     assert not glob.glob(os.path.join(out, ".tmp-*"))
+
+
+def test_ndjson_sink_failed_batch_invisible_then_replayed(spark, tmp_path):
+    """Crash-recovery leg of the 2PC sink: a micro-batch that fails
+    mid-write must leave NO committed file (temps are either aborted
+    or invisible to the part-*.json glob), and restarting from the
+    checkpoint replays that batch into its deterministic name —
+    exactly-once output across the failure."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.ndjson_sink import (
+        register_ndjson_sink,
+    )
+
+    register_ndjson_sink(spark)
+    src = str(tmp_path / "poison_src")
+    out = str(tmp_path / "poison_out")
+    ckpt = str(tmp_path / "poison_ckpt")
+    os.makedirs(src)
+    # batch 0: clean; batch 1: contains the poison key
+    for i, rows in enumerate([[f"k{j}" for j in range(10)],
+                              [f"k{j}" for j in range(10, 19)] + ["POISON"]]):
+        with open(f"{src}/f{i}.json", "w") as f:
+            for k in rows:
+                f.write(json.dumps({"key": k, "value": "v"}) + "\n")
+        os.utime(f"{src}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    def start(guard: bool):
+        stream = (
+            spark.readStream.format("json")
+            .schema("key string, value string")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        if guard:
+            stream = stream.filter(F.col("key") != "POISON")
+        else:
+            # poison: force a task failure inside batch 1
+            stream = stream.withColumn(
+                "value",
+                F.when(
+                    F.col("key") == "POISON",
+                    F.assert_true(F.lit(False), F.lit("poisoned row")).cast(
+                        "string"
+                    ),
+                ).otherwise(F.col("value")),
+            )
+        return (
+            stream.writeStream.format("ndjson_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start(guard=False)
+    try:
+        q.processAllAvailable()
+        raised = False
+    except Exception:
+        raised = True
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert raised or q.exception() is not None, "poison batch should fail"
+    committed = sorted(glob.glob(os.path.join(out, "part-*.json")))
+    keys = []
+    for fp in committed:
+        with open(fp) as f:
+            keys.extend(json.loads(line)["key"] for line in f)
+    # only batch 0 committed; the failed batch is invisible
+    assert sorted(keys) == [f"k{j}" for j in range(10)], keys
+
+    # restart from the same checkpoint with the poison filtered out:
+    # batch 1 replays into its deterministic name, once
+    q2 = start(guard=True)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    keys2 = []
+    for fp in sorted(glob.glob(os.path.join(out, "part-*.json"))):
+        with open(fp) as f:
+            keys2.extend(json.loads(line)["key"] for line in f)
+    assert sorted(keys2) == sorted(f"k{j}" for j in range(19)), keys2
