@@ -134,6 +134,8 @@ HEADLINE = [
     "bloom_prefilter_ingest_dedup",
     "winsorize_value_per_type",
     "corrupt_json_quarantine",
+    "sensor_gap_interpolation",
+    "table_content_digest",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1235,3 +1235,69 @@ def q_sensor_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.filter(F.col("v").isNull()).select(
         "event_id", "user_id", filled.alias("filled")
     )
+
+
+#: canonical row serializations for the content digest: every field is
+#: rendered through a representation both engines print identically --
+#: integers/strings verbatim, timestamps as epoch-micros (double repr
+#: and timestamp formatting differ cross-engine; int64 never does).
+#: Field delimiter = chr(31) (ASCII unit separator), spelled as a
+#: function call so both dialects build the identical byte.
+_DIGEST_ROWS = {
+    "documents": (
+        "concat(CAST(doc_id AS STRING), chr(31), md5(text), chr(31), "
+        "lang, chr(31), source, chr(31), CAST(n_chars AS STRING))"
+    ),
+    "events": (
+        "concat(CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), "
+        "chr(31), event_type, chr(31), CAST(unix_micros(ts) AS STRING))"
+    ),
+}
+
+
+def _digest_oracle() -> str:
+    def duck(expr: str) -> str:
+        return expr.replace("unix_micros(ts)", "epoch_us(ts)").replace(
+            " AS STRING", " AS VARCHAR"
+        )
+
+    def leg(tbl: str) -> str:
+        return (
+            f"SELECT '{tbl}' AS tbl, count(*) AS n_rows, "
+            f"sum(('0x' || substring(md5({duck(_DIGEST_ROWS[tbl])}), 1, 15))"
+            f"::BIGINT::DECIMAL(38,0)) AS digest FROM {tbl}"
+        )
+
+    return leg("documents") + " UNION ALL " + leg("events")
+
+
+@register("table_content_digest", _digest_oracle())
+def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content digest -- the replication /
+    data-contract verification primitive: after a migration, backfill,
+    or engine swap, two sides agree on table content iff their digests
+    match, with no sort and no row transfer. Each row canonicalizes to
+    a chr(31)-joined string of parity-safe renderings (ints/strings
+    verbatim, timestamps as epoch-micros, free text through md5), maps
+    to its md5's leading 60 bits, and the digest is the plain SUM of
+    those -- addition is commutative/associative, so the result is
+    independent of partitioning, ordering, and engine, and DECIMAL(38)
+    sums cannot overflow below 10^19 rows. Cross-engine by
+    construction: this query's own DuckDB oracle IS the verification
+    protocol in action.
+
+    Scale shape: one scan per table, map-side partial sums, a 2-row
+    result. Mergeable: shard digests ADD."""
+    parts = []
+    for tbl, row_expr in _DIGEST_ROWS.items():
+        df = load_table(spark, sf_dir, tbl)
+        h = F.expr(
+            f"CAST(CAST(conv(substring(md5({row_expr}), 1, 15), 16, 10) AS BIGINT) "
+            f"AS DECIMAL(38,0))"
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("digest")
+            ).select(F.lit(tbl).alias("tbl"), "n_rows", "digest")
+        )
+    return parts[0].unionByName(parts[1])
