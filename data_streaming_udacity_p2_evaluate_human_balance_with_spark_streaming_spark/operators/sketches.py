@@ -140,6 +140,52 @@ def hll_register_exprs(key_sql: str) -> dict[str, str]:
     return {"bucket_hex": f"substring({h}, 1, 2)", "rho": rho}
 
 
+def hll_registers(df: DataFrame, group_cols: list, key_col: str) -> DataFrame:
+    """(group..., bucket_hex, rho) register table for a key column —
+    the STORABLE/STREAMABLE sketch form. `group_cols` may mix column
+    names and Column expressions (e.g. an event-time window): the
+    groupBy is a plain hash aggregate with max(rho) partials, so on a
+    WATERMARKED STREAM this runs as a built-in streaming aggregation —
+    per-window distinct-count sketches emit append-finalized with no
+    custom state operator, bounded at ≤256 rows per group. Register
+    tables merge by a further groupBy(...).max(rho) — the property
+    hll_estimate_from_registers and the streaming twin both lean on."""
+    e = hll_register_exprs(f"CAST({key_col} AS STRING)")
+    # bucket/rho are computed INSIDE the groupBy/agg, with no projection
+    # in between: a pre-projection would detach the watermark metadata
+    # from an event-time window group column and break append mode
+    return df.groupBy(
+        *group_cols, F.expr(e["bucket_hex"]).alias("bucket_hex")
+    ).agg(F.max(F.expr(e["rho"])).alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """Finalize a `hll_registers` table into per-group estimates —
+    exactly the arithmetic documented on hll_estimate; factoring it
+    out lets STREAM-EMITTED registers finalize batch-side with
+    bit-identical results to the all-batch path."""
+    m = HLL_M
+    summary = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")).alias(
+            "s_int"
+        ),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    numer = f"{HLL_ALPHA!r} * {m} * {m} * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}) AS DOUBLE)"
+    s_all = f"(s_int + ({m} - n_regs) * shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return summary.select(
+        F.col(group_col),
+        F.expr(f"round({est}, 4)").alias("est_distinct"),
+        F.col("n_regs").cast("long").alias("n_registers"),
+    )
+
+
 def hll_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """Per-group HLL distinct estimate, fully deterministically:
     registers are max(rho) per (group, bucket); the harmonic-mean

@@ -1087,3 +1087,86 @@ def test_watermarked_left_semi_stream_join_drops_unmatched(spark, tmp_path):
     # a@ once (despite 2 matches); c@ never (unmatched, state evicted);
     # the watermark pushers are unmatched too
     assert emails == ["a@test.com"], emails
+
+
+def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
+    """Streaming portable-HLL: per-hour distinct-user sketches emitted
+    as REGISTERS by a plain watermarked streaming aggregation (no
+    custom state), then finalized batch-side — estimates must be
+    BIT-IDENTICAL to the all-batch hll_estimate over the same rows,
+    because both paths reduce to the same (window, bucket, max rho)
+    registers. The production dashboard shape: the stream stores 256
+    mergeable rows per window, never raw user ids."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rows = []
+    for h in range(2):
+        for i in range(300):
+            rows.append(
+                {
+                    "user_id": (h * 7 + i) % (120 + 80 * h),
+                    "ts": f"2024-01-01T{h:02d}:{i % 60:02d}:{(i * 7) % 60:02d}.000Z",
+                }
+            )
+    sentinel = {"user_id": 0, "ts": "2024-01-01T12:00:00.000Z"}
+    d = str(tmp_path / "hll_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("user_id long, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    regs_stream = hll_registers(
+        stream, [F.window("ts", "1 hour").alias("win")], "user_id"
+    ).select(F.col("win")["start"].alias("wstart"), "bucket_hex", "rho")
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName("hll_regs_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    regs = spark.table("hll_regs_tbl")
+    streamed = {
+        (r.wstart.isoformat(), r.est_distinct, r.n_registers)
+        for r in hll_estimate_from_registers(regs, "wstart").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in rows], "user_id long, ts_s string"
+    ).select(
+        F.window(F.to_timestamp("ts_s"), "1 hour")["start"].alias("wstart"),
+        "user_id",
+    )
+    expected = {
+        (r.wstart.isoformat(), r.est_distinct, r.n_registers)
+        for r in hll_estimate(batch, "wstart", "user_id").collect()
+    }
+    assert streamed == expected and len(streamed) == 2
+    # sanity: the two hours have different cardinalities (120 vs 200)
+    ests = sorted(e for _, e, _ in streamed)
+    assert 90 <= ests[0] <= 150 and 150 <= ests[1] <= 260, ests
