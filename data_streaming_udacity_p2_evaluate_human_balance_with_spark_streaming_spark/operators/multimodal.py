@@ -106,3 +106,49 @@ def frame_sample(mm: DataFrame, every_n_bytes: int = 256) -> DataFrame:
             ).alias("frame_payload"),
         )
     )
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id bigint, frame_id int, n_samples int, energy bigint"
+
+
+def audio_frame_energy(mm: DataFrame, frame_bytes: int = 128) -> DataFrame:
+    """Audio-shaped feature extraction: treat the payload as 8-bit PCM
+    and emit per-frame energy Σ(sample−128)² — the silence/activity
+    detector every audio-curation pipeline runs first (drop silent
+    spans before the expensive ASR/codec stage). A real decoder would
+    replace the PCM interpretation; the Spark-side contract is real:
+    vectorized numpy over Arrow batches (mapInPandas), payload pruned
+    from the output, zero shuffles.
+
+    Energy is an exact INTEGER (each term ≤ 128², frames of k bytes sum
+    to ≤ k·2^14 — no float summation anywhere), so the whole Arrow path
+    is certifiable BY VALUE against an ascii(substr)-replica oracle
+    (the multimodal_features recipe: the synthetic payloads are ASCII,
+    so char positions == byte positions in both engines)."""
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = frame_bytes
+
+        def rows(doc_id, payload):
+            if payload is None or len(payload) == 0:
+                return
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for f in range(0, (len(b) + k - 1) // k):
+                seg = b[f * k : (f + 1) * k] - 128
+                yield doc_id, f, len(seg), int((seg * seg).sum())
+
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(doc_id, payload)
+            ]
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_id", "n_samples", "energy"]
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        energies, AUDIO_ENERGY_SCHEMA
+    )
