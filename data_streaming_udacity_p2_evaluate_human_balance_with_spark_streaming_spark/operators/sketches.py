@@ -486,22 +486,39 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str, out_col: str = "m
     into a local filter plus a join on <1% of the batch.
 
     Distinct positions are counted (two of the k slices can collide on
-    one position), so `hit == need` is exact membership logic."""
+    one position), so `hit == need` is exact membership logic.
+
+    Rows regroup after the k-way explode by a monotonically-increasing
+    row id, NOT by the payload columns — duplicate input rows stay
+    distinct rows in the output (row count preserved), and the grouping
+    key is one long instead of the full row. The scratch column names
+    are reserved: a probe frame that already uses one raises."""
+    clash = {"_p", "_w", "_m", "_rid", "bits"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe reserves column names {sorted(clash)}; "
+            "rename them on the probe DataFrame first"
+        )
     pos = _bloom_pos_exprs(f"CAST({key_col} AS STRING)")
-    keyed = df.select(
-        "*", F.explode(F.array(*[F.expr(p) for p in pos])).alias("_p")
-    ).select(
-        "*",
-        F.expr(f"_p DIV {_BLOOM_WORD}").alias("_w"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {_BLOOM_WORD} AS INT))").alias("_m"),
+    keyed = (
+        df.withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            "*", F.explode(F.array(*[F.expr(p) for p in pos])).alias("_p")
+        )
+        .select(
+            "*",
+            F.expr(f"_p DIV {_BLOOM_WORD}").alias("_w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {_BLOOM_WORD} AS INT))").alias("_m"),
+        )
     )
     joined = keyed.join(
         F.broadcast(bloom.withColumnRenamed("word_idx", "_w")), "_w", "left"
     )
     probe_cols = [c for c in df.columns]
     return (
-        joined.groupBy(*probe_cols)
+        joined.groupBy("_rid")
         .agg(
+            *[F.first(c).alias(c) for c in probe_cols],
             F.count_distinct("_p").alias("_need"),
             F.count_distinct(
                 F.when((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("_m")) != 0), F.col("_p"))

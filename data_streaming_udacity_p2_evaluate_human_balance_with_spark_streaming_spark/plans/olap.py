@@ -1326,6 +1326,49 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_frame_energy",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+        unnest(generate_series(0,
+          CAST(ceil(octet_length(CAST(text AS BLOB)) / 128.0) AS BIGINT) - 1))
+          AS frame_id
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+    ),
+    fr AS (
+      SELECT doc_id, frame_id,
+             substring(text, CAST(frame_id * 128 + 1 AS BIGINT), 128) AS frame
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+      CAST(length(frame) AS INT) AS n_samples,
+      CAST(list_sum(list_transform(range(1, length(frame) + 1),
+        i -> (ascii(substr(frame, CAST(i AS INT), 1)) - 128)
+           * (ascii(substr(frame, CAST(i AS INT), 1)) - 128))) AS BIGINT)
+        AS energy
+    FROM fr
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy Σ(sample−128)² over the multimodal layout
+    (operators/multimodal.py audio_frame_energy) — the silence/activity
+    detector an audio-curation pipeline runs before the expensive
+    ASR/codec stage. Energy is exact INTEGER arithmetic over the raw
+    bytes (numpy over Arrow batches in mapInPandas), and the synthetic
+    payloads are ASCII (char positions == byte positions), so DuckDB
+    replays the identical math with ascii(substr(...)) — certifying the
+    Arrow path BY VALUE, the multimodal_features recipe.
+
+    Scale shape: narrow mapInPandas over the payload partitioning — no
+    shuffle; payload pruned from the output (4 small columns out)."""
+    from ..operators.multimodal import as_binary_payload, audio_frame_energy
+
+    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
+    return audio_frame_energy(mm, frame_bytes=128)
+
+
 def _hll_merge_oracle() -> str:
     from ..operators.sketches import hll_merge_oracle_sql
 

@@ -314,12 +314,30 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 256
 
 
+#: deterministic audience synthesis for the KMV overlap query: every
+#: distinct (event_type, user) expands to 8 member ids shifted by 400
+#: per event-type index, so adjacent types share ~2/3 of their members,
+#: types two apart ~1/5, farther types none — the estimate exercises
+#: the full range instead of the degenerate 1.0 the raw events give
+#: (every type spans the same user set in the synthetic data).
+_KMV_TYPE_IDX_SQL = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+)
+
+
 @register(
     "kmv_type_user_overlap",
     f"""
-    WITH dh AS (
-      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
-      FROM events
+    WITH base AS (SELECT DISTINCT event_type, user_id FROM events),
+    m AS (
+      SELECT event_type,
+             user_id * 8 + r + 400 * ({_KMV_TYPE_IDX_SQL}) AS member_id
+      FROM base, range(0, 8) AS t(r)
+    ),
+    dh AS (
+      SELECT DISTINCT event_type, md5(CAST(member_id AS VARCHAR)) AS h
+      FROM m
     ),
     samples AS (
       SELECT event_type, h,
@@ -341,7 +359,7 @@ _KMV_K = 256
       FROM union_rows QUALIFY rk <= {_KMV_K}
     )
     SELECT ga, gb, count(*) AS k_used,
-           sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS sample_inter,
+           CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sample_inter,
            CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS jaccard_est
     FROM topk GROUP BY ga, gb
@@ -356,13 +374,39 @@ def q_kmv_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical construction, making this the rare APPROXIMATE
     operator with an EXACT oracle (the estimate itself is the
     certified value; its accuracy vs truth is pytest-gated
-    separately). Scale: after the (type, digest) distinct, everything
-    operates on ≤ |types|·k digest rows."""
+    separately — test_kmv_jaccard_estimate_accuracy). Audiences come
+    from kmv_planted_members: the raw events give every type the same
+    user set (Jaccard 1.0 everywhere), so each (type, user) expands to
+    8 member ids shifted 400 per type index — partial disjointness
+    that exercises estimates across (0, 1). Scale: after the (type,
+    digest) distinct, everything operates on ≤ |types|·k digest
+    rows."""
     from ..operators.sketches import kmv_jaccard_pairs, kmv_samples
 
     ev = load_table(spark, sf_dir, "events")
-    samples = kmv_samples(ev, "event_type", "user_id", k=_KMV_K)
+    members = kmv_planted_members(ev)
+    samples = kmv_samples(members, "event_type", "member_id", k=_KMV_K)
     return kmv_jaccard_pairs(samples, "event_type", k=_KMV_K)
+
+
+def kmv_planted_members(ev: DataFrame) -> DataFrame:
+    """Expand events into the partially-disjoint per-type audiences the
+    KMV overlap query certifies against (see _KMV_TYPE_IDX_SQL)."""
+    from pyspark.sql import functions as F
+
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select(
+            "event_type",
+            (
+                F.col("user_id") * 8
+                + F.col("_r")
+                + F.expr(_KMV_TYPE_IDX_SQL) * 400
+            ).alias("member_id"),
+        )
+    )
 
 
 @register(

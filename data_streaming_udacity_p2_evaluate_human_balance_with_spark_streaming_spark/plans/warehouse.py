@@ -1168,7 +1168,7 @@ def q_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
       CASE
-        WHEN pr IS NOT NULL AND nx IS NOT NULL THEN
+        WHEN pr IS NOT NULL AND nx IS NOT NULL AND (nx).t <> (pr).t THEN
           (pr).x + ((nx).x - (pr).x)
             * (CAST(us - (pr).t AS DOUBLE) / CAST((nx).t - (pr).t AS DOUBLE))
         WHEN pr IS NOT NULL THEN (pr).x
@@ -1224,9 +1224,14 @@ def q_sensor_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = (F.col("us") - F.col("pr.t")).cast("double") / (
         F.col("nx.t") - F.col("pr.t")
     ).cast("double")
+    # nx.t == pr.t (duplicate bracketing timestamps) would make frac
+    # 0/0 — NaN in Spark, engine-defined in DuckDB; fall back to pr.x,
+    # guarded identically in both dialects (r5 advice)
     filled = (
         F.when(
-            F.col("pr").isNotNull() & F.col("nx").isNotNull(),
+            F.col("pr").isNotNull()
+            & F.col("nx").isNotNull()
+            & (F.col("nx.t") != F.col("pr.t")),
             F.col("pr.x") + (F.col("nx.x") - F.col("pr.x")) * frac,
         )
         .when(F.col("pr").isNotNull(), F.col("pr.x"))
@@ -1242,17 +1247,39 @@ def q_sensor_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: integers/strings verbatim, timestamps as epoch-micros (double repr
 #: and timestamp formatting differ cross-engine; int64 never does).
 #: Field delimiter = chr(31) (ASCII unit separator), spelled as a
-#: function call so both dialects build the identical byte.
+#: function call so both dialects build the identical byte.  Every
+#: field passes through coalesce(..., chr(30)): Spark's concat()
+#: NULL-propagates (one NULL field would silently drop the whole row
+#: from the digest while still counting in n_rows) whereas DuckDB's
+#: concat() skips NULL args -- the chr(30) record-separator sentinel
+#: makes NULLs hash deterministically and identically in both engines.
 _DIGEST_ROWS = {
     "documents": (
-        "concat(CAST(doc_id AS STRING), chr(31), md5(text), chr(31), "
-        "lang, chr(31), source, chr(31), CAST(n_chars AS STRING))"
+        "concat(coalesce(CAST(doc_id AS STRING), chr(30)), chr(31), "
+        "coalesce(md5(text), chr(30)), chr(31), "
+        "coalesce(lang, chr(30)), chr(31), "
+        "coalesce(source, chr(30)), chr(31), "
+        "coalesce(CAST(n_chars AS STRING), chr(30)))"
     ),
     "events": (
-        "concat(CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), "
-        "chr(31), event_type, chr(31), CAST(unix_micros(ts) AS STRING))"
+        "concat(coalesce(CAST(event_id AS STRING), chr(30)), chr(31), "
+        "coalesce(CAST(user_id AS STRING), chr(30)), chr(31), "
+        "coalesce(event_type, chr(30)), chr(31), "
+        "coalesce(CAST(unix_micros(ts) AS STRING), chr(30)))"
     ),
 }
+
+
+def digest_term(row_expr: str):
+    """The per-row digest term: leading 60 bits of md5(canonical row)
+    as DECIMAL(38,0). SUM of these IS the table digest — commutative,
+    associative, mergeable, so the same Column works batch-side and as
+    a plain watermarked streaming aggregation (partials per window,
+    finalize by summing partials)."""
+    return F.expr(
+        f"CAST(CAST(conv(substring(md5({row_expr}), 1, 15), 16, 10) AS BIGINT) "
+        f"AS DECIMAL(38,0))"
+    )
 
 
 def _digest_oracle() -> str:
@@ -1264,8 +1291,8 @@ def _digest_oracle() -> str:
     def leg(tbl: str) -> str:
         return (
             f"SELECT '{tbl}' AS tbl, count(*) AS n_rows, "
-            f"sum(('0x' || substring(md5({duck(_DIGEST_ROWS[tbl])}), 1, 15))"
-            f"::BIGINT::DECIMAL(38,0)) AS digest FROM {tbl}"
+            f"CAST(sum(('0x' || substring(md5({duck(_DIGEST_ROWS[tbl])}), 1, 15))"
+            f"::BIGINT::DECIMAL(38,0)) AS VARCHAR) AS digest FROM {tbl}"
         )
 
     return leg("documents") + " UNION ALL " + leg("events")
@@ -1284,20 +1311,20 @@ def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of partitioning, ordering, and engine, and DECIMAL(38)
     sums cannot overflow below 10^19 rows. Cross-engine by
     construction: this query's own DuckDB oracle IS the verification
-    protocol in action.
+    protocol in action. The digest crosses the result boundary as a
+    STRING -- DECIMAL(38,0) survives neither engine's pandas hop
+    losslessly (queries.py type-hop convention).
 
     Scale shape: one scan per table, map-side partial sums, a 2-row
     result. Mergeable: shard digests ADD."""
     parts = []
     for tbl, row_expr in _DIGEST_ROWS.items():
         df = load_table(spark, sf_dir, tbl)
-        h = F.expr(
-            f"CAST(CAST(conv(substring(md5({row_expr}), 1, 15), 16, 10) AS BIGINT) "
-            f"AS DECIMAL(38,0))"
-        )
+        h = digest_term(row_expr)
         parts.append(
             df.agg(
-                F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("digest")
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).cast("string").alias("digest"),
             ).select(F.lit(tbl).alias("tbl"), "n_rows", "digest")
         )
     return parts[0].unionByName(parts[1])

@@ -32,18 +32,50 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 import datetime, decimal, math
 
+import numpy as np
+import pandas as pd
+
+
 def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return f"{v:f}"
+    """Dtype-SENSITIVE canonicalization mirroring the driver's pandas
+    hop: DuckDB HUGEINT/DECIMAL arrive as float64 ("150.0") while
+    Spark BIGINT/Decimal arrive as int64/Decimal ("150") -- value-equal
+    but hash-different.  4 of the last 5 driver red rows were exactly
+    this class, so the local check must distinguish them too."""
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + f"{v:f}"
+    if isinstance(v, datetime.datetime):  # covers pd.Timestamp
+        if v != v:  # NaT
+            return "\0NULL"
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # Spark DATE -> datetime.date object, DuckDB DATE -> pandas
+        # datetime64 at midnight; the driver hashes these equal
+        # (date_spine_zero_fill / retention_cohort_weeks green r5), so
+        # coerce date to its midnight-timestamp rendering.
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v) if v is not None else "\0NULL"
+    return str(v)
+
+
+def pdf_rows(pdf: "pd.DataFrame"):
+    cols = sorted(pdf.columns)
+    body = pdf[cols]
+    rows = sorted(
+        tuple(norm(v) for v in row)
+        for row in body.itertuples(index=False, name=None)
+    )
+    dtypes = {c: str(body[c].dtype) for c in cols}
+    return rows, [c.lower() for c in cols], dtypes
 
 qs, os_ = e.queries(), e.oracle_sql()
 # optional argv filter: `python scripts/driver_check.py q1 q2` checks only those
@@ -53,20 +85,35 @@ if len(sys.argv) > 1:
 print(f"{len(qs)} queries, {len(os_)} oracles")
 fails = 0
 for name, fn in qs.items():
-    sdf = fn(spark, SF)
-    cols = sorted(sdf.columns)
-    srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+    try:
+        spdf = fn(spark, SF).toPandas()
+    except Exception as ex:  # noqa: BLE001 - report, keep sweeping
+        print(f"  {name}: SPARK ERROR {type(ex).__name__}: {ex}")
+        fails += 1
+        continue
+    srows, scols, sdt = pdf_rows(spdf)
     if name not in os_:
         print(f"  {name}: rows-only, {len(srows)} rows")
         continue
-    res = con.execute(os_[name])
-    dcols = [d[0] for d in res.description]
-    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    drows = sorted(tuple(norm(row[i]) for i in order) for row in res.fetchall())
-    ok = srows == drows and [c.lower() for c in cols] == sorted(c.lower() for c in dcols)
+    try:
+        dpdf = con.execute(os_[name]).df()
+    except Exception as ex:  # noqa: BLE001
+        print(f"  {name}: ORACLE ERROR {type(ex).__name__}: {ex}")
+        fails += 1
+        continue
+    drows, dcols, ddt = pdf_rows(dpdf)
+    ok = srows == drows and scols == dcols
     fails += 0 if ok else 1
     print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} spark={len(srows)} duck={len(drows)}")
-    if not ok and srows and drows:
-        print("    spark[0]:", srows[0]); print("    duck[0] :", drows[0])
+    if not ok:
+        print(f"    spark dtypes: {sdt}")
+        print(f"    duck  dtypes: {ddt}")
+        for a, b in zip(srows, drows):
+            if a != b:
+                print("    spark:", a)
+                print("    duck :", b)
+                break
+        if len(srows) != len(drows) and srows and drows:
+            print("    spark[0]:", srows[0]); print("    duck[0] :", drows[0])
 print("RESULT:", "ALL MATCH" if fails == 0 else f"{fails} MISMATCHES")
 sys.exit(1 if fails else 0)

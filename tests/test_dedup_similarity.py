@@ -281,6 +281,31 @@ def test_frame_sample_counts(spark):
         assert n == expected
 
 
+def test_audio_frame_energy_planted_payload(spark):
+    """audio_frame_energy on a hand-built payload: exact integer
+    energies Σ(byte−128)², frame boundaries at frame_bytes, short tail
+    frame, empty payload emits nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 4 + "B" * 4),  # one 8-byte frame at frame_bytes=8
+            (2, "z" * 10),  # frame of 8 + tail frame of 2
+            (3, ""),  # empty: no rows
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    mm = multimodal.as_binary_payload(docs)
+    rows = {
+        (r.doc_id, r.frame_id): (r.n_samples, r.energy)
+        for r in multimodal.audio_frame_energy(mm, frame_bytes=8).collect()
+    }
+    e_a, e_b, e_z = (65 - 128) ** 2, (66 - 128) ** 2, (122 - 128) ** 2
+    assert rows == {
+        (1, 0): (8, 4 * e_a + 4 * e_b),
+        (2, 0): (8, 8 * e_z),
+        (2, 1): (2, 2 * e_z),
+    }
+
+
 def test_connected_components_multi_hop_chain(spark):
     """Min-label propagation must handle MULTI-HOP components: a
     10-node chain (diameter 9) plus a separate triangle and an isolated

@@ -798,6 +798,43 @@ def test_kmv_jaccard_estimate_accuracy_and_mergeability(spark):
     spark.catalog.clearCache()
 
 
+def test_kmv_registry_estimates_track_exact_jaccard(spark):
+    """The REGISTERED kmv_type_user_overlap query (planted
+    partially-disjoint audiences) must (1) exercise non-degenerate
+    estimates — at least one pair strictly inside (0, 1) and at least
+    one disjoint pair — and (2) land every pair's estimate within
+    3/√k of the exact Jaccard of the planted member sets."""
+    import pyspark.sql.functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.simjoin import (
+        _KMV_K,
+        kmv_planted_members,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"  # sf0.001's 15 users leave all pairs disjoint
+    est = {
+        (r.ga, r.gb): r.jaccard_est
+        for r in REGISTRY["kmv_type_user_overlap"][0](spark, sf).collect()
+    }
+    members = kmv_planted_members(load_table(spark, sf, "events"))
+    sets: dict[str, set] = {}
+    for r in members.collect():
+        sets.setdefault(r.event_type, set()).add(r.member_id)
+    tol = 3 / _KMV_K**0.5
+    assert any(0 < v < 1 for v in est.values()), est
+    assert any(v == 0 for v in est.values()), est
+    for (ga, gb), v in est.items():
+        a, b = sets[ga], sets[gb]
+        true_j = len(a & b) / len(a | b)
+        assert abs(v - true_j) <= tol, (ga, gb, v, true_j)
+
+
 def test_bloom_no_false_negatives_and_fpr_bound(spark):
     """Bloom membership sketch: every inserted key MUST probe true
     (structural zero-false-negative guarantee), and the false-positive
@@ -822,6 +859,20 @@ def test_bloom_no_false_negatives_and_fpr_bound(spark):
         1 for r in bloom_probe(bloom, novel, "k").collect() if r.maybe_present
     )
     assert fp / 5000 <= 0.01, f"FPR {fp / 5000} above bound"
+
+    # duplicate probe rows must stay distinct output rows (probe
+    # regroups by row id, not payload — the r5 advice), and scratch
+    # column names are guarded
+    import pytest as _pytest
+
+    dupes = spark.createDataFrame(
+        [("key-1", "a"), ("key-1", "a"), ("novel-x", "b")], "k string, tag string"
+    )
+    got = bloom_probe(bloom, dupes, "k").collect()
+    assert len(got) == 3
+    assert sum(1 for r in got if r.k == "key-1" and r.maybe_present) == 2
+    with _pytest.raises(ValueError, match="reserves column names"):
+        bloom_probe(bloom, dupes.withColumnRenamed("tag", "bits"), "k")
     spark.catalog.clearCache()
 
 
