@@ -66,15 +66,21 @@ def make_ndjson_sink_source():
                 n += 1
         return TempFileMessage(tmp_path=tmp, n_rows=n)
 
-    def _commit(path: str, messages, batch_id: int) -> None:
+    def _commit(path: str, messages, prefix: str, clear_glob: str | None) -> None:
+        """Driver-side rename of winning attempts to final names.
+        clear_glob: files deleted BEFORE the renames — the stream
+        writer passes its own batch's pattern (idempotent replay of a
+        checkpoint-driven batchId); the batch writer passes the whole
+        part-glob only in overwrite mode, never on append (each batch
+        commit uses a fresh unique prefix, so appends coexist)."""
         import glob
         import os
 
-        # idempotent replay: clear any previous attempt of THIS batch
-        for old in glob.glob(os.path.join(path, f"part-{batch_id:08d}-*.json")):
-            os.remove(old)
+        if clear_glob:
+            for old in glob.glob(os.path.join(path, clear_glob)):
+                os.remove(old)
         for idx, m in enumerate(m for m in messages if m is not None):
-            final = os.path.join(path, f"part-{batch_id:08d}-{idx:05d}.json")
+            final = os.path.join(path, f"{prefix}-{idx:05d}.json")
             if m.n_rows:
                 os.replace(m.tmp_path, final)
             else:  # empty task: no file, but temp still needs removing
@@ -101,27 +107,50 @@ def make_ndjson_sink_source():
             return _write_tmp(self.path, iterator)
 
         def commit(self, messages, batchId):
-            _commit(self.path, messages, batchId)
+            # checkpoint-driven batchId: deterministic names + replay
+            # deletion of this batch's previous attempt = exactly-once
+            _commit(
+                self.path,
+                messages,
+                f"part-{batchId:08d}",
+                f"part-{batchId:08d}-*.json",
+            )
 
         def abort(self, messages, batchId):
             _abort(messages)
 
     class NdjsonBatchWriter(DataSourceWriter):
-        def __init__(self, options):
+        """Batch leg: there is no checkpoint-driven batch id, so every
+        commit mints a UNIQUE id (driver-side uuid) — two successive
+        append saves to the same path coexist instead of the second
+        silently deleting the first's files. overwrite=True clears all
+        previously committed parts atomically inside commit()."""
+
+        def __init__(self, options, overwrite: bool):
+            import uuid
+
             self.path = options["path"]
+            self.overwrite = overwrite
+            self.commit_id = uuid.uuid4().hex[:16]
 
         def write(self, iterator):
             return _write_tmp(self.path, iterator)
 
         def commit(self, messages):
-            _commit(self.path, messages, 0)
+            _commit(
+                self.path,
+                messages,
+                f"part-c{self.commit_id}",
+                "part-*.json" if self.overwrite else None,
+            )
 
         def abort(self, messages):
             _abort(messages)
 
     class NdjsonSinkDataSource(DataSource):
-        """format("ndjson_sink"), option path=<dir>. Append-mode only —
-        the two-phase temp-then-rename protocol above."""
+        """format("ndjson_sink"), option path=<dir>. Batch append /
+        overwrite + stream append — the two-phase temp-then-rename
+        protocol above."""
 
         @classmethod
         def name(cls):
@@ -131,7 +160,7 @@ def make_ndjson_sink_source():
             return "key string, value string"
 
         def writer(self, schema, overwrite):
-            return NdjsonBatchWriter(self.options)
+            return NdjsonBatchWriter(self.options, overwrite)
 
         def streamWriter(self, schema, overwrite):
             return NdjsonStreamWriter(self.options)

@@ -432,7 +432,14 @@ def windowed_topk(
     Ties broken by (count desc, type asc) — deterministic across
     partitionings. The batch twin (groupBy window/type + rank ≤ k) is
     certified equal by
-    tests/test_streaming.py::test_windowed_topk_matches_batch."""
+    tests/test_streaming.py::test_windowed_topk_matches_batch.
+
+    UPGRADE NOTE: adding wend_ms to the grouping key (round 5, for
+    tz-independent timeouts) changed the STATE KEY SCHEMA. A query
+    restarted from a checkpoint written by the pre-r5 single-key
+    version will fail state-schema compatibility (or mis-key state)
+    rather than resume — use a fresh checkpointLocation when
+    upgrading across that change."""
     typ, ts = type_col, ts_col
 
     def update(

@@ -169,11 +169,30 @@ def test_ndjson_sink_batch_write(spark, tmp_path):
         [(f"k{i}", f"v{i}") for i in range(25)], "key string, value string"
     )
     df.write.format("ndjson_sink").option("path", out).mode("append").save()
-    rows = []
-    for fp in sorted(glob.glob(os.path.join(out, "part-*.json"))):
-        with open(fp) as f:
-            rows.extend(json.loads(line)["key"] for line in f)
-    assert sorted(rows) == sorted(f"k{i}" for i in range(25))
+
+    def read_keys():
+        rows = []
+        for fp in sorted(glob.glob(os.path.join(out, "part-*.json"))):
+            with open(fp) as f:
+                rows.extend(json.loads(line)["key"] for line in f)
+        return sorted(rows)
+
+    assert read_keys() == sorted(f"k{i}" for i in range(25))
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+
+    # a second append must COEXIST with the first (unique commit ids,
+    # not fixed batch 0 — the r5 data-loss advice)
+    df2 = spark.createDataFrame(
+        [(f"x{i}", f"v{i}") for i in range(5)], "key string, value string"
+    )
+    df2.write.format("ndjson_sink").option("path", out).mode("append").save()
+    assert read_keys() == sorted(
+        [f"k{i}" for i in range(25)] + [f"x{i}" for i in range(5)]
+    )
+
+    # overwrite clears all previously committed parts
+    df2.write.format("ndjson_sink").option("path", out).mode("overwrite").save()
+    assert read_keys() == sorted(f"x{i}" for i in range(5))
     assert not glob.glob(os.path.join(out, ".tmp-*"))
 
 

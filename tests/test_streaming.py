@@ -1089,6 +1089,95 @@ def test_watermarked_left_semi_stream_join_drops_unmatched(spark, tmp_path):
     assert emails == ["a@test.com"], emails
 
 
+def test_streaming_content_digest_partials_equal_batch(spark, tmp_path):
+    """Streaming twin of table_content_digest: the digest is a plain
+    mergeable SUM of per-row terms, so per-window partial digests from
+    an append-mode watermarked streaming aggregation, finalized by
+    summing the partials, must equal the all-batch digest over the
+    same rows BIT-IDENTICALLY (the ba7eb5c streaming-HLL pattern —
+    registers there, decimal partials here)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.warehouse import (
+        _DIGEST_ROWS,
+        digest_term,
+    )
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": i % 40,
+            "event_type": ["click", "view", "purchase"][i % 3],
+            "ts": f"2024-01-01T{i // 300:02d}:{(i // 5) % 60:02d}:{i % 60:02d}.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "user_id": 0,
+        "event_type": "click",
+        "ts": "2024-01-01T12:00:00.000Z",
+    }
+    d = str(tmp_path / "digest_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digest_term(_DIGEST_ROWS["events"])).alias("digest_part"),
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("digest_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    parts = spark.table("digest_partials_tbl")
+    final = parts.agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("digest_part").alias("digest")
+    ).collect()[0]
+    # the sentinel advanced the watermark past the data windows, which
+    # closed and emitted; its OWN window stays open (append-mode
+    # semantics), so the streamed digest covers exactly `rows`
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in rows],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    expected = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digest_term(_DIGEST_ROWS["events"])).alias("digest"),
+    ).collect()[0]
+    assert final.n_rows == expected.n_rows == 600
+    assert final.digest == expected.digest
+    # and the partials really were incremental: >1 window emitted
+    assert parts.count() >= 2
+
+
 def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
     """Streaming portable-HLL: per-hour distinct-user sketches emitted
     as REGISTERS by a plain watermarked streaming aggregation (no
