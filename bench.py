@@ -136,6 +136,9 @@ HEADLINE = [
     "corrupt_json_quarantine",
     "sensor_gap_interpolation",
     "table_content_digest",
+    # round-6 wave
+    "audio_frame_energy",
+    "image_resize_nearest",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

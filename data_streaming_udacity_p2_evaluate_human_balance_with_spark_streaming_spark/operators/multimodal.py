@@ -108,6 +108,60 @@ def frame_sample(mm: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_h int, out_w int, checksum bigint, resized binary"
+)
+
+
+def resize_nearest(
+    mm: DataFrame, src_width: int = 64, out_h: int = 16, out_w: int = 16
+) -> DataFrame:
+    """Nearest-neighbor resize over the opaque payload interpreted as a
+    single-channel 8-bit raster: row width `src_width`, height =
+    n_bytes // src_width (ragged tail dropped), source index pure
+    integer floor math src_y = (y*H)//out_h, src_x = (x*src_width)//out_w
+    — the thumbnail/normalize step an image-curation pipeline runs
+    before embedding. A real decoder (PIL/libvips, absent here) would
+    replace the raw-raster interpretation; the Spark contract is real:
+    vectorized numpy fancy-indexing over Arrow batches (mapInPandas),
+    narrow (zero shuffles), payload pruned to a fixed out_h·out_w
+    thumbnail + an exact positional checksum
+    Σ byte(p)·((p mod 97)+1) — all integer, so the whole Arrow path is
+    certifiable BY VALUE via the ascii(substr) DuckDB replay
+    (multimodal_features recipe; payloads are ASCII so char positions
+    == byte positions). Payloads shorter than one row emit nothing."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w_src, oh, ow = src_width, out_h, out_w
+        weights = (np.arange(oh * ow, dtype=np.int64) % 97) + 1
+        xs = (np.arange(ow, dtype=np.int64) * w_src) // ow
+
+        def rows(doc_id, payload):
+            if payload is None or len(payload) < w_src:
+                return None
+            b = np.frombuffer(payload, dtype=np.uint8)
+            h = len(b) // w_src
+            img = b[: h * w_src].reshape(h, w_src)
+            ys = (np.arange(oh, dtype=np.int64) * h) // oh
+            out = img[ys][:, xs]
+            flat = out.reshape(-1).astype(np.int64)
+            return doc_id, oh, ow, int((flat * weights).sum()), out.tobytes()
+
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                if (r := rows(doc_id, payload)) is not None
+            ]
+            yield pd.DataFrame(
+                out, columns=["doc_id", "out_h", "out_w", "checksum", "resized"]
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
 AUDIO_ENERGY_SCHEMA = "doc_id bigint, frame_id int, n_samples int, energy bigint"
 
 

@@ -1369,6 +1369,46 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(mm, frame_bytes=128)
 
 
+@register(
+    "image_resize_nearest",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(CAST(text AS BLOB)) // 64 AS h
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) >= 64
+    ),
+    px AS (
+      SELECT doc_id, y * 16 + x AS p,
+        ascii(substr(text,
+          CAST(((y * h) // 16) * 64 + ((x * 64) // 16) + 1 AS INT), 1)) AS v
+      FROM d, range(0, 16) AS ty(y), range(0, 16) AS tx(x)
+    )
+    SELECT doc_id, CAST(16 AS INT) AS out_h, CAST(16 AS INT) AS out_w,
+      CAST(sum(v * ((p % 97) + 1)) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail resize over the multimodal layout
+    (operators/multimodal.py resize_nearest): payload as a 64-wide
+    8-bit raster → 16×16, source indices pure integer floor math, plus
+    the exact positional checksum Σ byte(p)·((p mod 97)+1) — all
+    integer, so the numpy fancy-indexing Arrow path is certified BY
+    VALUE by the DuckDB ascii(substr) replay (ASCII payloads: char
+    positions == byte positions; the audio_frame_energy recipe). The
+    thumbnail bytes themselves are dropped from the registered
+    projection (the checksum pins every pixel positionally).
+
+    Scale shape: narrow mapInPandas, zero shuffles; output is a fixed
+    256-byte thumbnail + 3 small columns per image regardless of
+    payload size — the payload-pruning discipline."""
+    from ..operators.multimodal import as_binary_payload, resize_nearest
+
+    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_nearest(mm, src_width=64, out_h=16, out_w=16).drop("resized")
+
+
 def _hll_merge_oracle() -> str:
     from ..operators.sketches import hll_merge_oracle_sql
 

@@ -306,6 +306,38 @@ def test_audio_frame_energy_planted_payload(spark):
     }
 
 
+def test_resize_nearest_planted_payload(spark):
+    """resize_nearest on hand-built rasters: exact nearest-neighbor
+    pixel selection (floor index math), ragged tail dropped,
+    upsampling repeats source rows, sub-row payloads emit nothing, and
+    the positional checksum Σ byte(p)·((p mod 97)+1) is exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ABCDWXYZ"),  # 2x4 raster -> 2x2 = [[A,C],[W,Y]]
+            (2, "ABCDWXYZ!?"),  # 10 bytes: ragged 2-byte tail dropped
+            (3, "MNOP"),  # h=1 upsampled to 2 rows: [[M,O],[M,O]]
+            (4, "abc"),  # shorter than one row: no output
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    mm = multimodal.as_binary_payload(docs)
+    out = {
+        r.doc_id: (r.out_h, r.out_w, r.checksum, bytes(r.resized))
+        for r in multimodal.resize_nearest(
+            mm, src_width=4, out_h=2, out_w=2
+        ).collect()
+    }
+
+    def ck(px):
+        return sum(b * ((p % 97) + 1) for p, b in enumerate(px))
+
+    assert out == {
+        1: (2, 2, ck(b"ACWY"), b"ACWY"),
+        2: (2, 2, ck(b"ACWY"), b"ACWY"),
+        3: (2, 2, ck(b"MOMO"), b"MOMO"),
+    }
+
+
 def test_connected_components_multi_hop_chain(spark):
     """Min-label propagation must handle MULTI-HOP components: a
     10-node chain (diameter 9) plus a separate triangle and an isolated
