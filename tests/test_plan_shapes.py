@@ -92,6 +92,17 @@ def test_multimodal_payload_pruned_before_exchange(spark):
     assert "Exchange" not in plan  # narrow end-to-end
 
 
+@pytest.mark.parametrize("name", ["audio_frame_energy", "image_resize_nearest"])
+def test_multimodal_arrow_paths_no_shuffle(spark, name):
+    """The audio-energy and resize Arrow paths are narrow mapInPandas
+    over the scan partitioning: zero Exchanges end-to-end (payloads
+    never shuffle), and the scan reads only the payload columns."""
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_events_scan_prunes_props(spark):
     """risk_calc only needs (user_id, value): the JSON props column —
     the widest in the table — must not be read."""

@@ -1178,6 +1178,99 @@ def test_streaming_content_digest_partials_equal_batch(spark, tmp_path):
     assert parts.count() >= 2
 
 
+def test_streaming_cms_cells_finalize_equals_batch(spark, tmp_path):
+    """Streaming CMS: per-window sketch CELLS from a plain watermarked
+    streaming aggregation (groupBy(window, i, bucket).count(), append
+    mode — no custom state), finalized by cell-wise sum, must be
+    BIT-IDENTICAL to the all-batch cms_build over the same rows, and
+    the estimates derived from the streamed sketch must never
+    under-count (the CMS guarantee survives the streaming path). The
+    third member of the mergeable-sketch streaming family: HLL
+    registers, digest partials, CMS cells — all plain watermarked aggs
+    because the sketch IS a commutative monoid."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        DEFAULT_D,
+        _bucket_expr,
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [
+        {
+            "item": f"item-{i % 37 if i % 5 else 'hot'}",
+            "ts": f"2024-01-01T{i // 400:02d}:{(i // 7) % 60:02d}:{i % 60:02d}.000Z",
+        }
+        for i in range(800)
+    ]
+    sentinel = {"item": "item-0", "ts": "2024-01-01T12:00:00.000Z"}
+    d = str(tmp_path / "cms_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("item string, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    cells_stream = (
+        stream.select("ts", F.col("item").cast("string").alias("x"))
+        .select(
+            "ts",
+            "x",
+            F.explode(F.array([F.lit(i) for i in range(DEFAULT_D)])).alias("i"),
+        )
+        .withColumn("bucket", F.expr(_bucket_expr("i", "x")))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        cells_stream.writeStream.format("memory")
+        .queryName("cms_cells_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = (
+        spark.table("cms_cells_tbl")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch = spark.createDataFrame(
+        [(r["item"],) for r in rows], "item string"
+    )
+    expected = cms_build(batch, "item")
+    to_cells = lambda df: {(r.i, r.bucket): r.cnt for r in df.collect()}  # noqa: E731
+    assert to_cells(streamed) == to_cells(expected)
+    # ≥2 windows actually emitted incrementally
+    assert spark.table("cms_cells_tbl").select("win").distinct().count() == 2
+    # the streamed sketch estimates never under-count the true freq
+    exact = batch.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(exact, streamed, "item")
+    bad = est.filter(F.col("est_count") < F.col("exact")).count()
+    assert bad == 0
+    hot = est.filter(F.col("item") == "item-hot").collect()[0]
+    assert hot.est_count >= hot.exact == 160
+
+
 def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
     """Streaming portable-HLL: per-hour distinct-user sketches emitted
     as REGISTERS by a plain watermarked streaming aggregation (no
