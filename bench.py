@@ -139,6 +139,8 @@ HEADLINE = [
     # round-6 wave
     "audio_frame_energy",
     "image_resize_nearest",
+    "semdedup_cluster_cap",
+    "snapshot_cdc_diff",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

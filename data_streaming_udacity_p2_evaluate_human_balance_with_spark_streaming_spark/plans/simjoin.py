@@ -807,3 +807,103 @@ def q_bloom_prefilter_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_CAP = 20
+
+
+@register(
+    "semdedup_cluster_cap",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, qv AS cv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SEMDEDUP_K}
+    ),
+    dists AS (
+      SELECT q.vec_id, seeds.cid,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1),
+          i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS dist_q
+      FROM q, seeds
+    ),
+    assigned AS (
+      SELECT vec_id, cid, dist_q,
+        row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cid)
+          AS arn
+      FROM dists
+    ),
+    kept AS (
+      SELECT vec_id, cid, dist_q,
+        row_number() OVER (PARTITION BY cid ORDER BY dist_q, vec_id)
+          AS krn
+      FROM assigned WHERE arn = 1
+    )
+    SELECT vec_id, cid AS cluster_id, dist_q,
+           krn <= {_SEMDEDUP_CAP} AS kept
+    FROM kept
+    """,
+)
+def q_semdedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): assign
+    every embedding to its nearest of K=8 md5-chosen seed centroids and
+    keep only the CAP=20 closest-to-centroid representatives per
+    cluster — the curation move that prunes semantically redundant
+    regions of the corpus without any pairwise join. Distances are
+    EXACT integers (per-dim floor(x·1000) quantization, then Σδ² over
+    64 dims — both engines replay the identical arithmetic; float
+    enters nowhere), so assignment, ranking, and the kept flag are all
+    deterministic cross-engine. Ties broken (dist, cid) / (dist,
+    vec_id).
+
+    Scale shape: seeds are a TakeOrdered-8 collapsed to ONE broadcast
+    row holding the centroid array, so assignment is a per-row
+    array_min over the K fanout — fully narrow, the corpus never
+    shuffles to find its centroid (the IVF assignment shape,
+    similarity.py). The ONLY hash exchange in the plan is the
+    per-cluster rank — K partitions of ~N/K rows (plan-pinned in
+    test_plan_shapes). At 100 TB: K and CAP grow, the shape doesn't;
+    a k-means‖ refinement of the seeds slots in where the md5
+    selection is."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    seeds = (
+        q.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    # one row: the full centroid table as an array — argmin happens
+    # per-row inside the codegen'd expression, no join-side fanout rows
+    cents = seeds.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    assigned = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.expr(
+            "array_min(transform(cents, c -> struct("
+            "aggregate(zip_with(qv, c.cv, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x) AS dist_q, "
+            "c.cid AS cid)))"
+        ).alias("best"),
+    )
+    krn = F.row_number().over(
+        Window.partitionBy("best.cid").orderBy("best.dist_q", "vec_id")
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.dist_q").alias("dist_q"),
+        (krn <= _SEMDEDUP_CAP).alias("kept"),
+    )

@@ -1328,3 +1328,94 @@ def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(tbl).alias("tbl"), "n_rows", "digest")
         )
     return parts[0].unionByName(parts[1])
+
+
+@register(
+    "snapshot_cdc_diff",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, ts FROM events
+    ),
+    newsnap AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 11 = 5 THEN value + 1.5 ELSE value END
+               AS value,
+             ts
+      FROM base WHERE event_id % 7 <> 3
+      UNION ALL
+      SELECT event_id + 10000000, user_id, event_type, value, ts
+      FROM base WHERE event_id % 13 = 7
+    ),
+    j AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        CASE
+          WHEN o.event_id IS NULL THEN 'insert'
+          WHEN n.event_id IS NULL THEN 'delete'
+          WHEN o.user_id    IS DISTINCT FROM n.user_id
+            OR o.event_type IS DISTINCT FROM n.event_type
+            OR o.value      IS DISTINCT FROM n.value
+            OR o.ts         IS DISTINCT FROM n.ts THEN 'update'
+        END AS change_type
+      FROM base o FULL OUTER JOIN newsnap n ON o.event_id = n.event_id
+    )
+    SELECT event_id, change_type FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full outer join
+    on the key, classify each key as insert / delete / update
+    (null-safe per-column compare), emit only changed keys — the
+    incremental-ingest primitive that turns daily full snapshots into
+    a changefeed, and the row-level complement of table_content_digest
+    (digest says WHETHER replicas diverged; this says WHICH rows). The
+    second snapshot is synthesized deterministically from events
+    (drop id%7==3, bump value by exactly 1.5 on id%11==5, re-insert
+    id%13==7 shifted +10M) so both engines diff identical inputs;
+    +1.5 is exact in binary floating point, so the update detection is
+    engine-stable.
+
+    Scale shape: one scan per snapshot, a single key-partitioned full
+    outer join (sort-merge, AQE-coalesced), narrow classify, output
+    only changed keys. At 100 TB both snapshots are bucketed by key so
+    the join is exchange-free, and the per-column compare collapses to
+    one md5 row-digest compare (the _DIGEST_ROWS canonicalization)
+    when rows are wide."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    new = (
+        ev.filter(F.col("event_id") % 7 != 3)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 11 == 5, F.col("value") + F.lit(1.5)
+            ).otherwise(F.col("value")),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 13 == 7).withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            )
+        )
+    )
+    o, n = ev.alias("o"), new.alias("n")
+    joined = o.join(
+        n, F.col("o.event_id") == F.col("n.event_id"), "full_outer"
+    )
+    differs = (
+        ~F.col("o.user_id").eqNullSafe(F.col("n.user_id"))
+        | ~F.col("o.event_type").eqNullSafe(F.col("n.event_type"))
+        | ~F.col("o.value").eqNullSafe(F.col("n.value"))
+        | ~F.col("o.ts").eqNullSafe(F.col("n.ts"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.event_id"), F.col("n.event_id")).alias(
+                "event_id"
+            ),
+            F.when(F.col("o.event_id").isNull(), F.lit("insert"))
+            .when(F.col("n.event_id").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -857,3 +857,24 @@ def test_sensor_gap_interpolation_single_exchange(spark):
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:2000]}"
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_semdedup_assignment_is_narrow(spark):
+    """Centroid assignment must be per-row array math over a 1-row
+    broadcast (zero shuffle); the ONLY hash exchange in the plan is
+    the per-cluster rank."""
+    fn, _ = REGISTRY["semdedup_cluster_cap"]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_cdc_full_outer_no_cartesian(spark):
+    """CDC diff is a single key-partitioned full outer join."""
+    fn, _ = REGISTRY["snapshot_cdc_diff"]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -900,3 +900,63 @@ def test_bloom_merge_equals_direct_build(spark):
     }
     assert merged == direct
     spark.catalog.clearCache()
+
+
+def test_semdedup_cluster_cap_invariants(spark):
+    """semdedup_cluster_cap structural invariants at sf0.001: every
+    vector assigned to exactly one cluster; ≤ CAP kept per cluster;
+    within each cluster no unkept vector is strictly closer to the
+    centroid than a kept one (row_number boundary)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.simjoin import (
+        _SEMDEDUP_CAP,
+    )
+
+    rows = REGISTRY["semdedup_cluster_cap"][0](spark, SF_SMOKE).collect()
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n_emb
+    assert len({r.vec_id for r in rows}) == n_emb
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r.dist_q for r in members if r.kept]
+        unkept = [r.dist_q for r in members if not r.kept]
+        assert len(kept) <= _SEMDEDUP_CAP, cid
+        if unkept:
+            assert len(kept) == _SEMDEDUP_CAP, cid
+            assert max(kept) <= min(unkept), cid
+
+
+def test_snapshot_cdc_diff_planted_counts(spark):
+    """snapshot_cdc_diff change classes must match the deterministic
+    snapshot synthesis exactly: deletes = id%7==3, inserts = id%13==7
+    (shifted +10M), updates = id%11==5 surviving deletion with a
+    non-null value (+1.5 on NULL stays NULL = no change)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    out = REGISTRY["snapshot_cdc_diff"][0](spark, SF_SMOKE)
+    got = {
+        r.change_type: r.n
+        for r in out.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp_del = ev.filter(F.col("event_id") % 7 == 3).count()
+    exp_ins = ev.filter(F.col("event_id") % 13 == 7).count()
+    exp_upd = ev.filter(
+        (F.col("event_id") % 11 == 5)
+        & (F.col("event_id") % 7 != 3)
+        & F.col("value").isNotNull()
+    ).count()
+    assert got.get("delete", 0) == exp_del
+    assert got.get("insert", 0) == exp_ins
+    assert got.get("update", 0) == exp_upd
+    # inserted keys live in the shifted id range, disjoint from base
+    ins_min = out.filter(F.col("change_type") == "insert").agg(
+        F.min("event_id")
+    ).collect()[0][0]
+    assert ins_min is None or ins_min >= 10_000_000
