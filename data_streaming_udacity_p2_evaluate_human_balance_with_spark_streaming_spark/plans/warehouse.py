@@ -1383,7 +1383,14 @@ def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    new = (
+    return cdc_diff(ev, cdc_synth_next(ev))
+
+
+def cdc_synth_next(ev: DataFrame) -> DataFrame:
+    """The deterministic 'tomorrow' snapshot the CDC queries/tests diff
+    against: drop id%7==3, value+1.5 on id%11==5, insert id%13==7
+    shifted +10M (see q_snapshot_cdc_diff)."""
+    return (
         ev.filter(F.col("event_id") % 7 != 3)
         .withColumn(
             "value",
@@ -1397,6 +1404,29 @@ def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def cdc_apply(old: DataFrame, new: DataFrame, diff: DataFrame) -> DataFrame:
+    """Apply a changefeed to the OLD snapshot: drop deleted/updated
+    keys, take inserted/updated rows from the source of the feed — the
+    MERGE INTO shape. cdc_apply(old, new, cdc_diff(old, new)) must
+    reproduce `new` exactly; the round-trip is certified bit-exactly by
+    the content digest in
+    tests/test_scale_patterns.py::test_cdc_apply_roundtrip_digest —
+    changefeed completeness, not just classification counts. All three
+    joins are key equi-joins (semi/anti), co-partitioned with the diff
+    itself at scale."""
+    gone = diff.filter(F.col("change_type").isin("delete", "update"))
+    incoming = diff.filter(F.col("change_type").isin("insert", "update"))
+    return old.join(gone, "event_id", "left_anti").unionByName(
+        new.join(incoming.select("event_id"), "event_id", "left_semi")
+    )
+
+
+def cdc_diff(ev: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level changefeed between two snapshots keyed on event_id —
+    the operator behind snapshot_cdc_diff, reusable on any pair of
+    snapshots with the events schema."""
     o, n = ev.alias("o"), new.alias("n")
     joined = o.join(
         n, F.col("o.event_id") == F.col("n.event_id"), "full_outer"
