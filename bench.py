@@ -141,6 +141,7 @@ HEADLINE = [
     "image_resize_nearest",
     "semdedup_cluster_cap",
     "snapshot_cdc_diff",
+    "interval_overlap_join",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1449,3 +1449,126 @@ def cdc_diff(ev: DataFrame, new: DataFrame) -> DataFrame:
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+#: one-hour bins for the interval overlap join; all arithmetic in
+#: epoch MICROS (exact integers in both engines).
+_IVL_W = 3_600_000_000
+_IVL_COOLDOWN = 1_200_000_000  # spans extend 20 min past their last event
+_IVL_WIN_LEN = 6_000_000_000  # 100-minute maintenance windows
+
+
+@register(
+    "interval_overlap_join",
+    f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) // {_IVL_W} AS hour_idx
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, min(us) AS ss,
+             max(us) + {_IVL_COOLDOWN} AS se
+      FROM base GROUP BY user_id, hour_idx
+    ),
+    wins AS (
+      SELECT hour_idx AS win_id,
+             hour_idx * {_IVL_W} + (hour_idx % 7) * 300000000 AS ws
+      FROM (SELECT DISTINCT hour_idx FROM base)
+      WHERE substring(md5(CAST(hour_idx AS VARCHAR)), 1, 1)
+            IN ('0', '1', '2', '3')
+    )
+    SELECT s.user_id, s.ss AS span_start_us, w.win_id,
+           least(s.se, w.ws + {_IVL_WIN_LEN})
+             - greatest(s.ss, w.ws) AS overlap_us
+    FROM spans s JOIN wins w
+      ON s.ss < w.ws + {_IVL_WIN_LEN} AND w.ws < s.se
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — user activity spans (per-user
+    per-hour [first event, last event + 20 min cooldown]) against
+    deterministic md5-chosen 100-minute maintenance windows, emitting
+    exact integer overlap micros. The downtime-impact / ad-attribution
+    join neither the binned point-in-interval range join
+    (range_join_error_bursts) nor the PIT joins cover: BOTH sides are
+    arbitrary intervals.
+
+    The Spark side runs the scalable BINNED scheme: each interval
+    explodes to the ≤2 one-hour bins it covers (fan-out bounded by
+    ceil(len/W)+1, never data-dependent), the join is a bin EQUI-join
+    plus the overlap predicate, and each pair is counted exactly once
+    at its first common bin — bin == greatest(start bins) (the
+    later-starting interval's start bin is covered by both sides of
+    any true overlap). The DuckDB oracle runs the UNBINNED quadratic
+    predicate join — their equality certifies the binning scheme
+    itself, not just the arithmetic.
+
+    Scale shape: spans = one (user, hour) hash aggregate; windows are
+    tiny (≤ distinct hours) and broadcast, so the probe side never
+    shuffles for the join (plan-tested: BroadcastHashJoin on the bin,
+    no nested-loop). With both sides large, the same bin key becomes
+    the shuffle partitioning — still an equi-join, skew bounded by
+    bin width."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(f"unix_micros(ts) DIV {_IVL_W}").alias("hour_idx"),
+    )
+    spans = base.groupBy("user_id", "hour_idx").agg(
+        F.min("us").alias("ss"),
+        (F.max("us") + F.lit(_IVL_COOLDOWN)).alias("se"),
+    )
+    wins = (
+        base.select("hour_idx")
+        .distinct()
+        .filter(
+            F.substring(F.md5(F.col("hour_idx").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select(
+            F.col("hour_idx").alias("win_id"),
+            (
+                F.col("hour_idx") * _IVL_W
+                + (F.col("hour_idx") % 7) * 300_000_000
+            ).alias("ws"),
+        )
+        .withColumn("we", F.col("ws") + F.lit(_IVL_WIN_LEN))
+    )
+    s_bins = spans.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"ss DIV {_IVL_W}"), F.expr(f"(se - 1) DIV {_IVL_W}")
+            )
+        ),
+    )
+    w_bins = wins.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"ws DIV {_IVL_W}"), F.expr(f"(we - 1) DIV {_IVL_W}")
+            )
+        ),
+    )
+    joined = s_bins.join(F.broadcast(w_bins), "bin").filter(
+        (F.col("ss") < F.col("we"))
+        & (F.col("ws") < F.col("se"))
+        & (
+            F.col("bin")
+            == F.greatest(
+                F.expr(f"ss DIV {_IVL_W}"), F.expr(f"ws DIV {_IVL_W}")
+            )
+        )
+    )
+    return joined.select(
+        "user_id",
+        F.col("ss").alias("span_start_us"),
+        "win_id",
+        (
+            F.least(F.col("se"), F.col("we"))
+            - F.greatest(F.col("ss"), F.col("ws"))
+        ).alias("overlap_us"),
+    )

@@ -878,3 +878,12 @@ def test_snapshot_cdc_full_outer_no_cartesian(spark):
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_broadcasts_windows(spark):
+    """The binned overlap join must be a bin equi-join with the tiny
+    window side broadcast — never a nested-loop over spans."""
+    plan = _plan(spark, "interval_overlap_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -995,3 +995,46 @@ def test_cdc_apply_roundtrip_digest(spark):
     assert (n_app, d_app) == (n_new, d_new)
     # and the repair actually did something: old digest differs
     assert digest(ev) != (n_new, d_new)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """The BINNED interval overlap join must equal a Python quadratic
+    replication exactly (pair multiplicity, boundary exclusivity,
+    overlap micros) — independent of the DuckDB oracle."""
+    import hashlib
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    W, COOL, WLEN = 3_600_000_000, 1_200_000_000, 6_000_000_000
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.expr("unix_micros(ts)").alias("us"))
+        .collect()
+    )
+    spans: dict = {}
+    hours = set()
+    for r in ev:
+        h = r.us // W
+        hours.add(h)
+        k = (r.user_id, h)
+        lo, hi = spans.get(k, (r.us, r.us))
+        spans[k] = (min(lo, r.us), max(hi, r.us))
+    wins = {
+        h: (h * W + (h % 7) * 300_000_000, h * W + (h % 7) * 300_000_000 + WLEN)
+        for h in hours
+        if hashlib.md5(str(h).encode()).hexdigest()[0] in "0123"
+    }
+    expected = sorted(
+        (u, lo, h, min(hi + COOL, we) - max(lo, ws))
+        for (u, _sh), (lo, hi) in spans.items()
+        for h, (ws, we) in wins.items()
+        if lo < we and ws < hi + COOL
+    )
+    got = sorted(
+        (r.user_id, r.span_start_us, r.win_id, r.overlap_us)
+        for r in REGISTRY["interval_overlap_join"][0](spark, SF_SMOKE).collect()
+    )
+    assert got == expected and len(got) > 0
+    assert all(o > 0 for *_, o in got)
