@@ -125,3 +125,56 @@ def watermarked_stream_join(
     rw = right.withWatermark(right_ts, watermark)
     cond = condition if range_cond is None else f"({condition}) AND ({range_cond})"
     return lw.join(rw, F.expr(cond), how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_width: int,
+    left_start: str = "ss",
+    left_end: str = "se",
+    right_start: str = "ws",
+    right_end: str = "we",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval×interval OVERLAP join via binning: explode each
+    interval [start, end) to the fixed-width bins it covers, equi-join
+    on the bin, apply the exact overlap predicate, and count each pair
+    ONCE at its first common bin — bin == greatest(start bins) (the
+    later-starting interval's start bin is covered by both sides of
+    any true overlap, so the dedup needs no distinct/shuffle).
+
+    Emits every (left ⨯ right) column pair with start < other.end
+    strictly (touching intervals do NOT match). Fan-out per row is
+    ceil(len / bin_width) + 1 — bounded by data shape, never by the
+    other side. `bin_width` should be ≥ the typical interval length so
+    the fan-out stays ~2; the bin is also the shuffle key when both
+    sides are large, so skew is bounded by how many intervals cross a
+    given wall-clock bin. Certified against unbinned quadratic
+    semantics by the interval_overlap_join oracle and a hypothesis
+    property test (random intervals, exact multiset equality)."""
+    w = bin_width
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(F.expr(f"{s} DIV {w}"), F.expr(f"({e} - 1) DIV {w}"))
+            ),
+        )
+
+    r = binned(right, right_start, right_end)
+    joined = binned(left, left_start, left_end).join(
+        F.broadcast(r) if broadcast_right else r, "_bin"
+    )
+    return joined.filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (
+            F.col("_bin")
+            == F.greatest(
+                F.expr(f"{left_start} DIV {w}"),
+                F.expr(f"{right_start} DIV {w}"),
+            )
+        )
+    ).drop("_bin")

@@ -1537,31 +1537,10 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("we", F.col("ws") + F.lit(_IVL_WIN_LEN))
     )
-    s_bins = spans.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"ss DIV {_IVL_W}"), F.expr(f"(se - 1) DIV {_IVL_W}")
-            )
-        ),
-    )
-    w_bins = wins.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"ws DIV {_IVL_W}"), F.expr(f"(we - 1) DIV {_IVL_W}")
-            )
-        ),
-    )
-    joined = s_bins.join(F.broadcast(w_bins), "bin").filter(
-        (F.col("ss") < F.col("we"))
-        & (F.col("ws") < F.col("se"))
-        & (
-            F.col("bin")
-            == F.greatest(
-                F.expr(f"ss DIV {_IVL_W}"), F.expr(f"ws DIV {_IVL_W}")
-            )
-        )
+    from ..operators.joins import interval_overlap_join
+
+    joined = interval_overlap_join(
+        spans, wins, _IVL_W, broadcast_right=True
     )
     return joined.select(
         "user_id",

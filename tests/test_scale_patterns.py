@@ -1038,3 +1038,51 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     )
     assert got == expected and len(got) > 0
     assert all(o > 0 for *_, o in got)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ivl = st.tuples(st.integers(0, 500), st.integers(1, 120)).map(
+    lambda t: (t[0], t[0] + t[1])
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(_ivl, min_size=0, max_size=12),
+    rights=st.lists(_ivl, min_size=0, max_size=12),
+    w=st.sampled_from([7, 50, 64, 300]),
+)
+def test_interval_overlap_operator_property(spark, lefts, rights, w):
+    """interval_overlap_join == quadratic overlap semantics for
+    ARBITRARY intervals and bin widths: exact pair multiset (each
+    overlapping pair exactly once regardless of how many bins it
+    shares), strict boundaries, any fan-out."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(lefts)] or [(None, None, None)],
+        "lid int, ss long, se long",
+    ).filter(F.col("lid").isNotNull())
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(rights)] or [(None, None, None)],
+        "rid int, ws long, we long",
+    ).filter(F.col("rid").isNotNull())
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(ldf, rdf, w).collect()
+    )
+    expected = sorted(
+        (li, ri)
+        for li, (ls, le) in enumerate(lefts)
+        for ri, (rs, re_) in enumerate(rights)
+        if ls < re_ and rs < le
+    )
+    assert got == expected
