@@ -1352,3 +1352,77 @@ def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
     # sanity: the two hours have different cardinalities (120 vs 200)
     ests = sorted(e for _, e, _ in streamed)
     assert 90 <= ests[0] <= 150 and 150 <= ests[1] <= 260, ests
+
+
+def test_interval_overlap_stream_static_matches_batch(spark, tmp_path):
+    """interval_overlap_join is STATELESS (explode + equi-join +
+    filter), so it runs unchanged as a stream-static join: streamed
+    span intervals against the static window table emit exactly the
+    batch pair set, per micro-batch, with no state store and no
+    watermark required."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    spans = [
+        {"lid": i, "ss": s, "se": s + ln}
+        for i, (s, ln) in enumerate(
+            [(0, 50), (95, 10), (100, 30), (199, 2), (360, 100), (700, 5)]
+        )
+    ]
+    d = str(tmp_path / "span_src")
+    _os.makedirs(d)
+    for i, chunk in enumerate([spans[:3], spans[3:]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    wins = spark.createDataFrame(
+        [(0, 40, 120), (1, 200, 260), (2, 399, 420)],
+        "rid int, ws long, we long",
+    )
+    schema = _parse_datatype_string("lid int, ss long, se long")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        interval_overlap_join(stream, wins, 64, broadcast_right=True)
+        .select("lid", "rid")
+        .writeStream.format("memory")
+        .queryName("ivl_stream_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = sorted(
+        (r.lid, r.rid) for r in spark.table("ivl_stream_tbl").collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["lid"], r["ss"], r["se"]) for r in spans], "lid int, ss long, se long"
+    )
+    expected = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(batch, wins, 64, broadcast_right=True)
+        .select("lid", "rid")
+        .collect()
+    )
+    assert got == expected
+    # hand-check: span 0 [0,50) hits win 0 [40,120); span 3 [199,201)
+    # hits win 1 strictly (199 < 260, 200 < 201); span 5 matches none
+    assert (0, 0) in got and (3, 1) in got
+    assert all(lid != 5 for lid, _ in got)
