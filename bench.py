@@ -142,6 +142,7 @@ HEADLINE = [
     "semdedup_cluster_cap",
     "snapshot_cdc_diff",
     "interval_overlap_join",
+    "weighted_median_doc_length",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1551,3 +1551,66 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("ss"), F.col("ws"))
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "weighted_median_doc_length",
+    """
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+        sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+        CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT source,
+      min(doc_id) FILTER (WHERE 2 * cum >= total) AS median_doc_id,
+      min(n_chars) FILTER (WHERE 2 * cum >= total) AS median_n_chars,
+      any_value(total) AS total_chars
+    FROM (
+      SELECT source, doc_id, n_chars, cum, total,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY (2 * cum >= total) DESC, n_chars, doc_id)
+          AS rn
+      FROM w
+    ) WHERE rn = 1 AND 2 * cum >= total
+    GROUP BY source
+    """,
+)
+def q_weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-weighted median document length per source: the first
+    doc (ordered by n_chars, doc_id) whose cumulative chars reach half
+    the source's total — 'half the corpus BYTES live in docs this size
+    or smaller', the number that sizes chunking/packing budgets where
+    the unweighted median misleads (many tiny docs, few huge ones).
+    Pure integer logic (2·cum ≥ total avoids division entirely), so
+    the pick is exact and engine-stable; ties broken by doc_id through
+    the shared ordering.
+
+    Scale shape: ONE source-partitioned exchange feeds both the
+    running cumsum window and the per-source total (window over the
+    same partitioning), then a min(struct) aggregate picks the
+    qualifying row — no second shuffle, no join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n_chars").over(Window.partitionBy("source")).alias("total"),
+    )
+    qual = w.filter(2 * F.col("cum") >= F.col("total"))
+    return (
+        qual.groupBy("source")
+        .agg(
+            F.min(F.struct("n_chars", "doc_id")).alias("m"),
+            F.max("total").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.col("m.doc_id").alias("median_doc_id"),
+            F.col("m.n_chars").alias("median_n_chars"),
+            "total_chars",
+        )
+    )

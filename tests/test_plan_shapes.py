@@ -887,3 +887,11 @@ def test_interval_overlap_broadcasts_windows(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_single_exchange(spark):
+    """The cumsum window, per-source total window, and the final pick
+    aggregate all share hashpartitioning(source): exactly ONE hash
+    exchange end-to-end."""
+    plan = _plan(spark, "weighted_median_doc_length")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

@@ -1126,3 +1126,28 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert direct.count() == n_en
     # full-table parity
     assert back.count() == docs.count()
+
+
+def test_weighted_median_halves_char_mass(spark):
+    """The weighted median's defining property: docs with length ≤
+    median carry ≥ half the source's total characters, and docs with
+    length < median carry < half."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    med = {
+        r.source: (r.median_n_chars, r.total_chars)
+        for r in REGISTRY["weighted_median_doc_length"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    mass: dict = {}
+    for d in docs:
+        mass.setdefault(d.source, []).append(d.n_chars)
+    assert set(med) == set(mass)
+    for src, (m, total) in med.items():
+        assert total == sum(mass[src])
+        assert 2 * sum(c for c in mass[src] if c <= m) >= total
+        assert 2 * sum(c for c in mass[src] if c < m) < total
