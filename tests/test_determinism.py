@@ -1,0 +1,78 @@
+"""Partitioning-invariance gate: the engine's float-parity discipline
+(NOTES.md — DECIMAL partial sums, integer fixed-point iteration,
+md5-threshold sampling) claims results are BIT-IDENTICAL under any
+input split / shuffle partitioning. The DuckDB oracle only ever checks
+one partitioning, so this suite re-executes the float- and
+order-sensitive queries under adversarial settings — tiny
+maxPartitionBytes (many scan splits → different partial-aggregation
+order) and a different shuffle partition count — and requires exact
+value equality including every double bit (repr comparison).
+
+A query that silently summed doubles in partition order would pass the
+oracle and fail here.
+"""
+
+import math
+
+import pytest
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+    REGISTRY,
+)
+
+#: sf0.01, not SF_SMOKE: the adversarial split size must actually split
+#: the inputs (events.parquet is 221 KB here vs 27 KB at sf0.001, so
+#: 32 KB maxPartitionBytes yields ~7 scan splits instead of 1).
+SF_DET = "/root/testdata/sf0.01"
+
+#: queries whose outputs carry doubles/decimals produced by aggregation,
+#: iteration, or windowed arithmetic — the ones partition order could
+#: plausibly perturb.
+SENSITIVE = [
+    "regr_value_vs_time",
+    "anomaly_zscore_events",
+    "stats_aggregates",
+    "winsorize_value_per_type",
+    "quality_logit_frozen",
+    "table_content_digest",
+    "weighted_median_doc_length",
+    "sensor_gap_interpolation",
+    "bot_regularity_timing",
+    "hll_distinct_portable",
+    "semdedup_cluster_cap",
+    "pagerank_parts_copurchase",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_partitioning_invariance(spark, name):
+    confs = {
+        "spark.sql.files.maxPartitionBytes": "32768",  # many scan splits
+        "spark.sql.shuffle.partitions": "5",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    fn = REGISTRY[name][0]
+    baseline = _rows(fn(spark, SF_DET))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+        adversarial = _rows(fn(spark, SF_DET))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+    assert adversarial == baseline
