@@ -62,6 +62,9 @@ def test_partitioning_invariance(spark, name):
     confs = {
         "spark.sql.files.maxPartitionBytes": "32768",  # many scan splits
         "spark.sql.shuffle.partitions": "5",
+        # AQE coalescing/skew-splitting is another partitioning axis the
+        # results must be invariant to
+        "spark.sql.adaptive.enabled": "false",
     }
     saved = {k: spark.conf.get(k) for k in confs}
     fn = REGISTRY[name][0]
