@@ -270,8 +270,16 @@ def main() -> None:
         agg_pass_spread=round(agg_spread, 3),
     )
     try:
+        # SPARK_GRAFT_DETAIL_PATH redirects the side file (the pytest
+        # bench smoke was silently clobbering the committed sf0.1 detail
+        # with an sf0.001 run before this)
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            os.environ.get(
+                "SPARK_GRAFT_DETAIL_PATH",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                ),
+            ),
             "w",
         ) as fh:
             json.dump(detail, fh, indent=1)

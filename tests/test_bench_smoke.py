@@ -7,11 +7,13 @@ import subprocess
 import sys
 
 
-def test_bench_prints_one_json_line():
+def test_bench_prints_one_json_line(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # keep the committed sf0.1 BENCH_DETAIL.json out of reach
+        SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "bench_detail.json"),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
