@@ -156,7 +156,11 @@ def interval_overlap_join(
     w = bin_width
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
+        # empty/inverted intervals (end <= start) are dropped here: they
+        # can overlap nothing, and [k·w, k·w) would otherwise explode a
+        # DESCENDING sequence (phantom bins) and pass the strict
+        # predicate with overlap 0
+        return df.filter(F.col(e) > F.col(s)).withColumn(
             "_bin",
             F.explode(
                 F.sequence(F.expr(f"{s} DIV {w}"), F.expr(f"({e} - 1) DIV {w}"))

@@ -1043,9 +1043,9 @@ def test_interval_overlap_join_matches_bruteforce(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_ivl = st.tuples(st.integers(0, 500), st.integers(1, 120)).map(
+_ivl = st.tuples(st.integers(0, 500), st.integers(0, 120)).map(
     lambda t: (t[0], t[0] + t[1])
-)
+)  # length 0 allowed: empty intervals must match NOTHING
 
 
 @settings(
@@ -1083,7 +1083,9 @@ def test_interval_overlap_operator_property(spark, lefts, rights, w):
         (li, ri)
         for li, (ls, le) in enumerate(lefts)
         for ri, (rs, re_) in enumerate(rights)
-        if ls < re_ and rs < le
+        # max(starts) < min(ends): half-open overlap; empty intervals
+        # ([s, s)) can never satisfy it
+        if max(ls, rs) < min(le, re_)
     )
     assert got == expected
 
