@@ -1561,7 +1561,7 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
                            ROWS UNBOUNDED PRECEDING) AS cum,
         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT source,
       min(doc_id) FILTER (WHERE 2 * cum >= total) AS median_doc_id,
@@ -1591,7 +1591,12 @@ def q_weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     running cumsum window and the per-source total (window over the
     same partitioning), then a min(struct) aggregate picks the
     qualifying row — no second shuffle, no join back."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL n_chars is excluded on BOTH sides: a weightless doc cannot
+    # be the mass median, and Spark (NULLS FIRST asc) vs DuckDB
+    # (NULLS LAST asc) would order it differently in the cumsum
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     w = docs.select(
         "source",
