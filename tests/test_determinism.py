@@ -41,6 +41,14 @@ SENSITIVE = [
     "hll_distinct_portable",
     "semdedup_cluster_cap",
     "pagerank_parts_copurchase",
+    # float-ORDERING sensitive: top-k / threshold picks where a
+    # nondeterministic tie-break would flip rows between partitionings
+    "tfidf_top_terms",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "embedding_random_projection",
+    "quantile_bins_sketch",
+    "mixture_temperature_resample",
 ]
 
 
