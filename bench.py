@@ -143,6 +143,7 @@ HEADLINE = [
     "snapshot_cdc_diff",
     "interval_overlap_join",
     "weighted_median_doc_length",
+    "k_anonymity_report",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1619,3 +1619,53 @@ def q_weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_report",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS group_n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    t AS (SELECT CAST(sum(group_n) AS BIGINT) AS total FROM g)
+    SELECT c_nationkey, c_mktsegment, group_n,
+           group_n >= {_KANON_K} AS k_anonymous,
+           CAST(CASE WHEN group_n < {_KANON_K} THEN group_n ELSE 0 END
+                AS BIGINT) AS suppressed_rows,
+           (SELECT total FROM t) AS total_rows
+    FROM g
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (c_nationkey, c_mktsegment): group sizes, the k>=5 flag, and the
+    rows a suppress-below-k release policy would redact — the privacy
+    gate a training-data pipeline runs before releasing joined
+    demographic slices (companion to pii_redaction, which handles
+    direct identifiers; this handles RE-IDENTIFICATION via rare
+    attribute combinations). Pure integer counts — exact cross-engine.
+
+    Scale shape: one hash aggregate on the QI tuple + a broadcast
+    1-row total (scalar subquery); output is |QI-combinations| rows,
+    never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    total = g.agg(F.sum("group_n").alias("total_rows"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        (F.col("group_n") >= _KANON_K).alias("k_anonymous"),
+        F.when(F.col("group_n") < _KANON_K, F.col("group_n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("suppressed_rows"),
+        "total_rows",
+    )

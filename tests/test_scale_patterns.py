@@ -1153,3 +1153,22 @@ def test_weighted_median_halves_char_mass(spark):
         assert total == sum(mass[src])
         assert 2 * sum(c for c in mass[src] if c <= m) >= total
         assert 2 * sum(c for c in mass[src] if c < m) < total
+
+
+def test_k_anonymity_report_invariants(spark):
+    """Group sizes must sum to total_rows; suppressed rows are exactly
+    the below-k mass; flags match the threshold."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.warehouse import (
+        _KANON_K,
+    )
+
+    rows = REGISTRY["k_anonymity_report"][0](spark, SF_SMOKE).collect()
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.group_n for r in rows) == n_cust
+    assert all(r.total_rows == n_cust for r in rows)
+    for r in rows:
+        assert r.k_anonymous == (r.group_n >= _KANON_K)
+        assert r.suppressed_rows == (r.group_n if r.group_n < _KANON_K else 0)
