@@ -1669,3 +1669,97 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("suppressed_rows"),
         "total_rows",
     )
+
+
+_DRIFT_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+@register(
+    "snapshot_profile_drift",
+    """
+    WITH p AS (
+      SELECT 'old' AS snap, col,
+             CAST(n_null AS BIGINT) AS n_null,
+             CAST(n_distinct AS BIGINT) AS n_distinct
+      FROM (
+        SELECT unnest(['event_id','user_id','event_type','value']) AS col,
+               unnest([count(*) - count(event_id), count(*) - count(user_id),
+                       count(*) - count(event_type), count(*) - count(value)])
+                 AS n_null,
+               unnest([count(DISTINCT event_id), count(DISTINCT user_id),
+                       count(DISTINCT event_type), count(DISTINCT value)])
+                 AS n_distinct
+        FROM events
+      )
+      UNION ALL
+      SELECT 'new' AS snap, col,
+             CAST(n_null AS BIGINT), CAST(n_distinct AS BIGINT)
+      FROM (
+        SELECT unnest(['event_id','user_id','event_type','value']) AS col,
+               unnest([count(*) - count(event_id), count(*) - count(user_id),
+                       count(*) - count(event_type), count(*) - count(value)])
+                 AS n_null,
+               unnest([count(DISTINCT event_id), count(DISTINCT user_id),
+                       count(DISTINCT event_type), count(DISTINCT value)])
+                 AS n_distinct
+        FROM (
+          SELECT event_id, user_id, event_type,
+                 CASE WHEN event_id % 11 = 5 THEN value + 1.5 ELSE value END
+                   AS value
+          FROM events WHERE event_id % 7 <> 3
+          UNION ALL
+          SELECT event_id + 10000000, user_id, event_type, value
+          FROM events WHERE event_id % 13 = 7
+        )
+      )
+    )
+    SELECT o.col,
+           o.n_null AS old_nulls, n.n_null AS new_nulls,
+           o.n_distinct AS old_distinct, n.n_distinct AS new_distinct,
+           n.n_distinct - o.n_distinct AS distinct_delta
+    FROM (SELECT * FROM p WHERE snap = 'old') o
+    JOIN (SELECT * FROM p WHERE snap = 'new') n USING (col)
+    """,
+)
+def q_snapshot_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile DRIFT between two snapshots (null counts,
+    exact distinct counts, distinct delta) — the data-contract monitor
+    that catches schema-semantic regressions a row digest can't
+    explain and a CDC diff drowns in row noise: a column suddenly 30%
+    NULL, an enum collapsing to one value, an id column losing
+    uniqueness. Completes the warehouse monitoring family: quarantine
+    (bad rows in), digest (DID replicas diverge), CDC (WHICH rows),
+    drift (WHICH columns and HOW). Exact integers throughout.
+
+    Scale shape: ONE pass per snapshot — a single aggregate computes
+    every column's null + distinct counts (Expand for the distincts),
+    output 4 rows per side, joined on the column name. No
+    per-column jobs, no data-sized output."""
+    ev = load_table(spark, sf_dir, "events")
+    new = cdc_synth_next(ev).drop("ts")
+
+    def profile(df: DataFrame, snap: str) -> DataFrame:
+        aggs = []
+        for c in _DRIFT_COLS:
+            aggs += [
+                (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"dist_{c}"),
+            ]
+        stacked = ", ".join(
+            f"'{c}', null_{c}, dist_{c}" for c in _DRIFT_COLS
+        )
+        return df.agg(*aggs).select(
+            F.expr(
+                f"stack({len(_DRIFT_COLS)}, {stacked}) "
+                "AS (col, n_null, n_distinct)"
+            )
+        ).withColumn("snap", F.lit(snap))
+    o, n = profile(ev, "old").alias("o"), profile(new, "new").alias("n")
+    return o.join(n, F.col("o.col") == F.col("n.col")).select(
+        F.col("o.col").alias("col"),
+        F.col("o.n_null").alias("old_nulls"),
+        F.col("n.n_null").alias("new_nulls"),
+        F.col("o.n_distinct").alias("old_distinct"),
+        F.col("n.n_distinct").alias("new_distinct"),
+        (F.col("n.n_distinct") - F.col("o.n_distinct")).alias("distinct_delta"),
+    )

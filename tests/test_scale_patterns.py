@@ -1172,3 +1172,30 @@ def test_k_anonymity_report_invariants(spark):
     for r in rows:
         assert r.k_anonymous == (r.group_n >= _KANON_K)
         assert r.suppressed_rows == (r.group_n if r.group_n < _KANON_K else 0)
+
+
+def test_snapshot_profile_drift_invariants(spark):
+    """Drift report vs the known snapshot synthesis: event_id is
+    null-free and unique in both snapshots, so its distinct_delta is
+    exactly inserts − deletes; event_type's distinct count can only
+    shrink or hold (deletion never invents values)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    drift = {
+        r.col: r
+        for r in REGISTRY["snapshot_profile_drift"][0](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    n_del = ev.filter(F.col("event_id") % 7 == 3).count()
+    n_ins = ev.filter(F.col("event_id") % 13 == 7).count()
+    eid = drift["event_id"]
+    assert eid.old_nulls == 0 and eid.new_nulls == 0
+    assert eid.old_distinct == n
+    assert eid.new_distinct == n - n_del + n_ins
+    assert eid.distinct_delta == n_ins - n_del
+    et = drift["event_type"]
+    assert et.distinct_delta <= 0
+    assert set(drift) == {"event_id", "user_id", "event_type", "value"}
