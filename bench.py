@@ -145,6 +145,7 @@ HEADLINE = [
     "weighted_median_doc_length",
     "k_anonymity_report",
     "snapshot_profile_drift",
+    "boilerplate_strip_rewrite",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

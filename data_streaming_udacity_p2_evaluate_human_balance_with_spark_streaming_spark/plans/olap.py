@@ -1428,3 +1428,144 @@ def q_hll_distinct_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return hll_merge_estimate(docs, "source", "doc_id")
+
+
+#: 20 words = exactly two 10-word chunks, so prepending it shifts the
+#: body by whole chunks and body chunk boundaries stay aligned with the
+#: unplanted text — after the strip, a planted doc's clean text equals
+#: its original text exactly (pytest-pinned).
+_BOILER_LICENSE = (
+    "license grant copyright notice redistribution permitted provided "
+    "that the above copyright notice and this permission notice appear "
+    "in all copies"
+)
+_BOILER_MIN_DOCS = 3
+_BOILER_CHUNK = 10
+
+
+@register(
+    "boilerplate_strip_rewrite",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 1 THEN '{_BOILER_LICENSE}' || ' ' || text
+             ELSE text END AS text
+      FROM documents WHERE length(text) > 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM src),
+    c AS (
+      SELECT doc_id, i AS pos,
+        array_to_string(
+          list_slice(words, i * {_BOILER_CHUNK} + 1,
+                     i * {_BOILER_CHUNK} + {_BOILER_CHUNK}), ' ') AS chunk
+      FROM w, LATERAL unnest(generate_series(0,
+        CAST(ceil(len(words) / {_BOILER_CHUNK}.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    d AS (
+      SELECT md5(chunk) AS dg FROM c
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    k AS (
+      SELECT c.* FROM c LEFT JOIN d ON md5(c.chunk) = d.dg
+      WHERE d.dg IS NULL
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean
+      FROM k GROUP BY doc_id
+    )
+    SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           md5(coalesce(reb.clean, '')) AS clean_digest,
+           CAST(length(coalesce(reb.clean, '')) AS BIGINT) AS clean_chars
+    FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+    """,
+)
+def q_boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL with document reassembly (the C4/RefinedWeb
+    curation step the detection-only queries stop short of): chunk each
+    doc into aligned 10-word windows, flag any chunk whose digest
+    appears in ≥3 distinct docs (license headers, navigation chrome,
+    template frames), drop those chunks and REBUILD the document from
+    the survivors in position order — emitting the cleaned text's
+    digest/length plus kept/total chunk counts. The synthetic corpus
+    has no natural cross-doc 10-grams, so a 20-word license header is
+    planted on every doc_id%4==1 (~25% of docs ≥ 3): the header chunks
+    are detected and stripped, and because 20 words = exactly two
+    chunks, a planted doc's clean text equals its ORIGINAL text —
+    pinned by pytest, replayed exactly by the oracle.
+
+    Scale shape: chunking is a narrow per-doc fan-out; the digest
+    frequency table is a map-side-combined hash agg over 40-byte
+    digests; the boilerplate set (rare survivors of HAVING ≥3)
+    broadcasts into an anti-join; the rebuild is one doc-keyed
+    aggregate with an in-memory array_sort — no global sort, payload
+    never shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(_BOILER_LICENSE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = src.select("doc_id", F.split("text", " ").alias("words"))
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("words") / F.lit(_BOILER_CHUNK)).cast("long") - 1,
+            )
+        ).alias("pos"),
+        "words",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("words"),
+                F.col("pos") * _BOILER_CHUNK + 1,
+                _BOILER_CHUNK,
+            ),
+        ).alias("chunk"),
+    )
+    boiler = (
+        c.groupBy(F.md5("chunk").alias("dg"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("dg")
+    )
+    k = c.join(
+        F.broadcast(boiler), F.md5(F.col("chunk")) == F.col("dg"), "left_anti"
+    )
+    tot = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reb = (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sort_array(F.collect_list(F.struct("pos", "chunk"))).alias("a"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.concat_ws(
+                " ", F.expr("transform(a, x -> x.chunk)")
+            ).alias("clean"),
+        )
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.md5(F.coalesce("clean", F.lit(""))).alias("clean_digest"),
+        F.length(F.coalesce("clean", F.lit(""))).cast("bigint").alias(
+            "clean_chars"
+        ),
+    )

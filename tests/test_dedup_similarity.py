@@ -1015,3 +1015,65 @@ def test_max_dup_spans_planted_boundaries(spark):
     }
     assert got28 == {(1, 11, 40), (2, 6, 35)}, got28
     spark.catalog.clearCache()
+
+
+def test_boilerplate_strip_matches_python_replay(spark):
+    """Full Python replication of the boilerplate strip (chunk →
+    cross-doc frequency ≥3 → strip → reassemble): every doc's chunk
+    counts, clean digest and clean length must match exactly. The
+    planted license header must be stripped from every planted doc,
+    and natural cross-doc repeats (the corpus contains planted
+    duplicate docs) are stripped identically by both replays."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.olap import (
+        _BOILER_CHUNK,
+        _BOILER_LICENSE,
+        _BOILER_MIN_DOCS,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["boilerplate_strip_rewrite"][0](spark, sf).collect()
+    }
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .collect()
+    }
+    # replay
+    chunks: dict = {}
+    docs_per_chunk = defaultdict(set)
+    for doc_id, text in orig.items():
+        t = (_BOILER_LICENSE + " " + text) if doc_id % 4 == 1 else text
+        ws = t.split(" ")
+        cs = [
+            " ".join(ws[i * _BOILER_CHUNK : (i + 1) * _BOILER_CHUNK])
+            for i in range(-(-len(ws) // _BOILER_CHUNK))
+        ]
+        chunks[doc_id] = cs
+        for c in cs:
+            docs_per_chunk[c].add(doc_id)
+    boiler = {c for c, ds in docs_per_chunk.items() if len(ds) >= _BOILER_MIN_DOCS}
+    assert set(out) == set(orig)
+    lic_chunks = {
+        " ".join(_BOILER_LICENSE.split(" ")[:10]),
+        " ".join(_BOILER_LICENSE.split(" ")[10:]),
+    }
+    assert lic_chunks <= boiler  # the planted header IS detected
+    for doc_id, cs in chunks.items():
+        kept = [c for c in cs if c not in boiler]
+        clean = " ".join(kept)
+        r = out[doc_id]
+        assert r.n_chunks == len(cs), doc_id
+        assert r.n_kept == len(kept), doc_id
+        assert r.clean_digest == hashlib.md5(clean.encode()).hexdigest(), doc_id
+        assert r.clean_chars == len(clean), doc_id
+        if doc_id % 4 == 1:  # header always stripped from planted docs
+            assert r.n_kept <= r.n_chunks - 2, doc_id
