@@ -753,3 +753,78 @@ def q_domain_cap_sample_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source", "rn")
     )
+
+
+def _calibration_oracle() -> str:
+    """Label rule + frozen logit + integer binning, all replayed: the
+    _frozen_quality_oracle feature CTE extended with the dup-bigram
+    weak label (threshold per _QUALITY_LABEL_THRESHOLD)."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t),
+    lab AS (SELECT doc_id, dtr, tts, n_tok, swr,
+      CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END > {_QUALITY_LABEL_THRESHOLD} AS weak_label
+    FROM f)
+    SELECT least(greatest(CAST(floor({z}) AS BIGINT), -8), 3) AS logit_bin,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN weak_label THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_low_quality_label,
+      CAST(sum(CASE WHEN ({z}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM lab GROUP BY 1
+    """
+
+
+@register("quality_calibration_bins", _calibration_oracle())
+def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability report for the frozen quality filter:
+    documents bucketed by integer logit bin (floor(z), clamped to
+    [-8, 3]), each bin reporting row count, weak-label positives (the
+    Gopher dup-bigram rule the classifier was trained on), and
+    flagged count — the classifier-QA table that shows whether the
+    label rate actually rises with the score before anyone trusts the
+    threshold at 100 TB. All counts exact integers; the bin edges are
+    floor() of the IEEE-identical logit chain, so binning is
+    engine-stable (the quality_logit_frozen determinism argument).
+
+    Scale shape: one scan computes features, label, logit, and bin in
+    a single codegen'd projection; one ≤12-group hash aggregate."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    z = frozen_logit_expr()
+    binned = feats.select(
+        F.least(
+            F.greatest(F.floor(z).cast("bigint"), F.lit(-8)), F.lit(3)
+        ).alias("logit_bin"),
+        "weak_label",
+        (z > 0).cast("int").alias("flagged"),
+    )
+    return binned.groupBy("logit_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("weak_label").cast("bigint")).alias(
+            "n_low_quality_label"
+        ),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+    )

@@ -178,3 +178,39 @@ def test_bpe_encode_concat_invariant(spark):
             assert w.startswith(built), (w, built)
     assert next(it, None) is None  # no leftover tokens
     spark.catalog.clearCache()
+
+
+def test_quality_calibration_bins_invariants(spark):
+    """Bin totals cover the corpus; flag/bin consistency (z>0 ⟺ flagged
+    means bins ≥1 are fully flagged, bins ≤ −1 fully unflagged, only
+    bin 0 may be mixed); label mass matches the corpus-wide weak-label
+    count."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.models import (
+        quality_feature_frame,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.analytics import (
+        _QUALITY_LABEL_THRESHOLD,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["quality_calibration_bins"][0](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    assert sum(r.n for r in rows) == docs.count()
+    n_pos = (
+        quality_feature_frame(docs, label_threshold=_QUALITY_LABEL_THRESHOLD)
+        .agg(F.sum("weak_label"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_low_quality_label for r in rows) == int(n_pos)
+    for r in rows:
+        assert 0 <= r.n_low_quality_label <= r.n
+        if r.logit_bin >= 1:
+            assert r.n_flagged == r.n, r
+        elif r.logit_bin <= -1:
+            assert r.n_flagged == 0, r
