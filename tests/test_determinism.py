@@ -49,6 +49,10 @@ SENSITIVE = [
     "embedding_random_projection",
     "quantile_bins_sketch",
     "mixture_temperature_resample",
+    # order-sensitive rebuilds: position-ordered reassembly + float-bin
+    # classification must not depend on partitioning either
+    "boilerplate_strip_rewrite",
+    "quality_calibration_bins",
 ]
 
 
