@@ -147,6 +147,7 @@ HEADLINE = [
     "snapshot_profile_drift",
     "boilerplate_strip_rewrite",
     "quality_calibration_bins",
+    "dedup_cluster_size_histogram",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

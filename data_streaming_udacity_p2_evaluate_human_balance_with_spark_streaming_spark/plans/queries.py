@@ -2217,10 +2217,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_assignment",
-    """
-    WITH RECURSIVE sets AS (
+#: recursive-CTE connected components over the exact-Jaccard pair set
+#: — shared by the assignment oracle and the cluster-size histogram.
+_CC_ORACLE_BODY = """sets AS (
       SELECT doc_id,
         list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
           ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -2244,7 +2243,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, node FROM nodes
       UNION
       SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
-    )
+    )"""
+
+
+@register(
+    "dedup_cluster_assignment",
+    f"""
+    WITH RECURSIVE {_CC_ORACLE_BODY}
     SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node
     """,
 )

@@ -907,3 +907,66 @@ def q_semdedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.dist_q").alias("dist_q"),
         (krn <= _SEMDEDUP_CAP).alias("kept"),
     )
+
+
+def _cluster_histogram_oracle() -> str:
+    from .queries import _CC_ORACLE_BODY
+
+    return f"""
+    WITH RECURSIVE {_CC_ORACLE_BODY},
+    assign AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+    cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+           FROM assign GROUP BY cluster),
+    h AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM cs GROUP BY sz),
+    single AS (
+      SELECT CAST((SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM assign) AS BIGINT) AS n
+    )
+    SELECT * FROM h
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n, n FROM single WHERE n > 0
+    """
+
+
+@register("dedup_cluster_size_histogram", _cluster_histogram_oracle())
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-health report: the distribution of near-dup cluster sizes
+    (n_clusters and doc mass per exact size, singletons included as
+    size 1) — the number an operator reads before trusting a dedup
+    threshold: a fat tail of giant clusters means boilerplate/spam is
+    collapsing unrelated docs; all-singletons means the threshold is
+    too tight. Composes the LSH pair-gen + min-label CC assignment and
+    aggregates it twice (cluster → size, size → counts); the oracle
+    replays components with the recursive CTE (shared _CC_ORACLE_BODY)
+    and the same two rollups. Pure integer counts.
+
+    Scale shape: beyond the CC cost itself, two tiny hash aggregates
+    (|clusters| rows, then |distinct sizes| rows) and a broadcast
+    2-scalar subtraction for the singleton row — report cost is
+    negligible next to pair-gen."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = connected_components(minhash_near_dups(docs, threshold=0.5))
+    cs = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    h = cs.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("t"))
+    cl = assign.agg(F.count(F.lit(1)).alias("c"))
+    single = (
+        tot.crossJoin(F.broadcast(cl))
+        .select((F.col("t") - F.col("c")).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return h.unionByName(single)
