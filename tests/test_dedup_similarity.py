@@ -1077,3 +1077,32 @@ def test_boilerplate_strip_matches_python_replay(spark):
         assert r.clean_chars == len(clean), doc_id
         if doc_id % 4 == 1:  # header always stripped from planted docs
             assert r.n_kept <= r.n_chunks - 2, doc_id
+
+
+def test_cluster_size_histogram_consistency(spark):
+    """The histogram must be the exact rollup of the CC assignment:
+    per-size cluster counts and doc mass agree with the assignment
+    frame, and the singleton row accounts for every unclustered doc."""
+    from collections import Counter
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    sf = SF_SMOKE
+    hist = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in REGISTRY["dedup_cluster_size_histogram"][0](spark, sf).collect()
+    }
+    assign = REGISTRY["dedup_cluster_assignment"][0](spark, sf).collect()
+    sizes = Counter(Counter(r.cluster for r in assign).values())
+    n_docs_total = (
+        load_table(spark, sf, "documents").count()
+    )
+    for sz, n_cl in sizes.items():
+        assert hist[sz] == (n_cl, sz * n_cl), sz
+    n_single = n_docs_total - len(assign)
+    if n_single > 0:
+        assert hist[1] == (n_single, n_single)
+    assert sum(m for _, m in hist.values()) == n_docs_total
+    assert all(sz >= 2 for sz in sizes)  # CC emits only matched nodes
