@@ -206,6 +206,84 @@ def global_percent_rank_cume_dist(
     )
 
 
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney U) of `score_col` as a
+    ranker for binary `label_col` (0/1-valued; any numeric type), with
+    no single-partition window and no per-pair work.
+
+    Returns ONE row: n_pos, n_neg (BIGINT), u2 (BIGINT — twice the
+    tie-adjusted U statistic, an EXACT integer), and
+    auc = u2 / (2 * n_pos * n_neg) (NULL when either class is empty).
+
+    Exactness argument: group by distinct score → (cnt, pos, neg)
+    integers; a positive at score s beats every negative strictly below
+    s and half-ties the negatives at s, so
+        u2 = Σ_s pos_s · (2 · neg_below_s + neg_s)
+    is integer arithmetic end-to-end. The only float op is the final
+    single division of two exact integers (correctly rounded under
+    IEEE-754, hence engine-stable), rounded to 9 places for the
+    pandas hop.
+
+    Scale shape: one keyed exchange for the score groupBy (distinct
+    scores ≤ rows), then `global_running_sum` over the grouped table —
+    range partition + local cumsum + broadcast triangular offsets, so
+    the O(n²) pair semantics cost O(n log n) sort work with NO
+    WindowExec-without-partition funnel, then a global 1-row reduce.
+    At 100 TB the cost is one shuffle of (score, 2 longs) rows."""
+    g = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("bigint").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_pos"))
+    )
+    return auc_from_score_groups(g, num_partitions=num_partitions)
+
+
+def auc_from_score_groups(
+    groups: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Finalize AUC from pre-grouped (`_s`, `_cnt`, `_pos`) score
+    groups. Split out from `exact_auc` because the grouped form is
+    MERGEABLE (sum `_cnt`/`_pos` by `_s`) — a streaming job can emit
+    per-window score-group partials as a plain watermarked aggregation
+    and this finalize, run batch over the sink, is bit-identical to
+    the all-data AUC (the portable-HLL/CMS/digest twin pattern)."""
+    g = groups.groupBy("_s").agg(
+        F.sum("_cnt").alias("_cnt"), F.sum("_pos").alias("_pos")
+    ).withColumn("_neg", F.col("_cnt") - F.col("_pos"))
+    c = global_running_sum(
+        g, ["_s"], "_neg", out_col="_neg_cum", num_partitions=num_partitions
+    ).withColumn("_neg_before", F.col("_neg_cum") - F.col("_neg"))
+    agg = c.agg(
+        F.sum("_pos").alias("_n_pos"),
+        F.sum("_neg").alias("_n_neg"),
+        F.sum(
+            F.col("_pos") * (2 * F.col("_neg_before") + F.col("_neg"))
+        ).alias("_u2"),
+    )
+    n_pos, n_neg, u2 = F.col("_n_pos"), F.col("_n_neg"), F.col("_u2")
+    return agg.select(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        u2.cast("long").alias("u2"),
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            F.round(
+                u2.cast("double")
+                / (F.lit(2.0) * n_pos.cast("double") * n_neg.cast("double")),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
 def _names(order: list[Column | str]) -> list[str]:
     """Join keys for the tie-stats join: plain column names only (rank
     functions need named key columns to group on)."""

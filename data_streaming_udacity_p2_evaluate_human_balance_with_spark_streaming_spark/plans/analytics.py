@@ -828,3 +828,82 @@ def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("flagged").cast("bigint").alias("n_flagged"),
     )
+
+
+def _auc_oracle() -> str:
+    """Label rule + frozen logit replayed (the _calibration_oracle
+    CTEs), then the tie-aware Mann-Whitney AUC in exact integer
+    arithmetic: group by distinct logit, running negative count in
+    score order (distinct keys, so RANGE vs ROWS framing is moot),
+    u2 = sum(pos * (2*neg_below + neg)). HUGEINT sums cast to BIGINT
+    per the repo type-hop convention (queries.py:6-11)."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t),
+    lab AS (SELECT {z} AS s,
+      CASE WHEN (CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END) > {_QUALITY_LABEL_THRESHOLD}
+        THEN 1 ELSE 0 END AS pos
+    FROM f),
+    g AS (SELECT s, count(*) AS cnt, sum(pos) AS pos
+          FROM lab GROUP BY s),
+    c AS (SELECT pos, cnt - pos AS neg,
+      sum(cnt - pos) OVER (ORDER BY s) - (cnt - pos) AS neg_before
+    FROM g)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(pos * (2 * neg_before + neg)) AS BIGINT) AS u2,
+           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+                ELSE round(CAST(sum(pos * (2 * neg_before + neg)) AS DOUBLE)
+                     / (2.0 * CAST(sum(pos) AS DOUBLE)
+                        * CAST(sum(neg) AS DOUBLE)), 9)
+           END AS auc
+    FROM c
+    """
+
+
+@register("classifier_auc_exact", _auc_oracle())
+def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the frozen quality classifier against
+    its weak labels — the ranking-quality complement of the calibration
+    report (quality_calibration_bins answers "is p calibrated?", this
+    answers "does the score order low-quality above high-quality at
+    all?"). An AUC you can trust at 100 TB must be EXACT, not sampled:
+    a 0.01 AUC shift on a corpus-wide filter moves billions of tokens
+    across the keep/drop line.
+
+    Scale shape: one scan computes features, label, and logit in a
+    single codegen'd projection; operators/ranking.exact_auc turns the
+    O(n_pos x n_neg) pair semantics into one score-keyed groupBy + a
+    range-partitioned running sum (no single-partition window) + a
+    1-row reduce. u2 is an exact integer on both engines; the only
+    float op is one correctly-rounded division."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+    from ..operators.ranking import exact_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    scored = feats.select(
+        frozen_logit_expr().alias("s"), F.col("weak_label").alias("y")
+    )
+    return exact_auc(scored, "s", "y")

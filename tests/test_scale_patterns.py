@@ -1199,3 +1199,56 @@ def test_snapshot_profile_drift_invariants(spark):
     et = drift["event_type"]
     assert et.distinct_delta <= 0
     assert set(drift) == {"event_id", "user_id", "event_type", "value"}
+
+
+def test_exact_auc_planted_ties_and_edges(spark):
+    """Hand-computed AUC with ties: pos scores {3,2,2}, neg {1,2,0} →
+    9 pairs, wins 3+2+2=7, ties 2 → u2 = 2*7 + 2 = 16, auc = 16/18.
+    Plus the degenerate one-class cases (auc NULL, u2 well-defined)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        exact_auc,
+    )
+
+    rows = [(3.0, 1), (2.0, 1), (2.0, 1), (1.0, 0), (2.0, 0), (0.0, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    [r] = exact_auc(df, "s", "y").collect()
+    assert (r["n_pos"], r["n_neg"], r["u2"]) == (3, 3, 16)
+    assert abs(r["auc"] - 16 / 18) < 1e-9  # auc is round(·, 9)
+
+    [r1] = exact_auc(df.filter("y = 1"), "s", "y").collect()
+    assert r1["n_neg"] == 0 and r1["auc"] is None
+    [r0] = exact_auc(df.filter("y = 0"), "s", "y").collect()
+    assert r0["n_pos"] == 0 and r0["auc"] is None
+
+
+def test_exact_auc_matches_quadratic_reference(spark):
+    """The distributed U-statistic equals the O(n²) pair count on the
+    real corpus: score every sf0.001 document with the frozen logit,
+    compare u2/n_pos/n_neg against numpy broadcast pair comparison."""
+    import numpy as np
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.models import (
+        frozen_logit_expr,
+        quality_feature_frame,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        exact_auc,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scored = quality_feature_frame(docs, label_threshold=0.065).select(
+        frozen_logit_expr().alias("s"), F.col("weak_label").alias("y")
+    )
+    pdf = scored.toPandas()
+    s, y = pdf["s"].to_numpy(), pdf["y"].to_numpy()
+    pos, neg = s[y == 1.0], s[y == 0.0]
+    wins = int((pos[:, None] > neg[None, :]).sum())
+    ties = int((pos[:, None] == neg[None, :]).sum())
+
+    [r] = exact_auc(scored, "s", "y").collect()
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["u2"] == 2 * wins + ties
+    assert len(pos) > 0 and len(neg) > 0  # real two-class problem
+    expected = (2 * wins + ties) / (2 * len(pos) * len(neg))
+    assert abs(r["auc"] - expected) < 1e-9
+    assert r["auc"] > 0.5  # the classifier must beat coin-flip ranking
