@@ -1426,3 +1426,90 @@ def test_interval_overlap_stream_static_matches_batch(spark, tmp_path):
     # hits win 1 strictly (199 < 260, 200 < 201); span 5 matches none
     assert (0, 0) in got and (3, 1) in got
     assert all(lid != 5 for lid, _ in got)
+
+
+def test_streaming_auc_partials_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of classifier_auc_exact: the AUC's grouped form
+    (score → cnt, pos) is MERGEABLE, so per-window score-group partials
+    from a plain watermarked streaming aggregation (append mode, no
+    custom state), finalized by auc_from_score_groups over the sink,
+    must be BIT-IDENTICAL to the all-batch exact_auc over the same rows
+    (the digest/HLL/CMS twin pattern — fourth mergeable member)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        auc_from_score_groups,
+        exact_auc,
+    )
+
+    # deterministic scores with cross-label ties: score in {0..12},
+    # label correlated-but-noisy so AUC is strictly inside (0.5, 1)
+    rows = [
+        {
+            "s": float((i * i) % 13) + (3.0 if i % 3 == 0 else 0.0),
+            "y": 1 if i % 3 == 0 else 0,
+            "ts": f"2024-01-01T{i // 300:02d}:{(i // 5) % 60:02d}:{i % 60:02d}.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {"s": 0.0, "y": 0, "ts": "2024-01-01T12:00:00.000Z"}
+    d = str(tmp_path / "auc_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("s double, y int, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"), F.col("s").alias("_s")
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("y").cast("bigint").alias("_pos"),
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("auc_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    parts = spark.table("auc_partials_tbl")
+    # sentinel's window stays open (append semantics): sink covers `rows`
+    [streamed] = auc_from_score_groups(
+        parts.select("_s", "_cnt", "_pos")
+    ).collect()
+
+    batch = spark.createDataFrame(
+        [(r["s"], r["y"]) for r in rows], "s double, y int"
+    )
+    [expected] = exact_auc(batch, "s", "y").collect()
+
+    assert streamed.n_pos == expected.n_pos == 200
+    assert streamed.n_neg == expected.n_neg == 400
+    assert streamed.u2 == expected.u2
+    assert streamed.auc == expected.auc
+    assert 0.5 < streamed.auc < 1.0
+    # the partials really were incremental: same score seen in >1 window
+    dup_scores = (
+        parts.groupBy("_s").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_scores >= 1
