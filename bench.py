@@ -148,6 +148,8 @@ HEADLINE = [
     "boilerplate_strip_rewrite",
     "quality_calibration_bins",
     "dedup_cluster_size_histogram",
+    "classifier_auc_exact",
+    "bigram_lift_collocations",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

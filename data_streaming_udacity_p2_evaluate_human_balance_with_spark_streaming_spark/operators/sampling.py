@@ -178,3 +178,30 @@ def systematic_pps_sample(
         .filter(F.col("n_picks") > 0)
         .select(id_col, F.col("_w").alias("weight"), "n_picks")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    fracs: list[tuple[str, float]],
+    group_col: str,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic grouped train/valid/test assignment: every row
+    whose `group_col` hashes into the same md5 bucket gets the same
+    split label, so co-grouped rows (e.g. a near-dup cluster) can NEVER
+    straddle a split boundary. `fracs` is an ordered list of
+    (name, fraction) summing to 1; the last entry absorbs rounding.
+
+    Same determinism contract as `mixture_sample`: md5-prefix
+    lexicographic thresholds — reshuffle-proof, partition-independent,
+    and replayable by any engine with md5. Narrow (no shuffle): one
+    hash + a chain of string compares per row."""
+    h = F.substring(F.md5(F.col(group_col).cast("string")), 1, _PREFIX_LEN)
+    col = None
+    cum = 0.0
+    for name, fr in fracs[:-1]:
+        cum += fr
+        cond = h < F.lit(rate_threshold(cum))
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    col = F.lit(fracs[-1][0]) if col is None else col.otherwise(fracs[-1][0])
+    return df.withColumn(out_col, col)

@@ -970,3 +970,64 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return h.unionByName(single)
+
+
+def _leakage_split_oracle() -> str:
+    from ..operators.sampling import rate_threshold
+    from .queries import _CC_ORACLE_BODY
+
+    t_train = rate_threshold(0.90)
+    t_valid = rate_threshold(0.95)
+    return f"""
+    WITH RECURSIVE {_CC_ORACLE_BODY},
+    assign AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(a.cluster, d.doc_id) AS grp_key
+      FROM documents d LEFT JOIN assign a ON a.node = d.doc_id
+    )
+    SELECT doc_id, CAST(grp_key AS BIGINT) AS grp_key,
+      CASE WHEN substr(md5(CAST(grp_key AS VARCHAR)), 1, 8) < '{t_train}'
+             THEN 'train'
+           WHEN substr(md5(CAST(grp_key AS VARCHAR)), 1, 8) < '{t_valid}'
+             THEN 'valid'
+           ELSE 'test' END AS split
+    FROM keyed
+    """
+
+
+@register("leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (90/5/5): near-dup documents
+    must NEVER straddle a split boundary (a test doc with a train-side
+    near-duplicate inflates eval), so the split key is the near-dup
+    CLUSTER label (min-doc_id from LSH pair-gen + CC; singletons key on
+    their own doc_id) and the assignment is the md5-prefix threshold on
+    that key — same grouped-hash-split recipe every eval-hygiene paper
+    prescribes, deterministic and replayable by the oracle's recursive
+    CTE + the identical md5 thresholds.
+
+    Scale shape: the CC cost dominates (same bounded shape as
+    dedup_cluster_assignment); after that it's one key-partitioned LEFT
+    join of assignments onto the doc list (at 100 TB both sides hash on
+    doc_id) and a NARROW md5 + two string compares per row — the split
+    itself adds no shuffle. Realized fractions converge to 90/5/5 over
+    the 32-bit hash space at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components, minhash_near_dups
+    from ..operators.sampling import grouped_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = connected_components(minhash_near_dups(docs, threshold=0.5))
+    keyed = (
+        docs.select("doc_id")
+        .join(assign.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").cast("long").alias("grp_key"),
+        )
+    )
+    out = grouped_split(
+        keyed, [("train", 0.90), ("valid", 0.05), ("test", 0.05)], "grp_key"
+    )
+    return out.select("doc_id", "grp_key", "split")

@@ -1763,3 +1763,100 @@ def q_snapshot_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.n_distinct").alias("new_distinct"),
         (F.col("n.n_distinct") - F.col("o.n_distinct")).alias("distinct_delta"),
     )
+
+
+@register(
+    "bigram_lift_collocations",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT count(*) AS n_uni FROM uni),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+               i -> {'x': t[i], 'y': t[i + 1]})) AS p
+      FROM t WHERE len(t) >= 2
+    ), bc AS (
+      SELECT p.x AS x, p.y AS y, count(*) AS n_xy FROM pairs GROUP BY 1, 2
+    ), btot AS (SELECT count(*) AS n_bg FROM pairs),
+    j AS (
+      SELECT x, y, n_xy, ux.c AS n_x, uy.c AS n_y
+      FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w
+      WHERE n_xy >= 5
+    )
+    SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+           round(((CAST(n_xy AS DOUBLE) / n_x) / n_y) * n_uni * n_uni
+                 / n_bg, 6) AS lift
+    FROM j, utot, btot
+    ORDER BY lift DESC, x, y LIMIT 50
+    """,
+)
+def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by PMI-style lift
+    p(xy) / (p(x)·p(y)) with a count floor (n_xy ≥ 5) — the corpus-QA
+    report that separates real multi-word expressions from chance
+    co-occurrence before building a tokenizer vocabulary or n-gram LM
+    on 100 TB of text. Complements ngram_diversity_by_source (volume
+    ratios) and top_bigrams (raw frequency): lift normalizes away
+    unigram popularity.
+
+    Engine-stable float discipline: every input to the score is an
+    exact integer (counts < 2^53); the lift is a FIXED left-to-right
+    chain of IEEE double ops — ((n_xy/n_x)/n_y)·N_uni·N_uni/N_bg —
+    written identically in both dialects, so each step is correctly
+    rounded to the same bits and the final round(·, 6) plus (x, y)
+    tie-break makes the top-50 cut deterministic cross-engine.
+
+    Scale shape: tokenize ONCE; bigrams explode as (x, y) structs (no
+    re-split of joined strings downstream — NOTES rule). Unigram and
+    bigram counts are two partial-agg keyed shuffles; the vocabulary
+    joins are plain shuffle hash joins on the word key (the vocab of a
+    100 TB corpus does NOT broadcast). Scalar totals attach via 1-row
+    broadcast crossJoins. The count floor prunes the hapax long tail
+    BEFORE the joins, and the final top-50 is sort+limit —
+    TakeOrderedAndProject, per-partition heaps merged on the driver,
+    never a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS x, t[i + 1] AS y))"
+            )
+        ).alias("p")
+    )
+    bc = pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y")).agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    btot = pairs.agg(F.count(F.lit(1)).alias("n_bg"))
+    j = (
+        bc.filter(F.col("n_xy") >= 5)
+        .join(uc.withColumnRenamed("w", "x").withColumnRenamed("c", "n_x"), "x")
+        .join(uc.withColumnRenamed("w", "y").withColumnRenamed("c", "n_y"), "y")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    lift = F.round(
+        ((F.col("n_xy").cast("double") / F.col("n_x")) / F.col("n_y"))
+        * F.col("n_uni")
+        * F.col("n_uni")
+        / F.col("n_bg"),
+        6,
+    )
+    return (
+        j.select(
+            "x",
+            "y",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(50)
+    )

@@ -53,6 +53,8 @@ SENSITIVE = [
     # classification must not depend on partitioning either
     "boilerplate_strip_rewrite",
     "quality_calibration_bins",
+    "classifier_auc_exact",
+    "bigram_lift_collocations",
 ]
 
 

@@ -895,3 +895,17 @@ def test_weighted_median_single_exchange(spark):
     exchange end-to-end."""
     plan = _plan(spark, "weighted_median_doc_length")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_bigram_lift_topk_and_no_cartesian(spark):
+    """Top-50 by lift must compile to TakeOrderedAndProject (per-partition
+    heaps, never a global sort materialization) and the only nested-loop
+    joins allowed are the two 1-row scalar-total broadcasts — the vocab
+    joins themselves must be hash equi-joins on the word key."""
+    plan = _plan(spark, "bigram_lift_collocations")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # scalar totals (n_uni, n_bg) attach via broadcast nested-loop: 2 max
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
+    # the word-key vocabulary joins stay equi (shuffle or broadcast hash)
+    assert re.search(r"(Shuffled|Broadcast)HashJoin|SortMergeJoin", plan), plan

@@ -1252,3 +1252,65 @@ def test_exact_auc_matches_quadratic_reference(spark):
     expected = (2 * wins + ties) / (2 * len(pos) * len(neg))
     assert abs(r["auc"] - expected) < 1e-9
     assert r["auc"] > 0.5  # the classifier must beat coin-flip ranking
+
+
+def test_grouped_split_fractions_and_group_atomicity(spark):
+    """grouped_split: (1) every group lands wholly on one side — the
+    leakage guarantee; (2) realized fractions approximate 90/5/5 over
+    many groups; (3) assignment is a pure function of the group key
+    (repartition-proof)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    # 20k rows in 10k groups of 2 — atomicity is non-trivial per group
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10000).alias("grp")
+    )
+    fr = [("train", 0.9), ("valid", 0.05), ("test", 0.05)]
+    out = grouped_split(df, fr, "grp")
+    per_grp = out.groupBy("grp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_grp.filter(F.col("n_splits") > 1).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["valid"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in grouped_split(df.repartition(17), fr, "grp").collect()
+    )
+    assert a == b
+
+
+def test_leakage_safe_split_near_dups_colocated(spark, tmp_path):
+    """End-to-end leakage guarantee on planted near-duplicates: docs
+    sharing a near-dup cluster get the SAME split label even though
+    their own doc_ids hash to different sides."""
+    import shutil
+
+    from conftest import SF_SMOKE
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    fn, _ = REGISTRY["leakage_safe_split"]
+    out = fn(spark, SF_SMOKE).cache()
+    try:
+        # groups with >1 doc exist at sf0.001 (synthetic dup planting)
+        # and every multi-doc group is single-split
+        g = out.groupBy("grp_key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        assert g.filter(F.col("n") > 1).count() > 0
+        assert g.filter(F.col("n_splits") > 1).count() == 0
+        # and the doc universe is fully covered, exactly once
+        n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        assert out.count() == n_docs
+        assert out.select("doc_id").distinct().count() == n_docs
+    finally:
+        out.unpersist()
