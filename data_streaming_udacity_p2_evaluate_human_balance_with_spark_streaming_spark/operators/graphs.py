@@ -240,3 +240,76 @@ def pagerank_integer(
         ranks = new_ranks
     _free(e2)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected graph: every
+    node reachable from ANY seed within `max_hops` gets its minimum
+    hop count — the "blast radius" primitive behind influence scoring,
+    recall expansion from a labeled seed set, and contamination spread
+    ("how far does this bad domain reach through the link graph").
+
+    Iteration shape (the connected_components discipline, see
+    k_core above): each round expands the CURRENT FRONTIER only —
+    frontier ⋈ edges on the node key, then a left-anti join against
+    the visited set, so a node is expanded exactly once ever and
+    per-round work is O(edges touched by new nodes), not O(|V|·hops).
+    Visited set and frontier are localCheckpoint-ed per round (bounded
+    plan depth), superseded checkpoints freed eagerly, and the only
+    driver traffic is the one empty-frontier scalar per round. At
+    100 TB both joins hash-partition on the node key; the frontier is
+    broadcast-able in the common small-seed case but the code never
+    requires it.
+
+    Returns (node, hop) for all reached nodes, hop ∈ [0, max_hops];
+    unreached nodes are simply absent (callers can anti-join)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    rounds = 0
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        rounds += 1
+        if new.count() == 0:
+            _free(new)
+            break
+        nxt = visited.unionByName(new).localCheckpoint()
+        _free(visited)
+        visited = nxt
+        frontier = new.select("node")
+    if stats is not None:
+        stats["rounds"] = rounds
+    return visited

@@ -1031,3 +1031,86 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, [("train", 0.90), ("valid", 0.05), ("test", 0.05)], "grp_key"
     )
     return out.select("doc_id", "grp_key", "split")
+
+
+@register(
+    "bfs_hops_copurchase",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    walk(node, hop) AS (
+      SELECT n, 0 FROM nodes WHERE substr(md5(CAST(n AS VARCHAR)), 3, 1) = '0'
+      UNION
+      SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < 3
+    ),
+    dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+    SELECT n AS part, CAST(COALESCE(d.hop, -1) AS BIGINT) AS hop
+    FROM nodes LEFT JOIN dist d ON d.node = n
+    """,
+)
+def q_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius on the co-purchase graph: hop
+    distance (≤ 3, unreached = -1) from a deterministic 1/16 md5 seed
+    set to every node — the seed-expansion primitive (labeled-seed
+    recall expansion, contamination spread from flagged domains). Same
+    4/16-sampled parts graph as the triangle/k-core/PageRank queries
+    so the whole graph family certifies one edge construction.
+
+    Spark side is operators/graphs.py:bfs_hops — frontier-only
+    expansion with an anti-join against the visited set (each node
+    expanded exactly ONCE ever; per-round cost tracks newly-reached
+    nodes, not |V|), localCheckpoint per round, one scalar per round
+    to the driver. The oracle replays it as a depth-bounded recursive
+    CTE with UNION dedup and per-node MIN(hop). Integers end-to-end;
+    termination is structural (hop cap), not data-dependent."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graphs import bfs_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("pa").alias("n"))
+        .unionByName(e.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.substring(F.md5(F.col("n").cast("string")), 3, 1) == "0"
+    )
+    dist = bfs_hops(e, seeds, max_hops=3)
+    return nodes.join(
+        dist.withColumnRenamed("node", "n"), "n", "left"
+    ).select(
+        F.col("n").alias("part"),
+        F.coalesce("hop", F.lit(-1)).cast("long").alias("hop"),
+    )

@@ -1106,3 +1106,29 @@ def test_cluster_size_histogram_consistency(spark):
         assert hist[1] == (n_single, n_single)
     assert sum(m for _, m in hist.values()) == n_docs_total
     assert all(sz >= 2 for sz in sizes)  # CC emits only matched nodes
+
+
+def test_bfs_hops_chain_and_unreached(spark):
+    """Hand-verifiable BFS: a 6-node chain 0-1-2-3-4-5 seeded at {0},
+    max_hops=3 → hops 0..3 for nodes 0..3, nodes 4,5 absent
+    (unreached within the cap); a disconnected pair (10,11) never
+    appears. Multi-source: seeding {0, 5} makes the chain meet in the
+    middle (node 3 keeps MIN hop = 2 from the 5-side, not 3)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        bfs_hops,
+    )
+
+    chain = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    e = spark.createDataFrame(chain, "pa long, pb long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    stats = {}
+    seeds2 = spark.createDataFrame([(0,), (5,)], "node long")
+    got2 = {
+        r.node: r.hop
+        for r in bfs_hops(e, seeds2, max_hops=3, stats=stats).collect()
+    }
+    assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+    # whole chain covered by hop 2 -> round 3's frontier is empty
+    assert stats["rounds"] == 3
