@@ -1860,3 +1860,156 @@ def q_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(50)
     )
+
+
+@register(
+    "data_contract_checks",
+    """
+    WITH ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_uid,
+        CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+        CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup
+      FROM events
+    ),
+    dc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+        CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_dup
+      FROM documents
+    ),
+    fks AS (
+      SELECT 'fk_lineitem_orders' AS check_name,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k
+      UNION ALL SELECT 'fk_lineitem_part', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON c.l_partkey = p.k
+      UNION ALL SELECT 'fk_lineitem_supplier', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k
+      UNION ALL SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k
+      UNION ALL SELECT 'fk_customer_nation', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.c_nationkey = p.k
+      UNION ALL SELECT 'fk_supplier_nation', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.s_nationkey = p.k
+      UNION ALL SELECT 'fk_nation_region', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON c.n_regionkey = p.k
+      UNION ALL SELECT 'fk_events_customer', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.user_id = p.k
+    ),
+    allc AS (
+      SELECT 'not_null_events_user_id' AS check_name, n AS n_rows, v_null_uid AS n_violations FROM ev
+      UNION ALL SELECT 'non_negative_events_value', n, v_neg FROM ev
+      UNION ALL SELECT 'range_events_value_le_300', n, v_range FROM ev
+      UNION ALL SELECT 'unique_events_event_id', n, v_dup FROM ev
+      UNION ALL SELECT 'len_documents_n_chars', n, v_len FROM dc
+      UNION ALL SELECT 'accepted_documents_lang', n, v_lang FROM dc
+      UNION ALL SELECT 'unique_documents_doc_id', n, v_dup FROM dc
+      UNION ALL SELECT check_name, n_rows, n_violations FROM fks
+    )
+    SELECT check_name, n_rows, n_violations,
+      CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM allc
+    """,
+)
+def q_data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-contract audit in one report: not-null, range,
+    accepted-values, primary-key-uniqueness expectations as FUSED
+    conditional aggregates (all checks on a table share ONE scan and
+    ONE partial-agg reduction — adding a check is free at 100 TB), plus
+    referential-integrity checks as per-edge LEFT joins against the
+    distinct-projected parent key (orphans = null-parent rows; small
+    dims broadcast automatically, fact-fact edges hash-partition on the
+    key). The range check (value ≤ 300) is violated by the synthetic
+    tail by design, so the report certifies BOTH outcomes — zero and
+    non-zero violation paths — not just a wall of zeros. Output is one
+    row per check: all-integer, order-free."""
+    from pyspark.sql import functions as F
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = load_table(spark, sf_dir, "documents")
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol(F.col("user_id").isNull()).alias("v_null_uid"),
+        viol(F.col("value") < 0).alias("v_neg"),
+        viol(F.col("value") > 300).alias("v_range"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("v_dup"),
+    )
+    dc_agg = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol(F.col("n_chars") != F.length("text")).alias("v_len"),
+        viol(~F.col("lang").isin("en", "de", "fr", "es", "zh")).alias(
+            "v_lang"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("long")
+        .alias("v_dup"),
+    )
+    ev_rows = ev_agg.selectExpr(
+        "stack(4, 'not_null_events_user_id', n, v_null_uid,"
+        " 'non_negative_events_value', n, v_neg,"
+        " 'range_events_value_le_300', n, v_range,"
+        " 'unique_events_event_id', n, v_dup)"
+        " AS (check_name, n_rows, n_violations)"
+    )
+    dc_rows = dc_agg.selectExpr(
+        "stack(3, 'len_documents_n_chars', n, v_len,"
+        " 'accepted_documents_lang', n, v_lang,"
+        " 'unique_documents_doc_id', n, v_dup)"
+        " AS (check_name, n_rows, n_violations)"
+    )
+
+    def fk(name, child, ck, parent, pk):
+        pd = parent.select(F.col(pk).alias("_k")).distinct()
+        j = child.select(F.col(ck).alias("_ck")).join(
+            pd, F.col("_ck") == F.col("_k"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            viol(F.col("_k").isNull()).alias("n_violations"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    fks = [
+        fk("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+        fk("fk_lineitem_part", li, "l_partkey",
+           load_table(spark, sf_dir, "part"), "p_partkey"),
+        fk("fk_lineitem_supplier", li, "l_suppkey",
+           load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        fk("fk_orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        fk("fk_customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
+        fk("fk_supplier_nation",
+           load_table(spark, sf_dir, "supplier"), "s_nationkey", nat,
+           "n_nationkey"),
+        fk("fk_nation_region", nat, "n_regionkey",
+           load_table(spark, sf_dir, "region"), "r_regionkey"),
+        fk("fk_events_customer", ev, "user_id", cust, "c_custkey"),
+    ]
+    out = ev_rows.unionByName(dc_rows)
+    for f_df in fks:
+        out = out.unionByName(f_df)
+    return out.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("long").alias("passed"),
+    )

@@ -1314,3 +1314,25 @@ def test_leakage_safe_split_near_dups_colocated(spark, tmp_path):
         assert out.select("doc_id").distinct().count() == n_docs
     finally:
         out.unpersist()
+
+
+def test_data_contract_checks_nonvacuous(spark):
+    """The contract report must exercise BOTH outcomes: the planted
+    range check (value <= 300) reports violations, every structural
+    check (uniqueness, not-null, FK edges) passes with 0 — so a
+    regression that zeroes all counters or breaks an FK join is
+    distinguishable from 'all green'."""
+    from conftest import SF_SMOKE
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    fn, _ = REGISTRY["data_contract_checks"]
+    rows = {r.check_name: r for r in fn(spark, SF_SMOKE).collect()}
+    assert len(rows) == 15
+    assert rows["range_events_value_le_300"].n_violations > 0
+    assert rows["range_events_value_le_300"].passed == 0
+    for name, r in rows.items():
+        assert r.n_rows > 0, name
+        if name != "range_events_value_le_300":
+            assert r.n_violations == 0 and r.passed == 1, name
