@@ -1513,3 +1513,38 @@ def test_streaming_auc_partials_finalize_equals_batch(spark, tmp_path):
         parts.groupBy("_s").count().filter(F.col("count") > 1).count()
     )
     assert dup_scores >= 1
+
+
+def test_streaming_grouped_split_matches_batch(spark, runner):
+    """Split-at-ingest: grouped_split is a pure narrow function of the
+    group key, so it runs unmodified on a stream (append mode, NO
+    state, no watermark) and every streamed row gets the EXACT label
+    the batch path assigns — the property that lets a 100 TB backfill
+    and the live ingest share one split definition."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    rows = [{"doc_id": i, "grp": i % 7} for i in range(50)]
+    schema = _parse_datatype_string("doc_id bigint, grp bigint")
+    fr = [("train", 0.9), ("valid", 0.05), ("test", 0.05)]
+
+    stream = stream_from_rows(spark, rows, schema)
+    q = runner.add(
+        "gsplit", to_memory(grouped_split(stream, fr, "grp"), "gsplit_out")
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.split)
+        for r in spark.sql("SELECT doc_id, split FROM gsplit_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["grp"]) for r in rows], schema
+    )
+    expected = {
+        (r.doc_id, r.split)
+        for r in grouped_split(batch, fr, "grp").select("doc_id", "split").collect()
+    }
+    assert streamed == expected and len(streamed) == 50
