@@ -153,6 +153,7 @@ HEADLINE = [
     "leakage_safe_split",
     "bfs_hops_copurchase",
     "data_contract_checks",
+    "association_rules_copurchase",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

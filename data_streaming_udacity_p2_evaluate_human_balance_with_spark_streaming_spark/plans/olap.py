@@ -1569,3 +1569,135 @@ def q_boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_chars"
         ),
     )
+
+
+@register(
+    "association_rules_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    ic AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey pa, b.l_partkey pb, count(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    j AS (
+      SELECT pa, pb, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+        round(((CAST(n_ab AS DOUBLE) / ia.n_item) / ib.n_item)
+              * n_orders, 6) AS lift
+      FROM pairs JOIN ic ia ON ia.l_partkey = pa
+                 JOIN ic ib ON ib.l_partkey = pb, n
+    )
+    SELECT ant, cons, CAST(n_ab AS BIGINT) AS n_ab,
+      CAST(n_ant AS BIGINT) AS n_ant,
+      round(CAST(n_ab AS DOUBLE) / n_ant, 6) AS confidence,
+      support, lift
+    FROM (
+      SELECT pa AS ant, pb AS cons, n_ab, n_a AS n_ant, support, lift FROM j
+      UNION ALL
+      SELECT pb, pa, n_ab, n_b, support, lift FROM j
+    )
+    """,
+)
+def q_association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: every
+    directed rule ant → cons with co-occurrence support ≥ 3 orders,
+    reporting support, confidence n_ab/n_ant, and (direction-agnostic)
+    lift — the recommender/assortment primitive FP-growth produces,
+    here at the pairwise level where the overwhelming share of retail
+    rule value lives.
+
+    Float discipline: all inputs are exact integers; support /
+    confidence / lift are FIXED left-to-right IEEE chains written
+    identically in both dialects, lift computed ONCE per canonical
+    pair (a<b) before the two directed rules are emitted so both
+    directions carry bit-identical lift.
+
+    Scale shape: baskets self-join per order — quadratic only in
+    BASKET size (bounded: a customer order has dozens of items, not
+    millions), one keyed exchange into pair counts with map-side
+    partials; the support floor prunes before the item-count joins
+    (hash equi-joins on the item key — the item vocab of a 100 TB
+    ledger does not broadcast); N attaches as a 1-row broadcast. The
+    two rule directions explode from one struct array — the pair table
+    is scanned once."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    j = (
+        pairs.join(
+            ic.select(
+                F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
+            ),
+            "pa",
+        )
+        .join(
+            ic.select(
+                F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
+            ),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "support",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6),
+        )
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("n_ab").cast("double") / F.col("n_a")) / F.col("n_b")
+                * F.col("n_orders"),
+                6,
+            ),
+        )
+    )
+    rules = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("ant"),
+                    F.col("pb").alias("cons"),
+                    F.col("n_a").alias("n_ant"),
+                ),
+                F.struct(
+                    F.col("pb").alias("ant"),
+                    F.col("pa").alias("cons"),
+                    F.col("n_b").alias("n_ant"),
+                ),
+            )
+        ).alias("r"),
+        "n_ab",
+        "support",
+        "lift",
+    )
+    return rules.select(
+        F.col("r.ant").alias("ant"),
+        F.col("r.cons").alias("cons"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("r.n_ant").cast("long").alias("n_ant"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("r.n_ant"), 6
+        ).alias("confidence"),
+        "support",
+        "lift",
+    )

@@ -55,6 +55,7 @@ SENSITIVE = [
     "quality_calibration_bins",
     "classifier_auc_exact",
     "bigram_lift_collocations",
+    "association_rules_copurchase",
 ]
 
 
