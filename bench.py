@@ -154,6 +154,7 @@ HEADLINE = [
     "bfs_hops_copurchase",
     "data_contract_checks",
     "association_rules_copurchase",
+    "lpa_communities_copurchase",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

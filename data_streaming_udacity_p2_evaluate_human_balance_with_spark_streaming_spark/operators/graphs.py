@@ -313,3 +313,69 @@ def bfs_hops(
     if stats is not None:
         stats["rounds"] = rounds
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected graph, made DETERMINISTIC: each round every node adopts
+    the most frequent label among its neighbors, ties broken by MIN
+    label — so the result is a pure function of (graph, rounds), no
+    RNG, no visit order. Fixed round count rather than convergence:
+    synchronous LPA can oscillate on bipartite-ish structure, and a
+    fixed-R contract is what an SQL oracle can replay exactly
+    (unrolled one CTE per round).
+
+    Scale shape per round: labels ⋈ symmetric edges on the node key
+    (one hash exchange), then a (node, label) count aggregate with
+    map-side partials, then a per-node argmax as max(struct(count,
+    -label)) — an aggregate, NEVER a window over a corpus-sized
+    partition. localCheckpoint per round bounds plan depth; superseded
+    checkpoints freed eagerly; ZERO driver round-trips (no convergence
+    test — R is structural).
+
+    Returns (node, lab) after `rounds` rounds; init lab(node) = node."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        msgs = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nxt = (
+            msgs.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("node"), (-F.col("m.nl")).alias("lab")
+            )
+            .localCheckpoint()
+        )
+        _free(labels)
+        labels = nxt
+    return labels

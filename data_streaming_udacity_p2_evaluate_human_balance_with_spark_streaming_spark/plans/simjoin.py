@@ -1114,3 +1114,87 @@ def q_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("part"),
         F.coalesce("hop", F.lit(-1)).cast("long").alias("hop"),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    base = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    step = """,
+    l{n} AS (
+      SELECT node, lab FROM (
+        SELECT e.dst AS node, p.lab,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, p.lab ASC) AS rn
+        FROM e JOIN l{p} p ON p.node = e.src
+        GROUP BY e.dst, p.lab
+      ) WHERE rn = 1
+    )"""
+    body = "".join(
+        step.format(n=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    return (
+        base
+        + body
+        + f"\n    SELECT node AS part, lab AS community FROM l{_LPA_ROUNDS}"
+    )
+
+
+@register("lpa_communities_copurchase", _lpa_oracle())
+def q_lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph via DETERMINISTIC
+    synchronous label propagation (4 rounds; most-frequent neighbor
+    label, ties → min) — the assortment-segmentation view the cohesion
+    family lacked: CC says "connected", triangles/k-core say "dense",
+    LPA says "which cluster". Same 4/16-sampled parts graph as the
+    rest of the graph family.
+
+    Spark side is operators/graphs.py:label_propagation — per round one
+    labels ⋈ edges hash join, a (node, label) count aggregate with
+    map-side partials, and a per-node argmax as max(struct(count,
+    -label)) (an aggregate, never a corpus-wide window), with
+    localCheckpoint round discipline and ZERO driver round-trips (the
+    round count is structural). The oracle unrolls the 4 rounds as
+    chained CTEs with row_number argmax — bit-replayable because the
+    tie-break makes every round a pure function of the last."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graphs import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    return label_propagation(e, rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("part"), F.col("lab").alias("community")
+    )

@@ -1132,3 +1132,22 @@ def test_bfs_hops_chain_and_unreached(spark):
     assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
     # whole chain covered by hop 2 -> round 3's frontier is empty
     assert stats["rounds"] == 3
+
+
+def test_label_propagation_two_cliques(spark):
+    """Hand-verifiable LPA: two disjoint K4s each collapse to their
+    min-label community within 4 rounds (round 1: every node adopts
+    its min neighbor; round 2+: the min label saturates the clique),
+    and a bridge-connected pendant adopts its only neighbor's label."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        label_propagation,
+    )
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    pend = [(4, 99)]
+    e = spark.createDataFrame(k4a + k4b + pend, "pa long, pb long")
+    got = {r.node: r.lab for r in label_propagation(e, rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (11, 12, 13, 14)} == {11}
+    assert got[99] == got[4]
