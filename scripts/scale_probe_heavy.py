@@ -122,6 +122,58 @@ PROBES = {
     "pagerank_parts_copurchase": probe_pagerank,
 }
 
+# r6 additions: the two new iterative graph ops (frontier BFS, LPA).
+# Disjoint replica copies — per-copy work should scale ~linearly in N.
+def _graph_n(n: int):
+    li = (
+        li_n(n)
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .distinct()
+    )
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+
+
+def probe_bfs(n: int):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        bfs_hops,
+    )
+
+    e = _graph_n(n)
+    nodes = (
+        e.select(F.col("pa").alias("n"))
+        .unionByName(e.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.substring(F.md5(F.col("n").cast("string")), 3, 1) == "0"
+    )
+    return bfs_hops(e, seeds, max_hops=3).count()
+
+
+def probe_lpa(n: int):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        label_propagation,
+    )
+
+    return label_propagation(_graph_n(n), rounds=4).count()
+
+
+PROBES["bfs_hops_copurchase"] = probe_bfs
+PROBES["lpa_communities_copurchase"] = probe_lpa
+
 ns = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
 # warm the JVM/codegen once so N=1 isn't charged the session cold-start
 probe_minhash(1)
