@@ -277,10 +277,17 @@ def bfs_hops(
         except Exception:
             pass
 
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # Pin the symmetric edge list ONCE: the per-round joins must not
+    # re-derive it (for a composed edge construction — self-join +
+    # distinct — lazy reuse re-executes the whole upstream every
+    # round; measured 4x round cost on the copurchase query).
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
     )
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -310,6 +317,7 @@ def bfs_hops(
         _free(visited)
         visited = nxt
         frontier = new.select("node")
+    _free(sym)
     if stats is not None:
         stats["rounds"] = rounds
     return visited
@@ -346,10 +354,15 @@ def label_propagation(
         except Exception:
             pass
 
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # Pin the symmetric edge list once (same rationale as bfs_hops:
+    # lazy reuse re-executes the upstream edge construction per round).
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -378,4 +391,5 @@ def label_propagation(
         )
         _free(labels)
         labels = nxt
+    _free(sym)
     return labels
