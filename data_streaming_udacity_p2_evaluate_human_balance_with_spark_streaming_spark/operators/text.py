@@ -254,9 +254,14 @@ def repetition_stats(col: str = "text") -> dict[str, Column]:
         "distinct_token_ratio": F.expr(
             f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
         ),
+        # bind the token array ONCE as a lambda variable (transform over
+        # a 1-element array) — the naive form re-evaluates split() per
+        # DISTINCT token in the inner filter (interpreted HOFs don't CSE;
+        # measured 0.85 s → 0.37 s on sf0.1, values bit-identical)
         "top_token_share": F.expr(
-            f"CAST(array_max(transform(array_distinct({toks}), t -> "
-            f"size(filter({toks}, x -> x = t)))) AS DOUBLE) / size({toks})"
+            f"transform(array({toks}), tk -> "
+            f"CAST(array_max(transform(array_distinct(tk), t -> "
+            f"size(filter(tk, x -> x = t)))) AS DOUBLE) / size(tk))[0]"
         ),
         "dup_bigram_ratio": F.expr(
             f"CASE WHEN size({toks}) < 2 THEN 0.0D ELSE "
