@@ -1151,3 +1151,78 @@ def test_label_propagation_two_cliques(spark):
     assert {got[n] for n in (1, 2, 3, 4)} == {1}
     assert {got[n] for n in (11, 12, 13, 14)} == {11}
     assert got[99] == got[4]
+
+
+def test_bfs_hops_random_graph_invariants(spark):
+    """BFS structural invariants on pseudo-random graphs (deterministic
+    seed): (1) seeds are at hop 0; (2) every reached node at hop h > 0
+    has a neighbor at hop h-1 (parent property); (3) no edge bridges a
+    hop gap > 1 unless one endpoint sits at the hop cap (frontier
+    cut-off); (4) unreached nodes have no reached neighbor below the
+    cap. Together these pin MIN-hop semantics without an external
+    graph library."""
+    import random
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        bfs_hops,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n, m = 60, 120
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        seeds = sorted(rng.sample(range(n), 3))
+        max_hops = 3
+        e = spark.createDataFrame(sorted(edges), "pa long, pb long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        hop = {r.node: r.hop for r in bfs_hops(e, sdf, max_hops).collect()}
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for s in seeds:
+            if s in adj:  # operator only tracks seed rows it was given
+                assert hop[s] == 0
+        for node, h in hop.items():
+            if h > 0:
+                assert any(hop.get(nb) == h - 1 for nb in adj[node]), (
+                    trial, node, h)
+        for a, b in edges:
+            ha, hb = hop.get(a), hop.get(b)
+            if ha is not None and hb is not None:
+                assert abs(ha - hb) <= 1 or max(ha, hb) == max_hops
+            if ha is not None and hb is None:
+                # an unreached neighbor implies a was on the last
+                # frontier (else b would be reached at ha + 1)
+                assert ha == max_hops, (trial, a, b, ha)
+
+
+def test_lpa_partitioning_invariant(spark):
+    """LPA output is a pure function of (graph, rounds): identical
+    under adversarial repartitioning of the edge input, and every
+    community label is a node of the graph."""
+    import random
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        label_propagation,
+    )
+
+    rng = random.Random(7)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randrange(80), rng.randrange(80)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "pa long, pb long")
+    a = {(r.node, r.lab) for r in label_propagation(e, rounds=4).collect()}
+    b = {
+        (r.node, r.lab)
+        for r in label_propagation(e.repartition(13), rounds=4).collect()
+    }
+    assert a == b
+    nodes = {x for p in edges for x in p}
+    assert {lab for _, lab in a} <= nodes
