@@ -155,6 +155,7 @@ HEADLINE = [
     "data_contract_checks",
     "association_rules_copurchase",
     "lpa_communities_copurchase",
+    "ab_test_cuped",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

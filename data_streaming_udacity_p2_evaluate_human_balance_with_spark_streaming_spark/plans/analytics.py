@@ -907,3 +907,116 @@ def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         frozen_logit_expr().alias("s"), F.col("weak_label").alias("y")
     )
     return exact_auc(scored, "s", "y")
+
+
+_CUPED_BOUNDARY = "2024-01-16 00:00:00"
+
+
+@register(
+    "ab_test_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+        sum(CASE WHEN ts < TIMESTAMP '{_CUPED_BOUNDARY}'
+                 THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+        sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_BOUNDARY}'
+                 THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM u
+    ),
+    t AS (
+      SELECT n, sx / n AS xbar,
+        (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+      FROM p
+    ),
+    v AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx_v,
+        CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy_v
+      FROM u GROUP BY 1
+    )
+    SELECT variant, n_users,
+      round(sy_v / n_users, 6) AS mean_post,
+      round((sy_v - theta * (sx_v - n_users * xbar)) / n_users, 6)
+        AS mean_post_adj,
+      round(theta, 6) AS theta
+    FROM v, t
+    """,
+)
+def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout with CUPED variance reduction: users split
+    50/50 into variants by md5 (the deterministic assignment every
+    other sampler here uses), post-period mean value per variant plus
+    the CUPED-adjusted mean — y_i − θ·(x_i − x̄) with θ = cov(x,y)/
+    var(x) over the pooled pre-period covariate. The adjusted means
+    close over per-VARIANT sums (Σy_v − θ·(Σx_v − n_v·x̄)), so no
+    per-user second pass exists at all.
+
+    Float discipline (NOTES.md): per-user pre/post sums and the pooled
+    moments are DECIMAL(18,6) partial sums (associative — partition-
+    order-proof); the VARCHAR→DOUBLE hop yields identical operands in
+    both engines, and θ / x̄ / the adjusted means are FIXED left-to-
+    right IEEE chains written identically in both dialects.
+
+    Scale shape: one scan → per-user conditional decimal sums (the
+    ONLY corpus-keyed exchange, map-side partials), then two tiny
+    aggregates (2 variant rows; 1 pooled row broadcast back). The
+    experiment readout of a 100 TB event ledger costs one user-keyed
+    shuffle of two decimals."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.lit(_CUPED_BOUNDARY).cast("timestamp")
+    dec0 = F.lit(0).cast("decimal(18,6)")
+    vdec = F.col("value").cast("decimal(18,6)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < b, vdec).otherwise(dec0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= b, vdec).otherwise(dec0)).alias("y"),
+    )
+    p = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("string").cast("double").alias("sx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("string").cast("double").alias("sxy"),
+    )
+    t = p.select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+    )
+    v = u.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        ).otherwise("B"),
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("string").cast("double").alias("sx_v"),
+        F.sum("y").cast("string").cast("double").alias("sy_v"),
+    )
+    return v.crossJoin(F.broadcast(t)).select(
+        "variant",
+        "n_users",
+        F.round(F.col("sy_v") / F.col("n_users"), 6).alias("mean_post"),
+        F.round(
+            (
+                F.col("sy_v")
+                - F.col("theta")
+                * (F.col("sx_v") - F.col("n_users") * F.col("xbar"))
+            )
+            / F.col("n_users"),
+            6,
+        ).alias("mean_post_adj"),
+        F.round("theta", 6).alias("theta"),
+    )

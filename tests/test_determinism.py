@@ -56,6 +56,7 @@ SENSITIVE = [
     "classifier_auc_exact",
     "bigram_lift_collocations",
     "association_rules_copurchase",
+    "ab_test_cuped",
 ]
 
 

