@@ -156,6 +156,7 @@ HEADLINE = [
     "association_rules_copurchase",
     "lpa_communities_copurchase",
     "ab_test_cuped",
+    "symdelete_ed1_pairs",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1226,3 +1226,56 @@ def test_lpa_partitioning_invariant(spark):
     assert a == b
     nodes = {x for p in edges for x in p}
     assert {lab for _, lab in a} <= nodes
+
+
+def test_symdelete_recall_hand_cases(spark):
+    """Hand-verified ed<=1 semantics on adversarial shapes: deletion,
+    insertion, substitution all found; transposition (ed 2) and double
+    substitution correctly excluded despite sharing deletion variants."""
+    # replicate the query's construction over a controlled name list
+    names = spark.createDataFrame(
+        [("abc",), ("abcd",), ("axc",), ("acb",), ("xyc",), ("zzz",)],
+        "c_name string",
+    )
+    variants = names.select(
+        "c_name",
+        F.explode(
+            F.expr(
+                "concat(array(c_name), transform(sequence(1, length(c_name)),"
+                " i -> concat(substring(c_name, 1, i - 1),"
+                " substring(c_name, i + 1, length(c_name)))))"
+            )
+        ).alias("v"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
+        .select(F.col("a.c_name").alias("x"), F.col("b.c_name").alias("y"))
+        .distinct()
+        .filter(F.levenshtein("x", "y") <= 1)
+    )
+    got = {(r.x, r.y) for r in cand.collect()}
+    assert ("abc", "abcd") in got  # insertion
+    assert ("abc", "axc") in got   # substitution
+    assert ("abc", "acb") not in got   # transposition = ed 2
+    assert ("axc", "xyc") not in got   # double substitution = ed 2
+    # exhaustively equal to brute force on this set
+    brute = {
+        (a, b)
+        for a in ["abc", "abcd", "axc", "acb", "xyc", "zzz"]
+        for b in ["abc", "abcd", "axc", "acb", "xyc", "zzz"]
+        if a < b
+    }
+    def ed(s, t):
+        dp = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, dp[0] = dp[0], i
+            for j, ct in enumerate(t, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (cs != ct))
+        return dp[-1]
+    assert got == {(a, b) for a, b in brute if ed(a, b) <= 1}

@@ -909,3 +909,12 @@ def test_bigram_lift_topk_and_no_cartesian(spark):
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
     # the word-key vocabulary joins stay equi (shuffle or broadcast hash)
     assert re.search(r"(Shuffled|Broadcast)HashJoin|SortMergeJoin", plan), plan
+
+
+def test_symdelete_no_cartesian(spark):
+    """The ed-1 join must be a variant-key equi-join — the whole point
+    is avoiding the oracle's brute-force cross join."""
+    plan = _plan(spark, "symdelete_ed1_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(Shuffled|Broadcast)HashJoin|SortMergeJoin", plan), plan
