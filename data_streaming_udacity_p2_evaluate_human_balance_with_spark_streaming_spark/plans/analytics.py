@@ -1020,3 +1020,66 @@ def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_post_adj"),
         F.round("theta", 6).alias("theta"),
     )
+
+
+@register(
+    "anomaly_mad_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+      round((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 3.5
+    """,
+)
+def q_anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging per event_type: |x − median| / (1.4826 ·
+    MAD) > 3.5 — the Hampel/median-absolute-deviation rule that, unlike
+    the mean/std z-score (anomaly_zscore_events), is not itself dragged
+    by the outliers it hunts. On heavy-tailed telemetry the z-score's
+    own sigma inflates and masks anomalies; MAD's 50% breakdown point
+    doesn't.
+
+    Float parity: percentile ≡ quantile_cont (both linearly
+    interpolate: (a+b)/2-style IEEE chains on identical operands — the
+    percentiles_exact precedent), and the robust z is one FIXED
+    division chain with the 1.4826 consistency constant written
+    literally in both dialects.
+
+    Scale shape: two per-type aggregates (exact medians need a
+    per-type sort — at 100 TB you'd swap percentile for the t-digest
+    twin, same plan shape) over ≤ |types| groups, each broadcast back
+    onto the fact scan; the flag filter is a narrow projection. No
+    corpus-wide window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )

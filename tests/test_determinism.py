@@ -57,6 +57,7 @@ SENSITIVE = [
     "bigram_lift_collocations",
     "association_rules_copurchase",
     "ab_test_cuped",
+    "anomaly_mad_events",
 ]
 
 

@@ -1548,3 +1548,149 @@ def test_streaming_grouped_split_matches_batch(spark, runner):
         for r in grouped_split(batch, fr, "grp").select("doc_id", "split").collect()
     }
     assert streamed == expected and len(streamed) == 50
+
+
+def test_streaming_basket_rules_partials_equal_batch(spark, tmp_path):
+    """Streaming twin of association_rules_copurchase: with baskets
+    arriving COMPLETE (one array row per transaction — pair generation
+    is stateless per row), pair counts, item counts, and the basket
+    total are all plain mergeable sums, so per-window partials from
+    watermarked streaming aggregations, finalized batch over the sinks,
+    give BIT-IDENTICAL support/confidence/lift to the all-batch
+    computation (fifth member of the digest/HLL/CMS/AUC twin family)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    # deterministic baskets over 6 items; co-occurrence structure
+    rows = [
+        {
+            "order_id": i,
+            "items": sorted({1 + (i % 5), 1 + ((i * i) % 6), 1 + ((i * 7) % 4)}),
+            "ts": f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(240)
+    ]
+    # two late sentinels: the FIRST advances the watermark past every
+    # data window; the SECOND arrives as a real data batch so the
+    # closed windows flush deterministically (the no-data flush batch
+    # can race processAllAvailable). They must flow through the plan
+    # un-filtered — a pre-aggregation filter gets pushed below the
+    # EventTimeWatermark collection and the watermark never advances —
+    # so they are excluded by WINDOW at finalize time instead.
+    # two-item sentinels: the size >= 2 pre-aggregation filter is ALSO
+    # pushed below the watermark collection, so a 1-item sentinel never
+    # advances the pairs query's watermark. Their own (8, 9) pair lands
+    # in the >= 12:00 windows the finalize cutoff excludes.
+    sent1 = {"order_id": -1, "items": [8, 9], "ts": "2024-01-01T12:00:00.000Z"}
+    sent2 = {"order_id": -2, "items": [8, 9], "ts": "2024-01-01T13:00:00.000Z"}
+    d = str(tmp_path / "basket_src")
+    _os.makedirs(d)
+    for i, chunk in enumerate([rows[:120], rows[120:], [sent1], [sent2]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "order_id bigint, items array<bigint>, ts timestamp"
+    )
+
+    pair_expr = (
+        "transform(flatten(transform(sequence(1, size(items) - 1),"
+        " i -> transform(sequence(i + 1, size(items)),"
+        " j -> struct(items[i - 1] AS pa, items[j - 1] AS pb)))), p -> p)"
+    )
+
+    def start(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    win = F.window("ts", "1 hour").alias("win")
+    start(
+        stream.filter(F.size("items") >= 2)
+        .select(win, F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("win", F.col("p.pa"), F.col("p.pb"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "rules_pairs_tbl",
+    )
+    start(
+        stream.select(win, F.explode("items").alias("item"))
+        .groupBy("win", "item")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "rules_items_tbl",
+    )
+    start(
+        stream.groupBy(win).agg(F.count(F.lit(1)).alias("n")),
+        "rules_total_tbl",
+    )
+
+    def finalize(pairs, items, total):
+        j = (
+            pairs.groupBy("pa", "pb").agg(F.sum("n").alias("n_ab"))
+            .join(
+                items.groupBy(F.col("item").alias("pa")).agg(
+                    F.sum("n").alias("n_a")
+                ),
+                "pa",
+            )
+            .join(
+                items.groupBy(F.col("item").alias("pb")).agg(
+                    F.sum("n").alias("n_b")
+                ),
+                "pb",
+            )
+            .crossJoin(
+                F.broadcast(total.agg(F.sum("n").alias("n_orders")))
+            )
+        )
+        return {
+            (r.pa, r.pb): (r.n_ab, repr(r.support), repr(r.lift))
+            for r in j.selectExpr(
+                "pa", "pb", "CAST(n_ab AS BIGINT) AS n_ab",
+                "CAST(n_ab AS DOUBLE) / n_orders AS support",
+                "CAST(n_ab AS DOUBLE) / n_a / n_b * n_orders AS lift",
+            ).collect()
+        }
+
+    cutoff = "win.start < timestamp '2024-01-01 12:00:00'"
+    streamed = finalize(
+        spark.table("rules_pairs_tbl").filter(cutoff),
+        spark.table("rules_items_tbl").filter(cutoff),
+        spark.table("rules_total_tbl").filter(cutoff),
+    )
+
+    # batch over the SAME basket rows (sentinels are filtered out and
+    # their windows never emit, so the sinks cover exactly `rows`)
+    batch = spark.createDataFrame(
+        [(r["order_id"], r["items"]) for r in rows],
+        "order_id bigint, items array<bigint>",
+    )
+    bpairs = (
+        batch.filter(F.size("items") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bitems = batch.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    btotal = batch.agg(F.count(F.lit(1)).alias("n"))
+    expected = finalize(bpairs, bitems, btotal)
+    assert streamed == expected and len(streamed) > 5
