@@ -268,3 +268,62 @@ def repetition_stats(col: str = "text") -> dict[str, Column]:
             f"1.0D - CAST(size(array_distinct({bigrams})) AS DOUBLE) / size({bigrams}) END"
         ),
     }
+
+
+def token_tv_divergence(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise total-variation distance between per-group unigram
+    distributions, in EXACT fixed-point arithmetic (see the
+    source_token_tv_divergence query docstring for the closed form
+    over the shared support and the 100 TB shape). DECIMAL(38,0)
+    headroom: cnt·tot ≤ 1e24 and Σ over a 1e6-word vocabulary ≤ 1e30 —
+    comfortably inside 38 digits at trillion-token scale.
+
+    Returns (group_a, group_b, tv_distance) for every unordered pair
+    that SHARES at least one word (inner join on the shared support);
+    a fully-disjoint pair emits no row — by construction its TV is
+    exactly 1.0 (pinned in tests). tv ∈ [0, 1]: 0 = identical
+    distributions."""
+    c = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(text_col, " ")).alias("w"),
+        )
+        .groupBy("_g", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.groupBy("_g").agg(F.sum("cnt").cast("decimal(38,0)").alias("tot"))
+    a = c.select(
+        F.col("_g").alias("group_a"),
+        "w",
+        F.col("cnt").cast("decimal(38,0)").alias("cnt_a"),
+    )
+    b = c.select(
+        F.col("_g").alias("group_b"),
+        "w",
+        F.col("cnt").cast("decimal(38,0)").alias("cnt_b"),
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(t.select(F.col("_g").alias("group_a"), F.col("tot").alias("tot_a")), "group_a")
+        .join(t.select(F.col("_g").alias("group_b"), F.col("tot").alias("tot_b")), "group_b")
+        .groupBy("group_a", "group_b", "tot_a", "tot_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt_a") * F.col("tot_b") - F.col("cnt_b") * F.col("tot_a"))
+            ).alias("s_abs"),
+            F.sum(F.col("cnt_a") * F.col("tot_b")).alias("s_a"),
+            F.sum(F.col("cnt_b") * F.col("tot_a")).alias("s_b"),
+        )
+    )
+    d = (F.col("tot_a") * F.col("tot_b")).cast("string").cast("double")
+    tv = (
+        F.col("s_abs").cast("string").cast("double")
+        + (d - F.col("s_a").cast("string").cast("double"))
+        + (d - F.col("s_b").cast("string").cast("double"))
+    ) / (2 * d)
+    return pairs.select(
+        "group_a", "group_b", F.round(tv, 6).alias("tv_distance")
+    )

@@ -1701,3 +1701,65 @@ def q_association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
         "support",
         "lift",
     )
+
+
+@register(
+    "source_token_tv_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(cnt) AS DECIMAL(38,0)) AS tot FROM c GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        ta.tot AS tot_a, tb.tot AS tot_b,
+        sum(abs(CAST(a.cnt AS DECIMAL(38,0)) * tb.tot
+                - CAST(b.cnt AS DECIMAL(38,0)) * ta.tot)) AS s_abs,
+        sum(CAST(a.cnt AS DECIMAL(38,0)) * tb.tot) AS s_a,
+        sum(CAST(b.cnt AS DECIMAL(38,0)) * ta.tot) AS s_b
+      FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+      JOIN t ta ON ta.source = a.source
+      JOIN t tb ON tb.source = b.source
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b,
+      round((CAST(CAST(s_abs AS VARCHAR) AS DOUBLE)
+             + (CAST(CAST(tot_a * tot_b AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(s_a AS VARCHAR) AS DOUBLE))
+             + (CAST(CAST(tot_a * tot_b AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(s_b AS VARCHAR) AS DOUBLE)))
+            / (2 * CAST(CAST(tot_a * tot_b AS VARCHAR) AS DOUBLE)), 6)
+        AS tv_distance
+    FROM pairs
+    """,
+)
+def q_source_token_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source unigram
+    distributions — the mixture-drift diagnostic that tells a corpus
+    curator WHICH sources speak a different language distributionally
+    (feeding mixture re-weighting / dedup-across-sources decisions),
+    complementing source_overlap_matrix (shared users) with shared
+    VOCABULARY shape.
+
+    Exactness: TV = ½Σ|p−q| over the UNION of supports, computed from
+    the shared support only via ½(Σ_shared|p−q| + (1−Σ_shared p) +
+    (1−Σ_shared q)) — and every term is EXACT INTEGER arithmetic in
+    fixed-point: |cnt_a·tot_b − cnt_b·tot_a| summed as DECIMAL(38,0)
+    (associative, partition-order-proof), one double division at the
+    end. No missing-word outer join, no float accumulation.
+
+    Scale shape: one (source, word) count aggregate (map-side
+    partials), the pair generation is an inverted-index join keyed on
+    the WORD (fan-out per word = sources containing it, ≤ |sources| —
+    never a doc-level or cross-source cartesian), then a |source-pair|
+    aggregate. Totals attach by source key. |sources|² output rows."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import token_tv_divergence
+
+    return token_tv_divergence(load_table(spark, sf_dir, "documents")).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "tv_distance",
+    )

