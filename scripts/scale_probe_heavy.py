@@ -174,11 +174,43 @@ def probe_lpa(n: int):
 PROBES["bfs_hops_copurchase"] = probe_bfs
 PROBES["lpa_communities_copurchase"] = probe_lpa
 
+# r6 continuation: the exact similarity joins (the remaining top-cost
+# family). Token-salted replicas → zero cross-replica similarity; true
+# pairs scale N×.
+def probe_setsim(n: int):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        prefix_filter_near_dups,
+    )
+
+    return prefix_filter_near_dups(docs_n(n)).count()
+
+
+def probe_sparse_cosine(n: int):
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(docs_n(n)).count()
+
+
+PROBES["setsim_prefix_filter_pairs"] = probe_setsim
+PROBES["sparse_cosine_pairs"] = probe_sparse_cosine
+
 ns = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
 # warm the JVM/codegen once so N=1 isn't charged the session cold-start
 probe_minhash(1)
 for name, fn in PROBES.items():
     for n in ns:
+        # isolate measurements: free cached/checkpointed blocks from the
+        # previous call and let ContextCleaner catch up — repeated heavy
+        # calls in one JVM otherwise accumulate storage + GC pressure
+        # that swings single-shot timings 2-8x (measured on setsim N=7:
+        # 14 s and 115 s for the IDENTICAL call in one session)
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.monotonic()
         out = fn(n)
         dt = time.monotonic() - t0
