@@ -159,6 +159,7 @@ HEADLINE = [
     "symdelete_ed1_pairs",
     "anomaly_mad_events",
     "source_token_tv_divergence",
+    "contrastive_triplets",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1272,3 +1272,117 @@ def q_symdelete_ed1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
     )
+
+
+def _triplets_oracle() -> str:
+    from .queries import _CC_ORACLE_BODY
+
+    return f"""
+    WITH RECURSIVE {_CC_ORACLE_BODY},
+    assign AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+    anchors AS (
+      SELECT a.node AS anchor_id, MIN(b.node) AS positive_id, a.cluster
+      FROM assign a JOIN assign b
+        ON b.cluster = a.cluster AND b.node <> a.node
+      GROUP BY a.node, a.cluster
+    ),
+    pool AS (
+      SELECT d.doc_id AS cand_id,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) AS bk,
+             COALESCE(s.cluster, d.doc_id) AS cand_cluster
+      FROM documents d LEFT JOIN assign s ON s.node = d.doc_id
+    ),
+    cand AS (
+      SELECT a.anchor_id, a.positive_id, p.cand_id,
+        row_number() OVER (PARTITION BY a.anchor_id
+          ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                       || CAST(p.cand_id AS VARCHAR)), p.cand_id) AS rk
+      FROM anchors a JOIN pool p
+        ON p.bk = substr(md5(CAST(a.anchor_id AS VARCHAR)), 1, 1)
+       AND p.cand_cluster <> a.cluster
+    )
+    SELECT anchor_id, positive_id, cand_id AS negative_id,
+           CAST(rk AS BIGINT) AS rank
+    FROM cand WHERE rk <= 2
+    """
+
+
+@register("contrastive_triplets", _triplets_oracle())
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet generator: (anchor, positive, 2
+    hard-ish negatives) for embedding-model training. Positives come
+    from the near-dup CLUSTER (LSH + CC — the same machinery the dedup
+    family certifies; positive = smallest other member, deterministic);
+    negatives are a reproducible pseudo-random draw — the corpus is
+    md5-bucketed (16 buckets here), each anchor draws from ITS OWN
+    bucket, ranked by md5(anchor:candidate) with same-cluster
+    candidates excluded, top-2. Every choice is a pure hash function:
+    retries, speculative tasks, and the oracle replay all emit the
+    identical triplet table.
+
+    Scale shape: anchors = one self-join of the (tiny) cluster
+    assignment; the negative draw joins anchors to a 1/B corpus slice
+    on the bucket key (hash equi-join) and ranks per anchor — window
+    partitions are bounded by the bucket size, corpus/B. B is a RATE
+    knob: scale it with the corpus (B ≈ corpus/10k) so the per-anchor
+    pool stays bench-sized — same rate-not-absolute rule as the graph
+    sample. At 100 TB the pool join is the only wide edge and it
+    carries (id, bucket, cluster) triples, never text."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = connected_components(minhash_near_dups(docs, threshold=0.5))
+    a2 = assign.select(
+        F.col("node").alias("b_node"), F.col("cluster").alias("b_cluster")
+    )
+    anchors = (
+        assign.join(
+            a2,
+            (F.col("b_cluster") == F.col("cluster"))
+            & (F.col("b_node") != F.col("node")),
+        )
+        .groupBy(F.col("node").alias("anchor_id"), "cluster")
+        .agg(F.min("b_node").alias("positive_id"))
+        .withColumn(
+            "abk", F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 1)
+        )
+    )
+    pool = (
+        docs.select("doc_id")
+        .join(assign.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "bk"
+            ),
+            F.coalesce("cluster", "doc_id").alias("cand_cluster"),
+        )
+    )
+    cand = anchors.join(
+        pool,
+        (F.col("bk") == F.col("abk"))
+        & (F.col("cand_cluster") != F.col("cluster")),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("cand_id").cast("string"),
+            )
+        ),
+        "cand_id",
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

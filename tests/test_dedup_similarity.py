@@ -1279,3 +1279,41 @@ def test_symdelete_recall_hand_cases(spark):
                                          prev + (cs != ct))
         return dp[-1]
     assert got == {(a, b) for a, b in brute if ed(a, b) <= 1}
+
+
+def test_contrastive_triplets_invariants(spark):
+    """Triplet semantics: positive shares the anchor's near-dup
+    cluster, negatives never do, exactly <= 2 negatives per anchor,
+    and anchors are exactly the multi-member cluster members."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cl = {
+        r.node: r.cluster
+        for r in connected_components(
+            minhash_near_dups(docs, threshold=0.5)
+        ).collect()
+    }
+    fn, _ = REGISTRY["contrastive_triplets"]
+    rows = fn(spark, SF_SMOKE).collect()
+    assert rows
+    per_anchor = {}
+    for r in rows:
+        assert cl[r.anchor_id] == cl[r.positive_id]
+        assert r.positive_id != r.anchor_id
+        assert cl.get(r.negative_id, r.negative_id) != cl[r.anchor_id]
+        per_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for a, ranks in per_anchor.items():
+        assert sorted(ranks) in ([1], [1, 2])
+    # every multi-member-cluster node is an anchor
+    from collections import Counter
+
+    sizes = Counter(cl.values())
+    multi = {n for n, c in cl.items() if sizes[c] >= 2}
+    assert set(per_anchor) == multi
