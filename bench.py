@@ -160,6 +160,7 @@ HEADLINE = [
     "anomaly_mad_events",
     "source_token_tv_divergence",
     "contrastive_triplets",
+    "vocab_coverage_topk",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

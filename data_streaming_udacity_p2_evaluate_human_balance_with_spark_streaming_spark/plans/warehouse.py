@@ -2013,3 +2013,74 @@ def q_data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).cast("long").alias("passed"),
     )
+
+
+_VOCAB_K = 20
+
+
+@register(
+    "vocab_coverage_topk",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    v AS (
+      SELECT w FROM c
+      ORDER BY n DESC, w ASC LIMIT {_VOCAB_K}
+    ),
+    per_src AS (
+      SELECT t.source,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN v ON v.w = t.w
+      GROUP BY t.source
+    )
+    SELECT source, n_tokens, n_oov,
+      round(CAST(n_tokens - n_oov AS DOUBLE) / n_tokens, 6) AS coverage
+    FROM per_src
+    """,
+)
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing diagnostic: per-source coverage of the corpus's
+    top-K vocabulary (K = {K}) — the number that decides whether a
+    vocab budget is big enough for every source, and which sources
+    will fragment into OOV/subword soup (the per-source complement of
+    bpe_pair_merge_counts). Deterministic vocab cut: top-K by
+    (count desc, word asc) — the tie-break makes the boundary exact
+    cross-engine.
+
+    Scale shape: one token count aggregate (map-side partials), the
+    top-K cut is TakeOrderedAndProject over |vocab| rows, and the
+    vocab — K rows, by construction TINY — broadcasts into the
+    coverage LEFT join; per-source rollup is a |sources|-group
+    aggregate. One corpus-keyed exchange total. Integer counts, one
+    final division.""".replace("{K}", str(_VOCAB_K))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    c = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    v = (
+        c.orderBy(F.desc("n"), F.asc("w"))
+        .limit(_VOCAB_K)
+        .select(F.col("w"), F.lit(1).alias("_in"))
+    )
+    per = (
+        tok.join(F.broadcast(v), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.round(
+            (F.col("n_tokens") - F.col("n_oov")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("coverage"),
+    )

@@ -59,6 +59,7 @@ SENSITIVE = [
     "ab_test_cuped",
     "anomaly_mad_events",
     "source_token_tv_divergence",
+    "vocab_coverage_topk",
 ]
 
 
