@@ -918,3 +918,23 @@ def test_symdelete_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(Shuffled|Broadcast)HashJoin|SortMergeJoin", plan), plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The top-K vocab cut must be TakeOrderedAndProject and the
+    coverage join must broadcast the K-row vocab — the token stream
+    (corpus-sized) must never shuffle for the join."""
+    plan = _plan(spark, "vocab_coverage_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_triplets_no_global_window(spark):
+    """The negative-ranking window must partition by anchor_id — never
+    a no-partition global window over the candidate join."""
+    plan = _plan(spark, "contrastive_triplets")
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "anchor_id" in line, line
+    assert "CartesianProduct" not in plan
