@@ -161,6 +161,7 @@ HEADLINE = [
     "source_token_tv_divergence",
     "contrastive_triplets",
     "vocab_coverage_topk",
+    "funnel_latency_percentiles",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

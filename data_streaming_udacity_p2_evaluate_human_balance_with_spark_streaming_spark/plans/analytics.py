@@ -1083,3 +1083,113 @@ def q_anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), u2 AS (
+      SELECT e.user_id, t1,
+        min(CASE WHEN e.event_type = 'click' AND e.ts > t1 THEN e.ts END) AS t2
+      FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id, t1
+    ), u3 AS (
+      SELECT e.user_id, t1, t2,
+        min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2 THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, t1, t2
+    ),
+    d AS (
+      SELECT 'view_to_click' AS stage,
+             CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) AS d_us
+      FROM u3 WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase',
+             CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE)
+      FROM u3 WHERE t3 IS NOT NULL
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+      round(quantile_cont(d_us, 0.5) / 1000000, 6) AS p50_s,
+      round(quantile_cont(d_us, 0.9) / 1000000, 6) AS p90_s
+    FROM d GROUP BY stage
+    """,
+)
+def q_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-LATENCY distribution for the ordered funnel — the
+    time-to-convert complement of event_funnel_stages (which reports
+    stage reach only): per-user first-view → first-later-click →
+    first-later-purchase deltas, p50/p90 per stage pair in seconds.
+    The product-analytics number behind "how long does conversion
+    take", and the regression alarm when a release slows it.
+
+    Parity: stage timestamps are micro-precision on both engines
+    (load_table truncates nanos → micros exactly like DuckDB's
+    TIMESTAMP read), deltas are exact integer micros cast to double,
+    and percentile ≡ quantile_cont interpolation on identical operand
+    sets (the percentiles_exact precedent).
+
+    Scale shape: the three conditional-min windows share ONE
+    partitionBy(user_id) spec — a single user-keyed exchange, same as
+    event_funnel_stages — then the percentile aggregate runs over ≤ 2
+    rows per user. Exact percentiles imply a per-stage sort of
+    |converting users| deltas; at 100 TB swap in the t-digest twin,
+    same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    df = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
+        )
+    )
+    d12 = df.filter(F.col("t2").isNotNull()).select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros("t2") - F.unix_micros("t1"))
+        .cast("double")
+        .alias("d_us"),
+    )
+    d23 = df.filter(F.col("t3").isNotNull()).select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("t3") - F.unix_micros("t2"))
+        .cast("double")
+        .alias("d_us"),
+    )
+    return (
+        d12.unionByName(d23)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.expr("percentile(d_us, 0.5)") / 1000000, 6).alias(
+                "p50_s"
+            ),
+            F.round(F.expr("percentile(d_us, 0.9)") / 1000000, 6).alias(
+                "p90_s"
+            ),
+        )
+    )

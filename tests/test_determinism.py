@@ -60,6 +60,7 @@ SENSITIVE = [
     "anomaly_mad_events",
     "source_token_tv_divergence",
     "vocab_coverage_topk",
+    "funnel_latency_percentiles",
 ]
 
 
