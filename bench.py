@@ -162,6 +162,7 @@ HEADLINE = [
     "contrastive_triplets",
     "vocab_coverage_topk",
     "funnel_latency_percentiles",
+    "dau_wau_stickiness",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

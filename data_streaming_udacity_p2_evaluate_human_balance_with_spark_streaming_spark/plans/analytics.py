@@ -1193,3 +1193,63 @@ def q_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    cover AS (
+      SELECT CAST(du.d + INTERVAL (i) DAY AS DATE) AS wd, du.user_id
+      FROM du, range(0, 7) r(i)
+    ),
+    wau AS (
+      SELECT wd AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM cover GROUP BY wd
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+      round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    watch (what fraction of the week's actives showed up today), with
+    the WAU an EXACT trailing-7-day distinct count. Exact sliding
+    distincts don't compose from daily distincts (users overlap), so
+    each (user, day) active-pair is exploded onto the ≤ 7 future days
+    whose trailing window it covers, then one distinct-count per day —
+    turning the sliding window into a plain keyed aggregate.
+
+    Only days with actual activity are emitted (inner join dau⋈wau):
+    a silent day has no DAU row — and the fixture has none silent.
+    Trailing windows at the series head are partial by definition.
+
+    Scale shape: the explode is a bounded ×7 row multiplier on the
+    DISTINCT (user, day) pairs (already collapsed from raw events —
+    the multiplier applies post-dedup), then two hash aggregates. At
+    100 TB the same shape holds with the window length as the
+    multiplier; for long windows swap the HLL-register twin
+    (hll_distinct_merge_by_source pattern) — same plan, sketch rows."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.col("d"),
+        "user_id",
+    ).select(F.date_add("d", F.col("i")).alias("d"), "user_id")
+    wau = cover.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -61,6 +61,7 @@ SENSITIVE = [
     "source_token_tv_divergence",
     "vocab_coverage_topk",
     "funnel_latency_percentiles",
+    "dau_wau_stickiness",
 ]
 
 
