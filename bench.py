@@ -163,6 +163,7 @@ HEADLINE = [
     "vocab_coverage_topk",
     "funnel_latency_percentiles",
     "dau_wau_stickiness",
+    "revenue_gini_concentration",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

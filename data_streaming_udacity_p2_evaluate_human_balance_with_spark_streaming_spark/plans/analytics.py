@@ -1253,3 +1253,87 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "revenue_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i,
+             count(*) OVER () AS n
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+        sum(CAST(i AS DECIMAL(38,6)) * x) AS s_ix,
+        sum(x) AS s_x,
+        sum(CASE WHEN i > n - n // 10
+                 THEN x ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_top
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+      round(2 * CAST(CAST(s_ix AS VARCHAR) AS DOUBLE)
+            / (n * CAST(CAST(s_x AS VARCHAR) AS DOUBLE))
+            - CAST(n + 1 AS DOUBLE) / n, 6) AS gini,
+      round(CAST(CAST(s_top AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(s_x AS VARCHAR) AS DOUBLE), 6) AS top10_share
+    FROM s
+    """,
+)
+def q_revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient of per-customer
+    revenue (G = 2Σi·x₍ᵢ₎/(nΣx) − (n+1)/n over ascending-sorted
+    revenues) plus the top-decile share — the whale-dependence report
+    behind pricing and risk reviews, and the data-mixture analogue of
+    "how skewed is my corpus toward a few domains".
+
+    Float discipline: revenues are DECIMAL(18,6) sums, the rank-
+    weighted sum Σi·x is decimal × integer (exact), and the two
+    divisions + one subtraction are a fixed IEEE chain over
+    VARCHAR-hopped identical operands.
+
+    Scale shape: per-customer aggregate (one keyed exchange), then the
+    global ascending rank via the two-pass range-partitioned
+    row-number (operators/ranking.py:global_row_number — per-partition
+    sort + broadcast triangular offsets, NO single-partition window),
+    then a 1-row reduce. The oracle's OVER () windows are the SQL
+    spelling, not the plan."""
+    from ..operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("x")
+    )
+    ranked = global_row_number(rev, ["x", "o_custkey"], rn_col="i")
+    thresh = F.col("_total_n") - (F.col("_total_n") / 10).cast("long")
+    s = ranked.agg(
+        F.max("_total_n").cast("long").alias("n"),
+        F.sum(F.col("i").cast("decimal(38,6)") * F.col("x")).alias("s_ix"),
+        F.sum("x").alias("s_x"),
+        F.sum(
+            F.when(F.col("i") > thresh, F.col("x")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        ).alias("s_top"),
+    )
+    n = F.col("n")
+    gini = F.round(
+        2 * F.col("s_ix").cast("string").cast("double")
+        / (n * F.col("s_x").cast("string").cast("double"))
+        - (n + 1).cast("double") / n,
+        6,
+    )
+    return s.select(
+        n.alias("n_customers"),
+        gini.alias("gini"),
+        F.round(
+            F.col("s_top").cast("string").cast("double")
+            / F.col("s_x").cast("string").cast("double"),
+            6,
+        ).alias("top10_share"),
+    )

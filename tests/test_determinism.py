@@ -62,6 +62,7 @@ SENSITIVE = [
     "vocab_coverage_topk",
     "funnel_latency_percentiles",
     "dau_wau_stickiness",
+    "revenue_gini_concentration",
 ]
 
 
