@@ -1386,3 +1386,76 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "cross_source_contamination",
+    f"""
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+          ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) END) AS sset
+      FROM documents
+    ), sizes AS (SELECT doc_id, len(sset) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross
+    FROM pairs JOIN documents da ON da.doc_id = doc_a
+               JOIN documents db ON db.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pair counts per
+    (source, source) cell — the decontamination view that says WHICH
+    feeds re-publish each other's content (cross-source near-dups are
+    how benchmark answers leak into training corpora and how one
+    crawl's boilerplate double-counts through another). Canonical
+    least/greatest cell keys; n_cross isolates the cross-source rows
+    from within-source duplication.
+
+    Composes the certified LSH pair-gen (dedup_minhash_lsh) with two
+    doc→source hash joins and a |source-pair| aggregate — pair volume,
+    already bounded by the LSH threshold, is the only wide data; the
+    oracle replays with exact all-pairs Jaccard (the lossless
+    equivalence the setsim query certifies)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross"),
+        )
+    )
