@@ -20,9 +20,24 @@ def test_bench_prints_one_json_line(tmp_path):
         # 2-pass run past the old 480 s in r6)
         SPARK_GRAFT_BENCH_PASSES="1",
     )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # snapshot the HEADLINE the subprocess will actually load: importing
+    # bench at assert time races any concurrent edit to bench.py made
+    # while the subprocess runs (bit us three times in active sessions)
+    import ast
+
+    src = open(os.path.join(repo, "bench.py")).read()
+    tree = ast.parse(src)
+    headline = None
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "HEADLINE" for t in node.targets
+        ):
+            headline = [ast.literal_eval(e) for e in node.value.elts]
+    assert headline, "HEADLINE not found in bench.py"
     out = subprocess.run(
         [sys.executable, "bench.py"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
         env=env,
         capture_output=True,
         text=True,
@@ -34,7 +49,5 @@ def test_bench_prints_one_json_line(tmp_path):
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
-    from bench import HEADLINE
-
-    assert set(payload["queries"]) == set(HEADLINE)
+    assert set(payload["queries"]) == set(headline)
     assert all(v >= 0 for v in payload["queries"].values()), payload["queries"]
