@@ -165,6 +165,7 @@ HEADLINE = [
     "dau_wau_stickiness",
     "revenue_gini_concentration",
     "cross_source_contamination",
+    "ltv_cohort_curves",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1337,3 +1337,86 @@ def q_revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10_share"),
     )
+
+
+@register(
+    "ltv_cohort_curves",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cust FROM fo GROUP BY cohort),
+    r AS (
+      SELECT fo.cohort,
+        CAST(datediff('month', fo.cohort,
+                      date_trunc('month', o.o_orderdate)) AS BIGINT) AS m,
+        sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cohort, m,
+        sum(rev) OVER (PARTITION BY cohort ORDER BY m
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM r
+    )
+    SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, m,
+      round(CAST(CAST(cum_rev AS VARCHAR) AS DOUBLE) / n_cust, 6)
+        AS cum_ltv_per_customer
+    FROM c JOIN cs USING (cohort)
+    """,
+)
+def q_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: for each
+    first-order month and months-since-acquisition m, the CUMULATIVE
+    revenue per cohort customer — the retention-economics table behind
+    payback-period decisions, and the revenue-weighted complement of
+    retention_cohort_weeks (which counts activity only).
+
+    Float discipline: per-(cohort, m) revenue is a DECIMAL(18,6) sum;
+    the cumulative sum runs over DECIMALS (associative) inside a
+    cohort-partitioned window ORDERED BY m — partitions are bounded by
+    the month span (≤ ~100 rows), never corpus-sized; the single
+    VARCHAR→DOUBLE hop happens after the cumsum, then one division.
+
+    Scale shape: first-order aggregate (one customer-keyed exchange),
+    revenue rollup joins orders back to cohorts on the customer key
+    (second keyed exchange), then the tiny windowed cumsum over
+    |cohorts|×|months| rows. At 100 TB both exchanges are plain
+    hash-partitioned fact joins/aggs."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate").cast("date"), "MM").alias("cohort")
+    )
+    cs = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    r = (
+        orders.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.trunc(F.col("o_orderdate").cast("date"), "MM"),
+                F.col("cohort"),
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.withColumn("cum_rev", F.sum("rev").over(w))
+    return c.join(F.broadcast(cs), "cohort").select(
+        F.col("cohort").cast("timestamp").alias("cohort"),
+        "m",
+        F.round(
+            F.col("cum_rev").cast("string").cast("double") / F.col("n_cust"),
+            6,
+        ).alias("cum_ltv_per_customer"),
+    )

@@ -63,6 +63,7 @@ SENSITIVE = [
     "funnel_latency_percentiles",
     "dau_wau_stickiness",
     "revenue_gini_concentration",
+    "ltv_cohort_curves",
 ]
 
 
