@@ -166,6 +166,8 @@ HEADLINE = [
     "revenue_gini_concentration",
     "cross_source_contamination",
     "ltv_cohort_curves",
+    "top_event_paths_3step",
+    "order_sla_ship_delay",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1420,3 +1420,69 @@ def q_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_ltv_per_customer"),
     )
+
+
+@register(
+    "top_event_paths_3step",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3,
+        lead(ts, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type AS e1, e2, e3 FROM ordered
+      WHERE e3 IS NOT NULL
+        AND epoch_us(t3) - epoch_us(ts) <= 1800 * 1000000
+    ),
+    counts AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM paths
+      GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, n,
+      CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT)
+        AS rank
+    FROM counts QUALIFY rank <= 5
+    """,
+)
+def q_top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 5 most common 3-step event sequences
+    completed within 30 minutes — the behavioral-flow report behind
+    "what do users actually do", one step deeper than the first-order
+    event_transition_matrix (ordered TRIPLES, time-bounded, so
+    cross-session junk paths are excluded). Tie-broken
+    (count desc, path asc) for a deterministic cut.
+
+    Scale shape: two leads over ONE user-keyed window spec (single
+    exchange, same as the funnel), a (e1,e2,e3) hash aggregate over
+    ≤ |types|³ groups, then rank over that tiny table — the final
+    row_number window runs on ≤ 125 rows, never the corpus. The
+    (ts, event_id) window order is a total order, so lead() is
+    deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("e1"),
+        F.col("ts"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    paths = o.filter(
+        F.col("e3").isNotNull()
+        & (
+            F.unix_micros("t3") - F.unix_micros("ts")
+            <= 1800 * 1_000_000
+        )
+    )
+    counts = paths.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w2 = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        counts.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

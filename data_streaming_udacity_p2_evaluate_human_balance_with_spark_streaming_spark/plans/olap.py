@@ -1763,3 +1763,58 @@ def q_source_token_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_b").alias("source_b"),
         "tv_distance",
     )
+
+
+@register(
+    "order_sla_ship_delay",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+        CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(delay_d) AS BIGINT) AS sum_delay_d,
+      round(CAST(sum(delay_d) AS DOUBLE) / count(*), 6) AS avg_delay_d,
+      round(CAST(sum(CASE WHEN delay_d <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS sla30_hit_rate
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def q_order_sla_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA report: ship delay (days from order to line
+    ship) per order priority — average delay and the 30-day SLA hit
+    rate, the operations dashboard behind "are URGENT orders actually
+    shipping faster". Integer day-diffs (calendar dates both engines),
+    integer sums, two final divisions.
+
+    Scale shape: the orders ⋈ lineitem fact-fact join hash-partitions
+    on the order key (the bucketed-table twin elides even that —
+    sources/bucketed.py), then a ≤ |priorities|-group aggregate with
+    map-side partials. One wide exchange total."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("delay_d"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("delay_d").cast("long").alias("sum_delay_d"),
+        F.round(
+            F.sum("delay_d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_delay_d"),
+        F.round(
+            F.sum(F.when(F.col("delay_d") <= 30, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("sla30_hit_rate"),
+    )

@@ -64,6 +64,7 @@ SENSITIVE = [
     "dau_wau_stickiness",
     "revenue_gini_concentration",
     "ltv_cohort_curves",
+    "top_event_paths_3step",
 ]
 
 
