@@ -168,6 +168,8 @@ HEADLINE = [
     "ltv_cohort_curves",
     "top_event_paths_3step",
     "order_sla_ship_delay",
+    "seasonal_naive_backtest",
+    "abc_pareto_parts",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

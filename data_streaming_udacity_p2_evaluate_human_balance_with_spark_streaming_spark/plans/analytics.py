@@ -1486,3 +1486,65 @@ def q_top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.h, a.n AS actual, f.n AS forecast
+      FROM hourly a JOIN hourly f
+        ON f.event_type = a.event_type
+       AND f.h = a.h - INTERVAL 168 HOUR
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_hours,
+      CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+      round(CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*), 6)
+        AS mae,
+      round(CAST(sum(abs(actual - forecast)) AS DOUBLE)
+            / sum(actual), 6) AS wape
+    FROM j GROUP BY event_type
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: the seasonal-naive model (this
+    hour's volume = same hour last week) scored with MAE and WAPE per
+    event type — the floor every capacity-planning forecast must beat,
+    and the drift alarm when traffic rhythm changes (WAPE jumps).
+    Integer hourly counts, integer absolute errors; the only doubles
+    are two final divisions.
+
+    Scale shape: one (type, hour) aggregate with map-side partials
+    (the ONLY corpus-wide exchange), then a self-equi-join of the tiny
+    hourly table on (type, hour−168h) and a ≤ |types|-group rollup. At
+    100 TB the hourly table is |types|·|hours| rows — the self-join
+    never touches raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f = hourly.select(
+        F.col("event_type"),
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("n").alias("forecast"),
+    )
+    j = hourly.withColumnRenamed("n", "actual").join(
+        f, ["event_type", "h"]
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(err).cast("long").alias("sum_abs_err"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae"
+        ),
+        F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias(
+            "wape"
+        ),
+    )

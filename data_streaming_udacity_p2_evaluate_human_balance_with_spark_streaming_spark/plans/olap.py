@@ -1818,3 +1818,84 @@ def q_order_sla_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sla30_hit_rate"),
     )
+
+
+@register(
+    "abc_pareto_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS x
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, x,
+        sum(x) OVER (ORDER BY x DESC, l_partkey ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(x) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE
+        WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+             <= 0.8 * CAST(CAST(tot AS VARCHAR) AS DOUBLE) THEN 'A'
+        WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+             <= 0.95 * CAST(CAST(tot AS VARCHAR) AS DOUBLE) THEN 'B'
+        ELSE 'C' END AS abc_class,
+        x, tot
+      FROM ranked
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      round(CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(max(tot) AS VARCHAR) AS DOUBLE), 6)
+        AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: A = parts
+    whose descending cumulative revenue stays within 80% of total,
+    B = next 15%, C = tail — the inventory-policy segmentation (count
+    every A-part daily, C-parts quarterly), and the corpus analogue of
+    "how few domains carry most of the tokens".
+
+    Float discipline: revenue and its cumulative sum are exact
+    DECIMALS (associative; the class boundary compares VARCHAR-hopped
+    doubles of identical operands against exact-dyadic 0.8/0.95
+    factors); per-class rollups are decimal sums with one final
+    division.
+
+    Scale shape: per-part aggregate (one keyed exchange), the global
+    DESCENDING cumulative sum via the two-pass range-partitioned form
+    (operators/ranking.global_running_sum — per-partition cumsum +
+    broadcast triangular offsets, no single-partition window), then a
+    3-group rollup. The oracle's OVER () is the SQL spelling."""
+    from ..operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("x")
+    )
+    ranked = global_running_sum(
+        rev.withColumn("_negx", -F.col("x")),
+        ["_negx", "l_partkey"],
+        "x",
+        out_col="cum",
+    )
+    tot = rev.agg(F.sum("x").alias("tot"))
+    cumd = F.col("cum").cast("string").cast("double")
+    totd = F.col("tot").cast("string").cast("double")
+    classed = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(cumd <= 0.8 * totd, "A")
+        .when(cumd <= 0.95 * totd, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum("x").cast("string").cast("double")
+            / F.max("tot").cast("string").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )

@@ -65,6 +65,8 @@ SENSITIVE = [
     "revenue_gini_concentration",
     "ltv_cohort_curves",
     "top_event_paths_3step",
+    "seasonal_naive_backtest",
+    "abc_pareto_parts",
 ]
 
 
