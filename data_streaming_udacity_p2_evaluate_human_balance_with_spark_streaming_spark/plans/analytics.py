@@ -1548,3 +1548,414 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wape"
         ),
     )
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, dow, n,
+        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+        CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
+        CAST(sum(n) OVER () AS BIGINT) AS big_n
+      FROM cells
+    )
+    SELECT
+      CAST(max(big_n) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows_levels,
+      CAST(count(DISTINCT dow) AS BIGINT) AS n_col_levels,
+      CAST((count(DISTINCT event_type) - 1)
+           * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+      round(sum(
+        (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
+        * (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
+        / (CAST(row_tot AS DOUBLE) * col_tot / big_n)
+      ), 6) AS chi2,
+      round(sqrt(
+        sum(
+          (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
+          * (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
+          / (CAST(row_tot AS DOUBLE) * col_tot / big_n)
+        ) / (max(big_n)
+             * (least(count(DISTINCT event_type),
+                      count(DISTINCT dow)) - 1))
+      ), 6) AS cramers_v
+    FROM m
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    day-of-week — the standard "is traffic mix stable across the week"
+    data-quality check, with Cramér's V as the effect size (chi2 alone
+    grows with N; V is comparable across table sizes). Cells absent
+    from the data contribute nothing on either engine (observed 0 with
+    expected>0 would, but an absent (type,dow) cell never materializes
+    in a GROUP BY on both sides — the statistic is over REALIZED cells,
+    documented and mirrored exactly in the oracle).
+
+    Scale shape: one corpus-wide (type,dow) hash aggregate with
+    map-side partials — the only exchange. The contingency table is
+    ≤ |types|·7 rows; the three marginal windows and the final 1-row
+    rollup all run on that tiny table. dayofweek is timezone-pinned by
+    the session (UTC), matching DuckDB's dayofweek(ts)+1 convention
+    (DuckDB Sunday=0, Spark Sunday=1)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = (
+        cells.withColumn(
+            "row_tot",
+            F.sum("n").over(Window.partitionBy("event_type")).cast("long"),
+        )
+        .withColumn(
+            "col_tot",
+            F.sum("n").over(Window.partitionBy("dow")).cast("long"),
+        )
+        .withColumn(
+            "big_n",
+            F.sum("n")
+            .over(Window.partitionBy(F.lit(1)))
+            .cast("long"),
+        )
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("big_n")
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    r_lv = F.countDistinct("event_type")
+    c_lv = F.countDistinct("dow")
+    return m.agg(
+        F.max("big_n").cast("long").alias("n_events"),
+        r_lv.cast("long").alias("n_rows_levels"),
+        c_lv.cast("long").alias("n_col_levels"),
+        ((r_lv - 1) * (c_lv - 1)).cast("long").alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(term)
+                / (F.max("big_n") * (F.least(r_lv, c_lv) - F.lit(1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "ks_two_sample_sources",
+    """
+    WITH pc AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY 1
+    ),
+    grid AS (SELECT DISTINCT v FROM pc),
+    cum AS (
+      SELECT s.source, g.v,
+        CAST(sum(coalesce(pc.c, 0))
+             OVER (PARTITION BY s.source ORDER BY g.v) AS BIGINT) AS cc
+      FROM (SELECT DISTINCT source FROM pc) s
+      CROSS JOIN grid g
+      LEFT JOIN pc ON pc.source = s.source AND pc.v = g.v
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+      CAST(max(ta.n) AS BIGINT) AS n_a,
+      CAST(max(tb.n) AS BIGINT) AS n_b,
+      CAST(max(abs(a.cc * tb.n - b.cc * ta.n)) AS BIGINT) AS ks_num,
+      round(CAST(max(abs(a.cc * tb.n - b.cc * ta.n)) AS DOUBLE)
+            / (max(ta.n) * max(tb.n)), 6) AS ks_stat
+    FROM cum a
+    JOIN cum b ON a.v = b.v AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_ks_two_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every pair
+    of sources' document-length distributions — the distribution-drift
+    matrix behind "does source X look like source Y" (and, re-run per
+    snapshot, "did source X drift"). The statistic is EXACT and
+    integer-certified: D = max_v |cdf_a(v) − cdf_b(v)| is computed as
+    an integer max of |cum_a·n_b − cum_b·n_a| before the single final
+    division, so cross-engine float drift is impossible.
+
+    Scale shape: one (source, n_chars) corpus aggregate (the only
+    full-data exchange). The ECDF grid is |sources| × |distinct
+    lengths| — bounded by the length domain, not the corpus — and the
+    pair join multiplies that by |sources|²/2 pairs of that same
+    bounded grid. All post-aggregate frames are dimension-table
+    sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pc = docs.groupBy(
+        F.col("source"), F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = pc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = pc.select("v").distinct()
+    sources = pc.select("source").distinct()
+    dense = sources.crossJoin(grid).join(pc, ["source", "v"], "left")
+    cum = dense.select(
+        "source",
+        "v",
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .over(Window.partitionBy("source").orderBy("v"))
+        .cast("long")
+        .alias("cc"),
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"), "v", F.col("cc").alias("cc_a")
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"), "v", F.col("cc").alias("cc_b")
+    )
+    pairs = a.join(b, "v").filter(F.col("source_a") < F.col("source_b"))
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    j = pairs.join(F.broadcast(ta), "source_a").join(
+        F.broadcast(tb), "source_b"
+    )
+    diff = F.abs(
+        F.col("cc_a") * F.col("n_b") - F.col("cc_b") * F.col("n_a")
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(diff).cast("long").alias("ks_num"),
+        F.round(
+            F.max(diff).cast("double") / (F.max("n_a") * F.max("n_b")), 6
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    freq AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+      round(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
+      round(log10(1 + 1.0 / digit), 6) AS benford_freq,
+      round(abs(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit)), 6)
+        AS abs_dev
+    FROM freq
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-significant-
+    digit frequencies vs the log10(1+1/d) expectation — the classic
+    fabricated-data / unit-mixing detector for financial columns. The
+    first digit is taken lexically from the integer part (substr of the
+    floored value) rather than via floor(x/10^floor(log10 x)), which is
+    ulp-fragile exactly at powers of ten.
+
+    Scale shape: one map-side-combinable digit aggregate over the scan
+    (9 groups); the window total and Benford constants run on ≤ 9 rows.
+    No joins, no second scan — the cheapest possible full-table
+    screen."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    freq = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "total",
+            F.sum("n").over(Window.partitionBy(F.lit(1))).cast("long"),
+        )
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return freq.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+        CAST(max(o_orderdate) AS DATE) AS last_order,
+        CAST(count(*) AS BIGINT) AS frequency,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,6)) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    rec AS (
+      SELECT *, CAST(date_diff('day', last_order,
+               max(last_order) OVER ()) AS BIGINT) AS recency_days
+      FROM per
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+        CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+             AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+             AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+             AS BIGINT) AS m_score
+      FROM rec
+    )
+    SELECT r_score, f_score, m_score,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      round(avg(recency_days), 6) AS avg_recency_days,
+      round(avg(frequency), 6) AS avg_frequency,
+      round(avg(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-standard customer grid: per
+    customer, Recency (days since last order, vs the table's max
+    date), Frequency (order count), Monetary (decimal-exact revenue),
+    each scored into quintiles (5 = best: most recent / most frequent /
+    highest spend), then rolled up to segment cells with averages.
+    Quintile assignment is ntile over a TOTAL order (value, custkey),
+    so bucket edges are deterministic across engines and partitionings;
+    monetary is a DECIMAL(18,2) partial sum rendered once to double.
+
+    Scale shape: one per-customer aggregate over orders (the only
+    corpus exchange). The three ntile windows are global-sort windows
+    over the per-customer table — at 100 TB that table is |customers|
+    rows and a single-range-partitioned sort each (or swap ntile for a
+    percentile_approx cut to avoid the global sort entirely, trading
+    exactness); the final rollup sees ≤ 125 cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").cast("date").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("monetary"),
+    )
+    rec = per.withColumn(
+        "recency_days",
+        F.datediff(
+            F.max("last_order").over(Window.partitionBy(F.lit(1))),
+            F.col("last_order"),
+        ).cast("long"),
+    )
+    scored = rec.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(6)
+            - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+        )
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("recency_days"), 6).alias("avg_recency_days"),
+        F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, month, revenue,
+      lag(revenue) OVER (PARTITION BY r_name ORDER BY month)
+        AS prev_revenue,
+      round((revenue - lag(revenue) OVER (PARTITION BY r_name
+                                          ORDER BY month))
+            / lag(revenue) OVER (PARTITION BY r_name ORDER BY month),
+            6) AS mom_growth
+    FROM m
+    """,
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per region — the first page of
+    any revenue dashboard: monthly decimal-exact revenue through the
+    region snowflake, each month's growth rate vs the previous month
+    (NULL for a region's first month, by definition). Revenue is a
+    DECIMAL partial sum rendered once to double, so the growth division
+    is bit-deterministic.
+
+    Scale shape: orders joins three broadcast dims (region/nation tiny;
+    customer broadcastable here, bucketed co-location at 100 TB), then
+    ONE (region, month) hash aggregate with map-side partials — the
+    only exchange. The lag window runs on |regions|·|months| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        cust.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("c_custkey", "r_name")
+    )
+    m = (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "r_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "r_name",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )

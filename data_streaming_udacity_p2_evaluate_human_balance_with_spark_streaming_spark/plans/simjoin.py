@@ -1459,3 +1459,156 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cross"),
         )
     )
+
+
+@register(
+    "link_prediction_scores",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS u, pb AS v FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    wedge AS (
+      SELECT s1.u AS a, s2.v AS b, s1.v AS z
+      FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
+    ),
+    cand AS (
+      SELECT w.a, w.b,
+        CAST(count(*) AS BIGINT) AS common_neighbors,
+        CAST(sum(1000000000000 // dz.d) AS BIGINT) AS ra_fp,
+        round(sum(1.0 / ln(dz.d)), 6) AS adamic_adar
+      FROM wedge w JOIN deg dz ON dz.u = w.z
+      GROUP BY w.a, w.b
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      ANTI JOIN e ON e.pa = c.a AND e.pb = c.b
+    ),
+    scored AS (
+      SELECT n.a AS part_a, n.b AS part_b, n.common_neighbors,
+        n.ra_fp, n.adamic_adar,
+        round(CAST(n.common_neighbors AS DOUBLE)
+              / (da.d + db.d - n.common_neighbors), 6) AS jaccard,
+        CAST(da.d * db.d AS BIGINT) AS pref_attach
+      FROM nonedge n
+      JOIN deg da ON da.u = n.a
+      JOIN deg db ON db.u = n.b
+    )
+    SELECT *, CAST(row_number() OVER (
+        ORDER BY ra_fp DESC, common_neighbors DESC, part_a, part_b
+      ) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: for every NON-edge
+    pair at distance 2, the four classic neighborhood scores — common
+    neighbors, Jaccard, resource allocation (Σ 1/deg z), preferential
+    attachment — ranked to a top-20 recommendation list ("parts bought
+    together by association, not yet co-bought"). The ranking key is
+    the resource-allocation index in FIXED-POINT: Σ (10^12 div deg z)
+    is a pure-integer sum (both engines' integer division), so the
+    top-20 cut is bit-deterministic across engines and partitionings;
+    Adamic-Adar (1/ln deg) rides along as a rounded display column
+    (a wedge center always has deg ≥ 2, so ln > 0).
+
+    Scale shape: same md5 4/16 node sample as the triangle/k-core
+    family (rate-based, SF-stable density). Wedges are generated once
+    from the symmetric edge list (Σ deg(z)² pairs — the hub-quadratic
+    every neighborhood method pays; at 100 TB the standard lever is
+    capping super-hub centers, whose 1/deg contribution is negligible,
+    before the wedge join). Candidate scoring is one (a,b) hash
+    aggregate; the anti-join against existing edges and the two degree
+    joins run on the candidate table (≤ wedge groups), and the final
+    rank window sees only that dimension-sized table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    sym = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedge = (
+        sym.alias("s1")
+        .join(sym.alias("s2"), F.col("s1.v") == F.col("s2.u"))
+        .filter(F.col("s1.u") < F.col("s2.v"))
+        .select(
+            F.col("s1.u").alias("a"),
+            F.col("s2.v").alias("b"),
+            F.col("s1.v").alias("z"),
+        )
+    )
+    cand = (
+        wedge.join(deg.withColumnRenamed("u", "z"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000000000L div d"))
+            .cast("long")
+            .alias("ra_fp"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    nonedge = cand.join(
+        e,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common_neighbors",
+            "ra_fp",
+            "adamic_adar",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("ra_fp"), F.desc("common_neighbors"), "part_a", "part_b"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )

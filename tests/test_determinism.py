@@ -67,15 +67,25 @@ SENSITIVE = [
     "top_event_paths_3step",
     "seasonal_naive_backtest",
     "abc_pareto_parts",
+    "chi_square_independence",
+    "ks_two_sample_sources",
+    "benford_first_digit",
+    "link_prediction_scores",
+    "rfm_segments",
+    "mom_revenue_growth",
 ]
 
 
 def _norm(v):
+    """Canonicalize to STRINGS so row tuples always sort (a NULLable
+    double column yields float/None mixes that Python can't compare)."""
+    if v is None:
+        return "\0NULL"
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
 
 
 def _rows(df):
