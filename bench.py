@@ -170,6 +170,16 @@ HEADLINE = [
     "order_sla_ship_delay",
     "seasonal_naive_backtest",
     "abc_pareto_parts",
+    "chi_square_independence",
+    "ks_two_sample_sources",
+    "benford_first_digit",
+    "link_prediction_scores",
+    "rfm_segments",
+    "mom_revenue_growth",
+    "kaplan_meier_retention",
+    "markov_stationary_events",
+    "readability_forcast",
+    "zipf_slope_by_source",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -1959,3 +1959,390 @@ def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    """
+    WITH first_ev AS (
+      SELECT user_id, event_type AS cohort
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) = 1
+    ),
+    per AS (
+      SELECT e.user_id, f.cohort,
+             CAST(min(e.ts) AS DATE) AS d0, CAST(max(e.ts) AS DATE) AS d1,
+             max(e.ts) AS t1
+      FROM events e JOIN first_ev f ON f.user_id = e.user_id
+      GROUP BY e.user_id, f.cohort
+    ),
+    lab AS (
+      SELECT cohort, CAST(date_diff('day', d0, d1) AS BIGINT) AS dur,
+        CASE WHEN t1 < max(t1) OVER () - INTERVAL 7 DAY THEN 1 ELSE 0 END
+          AS died
+      FROM per
+    ),
+    tab AS (
+      SELECT cohort, dur, CAST(sum(died) AS BIGINT) AS deaths,
+             CAST(count(*) AS BIGINT) AS ending
+      FROM lab GROUP BY cohort, dur
+    ),
+    risk AS (
+      SELECT cohort, dur, deaths,
+        CAST(sum(ending) OVER (PARTITION BY cohort ORDER BY dur DESC)
+             AS BIGINT) AS n_at_risk
+      FROM tab
+    )
+    SELECT cohort, dur, n_at_risk, deaths,
+      round(exp(sum(
+        CASE WHEN deaths = 0 THEN 0.0
+             WHEN deaths < n_at_risk
+               THEN ln(1 - CAST(deaths AS DOUBLE) / n_at_risk)
+             ELSE -1000.0 END
+      ) OVER (PARTITION BY cohort ORDER BY dur)), 6) AS survival
+    FROM risk
+    """,
+)
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curves, stratified by acquisition cohort
+    (the user's FIRST event type): per user, lifetime = days between
+    first and last event; a user whose last event precedes the table's
+    horizon by >7 quiet days "churned" (death) at that lifetime,
+    otherwise they are right-CENSORED — the estimator the naive
+    "% still active after N days" gets wrong by ignoring censoring.
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over realized lifetime days per
+    cohort, computed as exp of a running sum of log terms; d_i/n_i
+    divisions of integers are IEEE-exact, so the only cross-engine
+    slack is libm ln/exp ulps, absorbed by round 6. A day where
+    everyone remaining dies short-circuits to exp(−1000) = exact 0.0.
+
+    Scale shape: the first-event pick and the per-user min/max share
+    ONE user-keyed exchange (window + aggregate back-to-back); the
+    lifetime table is |cohorts|·|days-range| rows after the second
+    aggregate, and both the reverse-cumulative risk window and the
+    forward survival window run on that tiny table in one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_ev = (
+        ev.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("cohort"))
+    )
+    per = (
+        ev.join(first_ev, "user_id")
+        .groupBy("user_id", "cohort")
+        .agg(
+            F.min("ts").cast("date").alias("d0"),
+            F.max("ts").cast("date").alias("d1"),
+            F.max("ts").alias("t1"),
+        )
+    )
+    lab = per.select(
+        "cohort",
+        F.datediff("d1", "d0").cast("long").alias("dur"),
+        F.when(
+            F.col("t1")
+            < F.max("t1").over(Window.partitionBy(F.lit(1)))
+            - F.expr("INTERVAL 7 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("died"),
+    )
+    tab = lab.groupBy("cohort", "dur").agg(
+        F.sum("died").cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    risk = tab.select(
+        "cohort",
+        "dur",
+        "deaths",
+        F.sum("ending")
+        .over(Window.partitionBy("cohort").orderBy(F.desc("dur")))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    term = (
+        F.when(F.col("deaths") == 0, F.lit(0.0))
+        .when(
+            F.col("deaths") < F.col("n_at_risk"),
+            F.log(
+                1 - F.col("deaths").cast("double") / F.col("n_at_risk")
+            ),
+        )
+        .otherwise(F.lit(-1000.0))
+    )
+    return risk.select(
+        "cohort",
+        "dur",
+        "n_at_risk",
+        "deaths",
+        F.round(
+            F.exp(
+                F.sum(term).over(
+                    Window.partitionBy("cohort").orderBy("dur")
+                )
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+@register(
+    "markov_stationary_events",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS num
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    dn AS (SELECT cur, CAST(sum(num) AS BIGINT) AS den
+           FROM trans GROUP BY cur),
+    pe AS (
+      SELECT t.cur, t.nxt,
+             CAST((t.num * 1000000) // d.den AS BIGINT) AS pf
+      FROM trans t JOIN dn d ON d.cur = t.cur
+    ),
+    states AS (SELECT DISTINCT event_type FROM events),
+    it(i, s, p) AS (
+      SELECT 0, event_type,
+        CAST(1000000000000 // (SELECT count(*) FROM states) AS BIGINT)
+      FROM states
+      UNION ALL
+      SELECT d.i + 1, t.nxt,
+             CAST(sum((d.p * t.pf) // 1000000) AS BIGINT)
+      FROM it d JOIN pe t ON t.cur = d.s
+      WHERE d.i < 30
+      GROUP BY d.i + 1, t.nxt
+    )
+    SELECT s AS event_type, p AS p_fp,
+      round(CAST(p AS DOUBLE) / sum(p) OVER (), 6) AS stationary_prob
+    FROM it WHERE i = 30
+    """,
+)
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run fraction of traffic each event type attracts if
+    users keep behaving like today) — the summary number the raw
+    event_transition_matrix can't give. 30 power-iteration steps in
+    FIXED-POINT INTEGER arithmetic: edge probabilities are
+    (count·10^6) div row-total, each step's mass is Σ (p·pf) div 10^6 —
+    integer multiply/divide/sum only, so every step is bit-identical
+    across engines and partitionings (float matrix powers are
+    un-oracle-able: per-state sums depend on partition order). The
+    oracle runs the IDENTICAL recurrence as a recursive CTE (an
+    unrolled 30-CTE chain was tried first and planned EXPONENTIALLY in
+    DuckDB — each step re-inlines the edge subtree — >120 s vs ~50 ms
+    recursive).
+    Truncation leaks <1e-6 of mass per step, absorbed by the final
+    normalization. Overflow bound: p ≤ 10^12 and pf ≤ 10^6, so each
+    product ≤ 10^18 < 2^63 regardless of corpus size.
+
+    Scale shape: one user-keyed window + one (cur,nxt) aggregate build
+    the ≤|types|² edge table — the only corpus exchanges. The 30
+    iteration rounds run on |types|-row frames (localCheckpoint-ed per
+    round, pagerank's bounded-plan-depth discipline), costing 30 tiny
+    driver-scheduled jobs and zero corpus traffic."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("num")
+    )
+    dn = trans.groupBy("cur").agg(F.sum("num").cast("long").alias("den"))
+    pe = (
+        trans.join(dn, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.expr("CAST((num * 1000000L) div den AS BIGINT)").alias("pf"),
+        )
+        .localCheckpoint()
+    )
+    states = ev.select("event_type").distinct()
+    n_states = states.count()
+    dist = states.select(
+        F.col("event_type").alias("s"),
+        F.lit(1_000_000_000_000 // n_states).cast("long").alias("p"),
+    ).localCheckpoint()
+    last_ck = dist
+    for i in range(30):
+        dist = (
+            dist.join(pe, dist["s"] == pe["cur"])
+            .select(
+                F.col("nxt").alias("s2"),
+                F.expr("CAST((p * pf) div 1000000L AS BIGINT)").alias(
+                    "term"
+                ),
+            )
+            .groupBy("s2")
+            .agg(F.sum("term").cast("long").alias("p"))
+            .withColumnRenamed("s2", "s")
+        )
+        # checkpoint every 6 rounds: plan depth stays ≤ 6 tiny
+        # join+agg levels while eager materialization drops from 30
+        # jobs to 5 (each round is a |types|-row frame — the job
+        # scheduling, not the data, is the cost)
+        if (i + 1) % 6 == 0:
+            prev_ck, last_ck = last_ck, dist.localCheckpoint()
+            dist = last_ck
+            try:  # free the superseded checkpoint (CC discipline)
+                prev_ck._jdf.queryExecution().analyzed().rdd().unpersist(
+                    False
+                )
+            except Exception:
+                pass
+    total = Window.partitionBy(F.lit(1))
+    return dist.select(
+        F.col("s").alias("event_type"),
+        F.col("p").alias("p_fp"),
+        F.round(
+            F.col("p").cast("double") / F.sum("p").over(total), 6
+        ).alias("stationary_prob"),
+    )
+
+
+@register(
+    "readability_forcast",
+    """
+    WITH words AS (
+      SELECT d.source, w AS word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(w)
+      WHERE w <> ''
+    ),
+    scored AS (
+      SELECT source, length(word) AS wlen,
+        len(regexp_extract_all(word, '[aeiou]+')) AS syl
+      FROM words
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_words,
+      round(avg(CAST(wlen AS DOUBLE)), 6) AS avg_word_len,
+      round(avg(CAST(syl AS DOUBLE)), 6) AS avg_syllables,
+      round(CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS mono_frac,
+      round(20 - 15 * CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS forcast_grade
+    FROM scored GROUP BY source
+    """,
+)
+def q_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability per source — the one classic readability
+    formula that needs NO sentence boundaries (built for technical/
+    fragmentary text, which is exactly what scraped training corpora
+    look like after boilerplate stripping): grade = 20 − N/10 where N
+    is monosyllabic words per 150, i.e. 20 − 15·mono_frac. Syllables
+    are the standard vowel-group proxy (maximal [aeiou]+ runs per
+    word). All inputs are integer counts; the four output ratios are
+    single rounded divisions of exact integers, so cross-engine float
+    drift is impossible.
+
+    Scale shape: one token explode over the scan (the same cost class
+    as every tokenizing query here — no join, no second pass) feeding
+    a per-source partial aggregate; syllable counting is a per-token
+    JVM regexp, no Python boundary. The rollup output is |sources|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    scored = words.select(
+        "source",
+        F.length("word").alias("wlen"),
+        F.size(
+            F.regexp_extract_all("word", F.lit("([aeiou]+)"), 1)
+        ).alias("syl"),
+    )
+    mono = F.sum(F.when(F.col("syl") == 1, 1).otherwise(0)).cast("double")
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        cnt.cast("long").alias("n_words"),
+        F.round(F.avg(F.col("wlen").cast("double")), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(F.avg(F.col("syl").cast("double")), 6).alias(
+            "avg_syllables"
+        ),
+        F.round(mono / cnt, 6).alias("mono_frac"),
+        F.round(20 - 15 * mono / cnt, 6).alias("forcast_grade"),
+    )
+
+
+@register(
+    "zipf_slope_by_source",
+    """
+    WITH tf AS (
+      SELECT d.source, w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(w)
+      WHERE w <> ''
+      GROUP BY d.source, w
+    ),
+    ranked AS (
+      SELECT source,
+        ln(CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY freq DESC, word) AS DOUBLE))
+          AS x,
+        ln(CAST(freq AS DOUBLE)) AS y
+      FROM tf
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_types,
+      round((count(*) * sum(x * y) - sum(x) * sum(y))
+            / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+        AS zipf_slope,
+      round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                       / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                      * sum(x)) / count(*), 6) AS zipf_intercept
+    FROM ranked GROUP BY source
+    """,
+)
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over the source's term-frequency table — natural text sits near
+    slope −1; template/spam/generated text bends away, making the
+    slope a cheap corpus-health fingerprint (and its drift a
+    contamination alarm). The slope is computed from the closed-form
+    normal equations with explicit Σx, Σy, Σxy, Σx² (NOT the engines'
+    regr_slope, whose internal accumulation orders differ); the double
+    sums commute up to 1e-12 relative noise, absorbed by round 6;
+    ranks are total-ordered (freq desc, word) so x is identical on
+    both engines.
+
+    Scale shape: one token explode into a (source, word) hash
+    aggregate — the corpus exchange — then a source-keyed rank window
+    and a |sources|-row rollup over the term table (|vocab| rows,
+    bounded by vocabulary, not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("freq"), "word")
+    ranked = tf.select(
+        "source",
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )

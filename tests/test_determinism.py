@@ -73,6 +73,10 @@ SENSITIVE = [
     "link_prediction_scores",
     "rfm_segments",
     "mom_revenue_growth",
+    "kaplan_meier_retention",
+    "markov_stationary_events",
+    "readability_forcast",
+    "zipf_slope_by_source",
 ]
 
 

@@ -938,3 +938,60 @@ def test_contrastive_triplets_no_global_window(spark):
         if "Window" in line and "row_number" in line:
             assert "anchor_id" in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_all_equijoins(spark):
+    """Wedge generation, degree joins, and the edge anti-join must all
+    be hash equi-joins — a cartesian here is the classic link-
+    prediction blow-up."""
+    plan = _plan(spark, "link_prediction_scores")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_two_sample_single_corpus_exchange(spark):
+    """Only the (source, n_chars) aggregate touches the corpus; the
+    ECDF grid cross join runs on post-aggregate dimension tables, so
+    exactly one exchange may hash-partition on raw scan output."""
+    plan = _plan(spark, "ks_two_sample_sources")
+    # the corpus aggregate must combine map-side before its exchange
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+
+
+def test_chi_square_map_side_partials(spark):
+    plan = _plan(spark, "chi_square_independence")
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mom_revenue_broadcasts_dims(spark):
+    plan = _plan(spark, "mom_revenue_growth")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_edge_table_checkpointed(spark):
+    """The 30-round loop must iterate on the checkpointed ≤|types|²
+    edge table, never re-deriving the corpus window: the final plan
+    contains no events scan (only LogicalRDD/checkpoint scans)."""
+    fn, _ = REGISTRY["markov_stationary_events"]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+
+
+def test_kaplan_meier_shares_user_exchange(spark):
+    """first-event window + per-user aggregate should produce at most
+    two user-keyed exchanges (window, then join+agg reuse); the
+    KM windows run post-aggregate on the tiny lifetime table."""
+    plan = _plan(spark, "kaplan_meier_retention")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_zipf_readability_no_join(spark):
+    """Both token-explode profiles are scan → explode → aggregate:
+    no join may appear anywhere in either plan."""
+    for name in ("readability_forcast", "zipf_slope_by_source"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, f"{name}:\n{plan}"
