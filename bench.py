@@ -180,6 +180,9 @@ HEADLINE = [
     "markov_stationary_events",
     "readability_forcast",
     "zipf_slope_by_source",
+    "cube_event_profile",
+    "seasonality_autocorr",
+    "anova_value_by_type",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

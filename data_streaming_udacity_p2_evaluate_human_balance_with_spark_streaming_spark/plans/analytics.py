@@ -2346,3 +2346,208 @@ def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+
+@register(
+    "cube_event_profile",
+    """
+    SELECT event_type, dayofweek(ts) + 1 AS dow,
+      CAST(grouping(event_type) * 2 + grouping(dayofweek(ts) + 1)
+           AS BIGINT) AS gid,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6))
+           AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+    """,
+)
+def q_cube_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, day-of-week): all four
+    aggregation granularities — cell, per-type, per-day, grand total —
+    in ONE pass, with grouping() bits disambiguating a rolled-up NULL
+    from a data NULL (the correctness trap naive cube consumers hit).
+    Complements the existing ROLLUP query (rollup_region_nation) with
+    the full-lattice operator. Value totals are DECIMAL partial sums
+    rendered once to double.
+
+    Scale shape: Spark plans CUBE as a single Expand (4× row
+    multiplication) feeding one hash aggregate with map-side partials
+    — one exchange carrying partial aggregates, NOT four scans. Output
+    is ≤ (|types|+1)·8 rows."""
+    # Spark dayofweek: Sunday=1..7; DuckDB dayofweek: Sunday=0..6, so
+    # the oracle shifts by +1 (the chi_square_independence convention)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts")
+    )
+    return ev.cube("event_type", "dow").agg(
+        (F.grouping("event_type") * 2 + F.grouping("dow"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "seasonality_autocorr",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT a.event_type, l.lag_hours, a.n AS x, f.n AS y
+      FROM (VALUES (24), (168)) AS l(lag_hours)
+      JOIN hourly a ON TRUE
+      JOIN hourly f
+        ON f.event_type = a.event_type
+       AND f.h = a.h - to_hours(CAST(l.lag_hours AS BIGINT))
+    )
+    SELECT event_type, CAST(lag_hours AS BIGINT) AS lag_hours,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      round(
+        CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+               * CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                      AS DOUBLE)),
+        6) AS autocorr
+    FROM lagged GROUP BY event_type, lag_hours
+    """,
+)
+def q_seasonality_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic: Pearson autocorrelation of the
+    hourly volume series at daily (24 h) and weekly (168 h) lags, per
+    event type — the number that says whether seasonal_naive_backtest's
+    model is even applicable (r≈0 ⇒ no rhythm to exploit). All five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT
+    sums of integer hourly counts — the correlation is two exact
+    integers divided once at the end, so cross-engine float drift is
+    impossible. (At volumes where an hourly count squared would
+    overflow BIGINT — ~3e9/hour — swap the sums to DECIMAL(38,0);
+    the testdata and any realistic per-type hourly series are orders
+    of magnitude below.)
+
+    Scale shape: one (type, hour) corpus aggregate with map-side
+    partials; the lag self-joins and the final rollup run on the
+    |types|·|hours| hourly table, never the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lags = spark.createDataFrame([(24,), (168,)], ["lag_hours"]).select(
+        F.col("lag_hours").cast("long").alias("lag_hours")
+    )
+    shifted = hourly.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag_hours",
+        (
+            F.col("h")
+            + F.col("lag_hours")
+            * F.expr("INTERVAL 1 HOUR")
+        ).alias("h"),
+        F.col("n").alias("y"),
+    )
+    lagged = hourly.withColumnRenamed("n", "x").join(
+        shifted, ["event_type", "h"]
+    )
+    k = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    return lagged.groupBy("event_type", "lag_hours").agg(
+        k.cast("long").alias("n_pairs"),
+        F.round(
+            (k * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (k * sxx - sx * sx).cast("double")
+                * (k * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("autocorr"),
+    )
+
+
+@register(
+    "anova_value_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sx,
+        CAST(sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6))
+          AS sxx
+      FROM events GROUP BY event_type
+    ),
+    parts AS (
+      SELECT ng,
+        CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / ng AS sq_over_n
+      FROM g
+    )
+    SELECT
+      CAST(sum(ng) AS BIGINT) AS n,
+      CAST(count(*) AS BIGINT) AS k,
+      round(sum(sq_over_n) - sum(sx) * sum(sx) / sum(ng), 6) AS ssb,
+      round(sum(sxx) - sum(sq_over_n), 6) AS ssw,
+      CAST(count(*) - 1 AS BIGINT) AS df1,
+      CAST(sum(ng) - count(*) AS BIGINT) AS df2,
+      round(((sum(sq_over_n) - sum(sx) * sum(sx) / sum(ng))
+             / (count(*) - 1))
+            / ((sum(sxx) - sum(sq_over_n)) / (sum(ng) - count(*))),
+            6) AS f_stat,
+      round((sum(sq_over_n) - sum(sx) * sum(sx) / sum(ng))
+            / (sum(sxx) - sum(sx) * sum(sx) / sum(ng)), 6)
+        AS eta_squared
+    FROM parts
+    """,
+)
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event `value` across event types — the
+    continuous-outcome counterpart to chi_square_independence: F-stat
+    (between/within variance ratio) plus eta² effect size, the screen
+    for "does this metric actually differ by segment". Per-group Σx
+    and Σx² are DECIMAL(18,2)-exact partial sums (the engine's value
+    convention), so the corpus-side arithmetic is order-independent;
+    the SSB/SSW assembly runs in double on the ≤|types|-row group
+    table where every operand is already exact.
+
+    Scale shape: ONE hash aggregate over the scan (map-side partials)
+    producing |types| rows; everything after is driver-trivial. The
+    cheapest possible k-group hypothesis test at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(vd).cast("decimal(38,6)").alias("sx_d"),
+        F.sum(vd * vd).cast("decimal(38,6)").alias("sxx_d"),
+    )
+    parts = g.select(
+        "ng",
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("sxx_d").cast("double").alias("sxx"),
+        (
+            F.col("sx_d").cast("double")
+            * F.col("sx_d").cast("double")
+            / F.col("ng")
+        ).alias("sq_over_n"),
+    )
+    n, kk = F.sum("ng"), F.count(F.lit(1))
+    ssb = F.sum("sq_over_n") - F.sum("sx") * F.sum("sx") / n
+    ssw = F.sum("sxx") - F.sum("sq_over_n")
+    sst = F.sum("sxx") - F.sum("sx") * F.sum("sx") / n
+    return parts.agg(
+        n.cast("long").alias("n"),
+        kk.cast("long").alias("k"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        (kk - 1).cast("long").alias("df1"),
+        (n - kk).cast("long").alias("df2"),
+        F.round((ssb / (kk - 1)) / (ssw / (n - kk)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )

@@ -77,6 +77,9 @@ SENSITIVE = [
     "markov_stationary_events",
     "readability_forcast",
     "zipf_slope_by_source",
+    "cube_event_profile",
+    "seasonality_autocorr",
+    "anova_value_by_type",
 ]
 
 

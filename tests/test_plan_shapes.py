@@ -995,3 +995,27 @@ def test_zipf_readability_no_join(spark):
     for name in ("readability_forcast", "zipf_slope_by_source"):
         plan = _plan(spark, name)
         assert "Join" not in plan, f"{name}:\n{plan}"
+
+
+def test_cube_single_expand_single_exchange(spark):
+    """CUBE must plan as one Expand feeding one partial-agg exchange —
+    not four scans or four exchanges."""
+    plan = _plan(spark, "cube_event_profile")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+
+
+def test_anova_single_exchange(spark):
+    """One corpus aggregate; the SSB/SSW assembly is post-aggregate."""
+    plan = _plan(spark, "anova_value_by_type")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_seasonality_autocorr_broadcasts_lags(spark):
+    """The 2-row lag table must broadcast; the lag self-join runs on
+    the post-aggregate hourly table (equi-join, no cartesian on the
+    corpus)."""
+    plan = _plan(spark, "seasonality_autocorr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
