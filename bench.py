@@ -183,6 +183,9 @@ HEADLINE = [
     "cube_event_profile",
     "seasonality_autocorr",
     "anova_value_by_type",
+    "unpivot_event_matrix",
+    "loo_target_encoding",
+    "embedding_centroid_shift",
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

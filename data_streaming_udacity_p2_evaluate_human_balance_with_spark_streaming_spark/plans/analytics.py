@@ -2551,3 +2551,189 @@ def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (kk - 1)) / (ssw / (n - kk)), 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+@register(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click')    AS click,
+        count(*) FILTER (WHERE event_type = 'error')    AS error,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        count(*) FILTER (WHERE event_type = 'view')     AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+    WHERE n > 0
+    """,
+)
+def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) operator coverage: the per-user event-count
+    matrix pivoted WIDE and unpivoted back to long in one plan — the
+    wide→long reshaping every feature-matrix pipeline needs (the
+    existing pivot query covers long→wide; this closes the loop).
+    Zero-count cells are dropped (n > 0) so the round trip reproduces
+    exactly the realized (user, type) pairs.
+
+    Scale shape: the pivot is one user-keyed hash aggregate with an
+    explicit value list (no distinct-values pre-job); Spark's unpivot
+    is a narrow Expand on the aggregated |users|×5 table — no second
+    exchange, no join."""
+    from .queries import _EVENT_TYPES
+
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(t)
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+    return (
+        wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
+@register(
+    "loo_target_encoding",
+    """
+    WITH enc AS (
+      SELECT event_id, event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY event_type)
+             - CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)) AS loo_sum,
+        count(*) OVER (PARTITION BY event_type) - 1 AS loo_n
+      FROM events
+    )
+    SELECT event_id, event_type,
+      round(CAST(loo_sum AS DOUBLE) / loo_n, 6) AS loo_encoding
+    FROM enc
+    QUALIFY row_number() OVER (ORDER BY event_id) <= 100
+    """,
+)
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against `value` —
+    the standard high-cardinality-categorical feature for tabular
+    models, in its leakage-safe form: each row's encoding is the mean
+    target of its category EXCLUDING the row itself (plain category
+    means leak the row's own label into its feature; LOO is the
+    one-pass fix). The per-category sum is a DECIMAL(18,2) partial
+    aggregate, the row's own value is subtracted in decimal, and the
+    single double division happens last — bit-deterministic. First 100
+    event_ids returned as the certified sample.
+
+    Scale shape: one category-keyed window (sum + count share the
+    partition spec → one exchange) over the corpus; no join, no
+    second pass. The QUALIFY cut is for oracle-comparison size only —
+    the encoding itself streams out row-parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    wt = Window.partitionBy("event_type")
+    enc = ev.select(
+        "event_id",
+        "event_type",
+        (F.sum(vd).over(wt) - vd).cast("decimal(38,6)").alias("loo_sum"),
+        (F.count(F.lit(1)).over(wt) - 1).alias("loo_n"),
+    )
+    return (
+        enc.withColumn(
+            "rn", F.row_number().over(Window.orderBy("event_id"))
+        )
+        .filter(F.col("rn") <= 100)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.col("loo_sum").cast("double") / F.col("loo_n"), 6
+            ).alias("loo_encoding"),
+        )
+    )
+
+
+@register(
+    "embedding_centroid_shift",
+    """
+    WITH q AS (
+      SELECT e.label, t.pos,
+        CAST(round(e.embedding[t.pos] * 1000) AS BIGINT) AS qx
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(pos)
+    ),
+    per AS (
+      SELECT label, pos, CAST(sum(qx) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY label, pos
+    ),
+    gcent AS (
+      SELECT pos, CAST(sum(sq) AS BIGINT) AS gq,
+             CAST(sum(n) AS BIGINT) AS gn
+      FROM per GROUP BY pos
+    )
+    SELECT p.label, CAST(max(p.n) AS BIGINT) AS n_vectors,
+      round(sqrt(sum(
+        (CAST(p.sq AS DOUBLE) / p.n - CAST(g.gq AS DOUBLE) / g.gn)
+        * (CAST(p.sq AS DOUBLE) / p.n - CAST(g.gq AS DOUBLE) / g.gn)
+      )) / 1000, 6) AS centroid_shift
+    FROM per p JOIN gcent g ON g.pos = p.pos
+    GROUP BY p.label
+    """,
+)
+def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift: the L2 distance between each
+    label's centroid and the global centroid — the first diagnostic for
+    "is this class linearly separable at all / did the embedding space
+    move between snapshots". Float sums are partition-order-dependent,
+    so vectors are QUANTIZED to integer thousandths first (float32 →
+    double widening and round() are IEEE-exact and identical on both
+    engines); all corpus-side sums are then exact BIGINT, and the only
+    float math is |dims| exact-integer divisions and one sqrt on the
+    |labels|×|dims| table, absorbed by round 6.
+
+    Scale shape: one posexplode over the scan into a (label, pos) hash
+    aggregate — corpus exchange #1 and the only one; the global
+    centroid derives from the per-label sums (dimension-table sized),
+    and the final join+rollup is |labels|·|dims| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        # DuckDB's 1-based ordinality
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000)
+        .cast("long")
+        .alias("qx"),
+    )
+    per = q.groupBy("label", "pos").agg(
+        F.sum("qx").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = per.groupBy("pos").agg(
+        F.sum("sq").cast("long").alias("gq"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    d = (
+        F.col("sq").cast("double") / F.col("n")
+        - F.col("gq").cast("double") / F.col("gn")
+    )
+    return (
+        per.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.round(F.sqrt(F.sum(d * d)) / 1000, 6).alias(
+                "centroid_shift"
+            ),
+        )
+    )

@@ -196,7 +196,49 @@ def probe_sparse_cosine(n: int):
 PROBES["setsim_prefix_filter_pairs"] = probe_setsim
 PROBES["sparse_cosine_pairs"] = probe_sparse_cosine
 
+
+# r6 continuation 2: link prediction — the wedge join is Σ deg(z)² and
+# the family's quadratic risk; disjoint replicas keep per-copy degree
+# fixed, so the probe isolates scheduling/shuffle growth from wedge
+# blow-up (which would show superlinear immediately).
+def probe_linkpred(n: int):
+    e = _graph_n(n)
+    sym = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedge = (
+        sym.alias("s1")
+        .join(sym.alias("s2"), F.col("s1.v") == F.col("s2.u"))
+        .filter(F.col("s1.u") < F.col("s2.v"))
+        .select(
+            F.col("s1.u").alias("a"),
+            F.col("s2.v").alias("b"),
+            F.col("s1.v").alias("z"),
+        )
+    )
+    cand = (
+        wedge.join(deg.withColumnRenamed("u", "z"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.expr("1000000000000L div d")).cast("long").alias("ra_fp")
+        )
+    )
+    nonedge = cand.join(
+        e,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    return nonedge.count()
+
+
+PROBES["link_prediction_scores"] = probe_linkpred
+
 ns = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+# optional single-family run: PROBE_ONLY=link_prediction_scores
+_only = __import__("os").environ.get("PROBE_ONLY")
+if _only:
+    PROBES = {_only: PROBES[_only]}
 # warm the JVM/codegen once so N=1 isn't charged the session cold-start
 probe_minhash(1)
 for name, fn in PROBES.items():

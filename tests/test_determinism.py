@@ -80,6 +80,9 @@ SENSITIVE = [
     "cube_event_profile",
     "seasonality_autocorr",
     "anova_value_by_type",
+    "unpivot_event_matrix",
+    "loo_target_encoding",
+    "embedding_centroid_shift",
 ]
 
 

@@ -1019,3 +1019,31 @@ def test_seasonality_autocorr_broadcasts_lags(spark):
     plan = _plan(spark, "seasonality_autocorr")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_unpivot_is_narrow_expand(spark):
+    """Unpivot must plan as a narrow Expand on the aggregated wide
+    table — no exchange of its own, no join. (Spark's pivot itself
+    costs two exchanges: the (user,type) pre-count and the pivotfirst
+    re-key on user; the unpivot adds zero.)"""
+    plan = _plan(spark, "unpivot_event_matrix")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+
+
+def test_loo_encoding_single_window_exchange(spark):
+    """sum and count share the event_type partition spec: one
+    category-keyed exchange feeds both window functions."""
+    plan = _plan(spark, "loo_target_encoding")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan
+
+
+def test_centroid_shift_broadcasts_global(spark):
+    """The global-centroid table (|dims| rows) must broadcast onto the
+    per-label sums; the only corpus exchange is the (label,pos)
+    aggregate after posexplode."""
+    plan = _plan(spark, "embedding_centroid_shift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

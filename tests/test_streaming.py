@@ -1694,3 +1694,109 @@ def test_streaming_basket_rules_partials_equal_batch(spark, tmp_path):
     btotal = batch.agg(F.count(F.lit(1)).alias("n"))
     expected = finalize(bpairs, bitems, btotal)
     assert streamed == expected and len(streamed) > 5
+
+
+def test_streaming_chi_square_cells_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of chi_square_independence: the contingency
+    CELLS are plain mergeable counts, so per-window (type, dow) cell
+    counts from an append-mode watermarked aggregation, finalized by
+    summing cells and assembling the statistic in batch, must equal
+    the all-batch chi-square over the same rows — cells exactly
+    (integers), chi2/Cramér's V at round-6 (the digest/HLL partials
+    pattern applied to a drift monitor: ship windowed cells, alarm on
+    the finalized statistic)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": ["click", "view", "purchase", "error"][i % 4],
+            # spread across 3 calendar days -> >1 dow level
+            "ts": f"2024-01-{1 + i % 3:02d}T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "click",
+        "ts": "2024-01-05T00:00:00.000Z",
+    }
+    d = str(tmp_path / "chi_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"),
+        F.col("event_type"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("chi_cells_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def chi2_of(cells):
+        m = (
+            cells.withColumn(
+                "row_tot", F.sum("n").over(Window.partitionBy("event_type"))
+            )
+            .withColumn("col_tot", F.sum("n").over(Window.partitionBy("dow")))
+            .withColumn(
+                "big_n", F.sum("n").over(Window.partitionBy(F.lit(1)))
+            )
+        )
+        exp = (
+            F.col("row_tot").cast("double") * F.col("col_tot") / F.col("big_n")
+        )
+        term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+        return m.agg(F.round(F.sum(term), 6).alias("chi2")).collect()[0].chi2
+
+    # finalize: merge windowed cells (the sentinel's window never
+    # closed, so streamed cells cover exactly `rows`)
+    streamed_cells = (
+        spark.table("chi_cells_tbl")
+        .groupBy("event_type", "dow")
+        .agg(F.sum("n").alias("n"))
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["ts"]) for r in rows],
+        "event_id long, event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    batch_cells = batch.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    sc = {(r.event_type, r.dow): r.n for r in streamed_cells.collect()}
+    bc = {(r.event_type, r.dow): r.n for r in batch_cells.collect()}
+    assert sc == bc and sum(sc.values()) == 600
+    assert len({k[1] for k in sc}) >= 2  # >1 dow level: chi2 nontrivial
+    assert chi2_of(streamed_cells) == chi2_of(batch_cells)
+    # and the cells really were incremental: >1 window emitted
+    assert spark.table("chi_cells_tbl").select("win").distinct().count() >= 2
