@@ -186,6 +186,10 @@ HEADLINE = [
     "unpivot_event_matrix",
     "loo_target_encoding",
     "embedding_centroid_shift",
+    # pca_top_component intentionally excluded: 80 fixed-point power-
+    # iteration rounds are ~10 s of job-scheduling overhead at any SF
+    # (the same class as the LBFGS exclusion below) — its cost is
+    # measured by tests, not the query bench.
     # quality_classifier_scores intentionally excluded: it's model
     # TRAINING (15 LBFGS rounds ≈ 10 s of job-scheduling overhead at any
     # SF), not a query — benching it would drown the query signal.

@@ -2737,3 +2737,137 @@ def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pca_top_component",
+    """
+    WITH RECURSIVE q AS (
+      SELECT e.vec_id, t.pos,
+        CAST(round(e.embedding[t.pos] * 1000) AS BIGINT) AS qx
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(pos)
+    ),
+    c AS (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(a.qx * b.qx) AS BIGINT) AS s
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.pos, b.pos
+    ),
+    cw AS (SELECT i, j, s // 1000 AS w FROM c),
+    it(k, j, v) AS (
+      SELECT 0, i, CAST(1000000 AS BIGINT)
+      FROM (SELECT DISTINCT i FROM cw)
+      UNION ALL
+      SELECT k, j, (v * 1000000) // mx FROM (
+        SELECT d.k + 1 AS k, t.j AS j,
+               CAST(sum(t.w * d.v) AS BIGINT) AS v,
+               max(abs(CAST(sum(t.w * d.v) AS BIGINT))) OVER () AS mx
+        FROM it d JOIN cw t ON t.i = d.j
+        WHERE d.k < 80
+        GROUP BY d.k + 1, t.j
+      )
+    ),
+    vf AS (SELECT j, v FROM it WHERE k = 80),
+    ray AS (
+      SELECT round(
+        CAST((SELECT sum(CAST(va.v AS DECIMAL(38,0)) * c.s * vb.v)
+              FROM c JOIN vf va ON va.j = c.i
+                     JOIN vf vb ON vb.j = c.j) AS DOUBLE)
+        / CAST((SELECT sum(v * v) FROM vf) AS DOUBLE), 6) AS rayleigh
+    )
+    SELECT vf.j AS pos, vf.v AS v_fp,
+      round(CAST(vf.v AS DOUBLE) / 1000000, 6) AS loading,
+      ray.rayleigh
+    FROM vf, ray
+    """,
+)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (uncentered
+    PCA / leading Gram-matrix eigenvector) by 80 rounds of power
+    iteration in FIXED-POINT INTEGER arithmetic — the "what axis
+    dominates this embedding space" diagnostic, distributed. Vectors
+    quantize to integer thousandths; the dim×dim Gram matrix is an
+    exact BIGINT aggregate; each round is v′ = (C÷1000)·v followed by
+    integer max-abs renormalization to ±10^6 — multiply, floor-divide,
+    sum, max only, so all 80 rounds are bit-identical (the synthetic
+    embedding spectrum is nearly flat - eigengap ratio 0.93 - so the
+    0.93^k convergence needs ~80 rounds for 3-nines alignment; a real
+    corpus with a dominant direction converges in a handful) across engines
+    and partitionings (float power iteration is un-oracle-able). The
+    Rayleigh quotient vᵀCv/vᵀv (in DECIMAL(38,0) exact products)
+    reports the matching eigenvalue at the original ×10^6 scale.
+    Overflow budget: |C÷1000| ≤ 1.6e8 · |v| ≤ 1e6 · dim 64 ⇒ Σ ≤ 1e16.
+
+    Scale shape: the Gram build is the corpus stage — posexplode then
+    a self-equi-join on vec_id producing |vecs|·dim² product terms
+    into a (i,j) hash aggregate with map-side partials (at very large
+    dim, swap to a per-partition BLAS mapInPandas emitting partial
+    Grams; the recurrence downstream is unchanged). Iteration runs on
+    the checkpointed 64×64 table: 80 joins on 4096 rows, zero corpus
+    traffic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("qx"),
+    )
+    c = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
+        )
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("long").alias("s"))
+        .localCheckpoint()
+    )
+    cw = c.select("i", "j", F.expr("s div 1000").alias("w")).localCheckpoint()
+    v = (
+        cw.select(F.col("i").alias("j"))
+        .distinct()
+        .select("j", F.lit(1_000_000).cast("long").alias("v"))
+        .localCheckpoint()
+    )
+    for k in range(80):
+        nxt = (
+            cw.join(v.withColumnRenamed("j", "i"), "i")
+            .groupBy("j")
+            .agg(F.sum(F.col("w") * F.col("v")).cast("long").alias("vn"))
+            .withColumn(
+                "mx",
+                F.max(F.abs(F.col("vn"))).over(
+                    Window.partitionBy(F.lit(1))
+                ),
+            )
+            .select(
+                "j", F.expr("(vn * 1000000L) div mx").alias("v")
+            )
+        )
+        # bounded plan depth: checkpoint every 10 rounds (markov
+        # discipline — the frame is 64 rows; scheduling is the cost)
+        v = nxt.localCheckpoint() if (k + 1) % 10 == 0 else nxt
+    num = (
+        c.join(v.select(F.col("j").alias("i"), F.col("v").alias("va")), "i")
+        .join(v.select(F.col("j"), F.col("v").alias("vb")), "j")
+        .agg(
+            F.sum(
+                F.col("va").cast("decimal(38,0)")
+                * F.col("s")
+                * F.col("vb")
+            ).alias("num")
+        )
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("den"))
+    ray = num.crossJoin(F.broadcast(den)).select(
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("rayleigh")
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("j").alias("pos"),
+        F.col("v").alias("v_fp"),
+        F.round(F.col("v").cast("double") / 1_000_000, 6).alias("loading"),
+        "rayleigh",
+    )

@@ -83,6 +83,7 @@ SENSITIVE = [
     "unpivot_event_matrix",
     "loo_target_encoding",
     "embedding_centroid_shift",
+    "pca_top_component",
 ]
 
 

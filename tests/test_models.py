@@ -214,3 +214,43 @@ def test_quality_calibration_bins_invariants(spark):
             assert r.n_flagged == r.n, r
         elif r.logit_bin <= -1:
             assert r.n_flagged == 0, r
+
+
+def test_pca_top_component_matches_numpy_eigenvector(spark):
+    """The fixed-point power iterate must align with the TRUE leading
+    eigenvector of the quantized Gram matrix (numpy eigh, float64):
+    |cosine| >= 0.999, and the Rayleigh quotient within 0.1% of the
+    top eigenvalue — certifying the integer recurrence converges to
+    the right direction, not merely deterministically."""
+    import numpy as np
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["pca_top_component"][0](spark, sf).collect()
+    v = np.array(
+        [r.v_fp for r in sorted(rows, key=lambda r: r.pos)], dtype=np.float64
+    )
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.round(emb * 1000)
+    gram = q.T @ q
+    w, vecs = np.linalg.eigh(gram)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    # Rayleigh quotient vs the top eigenvalue of the quantized Gram
+    ray = rows[0].rayleigh
+    assert abs(ray - w.max()) / w.max() < 1e-3, (ray, w.max())
