@@ -186,6 +186,9 @@ HEADLINE = [
     "unpivot_event_matrix",
     "loo_target_encoding",
     "embedding_centroid_shift",
+    "last_touch_attribution",
+    "two_proportion_ztest",
+    "bigram_lm_perplexity",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -2871,3 +2871,294 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v").cast("double") / 1_000_000, 6).alias("loading"),
         "rayleigh",
     )
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH marked AS (
+      SELECT event_type, value, ts, user_id, event_id,
+        CASE WHEN event_type <> 'purchase' THEN event_type END
+          AS touch_type,
+        CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts
+      FROM events
+    ),
+    attrib AS (
+      SELECT event_type, value, ts,
+        last_value(touch_type IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS channel,
+        last_value(touch_ts IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS channel_ts
+      FROM marked
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+      CAST(count(*) AS BIGINT) AS n_purchases,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6))
+           AS DOUBLE) AS attributed_revenue
+    FROM attrib
+    WHERE event_type = 'purchase'
+      AND (channel_ts IS NULL
+           OR ts - channel_ts <= INTERVAL 1 HOUR)
+    GROUP BY 1
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits its
+    value to the user's most recent NON-purchase event within the
+    preceding hour (the marketing-standard attribution window);
+    purchases with no qualifying touch are 'direct'. The lookup is a
+    running last_value IGNORE NULLS over a 1-row-lagged frame — the
+    same single-exchange idiom as sensor_gap_interpolation, NOT a
+    range self-join. Revenue is a DECIMAL partial sum rendered once.
+
+    Scale shape: ONE user-keyed exchange feeds both windows (shared
+    partition+order spec); the attribution rollup is ≤|types|+1
+    groups. At 100 TB this is sessionization cost — the naive
+    per-purchase "latest event before t" join would be a range join
+    per purchase instead."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias(
+            "touch_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attrib = marked.select(
+        "event_type",
+        "value",
+        "ts",
+        F.last("touch_type", ignorenulls=True).over(w).alias("channel"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("channel_ts"),
+    )
+    return (
+        attrib.filter(
+            (F.col("event_type") == "purchase")
+            & (
+                F.col("channel_ts").isNull()
+                | (
+                    F.col("ts") - F.col("channel_ts")
+                    <= F.expr("INTERVAL 1 HOUR")
+                )
+            )
+        )
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
+    "two_proportion_ztest",
+    """
+    WITH conv AS (
+      SELECT user_id % 2 AS arm,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS x
+      FROM conv GROUP BY arm
+    )
+    SELECT
+      CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+      CAST(max(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+      CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+      CAST(max(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b,
+      round(CAST(max(CASE WHEN arm = 0 THEN x END) AS DOUBLE)
+            / max(CASE WHEN arm = 0 THEN n END), 6) AS p_a,
+      round(CAST(max(CASE WHEN arm = 1 THEN x END) AS DOUBLE)
+            / max(CASE WHEN arm = 1 THEN n END), 6) AS p_b,
+      round(
+        (CAST(max(CASE WHEN arm = 1 THEN x END) AS DOUBLE)
+           / max(CASE WHEN arm = 1 THEN n END)
+         - CAST(max(CASE WHEN arm = 0 THEN x END) AS DOUBLE)
+           / max(CASE WHEN arm = 0 THEN n END))
+        / sqrt(
+            (CAST(sum(x) AS DOUBLE) / sum(n))
+            * (1 - CAST(sum(x) AS DOUBLE) / sum(n))
+            * (1.0 / max(CASE WHEN arm = 0 THEN n END)
+               + 1.0 / max(CASE WHEN arm = 1 THEN n END))
+          ), 6) AS z_stat
+    FROM g
+    """,
+)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on USER-DAY conversion (a day with ≥1
+    purchase) between deterministic split arms (user_id parity — the
+    hash-split stand-in) — the pre-CUPED baseline readout every A/B
+    platform ships: pooled standard error, z statistic. The unit is
+    user-day, not user, because at this event density every user
+    eventually purchases (p=1 in both arms makes the pooled SE exactly
+    0 — found the hard way under ANSI mode's DIVIDE_BY_ZERO). All
+    counts are exact integers; the five output doubles are single
+    divisions/sqrt of exact integers at the very end — no float
+    accumulation anywhere.
+
+    Scale shape: one per-(user,day) aggregate over events (corpus
+    exchange), one 2-row arm rollup, one 1-row pivot. The cheapest
+    possible experiment readout; pairs with ab_test_cuped for the
+    variance-reduced version."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    g = conv.select(
+        (F.col("user_id") % 2).alias("arm"), "converted"
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    na = F.max(F.when(F.col("arm") == 0, F.col("n")))
+    xa = F.max(F.when(F.col("arm") == 0, F.col("x")))
+    nb = F.max(F.when(F.col("arm") == 1, F.col("n")))
+    xb = F.max(F.when(F.col("arm") == 1, F.col("x")))
+    pp = F.sum("x").cast("double") / F.sum("n")
+    return g.agg(
+        na.cast("long").alias("n_a"),
+        xa.cast("long").alias("x_a"),
+        nb.cast("long").alias("n_b"),
+        xb.cast("long").alias("x_b"),
+        F.round(xa.cast("double") / na, 6).alias("p_a"),
+        F.round(xb.cast("double") / nb, 6).alias("p_b"),
+        F.round(
+            (xb.cast("double") / nb - xa.cast("double") / na)
+            / F.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "bigram_lm_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+      FROM documents
+    ),
+    train_bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cb
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE is_train GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM train_bg GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT t[i]) AS BIGINT) AS v
+      FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+      WHERE is_train
+    ),
+    test_bg AS (
+      SELECT source, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE NOT is_train
+    )
+    SELECT s.source,
+      CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(exp(-sum(
+        ln((coalesce(b.cb, 0) + 1.0) / (coalesce(c.cu, 0) + vocab.v))
+      ) / count(*)), 6) AS perplexity
+    FROM test_bg s
+    LEFT JOIN train_bg b ON b.w1 = s.w1 AND b.w2 = s.w2
+    LEFT JOIN ctx c ON c.w1 = s.w1
+    CROSS JOIN vocab
+    GROUP BY s.source
+    """,
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per source — the classic cheap
+    quality/outlier score for pretraining corpora (the KenLM-filter
+    pattern): train an add-one-smoothed bigram LM on a deterministic
+    75% md5 doc split, score the held-out 25%, report per-source
+    perplexity exp(−mean ln P(w2|w1)). OOV contexts fall back to 1/V
+    automatically (both counts coalesce to 0). The doc-level split
+    makes it leakage-safe; all counts are exact integers and the only
+    float math is the per-bigram ln and the final exp, absorbed by
+    round 6.
+
+    Scale shape: two token explodes over the scan (train counts, test
+    scoring) — the corpus stages; the model is (bigram, count) +
+    (context, count) tables, joined to test bigrams as hash equi-joins
+    (broadcastable while vocab² stays dim-sized; bucketed at 100 TB).
+    The vocab size is a 1-row broadcast. No window, no sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "c"
+        ).alias("is_train"),
+    )
+    bg_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+        )
+    ).alias("bg")
+    train_bg = (
+        toks.filter("is_train")
+        .filter(F.size("t") >= 2)
+        .select(bg_expr)
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ctx = train_bg.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    vocab = (
+        toks.filter("is_train")
+        .select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    test_bg = (
+        toks.filter(~F.col("is_train"))
+        .filter(F.size("t") >= 2)
+        .select("source", bg_expr)
+        .select("source", "bg.w1", "bg.w2")
+    )
+    scored = (
+        test_bg.join(F.broadcast(train_bg), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    term = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.sum(term) / F.count(F.lit(1))), 6).alias(
+            "perplexity"
+        ),
+    )

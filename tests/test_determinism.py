@@ -84,6 +84,9 @@ SENSITIVE = [
     "loo_target_encoding",
     "embedding_centroid_shift",
     "pca_top_component",
+    "last_touch_attribution",
+    "two_proportion_ztest",
+    "bigram_lm_perplexity",
 ]
 
 

@@ -1047,3 +1047,20 @@ def test_centroid_shift_broadcasts_global(spark):
     plan = _plan(spark, "embedding_centroid_shift")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_last_touch_single_user_exchange(spark):
+    """Both IGNORE-NULLS windows share one user-keyed partition spec:
+    one corpus exchange, no self-join."""
+    plan = _plan(spark, "last_touch_attribution")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan
+
+
+def test_bigram_lm_broadcasts_model(spark):
+    """The bigram/context/vocab model tables broadcast onto the test
+    bigrams — scoring must not shuffle the test corpus."""
+    plan = _plan(spark, "bigram_lm_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
