@@ -189,6 +189,8 @@ HEADLINE = [
     "last_touch_attribution",
     "two_proportion_ztest",
     "bigram_lm_perplexity",
+    "transition_entropy_mi",
+    "decision_stump_split",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -3162,3 +3162,224 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity"
         ),
     )
+
+
+@register(
+    "transition_entropy_mi",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS num
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    dn AS (SELECT cur, CAST(sum(num) AS BIGINT) AS den
+           FROM trans GROUP BY cur),
+    tot AS (SELECT CAST(sum(num) AS BIGINT) AS t FROM trans),
+    hnext AS (
+      SELECT round(-sum(
+        (CAST(col AS DOUBLE) / t) * ln(CAST(col AS DOUBLE) / t)
+      ), 6) AS h_next
+      FROM (SELECT nxt, CAST(sum(num) AS BIGINT) AS col
+            FROM trans GROUP BY nxt), tot
+    ),
+    hcond AS (
+      SELECT tr.cur, dn.den,
+        round(-sum(
+          (CAST(tr.num AS DOUBLE) / dn.den)
+          * ln(CAST(tr.num AS DOUBLE) / dn.den)
+        ), 6) AS entropy_nats
+      FROM trans tr JOIN dn ON dn.cur = tr.cur
+      GROUP BY tr.cur, dn.den
+    ),
+    havg AS (
+      SELECT round(-sum(
+        (CAST(tr.num AS DOUBLE) / tot.t)
+        * ln(CAST(tr.num AS DOUBLE) / dn.den)
+      ), 6) AS h_cond
+      FROM trans tr JOIN dn ON dn.cur = tr.cur, tot
+    )
+    SELECT h.cur, CAST(h.den AS BIGINT) AS n_out, h.entropy_nats,
+      hnext.h_next, havg.h_cond,
+      round(hnext.h_next - havg.h_cond, 6) AS mutual_info
+    FROM hcond h, hnext, havg
+    """,
+)
+def q_transition_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information content of the behavioral chain: per-state next-event
+    entropy H(next|cur=s), the marginal next-event entropy H(next), the
+    average conditional entropy H(next|cur), and their difference — the
+    MUTUAL INFORMATION between consecutive events. MI ≈ 0 says the
+    event stream is memoryless (transition modeling is pointless);
+    high MI says sequence features carry signal. All probabilities are
+    exact-integer ratios; the ln/sum float work runs on the ≤|types|²
+    transition table, absorbed by round 6.
+
+    Scale shape: one user-keyed lead window + one (cur,nxt) aggregate —
+    the corpus exchanges (shared with event_transition_matrix /
+    markov_stationary_events); the three entropy rollups and the 1-row
+    broadcast joins all run on ≤|types|² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("num")
+    )
+    dn = trans.groupBy("cur").agg(F.sum("num").cast("long").alias("den"))
+    tot = trans.agg(F.sum("num").cast("long").alias("t"))
+    col = trans.groupBy("nxt").agg(F.sum("num").cast("long").alias("col"))
+    pn = F.col("col").cast("double") / F.col("t")
+    hnext = col.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(pn * F.log(pn)), 6).alias("h_next")
+    )
+    tr = trans.join(F.broadcast(dn), "cur")
+    pc = F.col("num").cast("double") / F.col("den")
+    hcond = tr.groupBy("cur", "den").agg(
+        F.round(-F.sum(pc * F.log(pc)), 6).alias("entropy_nats")
+    )
+    havg = (
+        tr.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("num").cast("double") / F.col("t"))
+                    * F.log(pc)
+                ),
+                6,
+            ).alias("h_cond")
+        )
+    )
+    return (
+        hcond.crossJoin(F.broadcast(hnext))
+        .crossJoin(F.broadcast(havg))
+        .select(
+            "cur",
+            F.col("den").cast("long").alias("n_out"),
+            "entropy_nats",
+            "h_next",
+            "h_cond",
+            F.round(F.col("h_next") - F.col("h_cond"), 6).alias(
+                "mutual_info"
+            ),
+        )
+    )
+
+
+@register(
+    "decision_stump_split",
+    """
+    WITH d AS (
+      SELECT n_chars AS x,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM d GROUP BY x
+    ),
+    cum AS (
+      SELECT x,
+        CAST(sum(n) OVER (ORDER BY x) AS BIGINT) AS nl,
+        CAST(sum(pos) OVER (ORDER BY x) AS BIGINT) AS pl,
+        CAST(sum(n) OVER () AS BIGINT) AS nt,
+        CAST(sum(pos) OVER () AS BIGINT) AS pt
+      FROM agg
+    ),
+    cand AS (
+      SELECT x AS threshold, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+      FROM cum WHERE nl < nt
+    ),
+    scored AS (
+      SELECT threshold, nl, nr,
+        ((((nl * 1000000) // nt)
+          * (((2 * pl * 1000000) // nl) * (((nl - pl) * 1000000) // nl)
+             // 1000000)) // 1000000)
+        + ((((nr * 1000000) // nt)
+          * (((2 * pr * 1000000) // nr) * (((nr - pr) * 1000000) // nr)
+             // 1000000)) // 1000000) AS gini_fp
+      FROM cand
+    )
+    SELECT threshold, nl AS n_left, nr AS n_right,
+      CAST(gini_fp AS BIGINT) AS gini_fp,
+      round(CAST(gini_fp AS DOUBLE) / 1000000000000, 6) AS gini,
+      CAST(row_number() OVER (ORDER BY gini_fp, threshold) AS BIGINT)
+        AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump learning: the 5 best binary splits of
+    doc length (x ≤ t) against the is-English label by weighted Gini
+    impurity — the inner loop of every distributed tree learner
+    (XGBoost/LightGBM histogram building), done EXACTLY. Binary Gini
+    reduces to 2pq per side; the weighted impurity is assembled in
+    staged ×10^6 FIXED-POINT integer arithmetic where every
+    intermediate is ≤ 2·10^18 REGARDLESS of corpus size (each factor
+    is first floor-divided to ≤10^6 before multiplying — no n² terms),
+    so candidate ranking is bit-deterministic across engines and
+    partitionings at any scale.
+
+    Scale shape: one (x) hash aggregate over the scan (map-side
+    partials) — the corpus exchange; the cumulative-count windows and
+    the rank run over |distinct x| rows (the feature's value domain,
+    corpus-independent). The same shape batched over F features is
+    the histogram pass of GBDT training."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    agg = d.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wo = Window.orderBy("x")
+    wt = Window.partitionBy(F.lit(1))
+    cum = agg.select(
+        "x",
+        F.sum("n").over(wo).cast("long").alias("nl"),
+        F.sum("pos").over(wo).cast("long").alias("pl"),
+        F.sum("n").over(wt).cast("long").alias("nt"),
+        F.sum("pos").over(wt).cast("long").alias("pt"),
+    )
+    cand = cum.filter(F.col("nl") < F.col("nt")).select(
+        F.col("x").alias("threshold"),
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        "nt",
+    )
+    scored = cand.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.expr(
+            "(((nl * 1000000) div nt)"
+            " * (((2 * pl * 1000000) div nl)"
+            "    * (((nl - pl) * 1000000) div nl) div 1000000)"
+            " div 1000000)"
+            " + (((nr * 1000000) div nt)"
+            " * (((2 * pr * 1000000) div nr)"
+            "    * (((nr - pr) * 1000000) div nr) div 1000000)"
+            " div 1000000)"
+        )
+        .cast("long")
+        .alias("gini_fp"),
+    )
+    w = Window.orderBy("gini_fp", "threshold")
+    return scored.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_fp",
+        F.round(F.col("gini_fp").cast("double") / 1e12, 6).alias("gini"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 5)

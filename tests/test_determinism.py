@@ -87,6 +87,8 @@ SENSITIVE = [
     "last_touch_attribution",
     "two_proportion_ztest",
     "bigram_lm_perplexity",
+    "transition_entropy_mi",
+    "decision_stump_split",
 ]
 
 

@@ -1064,3 +1064,19 @@ def test_bigram_lm_broadcasts_model(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decision_stump_single_corpus_exchange(spark):
+    """One (x) aggregate touches the corpus; the cumulative windows and
+    rank run on the value-domain table."""
+    plan = _plan(spark, "decision_stump_split")
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+    assert "Join" not in plan
+
+
+def test_transition_entropy_broadcast_only_joins(spark):
+    """All joins are 1-row / |types|-row broadcasts onto the tiny
+    transition table — never a shuffle join."""
+    plan = _plan(spark, "transition_entropy_mi")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
