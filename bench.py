@@ -191,6 +191,7 @@ HEADLINE = [
     "bigram_lm_perplexity",
     "transition_entropy_mi",
     "decision_stump_split",
+    "label_centroid_similarity",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -3383,3 +3383,99 @@ def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("gini_fp").cast("double") / 1e12, 6).alias("gini"),
         F.row_number().over(w).cast("long").alias("rank"),
     ).filter(F.col("rank") <= 5)
+
+
+@register(
+    "label_centroid_similarity",
+    """
+    WITH q AS (
+      SELECT e.label, t.pos,
+        CAST(round(e.embedding[t.pos] * 1000) AS BIGINT) AS qx
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(pos)
+    ),
+    per AS (
+      SELECT label, pos, CAST(sum(qx) AS BIGINT) AS sq
+      FROM q GROUP BY label, pos
+    ),
+    norms AS (
+      SELECT label, CAST(sum(sq * sq) AS BIGINT) AS n2
+      FROM per GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.sq * b.sq) AS BIGINT) AS dot
+      FROM per a JOIN per b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, d.dot,
+      round(CAST(d.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+            6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability matrix (labels whose centroids
+    nearly coincide are what the classifier will mix up, and what
+    semdedup-style pruning treats as one region). Centroid cosine
+    equals the cosine of per-label SUM vectors (the 1/n factors
+    cancel), so with thousandths quantization every dot product and
+    norm is an EXACT BIGINT — the single rounded division at the end
+    is the only float op. Quantization bound: |Σqx| ≤ 10^3·n per cell
+    keeps sums within BIGINT to ~10^12 vectors per label.
+
+    Scale shape: one posexplode into a (label,pos) aggregate — the
+    corpus exchange; dots/norms are self-joins of the |labels|·|dims|
+    sum table (dimension-sized at any corpus scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("qx"),
+    )
+    per = q.groupBy("label", "pos").agg(
+        F.sum("qx").cast("long").alias("sq")
+    )
+    norms = per.groupBy("label").agg(
+        F.sum(F.col("sq") * F.col("sq")).cast("long").alias("n2")
+    )
+    a = per.select(
+        F.col("label").alias("label_a"), "pos", F.col("sq").alias("sa")
+    )
+    b = per.select(
+        F.col("label").alias("label_b"), "pos", F.col("sq").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -89,6 +89,7 @@ SENSITIVE = [
     "bigram_lm_perplexity",
     "transition_entropy_mi",
     "decision_stump_split",
+    "label_centroid_similarity",
 ]
 
 
