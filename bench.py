@@ -192,6 +192,8 @@ HEADLINE = [
     "transition_entropy_mi",
     "decision_stump_split",
     "label_centroid_similarity",
+    "cusum_changepoint",
+    "seasonal_strength_eta",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -3479,3 +3479,153 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, h, x,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+             AS BIGINT) AS t,
+        CAST(sum(x) OVER (PARTITION BY event_type ORDER BY h)
+             AS BIGINT) AS prefix,
+        CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, h, n,
+        abs(n * prefix - t * tot) AS cusum_n
+      FROM pre
+    )
+    SELECT event_type, h AS change_hour, n AS n_hours,
+      CAST(cusum_n AS BIGINT) AS cusum_peak_n,
+      round(CAST(cusum_n AS DOUBLE) / n, 6) AS cusum_peak
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY cusum_n DESC, h) = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly volume series, per
+    event type: the hour t maximizing |S_t| where S_t = Σ_{i≤t}(x_i−x̄)
+    — the standard "when did the level shift" estimator. Scaled by n:
+    n·S_t = n·prefix_t − t·total is EXACT INTEGER, so the peak and its
+    argmax (tie-broken by hour) are bit-deterministic across engines —
+    no float mean subtraction anywhere; the reported peak magnitude is
+    one final division.
+
+    Scale shape: one (type,hour) corpus aggregate; the prefix/total
+    windows and the per-type argmax run on the |types|·|hours| hourly
+    table in one type-keyed sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wt = Window.partitionBy("event_type")
+    pre = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("x").over(wo).cast("long").alias("prefix"),
+        F.sum("x").over(wt).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+    )
+    scored = pre.select(
+        "event_type",
+        "h",
+        "n",
+        F.abs(
+            F.col("n") * F.col("prefix") - F.col("t") * F.col("tot")
+        ).alias("cusum_n"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum_n"), "h"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.col("n").alias("n_hours"),
+            F.col("cusum_n").cast("long").alias("cusum_peak_n"),
+            F.round(F.col("cusum_n").cast("double") / F.col("n"), 6).alias(
+                "cusum_peak"
+            ),
+        )
+    )
+
+
+@register(
+    "seasonal_strength_eta",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+        date_trunc('hour', ts) AS h,
+        (dayofweek(ts) * 24 + hour(ts)) AS how,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, how,
+        CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(x) AS BIGINT) AS sx,
+        CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM hourly GROUP BY event_type, how
+    )
+    SELECT event_type,
+      CAST(sum(ng) AS BIGINT) AS n_hours,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      round(
+        (sum(CAST(sx AS DOUBLE) * sx / ng)
+         - CAST(sum(sx) AS DOUBLE) * sum(sx) / sum(ng))
+        / (sum(sxx)
+           - CAST(sum(sx) AS DOUBLE) * sum(sx) / sum(ng)), 6)
+        AS seasonal_eta2
+    FROM g GROUP BY event_type
+    """,
+)
+def q_seasonal_strength_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength as variance explained: per event type, the
+    eta² of the hour-of-week profile over the hourly volume series
+    (one-way ANOVA of counts grouped by the 168 weekly slots) — the
+    model-free counterpart to seasonality_autocorr: eta² ≈ 1 says a
+    weekly profile explains the series (seasonal_naive will work);
+    eta² ≈ 0 says volume is rhythm-free. All sufficient statistics are
+    exact BIGINT (integer hourly counts); the assembly is three exact
+    divisions on the ≤|types|·168 group table.
+
+    Scale shape: one (type,hour) corpus aggregate, one (type,slot)
+    rollup of that table, one |types|-row output. Two map-side-partial
+    exchanges of dimension-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).alias("how"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    g = hourly.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ssb_num = F.sum(
+        F.col("sx").cast("double") * F.col("sx") / F.col("ng")
+    ) - F.sum("sx").cast("double") * F.sum("sx") / F.sum("ng")
+    sst = (
+        F.sum("sxx")
+        - F.sum("sx").cast("double") * F.sum("sx") / F.sum("ng")
+    )
+    return g.groupBy("event_type").agg(
+        F.sum("ng").cast("long").alias("n_hours"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(ssb_num / sst, 6).alias("seasonal_eta2"),
+    )

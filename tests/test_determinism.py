@@ -90,6 +90,8 @@ SENSITIVE = [
     "transition_entropy_mi",
     "decision_stump_split",
     "label_centroid_similarity",
+    "cusum_changepoint",
+    "seasonal_strength_eta",
 ]
 
 
