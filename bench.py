@@ -194,6 +194,8 @@ HEADLINE = [
     "label_centroid_similarity",
     "cusum_changepoint",
     "seasonal_strength_eta",
+    "bitmap_intersect_users",
+    "peak_concurrency",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -3629,3 +3629,162 @@ def q_seasonal_strength_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.round(ssb_num / sst, 6).alias("seasonal_eta2"),
     )
+
+
+@register(
+    "bitmap_intersect_users",
+    """
+    WITH words AS (
+      SELECT event_type, user_id // 32 AS w,
+        CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS BIGINT)
+          AS bits
+      FROM events GROUP BY event_type, user_id // 32
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+      CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_common_users
+    FROM words a
+    JOIN words b ON a.w = b.w AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_bitmap_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix via BITMAP INDEX arithmetic: per
+    event type, the distinct-user set is packed into 32-bit words
+    (bit_or of 1<<(id mod 32) grouped by id div 32 — the roaring-bitmap
+    layout in plain SQL; 32-bit lanes because a set bit 63 overflows
+    DuckDB's CHECKED signed shift while Spark wraps silently — found
+    cross-engine), and every pairwise intersection cardinality
+    is popcount(AND) summed over co-located words. This is how
+    warehouse engines answer N² segment-overlap questions without N²
+    distinct-counting passes: the corpus is read ONCE, the pairwise
+    work runs on |types|·|users|/64 words. Exact counterpart to the
+    KMV sketch estimate (kmv_type_user_overlap).
+
+    Scale shape: one (type, word) aggregate over the scan (map-side
+    bit_or partials — bit_or is commutative/associative, so partition
+    order is irrelevant); the pair join is word-aligned equi-join on
+    the packed table, 32× smaller than the id list."""
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+        )
+        .cast("long")
+        .alias("bits")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("bits").alias("bb")
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("long")
+            .alias("n_common_users")
+        )
+    )
+
+
+@register(
+    "peak_concurrency",
+    """
+    WITH sess AS (
+      SELECT user_id, min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+      FROM (
+        SELECT user_id, ts,
+          sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM (
+          SELECT user_id, ts, event_id,
+            date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS gap
+          FROM events
+        )
+      ) GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM sess
+    ),
+    sweep AS (
+      SELECT t, CAST(sum(sum(d)) OVER (ORDER BY t) AS BIGINT)
+        AS concurrency
+      FROM deltas GROUP BY t
+    )
+    SELECT t AS peak_start, concurrency AS peak_concurrency,
+      (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM sweep
+    QUALIFY row_number() OVER (ORDER BY concurrency DESC, t) = 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions by SWEEP-LINE: gap-30min sessionization
+    per user, then +1/−1 deltas at session starts/ends (end = last
+    event + 30 min), a time-ordered running sum, and the argmax — the
+    capacity-planning number ("how many users are on AT ONCE") that
+    per-hour counts systematically underestimate. All integers; ties
+    broken by earliest time. Ends are closed at start instants by
+    summing per-timestamp deltas BEFORE the running sum, so a session
+    ending exactly when another starts never yields a phantom dip.
+
+    Scale shape: one user-keyed exchange for sessionization, then the
+    sweep runs on 2·|sessions| delta rows — a single global sort of
+    session endpoints (range-partitioned sort at scale), not of
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(wu))
+        ).alias("gap"),
+    )
+    sess = (
+        gaps.withColumn(
+            "sid",
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > 1800), 1
+                ).otherwise(0)
+            ).over(wu),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        )
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    sweep = per_t.select(
+        "t",
+        F.sum("dd").over(Window.orderBy("t")).cast("long").alias(
+            "concurrency"
+        ),
+    )
+    n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("concurrency"), "t")
+    return (
+        sweep.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("t").alias("peak_start"),
+            F.col("concurrency").alias("peak_concurrency"),
+            "n_sessions",
+        )
+    )

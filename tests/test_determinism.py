@@ -92,6 +92,8 @@ SENSITIVE = [
     "label_centroid_similarity",
     "cusum_changepoint",
     "seasonal_strength_eta",
+    "bitmap_intersect_users",
+    "peak_concurrency",
 ]
 
 
