@@ -196,6 +196,8 @@ HEADLINE = [
     "seasonal_strength_eta",
     "bitmap_intersect_users",
     "peak_concurrency",
+    "growth_accounting_dau",
+    "degree_powerlaw_mle",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

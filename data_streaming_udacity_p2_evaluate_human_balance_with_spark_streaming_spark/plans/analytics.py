@@ -3788,3 +3788,200 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+@register(
+    "growth_accounting_dau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+        lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ud
+    ),
+    flows AS (
+      SELECT d,
+        CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(sum(CASE WHEN prev_d = d - INTERVAL 1 DAY THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_retained,
+        CAST(sum(CASE WHEN prev_d IS NOT NULL
+                       AND prev_d < d - INTERVAL 1 DAY THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_resurrected,
+        CAST(count(*) AS BIGINT) AS dau
+      FROM seq GROUP BY d
+    ),
+    churn AS (
+      SELECT d + INTERVAL 1 DAY AS d, CAST(count(*) AS BIGINT) AS n_churned
+      FROM (
+        SELECT user_id, d,
+          lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM ud
+      )
+      WHERE next_d IS NULL OR next_d > d + INTERVAL 1 DAY
+      GROUP BY d + INTERVAL 1 DAY
+    )
+    SELECT CAST(f.d AS DATE) AS day, f.dau, f.n_new, f.n_retained,
+      f.n_resurrected, coalesce(c.n_churned, 0) AS n_churned
+    FROM flows f LEFT JOIN churn c ON c.d = f.d
+    """,
+)
+def q_growth_accounting_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital framework): every day's
+    DAU decomposed into NEW (first day ever), RETAINED (active
+    yesterday), RESURRECTED (returning after a gap), plus CHURNED
+    (active yesterday, not today) — the identity DAU_t = new_t +
+    retained_t + resurrected_t and DAU_t − DAU_{t−1} = new + resurrected
+    − churned that every growth dashboard is built on. All exact
+    integer counts on the distinct (user, day) activity table.
+
+    Scale shape: one distinct (user,day) aggregate over events, then
+    lag AND lead share one user-keyed sort (same window spec); the
+    per-day rollups and the 1-day-offset left join run on |days|-sized
+    frames. Churn for day d is derived from day d−1's rows, so no
+    full-calendar spine or self-join of activity is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    seq = ud.select(
+        "user_id",
+        "d",
+        F.lag("d").over(wu).alias("prev_d"),
+        F.lead("d").over(wu).alias("next_d"),
+    )
+    flows = seq.groupBy("d").agg(
+        F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("prev_d") == F.date_sub(F.col("d"), 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub(F.col("d"), 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("dau"),
+    )
+    churn = (
+        seq.filter(
+            F.col("next_d").isNull()
+            | (F.col("next_d") > F.date_add(F.col("d"), 1))
+        )
+        .groupBy(F.date_add(F.col("d"), 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        flows.join(F.broadcast(churn), "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+@register(
+    "degree_powerlaw_mle",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pa AS u FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY u
+    ),
+    mn AS (SELECT CAST(min(d) AS BIGINT) AS dmin FROM deg)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_nodes,
+      CAST(max(mn.dmin) AS BIGINT) AS d_min,
+      CAST(max(d) AS BIGINT) AS d_max,
+      round(avg(CAST(d AS DOUBLE)), 6) AS d_mean,
+      round(1 + count(*) /
+        sum(ln(CAST(d AS DOUBLE) / (mn.dmin - 0.5))), 6)
+        AS alpha_mle
+    FROM deg, mn GROUP BY mn.dmin
+    """,
+)
+def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit for the co-purchase graph:
+    the Clauset–Shalizi–Newman discrete MLE α = 1 + n/Σ ln(d/(dmin−½))
+    plus the degree summary — the one-row answer to "is this graph
+    scale-free enough that hub-aware strategies (salting, hub capping,
+    degree-ordered wedges) matter". The ln-sum is the only float
+    accumulation (|V| terms, magnitude ~1), absorbed by round 6;
+    every other statistic is exact integer.
+
+    Scale shape: the standard md5-sampled edge build (shared with the
+    triangle/k-core/PageRank family), a per-node degree aggregate, a
+    1-row min broadcast, and a single |V|-row rollup."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("u"))
+        .unionAll(e.select(F.col("pb").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    mn = deg.agg(F.min("d").cast("long").alias("dmin"))
+    j = deg.crossJoin(F.broadcast(mn))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("dmin").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(F.avg(F.col("d").cast("double")), 6).alias("d_mean"),
+        F.round(
+            1
+            + F.count(F.lit(1))
+            / F.sum(
+                F.log(
+                    F.col("d").cast("double") / (F.col("dmin") - 0.5)
+                )
+            ),
+            6,
+        ).alias("alpha_mle"),
+    )

@@ -94,6 +94,8 @@ SENSITIVE = [
     "seasonal_strength_eta",
     "bitmap_intersect_users",
     "peak_concurrency",
+    "growth_accounting_dau",
+    "degree_powerlaw_mle",
 ]
 
 
