@@ -3985,3 +3985,69 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha_mle"),
     )
+
+
+@register(
+    "skyline_pareto_docs",
+    """
+    WITH pts AS (
+      SELECT doc_id, n_chars AS x,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, x, y,
+        max(y) OVER (ORDER BY x
+                     RANGE BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS best_above,
+        max(y) OVER (PARTITION BY x) AS best_same_x
+      FROM pts
+    )
+    SELECT doc_id, x AS n_chars, y AS n_distinct_tokens
+    FROM ranked
+    WHERE (best_above IS NULL OR y > best_above) AND y = best_same_x
+    """,
+)
+def q_skyline_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator: documents not strictly
+    dominated on (length, vocabulary richness) — the multi-criteria
+    "best documents" cut that no single score captures (a doc survives
+    iff nothing is ≥ on both axes and > on one). The classic sort-based
+    reduction: a point survives iff its y strictly beats the best y
+    among all strictly-larger x (RANGE 1 FOLLOWING → UNBOUNDED window
+    over integer x) AND ties the best y at its own x — no O(n²)
+    NOT-EXISTS self-join. All-integer comparisons: the frontier is
+    bit-deterministic.
+
+    Scale shape: one scan computing (x, y) per doc, one global
+    range-sort on x shared by BOTH windows (same ordering key — one
+    exchange; range-partitioned sort at scale). The dominance test is
+    two window lookups per row, linear after the sort, vs the naive
+    quadratic skyline join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    w_above = (
+        Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("x")
+    ranked = pts.select(
+        "doc_id",
+        "x",
+        "y",
+        F.max("y").over(w_above).alias("best_above"),
+        F.max("y").over(w_same).alias("best_same_x"),
+    )
+    return ranked.filter(
+        (F.col("best_above").isNull() | (F.col("y") > F.col("best_above")))
+        & (F.col("y") == F.col("best_same_x"))
+    ).select(
+        "doc_id",
+        F.col("x").alias("n_chars"),
+        F.col("y").alias("n_distinct_tokens"),
+    )

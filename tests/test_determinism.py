@@ -96,6 +96,7 @@ SENSITIVE = [
     "peak_concurrency",
     "growth_accounting_dau",
     "degree_powerlaw_mle",
+    "skyline_pareto_docs",
 ]
 
 
