@@ -293,3 +293,48 @@ def _names(order: list[Column | str]) -> list[str]:
                 "tie-aware rank functions need plain column names in `order`"
             )
     return list(order)
+
+
+def global_max_over_greater(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    out_col: str = "_max_over_greater",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """For each row, MAX(value) over all rows with STRICTLY GREATER
+    `key` (NULL if none) — the sort-based skyline/Pareto primitive —
+    without a single-partition window. Two-pass like global_row_number:
+    a per-range-partition suffix max (RANGE 1 FOLLOWING → UNBOUNDED on
+    the numeric key, so equal keys never see each other) plus a
+    broadcast triangular join over per-partition maxima. Correctness
+    rests on RangePartitioner placing equal keys in ONE partition:
+    every row in a higher partition has a strictly greater key, so
+    greatest(local suffix max, higher-partition max) is exact."""
+    rp = _pin(
+        (
+            df.repartitionByRange(num_partitions, F.col(key))
+            if num_partitions
+            else df.repartitionByRange(F.col(key))
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    local = rp.withColumn(
+        "_lmax",
+        F.max(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(key)
+            .rangeBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    totals = rp.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") > F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._pmax").alias("_hmax"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest("_lmax", "_hmax"))
+        .drop("_pid", "_lmax", "_hmax")
+    )

@@ -1841,11 +1841,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary is a DECIMAL(18,2) partial sum rendered once to double.
 
     Scale shape: one per-customer aggregate over orders (the only
-    corpus exchange). The three ntile windows are global-sort windows
-    over the per-customer table — at 100 TB that table is |customers|
-    rows and a single-range-partitioned sort each (or swap ntile for a
-    percentile_approx cut to avoid the global sort entirely, trading
-    exactness); the final rollup sees ≤ 125 cells."""
+    corpus exchange). The three quintile assignments use the engine's
+    TWO-PASS global_ntile (operators/ranking.py — range partition +
+    local row_number + broadcast offsets), never a no-partition ntile
+    window: the |customers| table is range-partition-sorted, not
+    single-tasked. The table max is a 1-row broadcast, and the final
+    rollup sees ≤ 125 cells."""
+    from ..operators.ranking import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").cast("date").alias("last_order"),
@@ -1855,31 +1858,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    rec = per.withColumn(
+    gmax = per.agg(F.max("last_order").alias("gmax"))
+    rec = per.crossJoin(F.broadcast(gmax)).withColumn(
         "recency_days",
-        F.datediff(
-            F.max("last_order").over(Window.partitionBy(F.lit(1))),
-            F.col("last_order"),
-        ).cast("long"),
+        F.datediff(F.col("gmax"), F.col("last_order")).cast("long"),
     )
-    scored = rec.select(
+    r = global_ntile(rec, ["recency_days", "o_custkey"], 5, "r_t")
+    r = global_ntile(r, ["frequency", "o_custkey"], 5, "f_t")
+    r = global_ntile(r, ["monetary", "o_custkey"], 5, "m_t")
+    scored = r.select(
         "recency_days",
         "frequency",
         "monetary",
-        (
-            F.lit(6)
-            - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-        )
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .cast("long")
-        .alias("m_score"),
+        (F.lit(6) - F.col("r_t")).cast("long").alias("r_score"),
+        F.col("f_t").cast("long").alias("f_score"),
+        F.col("m_t").cast("long").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -2635,8 +2628,9 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one category-keyed window (sum + count share the
     partition spec → one exchange) over the corpus; no join, no
-    second pass. The QUALIFY cut is for oracle-comparison size only —
-    the encoding itself streams out row-parallel."""
+    second pass. The sample cut is orderBy(event_id).limit(100) —
+    TakeOrderedAndProject, never a no-partition row_number window; the
+    encoding itself streams out row-parallel."""
     ev = load_table(spark, sf_dir, "events")
     vd = F.col("value").cast("decimal(18,2)")
     wt = Window.partitionBy("event_type")
@@ -2647,10 +2641,8 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).over(wt) - 1).alias("loo_n"),
     )
     return (
-        enc.withColumn(
-            "rn", F.row_number().over(Window.orderBy("event_id"))
-        )
-        .filter(F.col("rn") <= 100)
+        enc.orderBy("event_id")
+        .limit(100)
         .select(
             "event_id",
             "event_type",
@@ -3736,10 +3728,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing per-timestamp deltas BEFORE the running sum, so a session
     ending exactly when another starts never yields a phantom dip.
 
-    Scale shape: one user-keyed exchange for sessionization, then the
-    sweep runs on 2·|sessions| delta rows — a single global sort of
-    session endpoints (range-partitioned sort at scale), not of
-    events."""
+    Scale shape: one user-keyed exchange for sessionization; the
+    sweep is the engine's TWO-PASS global_running_sum (range partition
+    + local cumsum + broadcast offsets — never a no-partition window)
+    over per-timestamp deltas, and the argmax is orderBy().limit(1) →
+    TakeOrderedAndProject. Nothing global-sorts raw events."""
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
@@ -3769,18 +3762,16 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
+    from ..operators.ranking import global_running_sum
+
     per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
-    sweep = per_t.select(
-        "t",
-        F.sum("dd").over(Window.orderBy("t")).cast("long").alias(
-            "concurrency"
-        ),
+    sweep = global_running_sum(per_t, ["t"], "dd", "concurrency").select(
+        "t", F.col("concurrency").cast("long").alias("concurrency")
     )
     n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-    wr = Window.orderBy(F.desc("concurrency"), "t")
     return (
-        sweep.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        sweep.orderBy(F.desc("concurrency"), "t")
+        .limit(1)
         .crossJoin(F.broadcast(n_sess))
         .select(
             F.col("t").alias("peak_start"),
@@ -4019,10 +4010,12 @@ def q_skyline_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS self-join. All-integer comparisons: the frontier is
     bit-deterministic.
 
-    Scale shape: one scan computing (x, y) per doc, one global
-    range-sort on x shared by BOTH windows (same ordering key — one
-    exchange; range-partitioned sort at scale). The dominance test is
-    two window lookups per row, linear after the sort, vs the naive
+    Scale shape: one scan computing (x, y) per doc; the strictly-
+    greater suffix max is the engine's TWO-PASS global_max_over_greater
+    (operators/ranking.py — range partition + per-partition suffix max
+    + broadcast triangular max join; equal keys colocate, so higher
+    partitions are strictly greater), never a no-partition window. The
+    dominance test is two lookups per row — linear, vs the naive
     quadratic skyline join."""
     docs = load_table(spark, sf_dir, "documents")
     pts = docs.select(
@@ -4032,15 +4025,14 @@ def q_skyline_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    w_above = (
-        Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
-    )
+    from ..operators.ranking import global_max_over_greater
+
     w_same = Window.partitionBy("x")
-    ranked = pts.select(
+    ranked = global_max_over_greater(pts, "x", "y", "best_above").select(
         "doc_id",
         "x",
         "y",
-        F.max("y").over(w_above).alias("best_above"),
+        "best_above",
         F.max("y").over(w_same).alias("best_same_x"),
     )
     return ranked.filter(

@@ -1115,3 +1115,30 @@ def test_cusum_and_eta_map_side_partials(spark):
             r"Exchange hashpartitioning.*?HashAggregate", plan, re.S
         ), f"{name}:\n{plan}"
         assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rfm_segments",
+        "loo_target_encoding",
+        "peak_concurrency",
+        "skyline_pareto_docs",
+    ],
+)
+def test_no_corpus_global_window(spark, name):
+    """These run ranking/cumsum/suffix-max over corpus-sized frames:
+    every window must be partitioned (_pid / key / category), never the
+    no-partition form that single-tasks the corpus (the round-1
+    WindowExec scale-killer). The only allowed unpartitioned windows
+    are over provably dimension-sized frames, of which these have
+    none."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert (
+                "_pid" in line
+                or "user_id" in line
+                or "event_type" in line
+                or "windowspecdefinition(x" in line
+            ), f"{name}: {line}"
