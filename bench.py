@@ -199,6 +199,7 @@ HEADLINE = [
     "growth_accounting_dau",
     "degree_powerlaw_mle",
     "skyline_pareto_docs",
+    "overdispersion_index",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -4043,3 +4043,53 @@ def q_skyline_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("n_chars"),
         F.col("y").alias("n_distinct_tokens"),
     )
+
+
+@register(
+    "overdispersion_index",
+    """
+    WITH per AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(sum(c) AS BIGINT) AS n_events,
+      round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_c,
+      round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * (count(*) - 1)), 6)
+        AS var_c,
+      round((CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))
+            / (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS vmr
+    FROM per GROUP BY event_type
+    """,
+)
+def q_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen on per-user event counts: sample variance
+    / mean (VMR) per event type — Poisson traffic has VMR ≈ 1;
+    VMR ≫ 1 means bursty/heavy-tailed users (negative-binomial world:
+    rate limits and per-user caps matter), VMR ≪ 1 means suspiciously
+    regular (bot schedules). Both moments come from exact BIGINT
+    sufficient statistics (n·Σc² − (Σc)²); the three outputs are final
+    exact-integer divisions.
+
+    Scale shape: one (type,user) aggregate over the scan, one
+    |types|-row rollup of that table — two map-side-partial exchanges,
+    no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.count(F.lit(1))
+    sc, scc = F.sum("c"), F.sum(F.col("c") * F.col("c"))
+    var = (n * scc - sc * sc).cast("double") / (
+        n.cast("double") * (n - 1)
+    )
+    return per.groupBy("event_type").agg(
+        n.cast("long").alias("n_users"),
+        sc.cast("long").alias("n_events"),
+        F.round(sc.cast("double") / n, 6).alias("mean_c"),
+        F.round(var, 6).alias("var_c"),
+        F.round(var / (sc.cast("double") / n), 6).alias("vmr"),
+    )

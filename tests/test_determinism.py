@@ -97,6 +97,7 @@ SENSITIVE = [
     "growth_accounting_dau",
     "degree_powerlaw_mle",
     "skyline_pareto_docs",
+    "overdispersion_index",
 ]
 
 

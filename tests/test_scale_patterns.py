@@ -1397,3 +1397,47 @@ def test_token_tv_divergence_extremes(spark):
     # hand value: p_g1 = {a:.5, b:.25, c:.25}; p_g4 = {a:.25, b:.25,
     # x:.25, y:.25}; TV = .5*(|.5-.25| + 0 + .25 + .5) = 0.5
     assert tv[("g1", "g4")] == 0.5
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_max_over_greater_property(spark, pts, parts):
+    """Property: for ANY (key, value) multiset (ties, duplicates,
+    negatives) and ANY partition count, the two-pass strictly-greater
+    suffix max equals the brute-force definition (NULL when no greater
+    key exists)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_max_over_greater,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(pts)],
+        "id bigint, k bigint, v bigint",
+    )
+    try:
+        got = {
+            r.id: r.m
+            for r in global_max_over_greater(
+                df, "k", "v", "m", num_partitions=parts
+            ).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+    for i, (k, v) in enumerate(pts):
+        greater = [v2 for (k2, v2) in pts if k2 > k]
+        want = max(greater) if greater else None
+        assert got[i] == want, (i, k, v, got[i], want)
