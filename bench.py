@@ -200,6 +200,8 @@ HEADLINE = [
     "degree_powerlaw_mle",
     "skyline_pareto_docs",
     "overdispersion_index",
+    "time_weighted_avg_value",
+    "bellman_ford_cheapest_path",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

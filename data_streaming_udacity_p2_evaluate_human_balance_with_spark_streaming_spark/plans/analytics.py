@@ -4093,3 +4093,196 @@ def q_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_c"),
         F.round(var / (sc.cast("double") / n), 6).alias("vmr"),
     )
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v,
+        CAST(date_diff('microseconds', ts, nxt) AS BIGINT) AS dur
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+      CAST(count(*) AS BIGINT) AS n_segments,
+      CAST(sum(dur) AS BIGINT) AS span_us,
+      round(CAST(CAST(sum(v * dur) AS DECIMAL(38,2)) AS DOUBLE)
+            / sum(dur), 6) AS twap
+    FROM seg GROUP BY user_id
+    HAVING sum(dur) > 0
+    """,
+)
+def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the financial/IoT
+    standard): each reading is held until the next event, weighted by
+    its holding duration in exact integer MICROSECONDS, so irregular
+    sampling doesn't bias the mean the way a plain AVG does. The
+    weighted sum is DECIMAL(18,2)·BIGINT — exact — and the single
+    double division happens last. Users with a zero-length span (all
+    events simultaneous) are excluded exactly on both engines.
+
+    Scale shape: one user-keyed exchange shared by the lead window and
+    the per-user aggregate; no join, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lead("ts").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    seg = seq.select(
+        "user_id",
+        "v",
+        (F.unix_micros("nxt") - F.unix_micros("ts")).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dur").cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.sum("dur"),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "bellman_ford_cheapest_path",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    pairs AS (
+      SELECT a.l_partkey pa, b.l_partkey pb,
+             CAST(count(*) AS BIGINT) AS co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    e AS (
+      SELECT pa AS src, pb AS dst, 1000000 // co AS w FROM pairs
+      UNION ALL
+      SELECT pb, pa, 1000000 // co FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM e
+      WHERE substr(md5(CAST(src AS VARCHAR)), 3, 1) = '0'
+    ),
+    reach(k, node, cost) AS (
+      SELECT 0, node, CAST(0 AS BIGINT) FROM seeds
+      UNION ALL
+      SELECT r.k + 1, e.dst, CAST(min(r.cost + e.w) AS BIGINT)
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.k < 4
+      GROUP BY r.k + 1, e.dst
+    ),
+    best AS (
+      SELECT node, CAST(min(cost) AS BIGINT) AS cost
+      FROM reach GROUP BY node
+    )
+    SELECT node AS part, cost,
+      CAST(row_number() OVER (ORDER BY cost, node) AS BIGINT) AS rank
+    FROM best QUALIFY rank <= 20
+    """,
+)
+def q_bellman_ford_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (≤4 hops) on the co-purchase graph by
+    Bellman–Ford rounds: edge cost = 10^6 div co-purchase-count (strong
+    ties are cheap), seeds = md5-selected nodes at cost 0, each round
+    relaxes the frontier through every edge and keeps the per-node min.
+    Integer weights and integer min ⇒ every round is bit-deterministic
+    (float path sums would be order-dependent); the top-20 cheapest
+    reachable parts tie-break on node id. Complements bfs_hops
+    (unweighted hops) with the weighted metric a recommender actually
+    ranks by.
+
+    Scale shape: the md5-sampled edge build (shared family recipe),
+    then 4 rounds of frontier⋈edges + per-node min — the same bounded-
+    frontier discipline as bfs_hops/pagerank (frontier localCheckpoint
+    per round, one join + one aggregate each); the oracle replays the
+    identical recurrence as a recursive CTE with min-aggregation."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    e = (
+        pairs.select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            F.expr("1000000L div co").alias("w"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col("pb").alias("src"),
+                F.col("pa").alias("dst"),
+                F.expr("1000000L div co").alias("w"),
+            )
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(
+            F.substring(F.md5(F.col("node").cast("string")), 3, 1) == "0"
+        )
+    )
+    frontier = seeds.select(
+        "node", F.lit(0).cast("long").alias("cost")
+    ).localCheckpoint()
+    best = frontier
+    for _ in range(4):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cost").cast("long").alias("cost"))
+            .localCheckpoint()
+        )
+        best = best.unionAll(frontier)
+    best = best.groupBy("node").agg(
+        F.min("cost").cast("long").alias("cost")
+    )
+    w = Window.orderBy("cost", "node")
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("node").alias("part"), "cost", "rank")
+    )

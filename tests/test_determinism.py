@@ -98,6 +98,8 @@ SENSITIVE = [
     "degree_powerlaw_mle",
     "skyline_pareto_docs",
     "overdispersion_index",
+    "time_weighted_avg_value",
+    "bellman_ford_cheapest_path",
 ]
 
 
