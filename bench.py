@@ -202,6 +202,7 @@ HEADLINE = [
     "overdispersion_index",
     "time_weighted_avg_value",
     "bellman_ford_cheapest_path",
+    "share_of_parent_revenue",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -4286,3 +4286,77 @@ def q_bellman_ford_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("node").alias("part"), "cost", "rank")
     )
+
+
+@register(
+    "share_of_parent_revenue",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,2)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+      CAST(rev AS DOUBLE) AS nation_revenue,
+      CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+        AS region_revenue,
+      round(CAST(rev AS DOUBLE)
+            / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        AS share_of_region,
+      round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+        AS share_of_total
+    FROM nat
+    """,
+)
+def q_share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis through the geography hierarchy: each
+    nation's revenue as a share of its region and of the total — the
+    percent-of-parent columns every OLAP drill-down report carries
+    beside the rollup. Revenue is a DECIMAL partial sum; the parent
+    and grand totals are window sums over the |nations|-row aggregate
+    (exact decimal), rendered to double once for the two share
+    divisions.
+
+    Scale shape: orders joins three broadcast dims, ONE (region,
+    nation) hash aggregate with map-side partials — the only corpus
+    exchange; both share windows run on ≤ |nations| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        cust.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("c_custkey", "r_name", "n_name")
+    )
+    nat = (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy(F.lit(1))
+    rev_d = F.col("rev").cast("double")
+    reg_d = F.sum("rev").over(wr).cast("double")
+    tot_d = F.sum("rev").over(wt).cast("double")
+    return nat.select(
+        "r_name",
+        "n_name",
+        rev_d.alias("nation_revenue"),
+        reg_d.alias("region_revenue"),
+        F.round(rev_d / reg_d, 6).alias("share_of_region"),
+        F.round(rev_d / tot_d, 6).alias("share_of_total"),
+    )

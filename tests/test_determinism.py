@@ -100,6 +100,7 @@ SENSITIVE = [
     "overdispersion_index",
     "time_weighted_avg_value",
     "bellman_ford_cheapest_path",
+    "share_of_parent_revenue",
 ]
 
 
