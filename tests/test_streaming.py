@@ -1800,3 +1800,94 @@ def test_streaming_chi_square_cells_finalize_equals_batch(spark, tmp_path):
     assert chi2_of(streamed_cells) == chi2_of(batch_cells)
     # and the cells really were incremental: >1 window emitted
     assert spark.table("chi_cells_tbl").select("win").distinct().count() >= 2
+
+
+def test_streaming_bitmap_words_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of bitmap_intersect_users: bit_or words are the
+    textbook mergeable aggregate, so per-window (type, word) bitmap
+    partials from an append-mode watermarked aggregation, finalized by
+    bit_or across windows, must equal the all-batch bitmaps (and hence
+    every popcount intersection) BIT-IDENTICALLY — the 7th member of
+    the mergeable-twin family (digest, CMS, HLL, AUC, rules, chi2)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": (i * 7) % 97,
+            "event_type": ["click", "view", "purchase"][i % 3],
+            "ts": f"2024-01-01T{(i // 120) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "user_id": 0,
+        "event_type": "click",
+        "ts": "2024-01-02T12:00:00.000Z",
+    }
+    d = str(tmp_path / "bitmap_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"),
+        F.col("event_type"),
+        F.expr("user_id div 32").alias("w"),
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").alias(
+            "bits"
+        )
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("bitmap_words_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = (
+        spark.table("bitmap_words_tbl")
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in rows],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    expected = batch.groupBy(
+        "event_type", F.expr("user_id div 32").alias("w")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").alias(
+            "bits"
+        )
+    )
+    sm = {(r.event_type, r.w): r.bits for r in streamed.collect()}
+    bm = {(r.event_type, r.w): r.bits for r in expected.collect()}
+    assert sm == bm and len(sm) > 0
+    # intersections derived from the streamed words are therefore exact
+    assert spark.table("bitmap_words_tbl").select("win").distinct().count() >= 2
