@@ -203,6 +203,8 @@ HEADLINE = [
     "time_weighted_avg_value",
     "bellman_ford_cheapest_path",
     "share_of_parent_revenue",
+    "mannwhitney_u_click_view",
+    "spearman_value_vs_time",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -4360,3 +4360,221 @@ def q_share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rev_d / reg_d, 6).alias("share_of_region"),
         F.round(rev_d / tot_d, 6).alias("share_of_total"),
     )
+
+
+@register(
+    "mannwhitney_u_click_view",
+    """
+    WITH arms AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT value, count(*) AS t, sum(a) AS n1v FROM arms GROUP BY value
+    ),
+    c AS (
+      SELECT value, t, n1v,
+        sum(t) OVER (ORDER BY value) - t AS nb
+      FROM g
+    ),
+    s AS (
+      SELECT
+        CAST(sum(n1v) AS BIGINT) AS n1,
+        CAST(sum(t - n1v) AS BIGINT) AS n2,
+        CAST(sum(CAST(n1v AS DECIMAL(12,0))
+                 * CAST(2 * nb + t + 1 AS DECIMAL(15,0))) AS DOUBLE) AS r1x2,
+        CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                 * CAST(t AS DECIMAL(12,0)) - t) AS DOUBLE) AS ties
+      FROM c
+    )
+    SELECT n1, n2,
+      (r1x2 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+      round(
+        ((r1x2 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - ties / (CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+        6) AS z
+    FROM s
+    """,
+)
+def q_mannwhitney_u_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click-arm vs view-arm `value`),
+    tie-corrected — the nonparametric complement to
+    `two_proportion_ztest` for skewed metrics where a t-test's
+    normality assumption fails. Everything up to the final scalar is
+    EXACT integer arithmetic: ranks never materialize per row; the
+    doubled rank-sum identity 2·R1 = Σ_v n1(v)·(2·below(v) + t(v) + 1)
+    needs only per-distinct-value counts, with ties entering through
+    Σ(t³−t). The five exact aggregates convert to double once and the
+    z-statistic is a single identical expression tree in both engines
+    (sqrt is IEEE-correctly-rounded, so cross-engine bit parity holds).
+
+    Scale shape: one hash aggregate on distinct values, then the
+    TWO-PASS global_running_sum (range partition + per-partition cumsum
+    + triangular offset join) for below-counts — no single-partition
+    window anywhere — and a 1-row final reduce. Bounds: per-arm counts
+    ≤ 1e12 and tie groups ≤ 1e12 keep every DECIMAL product inside
+    38 digits."""
+    from ..operators.ranking import global_running_sum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        )
+    )
+    g = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("a").alias("n1v")
+    )
+    c = global_running_sum(g, ["value"], "t", "cum").withColumn(
+        "nb", F.col("cum") - F.col("t")
+    )
+    td = F.col("t").cast("decimal(12,0)")
+    s = c.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v").cast("decimal(12,0)")
+            * (2 * F.col("nb") + F.col("t") + 1).cast("decimal(15,0)")
+        )
+        .cast("double")
+        .alias("r1x2"),
+        F.sum(td * td * td - F.col("t")).cast("double").alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (F.col("r1x2") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("ties") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = (u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(var)
+    return s.select("n1", "n2", u1.alias("u1"), F.round(z, 6).alias("z"))
+
+
+def _doubled_avg_rank(df, col: str, out: str):
+    """Doubled tie-average rank of `col` WITHIN event_type, computed
+    without per-type windows: 2·avgrank = 2·below + t + 1 over distinct
+    (event_type, col) groups, where `below` = global running count in
+    (event_type, col) order minus the current group minus the total of
+    all lexicographically-earlier types (a |types|² triangular
+    broadcast join — never a no-partition window). Doubling keeps the
+    half-integer tie averages in exact BIGINT."""
+    from ..operators.ranking import global_running_sum
+
+    g = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("t"))
+    c = global_running_sum(g, ["event_type", col], "t", "cum")
+    tot = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(
+            F.broadcast(b), F.col("b.event_type") < F.col("a.event_type"), "left"
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.coalesce(F.sum("b.nt"), F.lit(0)).alias("off"))
+    )
+    below = F.col("cum") - F.col("t") - F.col("off")
+    return c.join(F.broadcast(off), "event_type").select(
+        "event_type", col, (2 * below + F.col("t") + 1).alias(out)
+    )
+
+
+@register(
+    "spearman_value_vs_time",
+    """
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS us
+      FROM events WHERE value IS NOT NULL
+    ),
+    cx AS (
+      SELECT event_type, value,
+        2 * (sum(t) OVER (PARTITION BY event_type ORDER BY value) - t)
+          + t + 1 AS rx2
+      FROM (SELECT event_type, value, count(*) AS t FROM e GROUP BY 1, 2)
+    ),
+    cy AS (
+      SELECT event_type, us,
+        2 * (sum(t) OVER (PARTITION BY event_type ORDER BY us) - t)
+          + t + 1 AS ry2
+      FROM (SELECT event_type, us, count(*) AS t FROM e GROUP BY 1, 2)
+    ),
+    r AS (
+      SELECT e.event_type,
+        CAST(rx2 AS DECIMAL(16,0)) AS rx2, CAST(ry2 AS DECIMAL(16,0)) AS ry2
+      FROM e
+      JOIN cx ON e.event_type = cx.event_type AND e.value = cx.value
+      JOIN cy ON e.event_type = cy.event_type AND e.us = cy.us
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
+        CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+        CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+        CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+        CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n,
+      round((nd * sxy - sx * sy)
+            / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between `value` and event time, per
+    event type — the monotone-trend detector (is the metric drifting
+    over time?) robust to outliers and any monotone transform, where
+    `regr_value_vs_time`'s Pearson slope is not. Tie handling is the
+    textbook average-rank: both rank columns are the DOUBLED tie
+    averages (exact BIGINT), the five per-type moments accumulate in
+    DECIMAL(38,0) (the ×2 scale cancels algebraically in rho), and the
+    final rho is one identical double expression tree in both engines.
+
+    Scale shape: two hash aggregates on distinct (type, value) /
+    (type, us), each ranked by the two-pass global_running_sum in
+    (type, key) order (one range exchange each; within-type offsets
+    via a |types|² triangular broadcast join — no per-type window, so
+    a 5-type 100 TB table never funnels a type into one task), two
+    keyed equi-joins back to rows, one per-type reduce. DECIMAL bound:
+    rows per type ≤ ~4e9 keeps n·Σ(rx2·ry2) inside 38 digits; beyond
+    that the moments convert to double earlier (documented, not
+    silent)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_micros("ts").alias("us"))
+    )
+    rx = _doubled_avg_rank(ev, "value", "rx2")
+    ry = _doubled_avg_rank(ev, "us", "ry2")
+    rows = ev.join(rx, ["event_type", "value"]).join(ry, ["event_type", "us"])
+    d16 = lambda c: F.col(c).cast("decimal(16,0)")  # noqa: E731
+    s = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(d16("rx2")).cast("double").alias("sx"),
+        F.sum(d16("ry2")).cast("double").alias("sy"),
+        F.sum(d16("rx2") * d16("rx2")).cast("double").alias("sxx"),
+        F.sum(d16("ry2") * d16("ry2")).cast("double").alias("syy"),
+        F.sum(d16("rx2") * d16("ry2")).cast("double").alias("sxy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    rho = (nd * F.col("sxy") - sx * sy) / F.sqrt(
+        (nd * F.col("sxx") - sx * sx) * (nd * F.col("syy") - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        nd.cast("bigint").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

@@ -101,6 +101,8 @@ SENSITIVE = [
     "time_weighted_avg_value",
     "bellman_ford_cheapest_path",
     "share_of_parent_revenue",
+    "mannwhitney_u_click_view",
+    "spearman_value_vs_time",
 ]
 
 
