@@ -205,6 +205,8 @@ HEADLINE = [
     "share_of_parent_revenue",
     "mannwhitney_u_click_view",
     "spearman_value_vs_time",
+    "ewma_user_value",
+    "kendall_tau_daily_volume",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

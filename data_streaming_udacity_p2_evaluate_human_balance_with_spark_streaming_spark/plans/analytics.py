@@ -4578,3 +4578,149 @@ def q_spearman_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("bigint").alias("n"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+@register(
+    "ewma_user_value",
+    """
+    SELECT user_id, count(*) AS n_events,
+      round(list_reduce(
+              list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+              (s, x) -> s / 2 + x / 2),
+            6) AS ewma
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value`
+    (α = 1/2, zero-initialized) — the classic streaming smoother, here
+    as a batch fold. α = 1/2 makes every step s' = s/2 + v/2 a pair of
+    exact exponent shifts plus ONE IEEE addition, and the fold runs in
+    explicit (ts, event_id) order on both engines, so the result is
+    bit-deterministic and cross-engine exact — no "approximately
+    equal" tolerance needed for a recurrence no window frame can
+    express.
+
+    Scale shape: one user-keyed hash aggregate building the sorted
+    per-user list, then a linear in-memory fold per user — total work
+    O(rows), state O(max events per user) (bounded by retention in
+    the event-table domain; the streaming twin in
+    streaming/stateful.py holds ONE scalar per user instead)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "value",
+        )
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("us", "event_id", "value"))
+        ).alias("a"),
+    )
+    ewma = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda s, x: s / F.lit(2.0) + x["value"] / F.lit(2.0),
+    )
+    return arr.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma")
+    )
+
+
+@register(
+    "kendall_tau_daily_volume",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+        sum(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS c,
+        sum(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS d
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    t AS (
+      SELECT event_type,
+        CAST(sum(m * (m - 1) / 2) AS BIGINT) AS ties
+      FROM (SELECT event_type, cnt, count(*) AS m FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT n.event_type, n.n AS n_days,
+      CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+      round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)
+                   * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                      - CAST(ties AS DOUBLE))),
+            6) AS tau_b
+    FROM n JOIN p USING (event_type) JOIN t USING (event_type)
+    """,
+)
+def q_kendall_tau_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between calendar day and daily event volume, per
+    event type — the rank-robust trend test whose O(n²) pair
+    enumeration is usually disqualifying; here n = DAYS (calendar-
+    bounded, not corpus-bounded), so the within-type pair self-join is
+    |days|² per type regardless of table size. Day keys are unique
+    within a type (x has no ties), volume ties enter via the tau-b
+    denominator term Σm(m−1)/2. Concordant/discordant counts are exact
+    integers; the final statistic is one identical double tree.
+
+    Scale shape: one (type, day) hash aggregate over the corpus — the
+    only full-table exchange — then joins on frames of |types|·|days|
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    d = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cnt") > F.col("a.cnt"), 1).otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when(F.col("b.cnt") < F.col("a.cnt"), 1).otherwise(0)
+            ).alias("d"),
+        )
+    )
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = (
+        d.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            .cast("bigint")
+            .alias("ties")
+        )
+    )
+    j = n.join(p, "event_type").join(t, "event_type")
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    tau = (F.col("c").cast("double") - F.col("d").cast("double")) / F.sqrt(
+        n0 * (n0 - F.col("ties").cast("double"))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )

@@ -103,6 +103,8 @@ SENSITIVE = [
     "share_of_parent_revenue",
     "mannwhitney_u_click_view",
     "spearman_value_vs_time",
+    "ewma_user_value",
+    "kendall_tau_daily_volume",
 ]
 
 
