@@ -207,6 +207,8 @@ HEADLINE = [
     "spearman_value_vs_time",
     "ewma_user_value",
     "kendall_tau_daily_volume",
+    "mv_incremental_maintenance",
+    "gdpr_erasure_cascade",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -2084,3 +2084,181 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+#: fixed-point scale for incremental-MV value sums: 2^20. floor(v·2^20)
+#: is an exact exponent-shift + floor in both engines, and BIGINT sums
+#: of the fixed-point values are associative — so the incrementally
+#: maintained sum and the recomputed sum are EQUAL, not approximately
+#: equal, which is the whole point of verifying maintenance against
+#: recompute.
+_MV_FIX = 1048576.0
+
+
+def _mv_vfix(col):
+    return F.floor(col * F.lit(_MV_FIX)).cast("bigint")
+
+
+@register(
+    "mv_incremental_maintenance",
+    f"""
+    WITH newsnap AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN event_id % 11 = 5 THEN value + 1.5 ELSE value END AS v
+      FROM events WHERE event_id % 7 <> 3
+      UNION ALL
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value AS v
+      FROM events WHERE event_id % 13 = 7
+    )
+    SELECT event_type, day, count(*) AS cnt,
+      CAST(sum(CAST(floor(v * {_MV_FIX}) AS BIGINT)) AS BIGINT) AS sum_vfix
+    FROM newsnap GROUP BY event_type, day
+    """,
+)
+def q_mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(type, day)
+    count/sum MV is MAINTAINED under the snapshot_cdc_diff change set
+    (deletes id%7==3, updates value+1.5 on id%11==5, inserts id%13==7
+    shifted +10M) by applying signed deltas — delete = pre-image with
+    sign −1, update = pre-image −1 plus post-image +1, insert = +1 —
+    merged into the base MV with a full outer join, dropping groups
+    whose count reaches zero. The DuckDB oracle RECOMPUTES the MV from
+    the new snapshot, so a hash match is the semantic theorem of view
+    maintenance (incremental ≡ recompute) checked value-exactly:
+    fixed-point BIGINT sums make addition associative, so the delta
+    path and the recompute path cannot drift by float re-association.
+
+    Scale shape: the base MV and the delta aggregate are both
+    (type, day) hash aggregates with map-side partials; the merge join
+    touches only |types|·|days| rows. At 100 TB the base never
+    rescans — exactly why MVs are maintained, not recomputed; the
+    oracle's recompute is the CHECK, not the plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+    )
+    base_mv = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_mv_vfix(F.col("value"))).alias("sum_vfix"),
+    )
+    removed = ev.filter(
+        (F.col("event_id") % 7 == 3)
+        | ((F.col("event_id") % 7 != 3) & (F.col("event_id") % 11 == 5))
+    ).select("event_type", "day", F.lit(-1).alias("sign"), "value")
+    updated = (
+        ev.filter((F.col("event_id") % 7 != 3) & (F.col("event_id") % 11 == 5))
+        .select(
+            "event_type",
+            "day",
+            F.lit(1).alias("sign"),
+            (F.col("value") + F.lit(1.5)).alias("value"),
+        )
+    )
+    inserted = ev.filter(F.col("event_id") % 13 == 7).select(
+        "event_type", "day", F.lit(1).alias("sign"), "value"
+    )
+    delta = (
+        removed.unionByName(updated)
+        .unionByName(inserted)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("sign").alias("dcnt"),
+            F.sum(F.col("sign") * _mv_vfix(F.col("value"))).alias("dsum"),
+        )
+    )
+    merged = base_mv.join(delta, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dcnt"), F.lit(0))).alias(
+            "cnt"
+        ),
+        (
+            F.coalesce(F.col("sum_vfix"), F.lit(0))
+            + F.coalesce(F.col("dsum"), F.lit(0))
+        ).alias("sum_vfix"),
+    )
+    return merged.filter(F.col("cnt") > 0)
+
+
+#: GDPR erasure subjects: identities whose md5 hex digest starts with
+#: '0' or '1' — a deterministic, layout-stable 1/8 sample of the key
+#: space, the same md5-threshold idiom as the sampling family.
+def _erase_pred(col: str) -> str:
+    return f"substring(md5(CAST({col} AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+
+@register(
+    "gdpr_erasure_cascade",
+    f"""
+    WITH ec AS (SELECT c_custkey FROM customer
+                WHERE {_erase_pred('c_custkey')}),
+    eo AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM ec))
+    SELECT 'customer' AS tbl,
+      (SELECT count(*) FROM ec) AS rows_purged,
+      (SELECT count(*) FROM customer) - (SELECT count(*) FROM ec)
+        AS rows_retained
+    UNION ALL
+    SELECT 'orders',
+      (SELECT count(*) FROM eo),
+      (SELECT count(*) FROM orders) - (SELECT count(*) FROM eo)
+    UNION ALL
+    SELECT 'lineitem',
+      (SELECT count(*) FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+      (SELECT count(*) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
+    UNION ALL
+    SELECT 'events',
+      (SELECT count(*) FROM events WHERE {_erase_pred('user_id')}),
+      (SELECT count(*) FROM events WHERE NOT ({_erase_pred('user_id')}))
+    """,
+)
+def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: given a deterministic subject
+    set (md5-prefix 1/8 of customer keys), count rows purged vs
+    retained across the whole foreign-key cascade — customer directly,
+    orders via o_custkey, lineitem TWO hops away via the erased
+    orders' keys, and events via the same identity predicate on
+    user_id. This is the dry-run every deletion pipeline publishes
+    before destructive apply (and the denominator for its completion
+    audit).
+
+    Scale shape: one scan per table. The subject set is a fraction of
+    the CUSTOMER key space (dimension-sized): it broadcasts to orders;
+    the erased-order key set broadcasts to lineitem when it fits, else
+    AQE picks a shuffled semi join — both spellings are left-semi /
+    left-anti joins, never row-widening. Purged+retained = total is a
+    built-in completeness check."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def erased(col):
+        return F.substring(F.md5(F.col(col).cast("string")), 1, 1).isin("0", "1")
+
+    ec = cust.filter(erased("c_custkey")).select("c_custkey")
+    eo = orders.join(
+        F.broadcast(ec), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+
+    def report(tbl, purged_df, total_df):
+        p = purged_df.agg(F.count(F.lit(1)).alias("rows_purged"))
+        t = total_df.agg(F.count(F.lit(1)).alias("_total"))
+        return p.crossJoin(t).select(
+            F.lit(tbl).alias("tbl"),
+            "rows_purged",
+            (F.col("_total") - F.col("rows_purged")).alias("rows_retained"),
+        )
+    li_purged = li.join(
+        F.broadcast(eo), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    return (
+        report("customer", ec, cust)
+        .unionByName(report("orders", eo, orders))
+        .unionByName(report("lineitem", li_purged, li))
+        .unionByName(report("events", ev.filter(erased("user_id")), ev))
+    )

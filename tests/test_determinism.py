@@ -105,6 +105,8 @@ SENSITIVE = [
     "spearman_value_vs_time",
     "ewma_user_value",
     "kendall_tau_daily_volume",
+    "mv_incremental_maintenance",
+    "gdpr_erasure_cascade",
 ]
 
 
