@@ -209,6 +209,8 @@ HEADLINE = [
     "kendall_tau_daily_volume",
     "mv_incremental_maintenance",
     "gdpr_erasure_cascade",
+    "apportion_sample_budget",
+    "quantile_normalize_by_source",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -1899,3 +1899,151 @@ def q_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+#: total sample budget apportioned across sources by token share.
+_APPORTION_BUDGET = 100_000
+
+
+@register(
+    "apportion_sample_budget",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT source, tokens,
+        ({_APPORTION_BUDGET} * tokens) // t.total AS base,
+        ({_APPORTION_BUDGET} * tokens) % t.total AS rem
+      FROM s CROSS JOIN t
+    ),
+    r AS (
+      SELECT source, tokens, base, rem,
+        row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        sum(base) OVER () AS base_total
+      FROM q
+    )
+    SELECT source, tokens,
+      CAST(base + CASE WHEN rk <= {_APPORTION_BUDGET} - base_total
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def q_apportion_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources proportional to token mass — the exact
+    integer answer to "how many samples does each source get" that
+    naive rounding gets wrong (floors under-allocate, rounds can
+    overshoot the budget). Each source takes floor(B·tokens/total);
+    the leftover B − Σfloor seats go one each to the largest
+    remainders (ties broken by source name), so Σalloc = B exactly, by
+    construction — an invariant every downstream mixture sampler
+    depends on. All arithmetic is BIGINT (bound: B·tokens ≤ 9e18, i.e.
+    ≤ 9e13 tokens per source at B = 1e5; raise to DECIMAL beyond).
+
+    Scale shape: one (source) hash aggregate over the corpus — the
+    only full-table work; apportionment runs on the |sources|-row
+    frame (windows over ≤ dozens of rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").alias("tokens"))
+    t = s.agg(F.sum("tokens").alias("total"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr(f"({_APPORTION_BUDGET} * tokens) div total").alias("base"),
+        (F.lit(_APPORTION_BUDGET) * F.col("tokens") % F.col("total")).alias(
+            "rem"
+        ),
+    )
+    w = Window.partitionBy(F.lit(1))
+    r = q.select(
+        "source",
+        "tokens",
+        "base",
+        F.row_number()
+        .over(w.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+        F.sum("base").over(w).alias("base_total"),
+    )
+    alloc = F.col("base") + F.when(
+        F.col("rk") <= F.lit(_APPORTION_BUDGET) - F.col("base_total"), 1
+    ).otherwise(0)
+    return r.select(
+        "source", "tokens", alloc.cast("bigint").alias("alloc")
+    )
+
+
+@register(
+    "quantile_normalize_by_source",
+    """
+    WITH g AS (
+      SELECT n_chars,
+        row_number() OVER (ORDER BY n_chars, doc_id) AS gpos
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+          AS r,
+        count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS ng FROM documents)
+    SELECT s.doc_id, s.source, s.n_chars, g.n_chars AS norm_chars
+    FROM s CROSS JOIN n
+    JOIN g ON g.gpos = (s.r * n.ng + s.ns - 1) // s.ns
+    """,
+)
+def q_quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source length distributions onto
+    the GLOBAL distribution: a doc at within-source rank r (of n_s) is
+    assigned the global order statistic at position ceil(r·N/n_s) —
+    after normalization every source has the same length distribution,
+    the standard pre-processing step before cross-source quality
+    comparisons (a source of long documents no longer dominates a
+    length-sensitive score). The position map is exact integer
+    arithmetic with a unique (n_chars, doc_id) tie-break, so both
+    engines pick identical order statistics (BIGINT bound:
+    r·N ≤ 9e18, i.e. ≈3e9 docs; DECIMAL beyond).
+
+    Scale shape: two TWO-PASS global row numberings (range exchange +
+    triangular offsets; operators/ranking.py) — one global, one in
+    (source, key) order with per-source starts from a |sources|²
+    triangular broadcast join (never a per-source window, since a
+    single source can be most of the corpus) — then one equi-join on
+    the computed position. Three corpus-sized exchanges total."""
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = global_row_number(docs, ["n_chars", "doc_id"], rn_col="gpos").select(
+        F.col("gpos"), F.col("n_chars").alias("norm_chars")
+    )
+    sn = global_row_number(
+        docs, ["source", "n_chars", "doc_id"], rn_col="srn_g"
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(F.broadcast(b), F.col("b.source") < F.col("a.source"), "left")
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(
+            F.coalesce(F.sum("b.ns"), F.lit(0)).alias("off"),
+            F.first("a.ns").alias("ns"),
+        )
+    )
+    s = sn.join(F.broadcast(off), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("srn_g") - F.col("off")).alias("r"),
+        "ns",
+        F.col("_total_n").alias("ng"),
+    )
+    pos = F.expr("(r * ng + ns - 1) div ns")
+    return s.join(g, pos == F.col("gpos")).select(
+        "doc_id", "source", "n_chars", "norm_chars"
+    )

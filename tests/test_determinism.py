@@ -107,6 +107,8 @@ SENSITIVE = [
     "kendall_tau_daily_volume",
     "mv_incremental_maintenance",
     "gdpr_erasure_cascade",
+    "apportion_sample_budget",
+    "quantile_normalize_by_source",
 ]
 
 
