@@ -211,6 +211,7 @@ HEADLINE = [
     "gdpr_erasure_cascade",
     "apportion_sample_budget",
     "quantile_normalize_by_source",
+    "classifier_logloss_brier",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -4724,3 +4724,103 @@ def q_kendall_tau_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def _logloss_oracle() -> str:
+    """DuckDB replica of the binned log-loss/Brier evaluation: the
+    identical feature arithmetic and logit chain as _auc_oracle, then
+    integer-unit logit bins with Laplace-smoothed empirical rates."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t),
+    lab AS (SELECT CAST(floor({z}) AS BIGINT) AS bin,
+      CASE WHEN (CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END) > {_QUALITY_LABEL_THRESHOLD}
+        THEN 1 ELSE 0 END AS pos
+    FROM f),
+    g AS (
+      SELECT bin, CAST(count(*) AS DOUBLE) AS nb,
+             CAST(sum(pos) AS DOUBLE) AS pb
+      FROM lab GROUP BY bin
+    ),
+    e AS (
+      SELECT nb, pb, (pb + 1.0) / (nb + 2.0) AS p FROM g
+    )
+    SELECT CAST(sum(nb) AS BIGINT) AS n_docs,
+      CAST(sum(pb) AS BIGINT) AS n_pos,
+      CAST(count(*) AS BIGINT) AS n_bins,
+      round(-sum(pb * ln(p) + (nb - pb) * ln(1.0 - p)) / sum(nb), 6)
+        AS logloss,
+      round(sum(pb * (1.0 - p) * (1.0 - p) + (nb - pb) * p * p) / sum(nb), 6)
+        AS brier
+    FROM e
+    """
+
+
+@register("classifier_logloss_brier", _logloss_oracle())
+def q_classifier_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss and Brier score of the frozen quality classifier — the
+    proper-scoring-rule readout that complements ranking quality
+    (classifier_auc_exact) and calibration (quality_calibration_bins):
+    both penalize CONFIDENT wrong predictions, which an AUC cannot
+    see. Probabilities come from integer-unit logit bins with Laplace
+    smoothing p = (pos+1)/(n+2) — exact rationals of integer counts,
+    never a cross-engine exp(): sigmoid would be the one
+    non-reproducible op in the chain, while the binned empirical rate
+    is division of identical operands. Per-bin weighted terms use
+    ln() on identical doubles (the certified zipf/perplexity recipe);
+    the final |bins|-row sum commutes up to 1e-12, absorbed by
+    round 6.
+
+    Scale shape: one scan computes features, label, logit, and bin in
+    a single codegen'd projection; one |bins|-cardinality hash
+    aggregate (≤ a few dozen unit-width logit bins); a 1-row reduce."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    lab = feats.select(
+        F.floor(frozen_logit_expr()).cast("bigint").alias("bin"),
+        F.col("weak_label").alias("pos"),
+    )
+    g = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.sum("pos").cast("double").alias("pb"),
+    )
+    p = (F.col("pb") + F.lit(1.0)) / (F.col("nb") + F.lit(2.0))
+    e = g.select("nb", "pb", p.alias("p"))
+    ll = -F.sum(
+        F.col("pb") * F.log(F.col("p"))
+        + (F.col("nb") - F.col("pb")) * F.log(F.lit(1.0) - F.col("p"))
+    ) / F.sum("nb")
+    br = F.sum(
+        F.col("pb") * (F.lit(1.0) - F.col("p")) * (F.lit(1.0) - F.col("p"))
+        + (F.col("nb") - F.col("pb")) * F.col("p") * F.col("p")
+    ) / F.sum("nb")
+    return e.agg(
+        F.sum("nb").cast("bigint").alias("n_docs"),
+        F.sum("pb").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(ll, 6).alias("logloss"),
+        F.round(br, 6).alias("brier"),
+    )

@@ -109,6 +109,7 @@ SENSITIVE = [
     "gdpr_erasure_cascade",
     "apportion_sample_budget",
     "quantile_normalize_by_source",
+    "classifier_logloss_brier",
 ]
 
 
