@@ -507,3 +507,69 @@ def windowed_topk(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+EWMA_STATE_SCHEMA = "n bigint, s double"
+
+
+def ewma_tracker(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("us", "event_id"),
+) -> DataFrame:
+    """Streaming twin of the batch `ewma_user_value` query: per-user
+    exponentially-weighted moving average, α = 1/2, zero-initialized —
+    state is ONE (count, smoothed-value) pair per user where the batch
+    twin materializes the user's full sorted history.
+
+    Bit-equality with the batch fold holds because each step
+    s' = s/2 + v/2 is two exact exponent shifts and one IEEE add, and
+    the fold ORDER is preserved: rows within a micro-batch are sorted
+    by `order_cols` before folding, and batch boundaries must respect
+    per-user event-time order (true for any in-order replay; certified
+    by tests/test_streaming.py::test_streaming_ewma_matches_batch).
+    Out-of-order arrival WITHIN a micro-batch is absorbed by the sort;
+    across micro-batches an EWMA is inherently order-sensitive — feed
+    it from a watermarked, sorted upstream or accept processing order
+    (same contract as any streaming recurrence).
+
+    Emits the post-batch (n_events, ewma) per touched user, update
+    mode. State: two scalars per key — keyset-bounded, event-volume
+    independent, same class as running_risk_stats."""
+    user, val = user_col, value_col
+    o1, o2 = order_cols
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained: shipped by value, workers don't import this pkg
+        import pandas as _pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        chunks = [pdf for pdf in batches]
+        pdf = _pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None and len(pdf):
+            pdf = pdf.sort_values([o1, o2], kind="mergesort")
+            for v in pdf[val].tolist():
+                s = s / 2.0 + float(v) / 2.0
+                n += 1
+        state.update((n, s))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+        )
+
+    return (
+        events.select(user, o1, o2, val)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

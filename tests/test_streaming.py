@@ -1891,3 +1891,117 @@ def test_streaming_bitmap_words_finalize_equals_batch(spark, tmp_path):
     assert sm == bm and len(sm) > 0
     # intersections derived from the streamed words are therefore exact
     assert spark.table("bitmap_words_tbl").select("win").distinct().count() >= 2
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """The streaming EWMA tracker (one (n, s) scalar pair of state per
+    user) replayed over the REAL sf0.001 events table in per-user
+    event-time order produces BIT-IDENTICAL final values to the batch
+    `ewma_user_value` fold: every step is s/2 + v/2 (exact shifts + one
+    IEEE add) and the replay preserves fold order, so repr-equality on
+    every double is required, not approximate closeness."""
+    import json as _json
+    import os as _os
+    import time as _t
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        ewma_tracker,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "value",
+        )
+        .orderBy("us", "event_id")
+        .collect()
+    )
+    assert len(rows) > 100
+    # 4 micro-batches split on the GLOBAL (us, event_id) order: each
+    # user's subsequence arrives in event-time order across batches.
+    n_batches, src = 4, str(tmp_path / "ewma_src")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    _os.makedirs(src)
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        with open(f"{src}/f{b}.json", "w") as f:
+            for r in rows[b * per : (b + 1) * per]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "user_id": r["user_id"],
+                            "us": r["us"],
+                            "event_id": r["event_id"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(f"{src}/f{b}.json", (1700000000 + b, 1700000000 + b))
+        _t.sleep(0.01)
+
+    schema = _parse_datatype_string(
+        "user_id bigint, us bigint, event_id bigint, value double"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        ewma_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # latest emission per user = final state
+    streamed = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, ewma FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM ewma_stream) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in REGISTRY["ewma_user_value"][0](spark, sf).collect()
+    }
+    assert set(streamed) == set(batch)
+    # exact reference fold in Python (IEEE doubles, same order):
+    # streamed UNROUNDED values must be bit-identical to it
+    ref: dict = {}
+    refn: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        ref[u] = ref.get(u, 0.0) / 2.0 + r["value"] / 2.0
+        refn[u] = refn.get(u, 0) + 1
+    assert set(streamed) == set(ref)
+    for u, (n_s, e_s) in streamed.items():
+        assert n_s == refn[u] == batch[u][0], f"user {u}: n {n_s}"
+        assert repr(e_s) == repr(ref[u]), f"user {u}: {e_s!r} != {ref[u]!r}"
