@@ -212,6 +212,9 @@ HEADLINE = [
     "apportion_sample_budget",
     "quantile_normalize_by_source",
     "classifier_logloss_brier",
+    "json_schema_inference",
+    "kfold_assignment_balanced",
+    "embedding_diversity_by_label",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

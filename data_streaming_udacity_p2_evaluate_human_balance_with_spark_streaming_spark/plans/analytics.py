@@ -4824,3 +4824,149 @@ def q_classifier_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ll, 6).alias("logloss"),
         F.round(br, 6).alias("brier"),
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "kfold_assignment_balanced",
+    f"""
+    WITH r AS (
+      SELECT label,
+        (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+          % {_KFOLD_K} AS fold
+      FROM embeddings
+    )
+    SELECT label, CAST(fold AS BIGINT) AS fold, count(*) AS cnt
+    FROM r GROUP BY label, fold
+    """,
+)
+def q_kfold_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment (k=5): within each label, examples
+    ranked by vec_id take folds round-robin, so per-(label, fold)
+    counts differ by at most one — the deterministic, seed-free split
+    every cross-validation run needs to be REPRODUCIBLE across reruns,
+    engines, and partitionings (a rand()-based splitter is none of
+    those). Output is the label×fold balance matrix, which is also the
+    stratification proof.
+
+    Scale shape: one TWO-PASS global row numbering in (label, vec_id)
+    order with per-label starts from a |labels|² triangular broadcast
+    join — a label can be most of the corpus, so no per-label window —
+    then a (label, fold) hash aggregate."""
+    from ..operators.ranking import global_row_number
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    gn = global_row_number(emb, ["label", "vec_id"], rn_col="grn")
+    tot = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(F.broadcast(b), F.col("b.label") < F.col("a.label"), "left")
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.coalesce(F.sum("b.nl"), F.lit(0)).alias("off"))
+    )
+    fold = (F.col("grn") - F.col("off") - 1) % _KFOLD_K
+    return (
+        gn.join(F.broadcast(off), "label")
+        .select("label", fold.cast("bigint").alias("fold"))
+        .groupBy("label", "fold")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+#: fixed-point scale for normalized embedding coordinates: 2^30. The
+#: squared-sum denominator below is its square, 2^60.
+_DIV_FIX = 1073741824.0
+_DIV_FIX_SQ = 1152921504606846976.0
+
+
+@register(
+    "embedding_diversity_by_label",
+    f"""
+    WITH nrm AS (
+      SELECT label,
+        list_transform(embedding::DOUBLE[],
+          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    ),
+    f AS (
+      SELECT label, d,
+        CAST(floor(u[d] * {_DIV_FIX}) AS BIGINT) AS fd
+      FROM nrm, unnest(generate_series(1, len(u))) AS t(d)
+    ),
+    s AS (
+      SELECT label, d, CAST(sum(fd) AS DECIMAL(19,0)) AS sd
+      FROM f GROUP BY label, d
+    ),
+    q AS (
+      SELECT label, CAST(sum(sd * sd) AS DOUBLE) AS ss
+      FROM s GROUP BY label
+    ),
+    n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    SELECT n.label, n.n,
+      round((ss / {_DIV_FIX_SQ} - CAST(n.n AS DOUBLE))
+            / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6)
+        AS avg_pairwise_cos
+    FROM n JOIN q ON n.label = q.label
+    """,
+)
+def q_embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class embedding diversity: the average pairwise cosine
+    similarity among all n(n−1) ordered pairs of a label's normalized
+    vectors — WITHOUT the pairwise join, via the norm-of-sum identity
+    mean cos = (‖Σu‖² − n)/(n(n−1)). A high value means the class
+    collapses to near-duplicates (SemDeDup's motivating signal); the
+    identity turns an O(n²) similarity join into one linear scan.
+    Normalized coordinates are fixed-pointed (floor(u·2³⁰), exact in
+    both engines) so the per-(label, dim) sums are associative BIGINT
+    — the pairwise average is then EXACT for the quantized vectors,
+    deterministic under any partitioning, with quantization error
+    ≤ 2⁻²⁹·d/ n(n−1)-pair bounded (immaterial at round 6 unless n is
+    tiny).
+
+    Scale shape: one scan, posexplode to (label, dim) — 64 rows per
+    vector — into a hash aggregate of |labels|·64 cells, then a
+    |labels|-row finalize. Never a pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    w = v.select(
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda s, x: s + x * x
+            )
+        ).alias("nrm"),
+    )
+    f = w.select(
+        "label", F.posexplode("v").alias("d0", "x"), "nrm"
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor((F.col("x") / F.col("nrm")) * F.lit(_DIV_FIX))
+        .cast("bigint")
+        .alias("fd"),
+    )
+    s = f.groupBy("label", "d").agg(
+        F.sum("fd").cast("decimal(19,0)").alias("sd")
+    )
+    q = s.groupBy("label").agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("double").alias("ss")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    return n.join(q, "label").select(
+        "label",
+        "n",
+        F.round(
+            (F.col("ss") / F.lit(_DIV_FIX_SQ) - nd) / (nd * (nd - F.lit(1.0))),
+            6,
+        ).alias("avg_pairwise_cos"),
+    )

@@ -2262,3 +2262,95 @@ def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report("lineitem", li_purged, li))
         .unionByName(report("events", ev.filter(erased("user_id")), ev))
     )
+
+
+#: heterogeneous JSON payload synthesis for schema inference: five
+#: deterministic shapes keyed by event_id % 5, exercising int, string,
+#: fractional number, array, null, and boolean leaves under shared and
+#: disjoint keys. Spelled once as ANSI SQL fragments usable by both
+#: engines (string concatenation + CAST).
+_JSON_SHAPES_SQL = """
+  CASE event_id % 5
+    WHEN 0 THEN '{"k": ' || user_id || ', "tag": "' || event_type || '"}'
+    WHEN 1 THEN '{"k": "' || event_type || '", "score": ' || value || '}'
+    WHEN 2 THEN '{"k": [' || user_id || ', ' || event_id
+                || '], "flags": [true]}'
+    WHEN 3 THEN '{"k": null}'
+    ELSE '{"k": true, "deleted": false}'
+  END
+"""
+
+
+@register(
+    "json_schema_inference",
+    f"""
+    WITH src AS (SELECT {_JSON_SHAPES_SQL} AS j FROM events),
+    n AS (SELECT count(*) AS total FROM src),
+    kv AS (
+      SELECT k AS key,
+        CASE coalesce(json_type(src.j::JSON, '$.' || k), 'NULL')
+          WHEN 'UBIGINT' THEN 'BIGINT'
+          WHEN 'VARCHAR' THEN 'STRING'
+          ELSE coalesce(json_type(src.j::JSON, '$.' || k), 'NULL')
+        END AS jtype
+      FROM src, unnest(json_keys(src.j::JSON)) AS t(k)
+    )
+    SELECT key, jtype, count(*) AS cnt,
+      round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6)
+        AS presence_pct
+    FROM kv GROUP BY key, jtype
+    """,
+)
+def q_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed schema inference over semi-structured payloads — the
+    schema-on-read profile (which keys exist, with which JSON types,
+    how often) every ingest pipeline runs before writing extraction
+    code against an undocumented event stream. Spark side: each row's
+    payload parses to a VARIANT and `schema_of_variant` infers its
+    per-row type signature; top-level (field, type) pairs are regex-
+    exploded and type names canonicalized (any DECIMAL(p,s)/DOUBLE →
+    DOUBLE since JSON has one fractional-number type, VOID → NULL,
+    ARRAY<t> → ARRAY). The DuckDB oracle infers types through a
+    COMPLETELY DIFFERENT mechanism — json_each's type column — so a
+    match certifies the inference semantics, not a shared code path.
+    Payloads are synthesized deterministically from events (five
+    shapes by event_id % 5), exercising type conflicts on a shared key
+    ("k" is int, string, array, null, and boolean in different rows).
+
+    Scale shape: one scan, parse + per-row inference + explode into a
+    (key, type) hash aggregate of ≤ keys×types rows; the total-count
+    scalar broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(F.expr(_JSON_SHAPES_SQL).alias("j"))
+    sig = src.select(
+        F.schema_of_variant(F.parse_json("j")).alias("s")
+    )
+    pair_re = r"[A-Za-z_][A-Za-z0-9_]*: [A-Z]+(?:\([0-9]+,[0-9]+\))?(?:<[A-Z]+>)?"
+    pairs = sig.select(
+        F.explode(F.regexp_extract_all("s", F.lit(pair_re), F.lit(0))).alias(
+            "p"
+        )
+    )
+    raw_t = F.split("p", ": ")[1]
+    jtype = (
+        F.when(raw_t.startswith("DECIMAL") | (raw_t == "DOUBLE"), "DOUBLE")
+        .when(raw_t.startswith("ARRAY"), "ARRAY")
+        .when(raw_t == "VOID", "NULL")
+        .when(raw_t == "STRING", "STRING")
+        .otherwise(raw_t)
+    )
+    kv = pairs.select(F.split("p", ": ")[0].alias("key"), jtype.alias("jtype"))
+    total = src.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        kv.groupBy("key", "jtype")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "jtype",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "presence_pct"
+            ),
+        )
+    )

@@ -1317,3 +1317,68 @@ def test_contrastive_triplets_invariants(spark):
     sizes = Counter(cl.values())
     multi = {n for n, c in cl.items() if sizes[c] >= 2}
     assert set(per_anchor) == multi
+
+
+def test_embedding_diversity_matches_bruteforce_pairwise(spark):
+    """The norm-of-sum identity (‖Σu‖²−n)/(n(n−1)) with 2^30
+    fixed-point coordinates must agree with the brute-force O(n²)
+    pairwise mean cosine to well beyond the query's round-6 output
+    precision."""
+    np = __import__("numpy")
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    got = {
+        r["label"]: (r["n"], r["avg_pairwise_cos"])
+        for r in REGISTRY["embedding_diversity_by_label"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for lbl, vecs in by_label.items():
+        u = np.stack(vecs)
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        n = len(u)
+        if n < 2:
+            assert lbl not in got or got[lbl][1] is None
+            continue
+        g = u @ u.T
+        brute = (g.sum() - n) / (n * (n - 1))
+        n_got, cos_got = got[lbl]
+        assert n_got == n
+        # fixed-point quantization: |err| <= d*2^-30*(2 + 2^-30*d/ ...)
+        assert abs(cos_got - brute) < 1e-6, (lbl, cos_got, brute)
+
+
+def test_kfold_assignment_balance_property(spark):
+    """Stratification invariant: within every label the five fold
+    counts differ by at most one and sum to the label size."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["kfold_assignment_balanced"][0](spark, SF_SMOKE).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["label"], {})[r["fold"]] = r["cnt"]
+    sizes = {
+        r["label"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == set(sizes)
+    for lbl, folds in per.items():
+        counts = [folds.get(f, 0) for f in range(5)]
+        assert sum(counts) == sizes[lbl]
+        nonzero_spread = max(counts) - min(counts)
+        assert nonzero_spread <= 1, (lbl, counts)

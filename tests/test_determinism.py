@@ -110,6 +110,9 @@ SENSITIVE = [
     "apportion_sample_budget",
     "quantile_normalize_by_source",
     "classifier_logloss_brier",
+    "json_schema_inference",
+    "kfold_assignment_balanced",
+    "embedding_diversity_by_label",
 ]
 
 
