@@ -215,6 +215,9 @@ HEADLINE = [
     "json_schema_inference",
     "kfold_assignment_balanced",
     "embedding_diversity_by_label",
+    "active_coverage_time",
+    "weighted_sample_wor",
+    "digest_bucket_drilldown",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -4970,3 +4970,135 @@ def q_embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("avg_pairwise_cos"),
     )
+
+
+#: activity interval length for coverage analysis: 10 minutes in µs.
+_COVER_US = 600_000_000
+
+
+@register(
+    "active_coverage_time",
+    f"""
+    WITH pts AS (
+      SELECT epoch_us(ts) AS t, 1 AS dd FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + {_COVER_US}, -1 FROM events
+    ),
+    d AS (SELECT t, CAST(sum(dd) AS BIGINT) AS dd FROM pts GROUP BY t),
+    w AS (
+      SELECT t, sum(dd) OVER (ORDER BY t) AS c,
+             lead(t) OVER (ORDER BY t) AS nt
+      FROM d
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN c > 0 THEN nt - t ELSE 0 END) AS BIGINT)
+          AS covered_us,
+        CAST(min(t) AS BIGINT) AS lo, CAST(max(t) AS BIGINT) AS hi
+      FROM w
+    )
+    SELECT covered_us, hi - lo AS span_us,
+      round(CAST(covered_us AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+        AS coverage_pct
+    FROM s
+    """,
+)
+def q_active_coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION length: total wall-clock time with at least one
+    active session (each event opens a 10-minute activity interval),
+    as microseconds covered and as a fraction of the observed span —
+    the uptime/coverage complement of `peak_concurrency` (that query
+    asks "how high does concurrency go", this asks "how much of the
+    timeline is covered at all"), and the denominator for utilization
+    reports. Exact integer arithmetic end to end: merged ±1 deltas per
+    distinct boundary, a running sum, and Σ(next_t − t) over positive-
+    coverage segments.
+
+    Scale shape: boundary deltas merge in one hash aggregate (the
+    peak_concurrency discipline — merging BEFORE the sweep also kills
+    phantom zero-length segments); the sweep is the two-pass
+    global_running_sum and the two-pass global_row_number on the SAME
+    (t) order, joined back on t, with next-boundary lookup as an
+    rn = rn+1 equi-join — three range exchanges over DISTINCT
+    boundaries, never a no-partition window."""
+    from ..operators.ranking import global_row_number, global_running_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t")
+    )
+    pts = ev.select("t", F.lit(1).alias("dd")).unionByName(
+        ev.select((F.col("t") + _COVER_US).alias("t"), F.lit(-1).alias("dd"))
+    )
+    d = pts.groupBy("t").agg(F.sum("dd").alias("dd"))
+    cum = global_running_sum(d, ["t"], "dd", "c").select("t", "c")
+    rn = global_row_number(d, ["t"], rn_col="rn").select("t", "rn")
+    cur = cum.join(rn, "t")
+    nxt = rn.select(F.col("t").alias("nt"), (F.col("rn") - 1).alias("rn"))
+    w = cur.join(nxt, "rn", "left")
+    s = w.agg(
+        F.sum(
+            F.when(F.col("c") > 0, F.col("nt") - F.col("t")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_us"),
+        F.min("t").alias("lo"),
+        F.max("t").alias("hi"),
+    )
+    return s.select(
+        "covered_us",
+        (F.col("hi") - F.col("lo")).alias("span_us"),
+        F.round(
+            F.col("covered_us").cast("double")
+            / (F.col("hi") - F.col("lo")).cast("double"),
+            6,
+        ).alias("coverage_pct"),
+    )
+
+
+_WSAMPLE_K = 200
+
+
+@register(
+    "weighted_sample_wor",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  ::BIGINT AS DOUBLE) + 0.5) / 281474976710656.0)
+          / CAST(n_chars AS DOUBLE) AS ekey
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(ekey, 9) AS ekey
+    FROM keyed
+    ORDER BY ekey, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirtas): each
+    doc draws exponential key E/w — E = −ln(u) from a 48-bit md5
+    uniform, w = n_chars — and the k smallest keys are the sample, so
+    inclusion probability is proportional to weight with no
+    replacement bookkeeping and no sequential pass. Seed-free and
+    layout-stable (the md5-threshold discipline): retries, speculative
+    tasks, and both engines draw the SAME sample. u = (h48 + 0.5)/2^48
+    keeps u strictly inside (0,1) — ln never sees 0 — and every float
+    op (ln, divide) runs on identical operands, so keys are
+    bit-identical cross-engine.
+
+    Scale shape: one scan computing the key in codegen, then a global
+    top-k by (ekey, doc_id) — TakeOrderedAndProject (per-partition
+    heaps + driver merge of k·P rows), NEVER a global sort of the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h48 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    u = (h48.cast("double") + F.lit(0.5)) / F.lit(281474976710656.0)
+    ekey = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", F.round(ekey, 9).alias("ekey")
+        )
+        .orderBy("ekey", "doc_id")
+        .limit(_WSAMPLE_K)
+    )

@@ -2354,3 +2354,89 @@ def q_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: bucket count for the digest drill-down; divergence localizes to
+#: event_id % _DRILL_BUCKETS.
+_DRILL_BUCKETS = 64
+
+
+def _drilldown_oracle() -> str:
+    row = _DIGEST_ROWS["events"]
+    dk = (
+        row.replace("unix_micros(ts)", "epoch_us(ts)").replace(
+            " AS STRING", " AS VARCHAR"
+        )
+    )
+    term = (
+        f"('0x' || substring(md5({dk}), 1, 15))::BIGINT::DECIMAL(38,0)"
+    )
+    return f"""
+    WITH a AS (
+      SELECT event_id % {_DRILL_BUCKETS} AS bucket,
+        count(*) AS n_a, CAST(sum({term}) AS VARCHAR) AS digest_a
+      FROM events GROUP BY 1
+    ),
+    bad AS (
+      SELECT event_id, user_id,
+        CASE WHEN event_id % 997 = 42 THEN event_type || '_x'
+             ELSE event_type END AS event_type,
+        ts
+      FROM events WHERE event_id % 811 <> 7
+    ),
+    b AS (
+      SELECT event_id % {_DRILL_BUCKETS} AS bucket,
+        count(*) AS n_b, CAST(sum({term}) AS VARCHAR) AS digest_b
+      FROM bad GROUP BY 1
+    )
+    SELECT a.bucket, n_a, n_b, digest_a, digest_b
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    WHERE digest_a IS DISTINCT FROM digest_b
+    """
+
+
+@register("digest_bucket_drilldown", _drilldown_oracle())
+def q_digest_bucket_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-divergence drill-down: when `table_content_digest` says
+    two replicas differ, THIS query says WHERE — per-bucket
+    (event_id % 64) content digests of both replicas, full-outer
+    joined, emitting only buckets whose digests disagree. Repair then
+    re-ships 1/64th of the table instead of all of it (recurse with a
+    different modulus for finer localization — the digest is a plain
+    SUM, so any partitioning of the key space composes). Replica B is
+    synthesized deterministically (event_type corrupted on
+    id%997==42, rows id%811==7 missing) so both engines diff identical
+    replicas; digests cross the result boundary as strings
+    (DECIMAL(38,0) type-hop convention).
+
+    Scale shape: one scan per replica into a 64-cell hash aggregate
+    with map-side partial sums — same cost as the table digest — and
+    a 64-row join. Mergeable: shard-level bucket digests ADD."""
+    ev = load_table(spark, sf_dir, "events")
+    term = digest_term(_DIGEST_ROWS["events"])
+    bucket = (F.col("event_id") % _DRILL_BUCKETS).alias("bucket")
+    a = ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(term).cast("string").alias("digest_a"),
+    )
+    bad = ev.filter(F.col("event_id") % 811 != 7).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("event_id") % 997 == 42, F.concat("event_type", F.lit("_x"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "ts",
+    )
+    b = bad.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(digest_term(_DIGEST_ROWS["events"])).cast("string").alias(
+            "digest_b"
+        ),
+    )
+    return (
+        a.join(b, "bucket", "full_outer")
+        .filter(~F.col("digest_a").eqNullSafe(F.col("digest_b")))
+        .select("bucket", "n_a", "n_b", "digest_a", "digest_b")
+    )

@@ -113,6 +113,9 @@ SENSITIVE = [
     "json_schema_inference",
     "kfold_assignment_balanced",
     "embedding_diversity_by_label",
+    "active_coverage_time",
+    "weighted_sample_wor",
+    "digest_bucket_drilldown",
 ]
 
 
