@@ -1142,3 +1142,60 @@ def test_no_corpus_global_window(spark, name):
                 or "event_type" in line
                 or "windowspecdefinition(x" in line
             ), f"{name}: {line}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mannwhitney_u_click_view",
+        "spearman_value_vs_time",
+        "quantile_normalize_by_source",
+        "kfold_assignment_balanced",
+        "active_coverage_time",
+    ],
+)
+def test_session3_ranking_users_no_global_window(spark, name):
+    """The r6-session-3 consumers of the two-pass ranking primitives:
+    every Window in the plan must be partitioned by the range-partition
+    id, and the triangular offset joins must broadcast (no cartesian)."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, f"{name}: {line}"
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """E-S weighted sampling must be a global top-k
+    (TakeOrderedAndProject), never a full sort of the corpus."""
+    plan = _plan(spark, "weighted_sample_wor")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_embedding_diversity_no_pair_join(spark):
+    """The norm-of-sum identity must keep the plan join-free between
+    embedding rows: aggregates only, no join of the corpus to itself
+    (the |labels|-row finalize join is fine — assert no SortMergeJoin
+    and no cartesian)."""
+    plan = _plan(spark, "embedding_diversity_by_label")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gdpr_cascade_semi_joins_broadcast(spark):
+    """Erasure counting must stay semi-join shaped: broadcast left-semi
+    probes, no row-widening inner joins of fact tables."""
+    plan = _plan(spark, "gdpr_erasure_cascade")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mv_maintenance_merge_is_small_join(spark):
+    """Incremental MV maintenance merges two (type, day) aggregates —
+    the plan must show partial aggregation on both inputs and a
+    full-outer join, with no second scan shape beyond the two
+    aggregates' inputs."""
+    plan = _plan(spark, "mv_incremental_maintenance")
+    assert "FullOuter" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
