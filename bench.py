@@ -218,6 +218,8 @@ HEADLINE = [
     "active_coverage_time",
     "weighted_sample_wor",
     "digest_bucket_drilldown",
+    "holt_linear_daily_volume",
+    "kmeans_assign_step",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -5102,3 +5102,166 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ekey", "doc_id")
         .limit(_WSAMPLE_K)
     )
+
+
+@register(
+    "holt_linear_daily_volume",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, count(*) AS n_days,
+        list_reduce(
+          list_prepend([0.0, 0.0]::DOUBLE[],
+            list_transform(list(cnt ORDER BY day),
+                           c -> [CAST(c AS DOUBLE)])),
+          (acc, x) -> [
+            x[1] / 2 + (acc[1] + acc[2]) / 2,
+            ((x[1] / 2 + (acc[1] + acc[2]) / 2) - acc[1]) / 2 + acc[2] / 2
+          ]) AS st
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+      round(st[1], 6) AS level, round(st[2], 6) AS trend,
+      round(st[1] + st[2], 6) AS forecast_next
+    FROM ser
+    """,
+)
+def q_holt_linear_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    over each event type's daily volume, with the one-step-ahead
+    forecast level+trend — the trend-aware upgrade of the EWMA family
+    that `seasonal_naive_backtest` benchmarks against. α = β = 1/2
+    makes every update l' = x/2 + (l+t)/2, t' = (l'−l)/2 + t/2 a chain
+    of exact halvings and IEEE adds evaluated in explicit day order,
+    so the recurrence — inexpressible in any window frame — is
+    bit-deterministic and cross-engine exact (the ewma_user_value
+    discipline, lifted to a 2-component state; DuckDB folds the same
+    steps via list_reduce with a DOUBLE[2] accumulator).
+
+    Scale shape: one (type, day) hash aggregate over the corpus, then
+    per-type folds over calendar-bounded arrays (|days| elements) —
+    never per-event state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    d = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+    ser = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("xs"),
+    )
+
+    def _step(acc, x):
+        new_l = x / F.lit(2.0) + (acc["l"] + acc["t"]) / F.lit(2.0)
+        new_l_again = x / F.lit(2.0) + (acc["l"] + acc["t"]) / F.lit(2.0)
+        return F.struct(
+            new_l.alias("l"),
+            ((new_l_again - acc["l"]) / F.lit(2.0) + acc["t"] / F.lit(2.0)).alias(
+                "t"
+            ),
+        )
+
+    st = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("t")),
+        _step,
+    )
+    out = ser.select("event_type", "n_days", st.alias("st"))
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.t"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
+    )
+
+
+_KMEANS_K = 8
+_KMEANS_PLANE_OFFSET = 100
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replica of the assignment step: identical centroid
+    literals (blake2b-derived, zero driver state), identical left-fold
+    dot products, argmin via QUALIFY row_number with the same
+    (dist, k) tie-break."""
+    from ..functions.vectors import plane_weight
+
+    rows = []
+    for k in range(_KMEANS_K):
+        ws = [plane_weight(_KMEANS_PLANE_OFFSET + k, d) for d in range(64)]
+        cc = 0.0
+        for w in ws:
+            cc += w * w
+        arr = ", ".join(repr(w) for w in ws)
+        rows.append(f"({k}, [{arr}]::DOUBLE[], {cc!r})")
+    vals = ",\n      ".join(rows)
+    return f"""
+    WITH cents(k, c, cc) AS (VALUES
+      {vals}
+    ),
+    dots AS (
+      SELECT vec_id, k,
+        cc - 2 * list_dot_product(embedding::DOUBLE[], c) AS score
+      FROM embeddings CROSS JOIN cents
+    )
+    SELECT vec_id, CAST(k AS BIGINT) AS centroid, round(score, 6) AS score
+    FROM dots
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score, k) = 1
+    """
+
+
+@register("kmeans_assign_step", _kmeans_oracle())
+def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means ASSIGNMENT step against k=8 frozen centroids
+    (the deterministic blake2b plane vectors — zero driver state, so
+    retries and both engines see identical literals): each vector goes
+    to argmin‖x−c‖², computed as argmin(‖c‖² − 2·x·c) so the row's own
+    norm never needs evaluating. This is the inner loop of Lloyd's
+    algorithm as a pure Column program — the IVF index build
+    (similarity.py) runs this same step iterated; here it is isolated,
+    exact, and oracled, with ties broken (score, k) deterministically.
+
+    Spark plans NO join and NO explode: all 8 scores evaluate in one
+    codegen'd projection and argmin is array_min over an
+    array<struct<score, k>> (lexicographic struct order = the
+    tie-break); the oracle reaches the same assignment through a
+    different mechanism (cross join + QUALIFY argmin window). Scale:
+    one scan, zero exchanges — output is (vec_id, centroid, score)."""
+    from ..functions.vectors import plane_dots, plane_weight
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    ccs = []
+    for k in range(_KMEANS_K):
+        cc = 0.0
+        for d in range(64):
+            w = plane_weight(_KMEANS_PLANE_OFFSET + k, d)
+            cc += w * w
+        ccs.append(cc)
+    pd_col = plane_dots("v", _KMEANS_K, n_dims=64, plane_offset=_KMEANS_PLANE_OFFSET)
+    scored = emb.select("vec_id", pd_col.alias("pd"))
+    pairs = F.array(
+        *[
+            F.struct(
+                (F.lit(ccs[k]) - 2 * F.expr(f"element_at(pd, {k + 1})")).alias(
+                    "score"
+                ),
+                F.lit(k).alias("k"),
+            )
+            for k in range(_KMEANS_K)
+        ]
+    )
+    best = scored.select("vec_id", F.array_min(pairs).alias("b"))
+    return best.select(
+        "vec_id",
+        F.col("b.k").cast("bigint").alias("centroid"),
+        F.round(F.col("b.score"), 6).alias("score"),
+    )

@@ -116,6 +116,8 @@ SENSITIVE = [
     "active_coverage_time",
     "weighted_sample_wor",
     "digest_bucket_drilldown",
+    "holt_linear_daily_volume",
+    "kmeans_assign_step",
 ]
 
 
