@@ -220,6 +220,8 @@ HEADLINE = [
     "digest_bucket_drilldown",
     "holt_linear_daily_volume",
     "kmeans_assign_step",
+    "rrf_fusion_topk",
+    "debounce_rate_limit",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

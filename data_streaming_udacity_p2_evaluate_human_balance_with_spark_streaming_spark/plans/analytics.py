@@ -5265,3 +5265,201 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.k").cast("bigint").alias("centroid"),
         F.round(F.col("b.score"), 6).alias("score"),
     )
+
+
+_RRF_NQ = 5
+_RRF_DEPTH = 50
+_RRF_C = 60.0
+_RRF_OUT = 10
+
+
+@register(
+    "rrf_fusion_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_RRF_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    s1 AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+          AS cosine
+      FROM q, c WHERE neighbor_id <> query_id
+    ),
+    r1 AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM s1) WHERE rank <= {_RRF_DEPTH}
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+      FROM base
+    ),
+    codes AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS qc
+      FROM scaled
+    ),
+    normed AS (
+      SELECT vec_id, qc,
+        sqrt(CAST(list_sum(list_transform(qc, x -> CAST(x AS BIGINT) * x))
+             AS DOUBLE)) AS qn
+      FROM codes
+    ),
+    s2 AS (
+      SELECT qs.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(qs.qc)),
+          i -> CAST(qs.qc[i] AS BIGINT) * cc.qc[i])) AS DOUBLE)
+          / (qs.qn * cc.qn) AS qcos
+      FROM normed qs, normed cc
+      WHERE qs.vec_id < {_RRF_NQ} AND cc.vec_id <> qs.vec_id
+    ),
+    r2 AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY qcos DESC, neighbor_id ASC) AS rank
+        FROM s2) WHERE rank <= {_RRF_DEPTH}
+    ),
+    f AS (
+      SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+        coalesce(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,
+        coalesce(1.0 / ({_RRF_C} + r1.rank), 0.0)
+          + coalesce(1.0 / ({_RRF_C} + r2.rank), 0.0) AS rrf
+      FROM r1 FULL OUTER JOIN r2
+        ON r1.query_id = r2.query_id AND r1.neighbor_id = r2.neighbor_id
+    )
+    SELECT query_id, neighbor_id, fused_rank, round(rrf, 9) AS rrf_score
+    FROM (
+      SELECT query_id, neighbor_id, rrf,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, neighbor_id ASC) AS fused_rank
+      FROM f) WHERE fused_rank <= {_RRF_OUT}
+    """,
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals — exact float
+    cosine and int8-quantized cosine — per query:
+    score = Σ 1/(60 + rank_i) over the lists that contain the
+    candidate (depth 50 each), re-ranked to a fused top-10. RRF is THE
+    standard hybrid-search combiner (dense + quantized here; dense +
+    BM25 in a text stack) precisely because it needs only RANKS:
+    integer ranks with deterministic tie-breaks make the fused scores
+    one or two exact divisions — engine-reproducible where raw-score
+    mixing would inherit every float-parity hazard of both scorers.
+
+    Scale shape: both rankings broadcast the query set and scan the
+    corpus once each (the ann_* plans); fusion itself joins two
+    |queries|·depth frames — negligible. Windows partition by
+    query_id over ≤ 2·depth candidate rows."""
+    from ..operators.similarity import cosine_topk_bruteforce, quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    r1 = cosine_topk_bruteforce(emb, queries_df, k=_RRF_DEPTH).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank1")
+    )
+    r2 = quantized_topk(emb, queries_df, k=_RRF_DEPTH).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank2")
+    )
+    f = r1.join(r2, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank1")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank2")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            F.round("rrf", 9).alias("rrf_score"),
+        )
+    )
+
+
+#: debounce threshold: one day in microseconds.
+_DEBOUNCE_US = 86_400_000_000.0
+
+
+@register(
+    "debounce_rate_limit",
+    f"""
+    WITH folded AS (
+      SELECT user_id, count(*) AS n_events,
+        list_reduce(
+          list_prepend([-1e18, 0.0]::DOUBLE[],
+            list_transform(list(epoch_us(ts) ORDER BY epoch_us(ts), event_id),
+                           t -> [CAST(t AS DOUBLE)])),
+          (acc, x) -> [
+            CASE WHEN x[1] - acc[1] >= {_DEBOUNCE_US}
+                 THEN x[1] ELSE acc[1] END,
+            acc[2] + CASE WHEN x[1] - acc[1] >= {_DEBOUNCE_US}
+                          THEN 1.0 ELSE 0.0 END
+          ]) AS st
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, CAST(st[2] AS BIGINT) AS n_kept
+    FROM folded
+    """,
+)
+def q_debounce_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True debounce / rate limiting: per user, keep an event only if
+    ≥ 1 day has passed since the last KEPT event — the notification-
+    throttling semantics. This is NOT gap sessionization (keep-first-
+    per-session drops an event chain's later members even when they
+    are far from the last kept one): the kept set depends on itself,
+    a sequential recurrence no window frame expresses — so it folds,
+    like the EWMA family, over the user's time-ordered events with a
+    two-scalar accumulator [last_kept_ts, n_kept]. Timestamps ride as
+    exact integer-valued doubles (µs < 2⁵³) and the fold is pure
+    compares and +1s — bit-deterministic, engine-exact.
+
+    Scale shape: one user-keyed hash aggregate building the sorted
+    list, linear fold per user; state O(events per user) here, O(1)
+    in the streaming formulation (the ewma_tracker pattern with a
+    CASE instead of a halving)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("us", "event_id"))),
+            lambda s: s["us"].cast("double"),
+        ).alias("ts_list"),
+    )
+    st = F.aggregate(
+        F.col("ts_list"),
+        F.struct(
+            F.lit(-1e18).alias("last"), F.lit(0.0).alias("kept")
+        ),
+        lambda acc, x: F.when(
+            x - acc["last"] >= F.lit(_DEBOUNCE_US),
+            F.struct(x.alias("last"), (acc["kept"] + F.lit(1.0)).alias("kept")),
+        ).otherwise(acc),
+    )
+    return arr.select(
+        "user_id",
+        "n_events",
+        st["kept"].cast("bigint").alias("n_kept"),
+    )

@@ -118,6 +118,8 @@ SENSITIVE = [
     "digest_bucket_drilldown",
     "holt_linear_daily_volume",
     "kmeans_assign_step",
+    "rrf_fusion_topk",
+    "debounce_rate_limit",
 ]
 
 
