@@ -573,3 +573,64 @@ def ewma_tracker(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, n_kept bigint"
+DEBOUNCE_STATE_SCHEMA = "last_kept_us bigint, n_events bigint, n_kept bigint"
+
+
+def debounce_tracker(
+    events: DataFrame,
+    threshold_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    order_cols: tuple[str, str] = ("us", "event_id"),
+) -> DataFrame:
+    """Streaming twin of the batch `debounce_rate_limit` query: keep an
+    event iff ≥ threshold has passed since the last KEPT event — the
+    rate-limiter whose keep-set depends on itself. State is THREE
+    integers per user (last kept timestamp, totals) where the batch
+    twin materializes the user's full sorted history; integer compares
+    only, so stream and batch agree EXACTLY (no float concerns at
+    all). Same ordering contract as ewma_tracker: in-batch rows are
+    sorted on `order_cols`, batch boundaries must respect per-user
+    event-time order (any in-order replay; certified by
+    tests/test_streaming.py::test_streaming_debounce_matches_batch)."""
+    user = user_col
+    o1, o2 = order_cols
+    thr = int(threshold_us)
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained: shipped by value, workers don't import this pkg
+        import pandas as _pd
+
+        last, n, kept = (
+            state.get if state.exists else (-(1 << 62), 0, 0)
+        )
+        chunks = [pdf for pdf in batches]
+        pdf = _pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None and len(pdf):
+            pdf = pdf.sort_values([o1, o2], kind="mergesort")
+            for t in pdf[o1].tolist():
+                n += 1
+                if int(t) - last >= thr:
+                    last, kept = int(t), kept + 1
+        state.update((last, n, kept))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_kept": [kept]}
+        )
+
+    return (
+        events.select(user, o1, o2)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

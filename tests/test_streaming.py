@@ -2005,3 +2005,92 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     for u, (n_s, e_s) in streamed.items():
         assert n_s == refn[u] == batch[u][0], f"user {u}: n {n_s}"
         assert repr(e_s) == repr(ref[u]), f"user {u}: {e_s!r} != {ref[u]!r}"
+
+
+def test_streaming_debounce_matches_batch(spark, tmp_path):
+    """The streaming debounce tracker (three integers of state per
+    user) replayed over the real sf0.001 events table in per-user
+    event-time order produces EXACTLY the batch
+    `debounce_rate_limit` counts — integer compares only, so equality
+    is exact by construction if the keep-set recurrence is implemented
+    identically."""
+    import json as _json
+    import os as _os
+    import time as _t
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+        debounce_tracker,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .orderBy("us", "event_id")
+        .collect()
+    )
+    n_batches, src = 4, str(tmp_path / "db_src")
+    ckpt = str(tmp_path / "db_ckpt")
+    _os.makedirs(src)
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        with open(f"{src}/f{b}.json", "w") as f:
+            for r in rows[b * per : (b + 1) * per]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "user_id": r["user_id"],
+                            "us": r["us"],
+                            "event_id": r["event_id"],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(f"{src}/f{b}.json", (1700000000 + b, 1700000000 + b))
+        _t.sleep(0.01)
+
+    schema = _parse_datatype_string("user_id bigint, us bigint, event_id bigint")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        debounce_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("debounce_stream")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["n_kept"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, n_kept FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM debounce_stream) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["n_kept"])
+        for r in REGISTRY["debounce_rate_limit"][0](spark, sf).collect()
+    }
+    assert streamed == batch
