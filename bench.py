@@ -222,6 +222,7 @@ HEADLINE = [
     "kmeans_assign_step",
     "rrf_fusion_topk",
     "debounce_rate_limit",
+    "conformal_interval_daily",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -5463,3 +5463,76 @@ def q_debounce_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         st["kept"].cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "conformal_interval_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, cnt,
+        lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+      FROM d
+    ),
+    res AS (
+      SELECT event_type, day, abs(cnt - pred) AS r
+      FROM lagged WHERE pred IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, r,
+        row_number() OVER (PARTITION BY event_type ORDER BY r, day) AS rk,
+        count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM res
+    )
+    SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+      CAST(r AS BIGINT) AS qhat,
+      round(CAST(rk AS DOUBLE) / n_cal, 6) AS empirical_coverage
+    FROM ranked
+    WHERE rk = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)
+    """,
+)
+def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    daily-volume forecaster: the 90% interval half-width qhat is the
+    ⌈0.9·(n+1)⌉-th smallest calibration residual |y_t − y_{t−7}| per
+    event type — a finite-sample coverage GUARANTEE that needs no
+    distributional assumption, the modern replacement for ±1.96σ
+    error bars on forecast dashboards. Everything is exact integer
+    order statistics (counts, lags, ranks); the only division is the
+    reported empirical coverage.
+
+    Scale shape: one (type, day) hash aggregate over the corpus; lag,
+    rank, and selection run on calendar-bounded per-type frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    d = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.withColumn("pred", F.lag("cnt", 7).over(wlag))
+    res = lagged.filter(F.col("pred").isNotNull()).select(
+        "event_type", "day", F.abs(F.col("cnt") - F.col("pred")).alias("r")
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = res.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_cal"),
+    )
+    q_idx = F.least(
+        F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("bigint"),
+        F.col("n_cal").cast("bigint"),
+    )
+    return ranked.filter(F.col("rk") == q_idx).select(
+        "event_type",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("r").cast("bigint").alias("qhat"),
+        F.round(F.col("rk").cast("double") / F.col("n_cal"), 6).alias(
+            "empirical_coverage"
+        ),
+    )

@@ -120,6 +120,7 @@ SENSITIVE = [
     "kmeans_assign_step",
     "rrf_fusion_topk",
     "debounce_rate_limit",
+    "conformal_interval_daily",
 ]
 
 
