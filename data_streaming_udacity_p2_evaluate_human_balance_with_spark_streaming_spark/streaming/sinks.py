@@ -105,3 +105,66 @@ def to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def additive_merge_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    add_cols: tuple[str, ...],
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Additive MV-maintenance sink: each micro-batch's rows are
+    pre-aggregated per key and MERGED BY ADDITION into the parquet
+    target (full-outer on the key, coalesce(a,0)+coalesce(b,0) per
+    measure) — the foreachBatch spelling of incremental materialized-
+    view maintenance where the accumulation state lives in the TABLE,
+    not in streaming aggregation state. Use when the key space is too
+    large or too long-lived for stream state (the
+    `mv_incremental_maintenance` batch query is the same algebra with
+    signed deltas; this sink is inserts-only per micro-batch).
+
+    Measures must be associative adds (counts, fixed-point sums — see
+    the _MV_FIX discipline in plans/warehouse.py): addition makes the
+    merge order-independent across micro-batches, so replay of a
+    FAILED (never-committed) batch converges to the same table. A
+    SUCCESSFUL batch replayed AGAIN would double-add; the checkpoint
+    prevents that in normal operation (same guarantee class as any
+    foreachBatch sink without target-side transaction support)."""
+    keys = list(key_cols)
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        spark = batch.sparkSession
+        delta = batch.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in add_cols]
+        )
+        try:
+            target = spark.read.parquet(path).select(*keys, *add_cols)
+        except AnalysisException as exc:
+            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                raise
+            delta.write.mode("overwrite").parquet(path)
+            return
+        t, d = target.alias("t"), delta.alias("d")
+        merged = t.join(d, keys, "full_outer").select(
+            *[F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+            *[
+                (
+                    F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                ).alias(c)
+                for c in add_cols
+            ],
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+
+    w = df.writeStream.outputMode("append").foreachBatch(merge).option(
+        "checkpointLocation", _checkpoint(checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -2094,3 +2094,80 @@ def test_streaming_debounce_matches_batch(spark, tmp_path):
         for r in REGISTRY["debounce_rate_limit"][0](spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_additive_merge_mv_equals_batch_recompute(spark, tmp_path):
+    """foreachBatch additive MV maintenance: raw sf0.001 events stream
+    through in 4 micro-batches, each batch's (type, day) delta merging
+    by ADDITION into a parquet MV — the final table must EXACTLY equal
+    a batch recompute over all rows (counts and fixed-point value sums
+    are associative BIGINTs, so equality is exact, not approximate)."""
+    import os as _os
+    import time as _t
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    sf = "/root/testdata/sf0.001"
+    base = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.floor(F.col("value") * F.lit(1048576.0)).cast("bigint").alias("vfix"),
+    )
+    rows = base.orderBy("event_id").collect()
+    src = str(tmp_path / "mv_src")
+    mv = str(tmp_path / "mv_table")
+    ckpt = str(tmp_path / "mv_ckpt")
+    _os.makedirs(src)
+    n_batches = 4
+    per = (len(rows) + n_batches - 1) // n_batches
+    schema = _parse_datatype_string(
+        "event_id bigint, event_type string, day date, vfix bigint"
+    )
+    for b in range(n_batches):
+        chunk = spark.createDataFrame(rows[b * per : (b + 1) * per], schema)
+        chunk.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{b}")
+        # one file per trigger: move the part file into the stream dir
+        part = [
+            f for f in _os.listdir(f"{src}/b{b}") if f.endswith(".parquet")
+        ][0]
+        _os.rename(f"{src}/b{b}/{part}", f"{src}/f{b}.parquet")
+        _os.utime(f"{src}/f{b}.parquet", (1700000000 + b, 1700000000 + b))
+        _t.sleep(0.01)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .withColumn("cnt", F.lit(1).cast("bigint"))
+    )
+    q = additive_merge_parquet(
+        stream,
+        mv,
+        key_cols=("event_type", "day"),
+        add_cols=("cnt", "vfix"),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["event_type"], str(r["day"])): (r["cnt"], r["vfix"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"])): (r["cnt"], r["vfix"])
+        for r in base.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("vfix").alias("vfix")
+        )
+        .collect()
+    }
+    assert got == want
