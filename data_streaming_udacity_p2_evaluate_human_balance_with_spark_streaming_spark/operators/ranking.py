@@ -338,3 +338,50 @@ def global_max_over_greater(
         .withColumn(out_col, F.greatest("_lmax", "_hmax"))
         .drop("_pid", "_lmax", "_hmax")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running MAX(value) in `order` (ROWS UNBOUNDED PRECEDING)
+    without a single-partition window — same two-pass construction as
+    global_running_sum with max-combine: per-range-partition running
+    max + a triangular broadcast join over per-partition maxima for
+    the prefix-partition max (NULL for the first partition → the local
+    value stands alone). Max is associative and idempotent, so the
+    combine is exact for any orderable type."""
+    cols = _order_cols(order)
+    rp = _pin(
+        (
+            df.repartitionByRange(num_partitions, *cols)
+            if num_partitions
+            else df.repartitionByRange(*cols)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    local = rp.withColumn(
+        "_local_max",
+        F.max(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = rp.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._pmax").alias("_offset"))
+    )
+    combined = F.when(
+        F.col("_offset").isNull(), F.col("_local_max")
+    ).otherwise(F.greatest(F.col("_local_max"), F.col("_offset")))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, combined)
+        .drop("_pid", "_local_max", "_offset")
+    )

@@ -5536,3 +5536,141 @@ def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empirical_coverage"
         ),
     )
+
+
+@register(
+    "watermark_lateness_profile",
+    """
+    WITH w AS (
+      SELECT epoch_us(ts) AS us,
+        max(epoch_us(ts)) OVER (ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS wm
+      FROM events
+    ),
+    l AS (SELECT (wm - us) // 3600000000 AS hours_late FROM w),
+    n AS (SELECT count(*) AS total FROM l)
+    SELECT CAST(hours_late AS BIGINT) AS hours_late, count(*) AS cnt,
+      round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS share
+    FROM l GROUP BY hours_late
+    """,
+)
+def q_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: for each event, its lateness
+    behind the high-watermark of everything that ARRIVED before it
+    (arrival order = event_id), bucketed into hours — the histogram
+    that DECIDES a streaming job's withWatermark delay: the smallest
+    bucket boundary covering e.g. 99.9% of events is the delay that
+    drops ≤ 0.1% as late. Exact integer microsecond arithmetic; the
+    running max is order-dependent by definition, so the arrival
+    order is pinned to the deterministic event_id sequence.
+
+    Scale shape: the running max is the new TWO-PASS
+    global_running_max (range partition on arrival order +
+    per-partition running max + triangular prefix-max broadcast join —
+    max is associative AND idempotent, so the combine is exact), then
+    an |hours|-cardinality hash aggregate. No single-partition window
+    anywhere."""
+    from ..operators.ranking import global_running_max
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = global_running_max(ev, ["event_id"], "us", "wm")
+    lat = w.select(
+        F.expr("(wm - us) div 3600000000").alias("hours_late")
+    )
+    total = lat.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        lat.groupBy("hours_late")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("hours_late").cast("bigint").alias("hours_late"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@register(
+    "theil_sen_daily_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+        CAST(CAST(date_trunc('day', ts) AS DATE)
+             - DATE '2024-01-01' AS BIGINT) AS x,
+        count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+        CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        a.x AS ax, b.x AS bx
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    r AS (
+      SELECT event_type, slope,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY slope, ax, bx) AS rk,
+        count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      round(slope, 9) AS theil_slope
+    FROM r WHERE rk = (n_pairs + 1) // 2
+    """,
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per type: the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) — up to ~29%
+    corrupted days cannot move it, where the OLS slope
+    (regr_value_vs_time) follows a single outlier. The O(n²) pair
+    enumeration that normally disqualifies Theil–Sen is
+    calendar-bounded here (n = days), the kendall_tau argument. The
+    median is the exact lower-median order statistic with a
+    deterministic (slope, day-pair) tie-break; each slope is one
+    correctly-rounded division of exact integers, so selection is
+    engine-identical.
+
+    Scale shape: one (type, day) hash aggregate over the corpus, then
+    |days|²-per-type joins and windows on tiny frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    d = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("ax"),
+        F.col("b.x").alias("bx"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "ax", "bx")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return r.filter(
+        F.col("rk") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round("slope", 9).alias("theil_slope"),
+    )

@@ -121,6 +121,8 @@ SENSITIVE = [
     "rrf_fusion_topk",
     "debounce_rate_limit",
     "conformal_interval_daily",
+    "watermark_lateness_profile",
+    "theil_sen_daily_trend",
 ]
 
 

@@ -1199,3 +1199,13 @@ def test_mv_maintenance_merge_is_small_join(spark):
     plan = _plan(spark, "mv_incremental_maintenance")
     assert "FullOuter" in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_lateness_profile_no_global_window(spark):
+    """The running watermark max must come from the two-pass
+    global_running_max — only _pid-partitioned windows, no cartesian."""
+    plan = _plan(spark, "watermark_lateness_profile")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    assert "CartesianProduct" not in plan
