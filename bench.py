@@ -225,6 +225,7 @@ HEADLINE = [
     "conformal_interval_daily",
     "watermark_lateness_profile",
     "theil_sen_daily_trend",
+    "scd2_interval_build",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

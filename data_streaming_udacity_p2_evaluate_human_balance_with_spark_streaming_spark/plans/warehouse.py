@@ -2440,3 +2440,64 @@ def q_digest_bucket_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("digest_a").eqNullSafe(F.col("digest_b")))
         .select("bucket", "n_a", "n_b", "digest_a", "digest_b")
     )
+
+
+@register(
+    "scd2_interval_build",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_type, us FROM o
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    iv AS (
+      SELECT user_id, event_type, us AS valid_from_us,
+        lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us,
+        row_number() OVER (PARTITION BY user_id ORDER BY us) AS version
+      FROM ch
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+      CAST(version AS BIGINT) AS version
+    FROM iv
+    """,
+)
+def q_scd2_interval_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 BUILDER: collapse a change-event stream into type-2
+    validity intervals — consecutive equal states merge, each state
+    change opens a new version row [valid_from, valid_to) with the
+    current row open-ended (NULL valid_to) — the write-side complement
+    of `scd2_point_in_time_state` (which READS such a table with an
+    as-of join). Dimension history tables are built exactly this way
+    from CDC feeds. Deduplication of unchanged states (lag compare),
+    interval close (lead), and versioning (row_number) all ride ONE
+    per-user sort; timestamps stay exact integer microseconds.
+
+    Scale shape: a single user-keyed exchange + sort shared by all
+    three window functions (Catalyst plans one Window block); per-user
+    frames are bounded by per-entity change counts, the standard SCD
+    assumption (entities change, they don't accumulate unboundedly
+    faster than retention)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = ev.withColumn("prev", F.lag("event_type").over(w))
+    ch = o.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    ).select("user_id", "event_type", "us")
+    w2 = Window.partitionBy("user_id").orderBy("us")
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )

@@ -123,6 +123,7 @@ SENSITIVE = [
     "conformal_interval_daily",
     "watermark_lateness_profile",
     "theil_sen_daily_trend",
+    "scd2_interval_build",
 ]
 
 
