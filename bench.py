@@ -226,6 +226,7 @@ HEADLINE = [
     "watermark_lateness_profile",
     "theil_sen_daily_trend",
     "scd2_interval_build",
+    "fk_orphan_report",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

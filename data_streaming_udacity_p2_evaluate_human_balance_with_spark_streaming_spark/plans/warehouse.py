@@ -2501,3 +2501,92 @@ def q_scd2_interval_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("us").over(w2).alias("valid_to_us"),
         F.row_number().over(w2).cast("bigint").alias("version"),
     )
+
+
+@register(
+    "fk_orphan_report",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+      (SELECT count(*) FROM orders) AS n_child,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem
+       WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem
+       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'events.user_id->customer',
+      (SELECT count(*) FROM events),
+      (SELECT count(*) FROM events
+       WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+    """,
+)
+def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign-key edge the
+    schema implies — orphan counts per relationship (child rows whose
+    key has no parent), the first thing a warehouse data-contract
+    suite checks after load and the cross-TABLE complement of
+    `data_contract_checks`' single-table expectations. Also documents
+    which identity spaces are actually linked: events.user_id is
+    checked against the customer key space and its orphan count states
+    the (synthetic) coverage of that linkage rather than assuming it.
+
+    Scale shape: one scan per child table with a LEFT ANTI join
+    against the parent's key projection — dimension parents broadcast;
+    the lineitem→orders edge is a key-partitioned shuffled anti join
+    (both sides fact-scale, bucketable at 100 TB). Counts are
+    map-side partial aggregates."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    ev = load_table(spark, sf_dir, "events")
+
+    def leg(fk, child, key, parent, pkey, broadcast_parent=True):
+        p = F.broadcast(parent) if broadcast_parent else parent
+        orphans = child.join(
+            p, F.col(key) == F.col(pkey), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return total.crossJoin(orphans).select(
+            F.lit(fk).alias("fk"), "n_child", "n_orphans"
+        )
+
+    return (
+        leg(
+            "orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"
+        )
+        .unionByName(
+            leg(
+                "lineitem.l_orderkey->orders",
+                li,
+                "l_orderkey",
+                orders.select("o_orderkey"),
+                "o_orderkey",
+                broadcast_parent=False,
+            )
+        )
+        .unionByName(
+            leg("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            leg(
+                "lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"
+            )
+        )
+        .unionByName(
+            leg("events.user_id->customer", ev, "user_id", cust, "c_custkey")
+        )
+    )

@@ -124,6 +124,7 @@ SENSITIVE = [
     "watermark_lateness_profile",
     "theil_sen_daily_trend",
     "scd2_interval_build",
+    "fk_orphan_report",
 ]
 
 
