@@ -1441,3 +1441,48 @@ def test_global_max_over_greater_property(spark, pts, parts):
         greater = [v2 for (k2, v2) in pts if k2 > k]
         want = max(greater) if greater else None
         assert got[i] == want, (i, k, v, got[i], want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_running_max_property(spark, pts, parts):
+    """Property: for ANY (order-key, value) multiset (ties broken by a
+    unique id column) and ANY partition count, the two-pass running max
+    equals the brute-force prefix max over the (k, id) order."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_running_max,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(pts)],
+        "id bigint, k bigint, v bigint",
+    )
+    try:
+        got = {
+            r.id: r.m
+            for r in global_running_max(
+                df, ["k", "id"], "v", "m", num_partitions=parts
+            ).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+    order = sorted(range(len(pts)), key=lambda i: (pts[i][0], i))
+    running = None
+    for i in order:
+        v = pts[i][1]
+        running = v if running is None else max(running, v)
+        assert got[i] == running, (i, pts[i], got[i], running)
