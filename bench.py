@@ -227,6 +227,7 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "scd2_interval_build",
     "fk_orphan_report",
+    "stump_cv_accuracy",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

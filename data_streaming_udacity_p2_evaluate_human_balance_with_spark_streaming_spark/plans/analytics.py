@@ -5674,3 +5674,171 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.round("slope", 9).alias("theil_slope"),
     )
+
+
+_GINI_FP_SQL = (
+    "(((nl * 1000000) {d} nt)"
+    " * (((2 * pl * 1000000) {d} nl)"
+    "    * (((nl - pl) * 1000000) {d} nl) {d} 1000000)"
+    " {d} 1000000)"
+    " + (((nr * 1000000) {d} nt)"
+    " * (((2 * pr * 1000000) {d} nr)"
+    "    * (((nr - pr) * 1000000) {d} nr) {d} 1000000)"
+    " {d} 1000000)"
+)
+
+
+@register(
+    "stump_cv_accuracy",
+    f"""
+    WITH d AS (
+      SELECT doc_id % 5 AS fold, n_chars AS x,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    folds AS (SELECT unnest(generate_series(0, 4)) AS f),
+    train AS (SELECT f, x, y FROM d JOIN folds ON d.fold <> folds.f),
+    agg AS (
+      SELECT f, x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM train GROUP BY f, x
+    ),
+    cum AS (
+      SELECT f, x,
+        CAST(sum(n) OVER (PARTITION BY f ORDER BY x) AS BIGINT) AS nl,
+        CAST(sum(pos) OVER (PARTITION BY f ORDER BY x) AS BIGINT) AS pl,
+        CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+        CAST(sum(pos) OVER (PARTITION BY f) AS BIGINT) AS pt
+      FROM agg
+    ),
+    cand AS (
+      SELECT f, x AS threshold, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+      FROM cum WHERE nl < nt
+    ),
+    scored AS (
+      SELECT f, threshold, nl, pl, nr, pr,
+        {_GINI_FP_SQL.format(d="//")} AS gini_fp
+      FROM cand
+    ),
+    best AS (
+      SELECT f, threshold, nl, pl, nr, pr, gini_fp FROM scored
+      QUALIFY row_number() OVER (PARTITION BY f
+                                 ORDER BY gini_fp, threshold) = 1
+    ),
+    ev AS (
+      SELECT d.fold AS f,
+        CASE WHEN d.x <= b.threshold
+             THEN CASE WHEN 2 * b.pl > b.nl THEN 1 ELSE 0 END
+             ELSE CASE WHEN 2 * b.pr > b.nr THEN 1 ELSE 0 END
+        END AS pred, d.y
+      FROM d JOIN best b ON d.fold = b.f
+    ),
+    acc AS (
+      SELECT f, count(*) AS test_n,
+        CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM ev GROUP BY f
+    )
+    SELECT acc.f AS fold, b.threshold,
+      CAST(b.gini_fp AS BIGINT) AS gini_fp, test_n, n_correct,
+      round(CAST(n_correct AS DOUBLE) / test_n, 6) AS accuracy
+    FROM acc JOIN best b ON acc.f = b.f
+    """,
+)
+def q_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated decision stump: for every held-out fold,
+    train the exact Gini-optimal split (the decision_stump_split
+    machinery, partitioned by fold) on the other four folds, predict
+    each side's training-majority label, and score held-out accuracy —
+    the full train/evaluate loop of distributed tree learning as ONE
+    declarative plan, generalization measured honestly (the global
+    stump's in-sample Gini cannot be compared across feature
+    engineering choices; held-out accuracy can). Folds are
+    deterministic (doc_id % 5); the staged ×10⁶ fixed-point Gini keeps
+    every intermediate ≤ 2e18 at any corpus size, so the argmin split
+    is bit-deterministic cross-engine.
+
+    Scale shape: one (fold, x) hash aggregate over the 4×-replicated
+    training view (explode of a 4-element fold list — narrow), windows
+    over |folds|·|distinct x| rows (feature value domain,
+    corpus-independent), a 5-row broadcast of the learned stumps back
+    onto the corpus for scoring, and a 5-cell accuracy aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 5).alias("fold"),
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    train = d.select(
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(4)),
+                lambda v: v != F.col("fold"),
+            )
+        ).alias("f"),
+        "x",
+        "y",
+    )
+    agg = train.groupBy("f", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wo = Window.partitionBy("f").orderBy("x")
+    wt = Window.partitionBy("f")
+    cum = agg.select(
+        "f",
+        "x",
+        F.sum("n").over(wo).cast("long").alias("nl"),
+        F.sum("pos").over(wo).cast("long").alias("pl"),
+        F.sum("n").over(wt).cast("long").alias("nt"),
+        F.sum("pos").over(wt).cast("long").alias("pt"),
+    )
+    cand = cum.filter(F.col("nl") < F.col("nt")).select(
+        "f",
+        F.col("x").alias("threshold"),
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        "nt",
+    )
+    scored = cand.select(
+        "f",
+        "threshold",
+        "nl",
+        "pl",
+        "nr",
+        "pr",
+        F.expr(_GINI_FP_SQL.format(d="div")).cast("long").alias("gini_fp"),
+    )
+    best = scored.groupBy("f").agg(
+        F.min(
+            F.struct("gini_fp", "threshold", "nl", "pl", "nr", "pr")
+        ).alias("b")
+    ).select("f", "b.*")
+    pred = F.when(
+        F.col("x") <= F.col("threshold"),
+        F.when(2 * F.col("pl") > F.col("nl"), 1).otherwise(0),
+    ).otherwise(F.when(2 * F.col("pr") > F.col("nr"), 1).otherwise(0))
+    ev = d.join(F.broadcast(best), d["fold"] == best["f"]).select(
+        "f", "threshold", "gini_fp", pred.alias("pred"), "y"
+    )
+    return (
+        ev.groupBy("f", "threshold", "gini_fp")
+        .agg(
+            F.count(F.lit(1)).alias("test_n"),
+            F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("f").alias("fold"),
+            "threshold",
+            "gini_fp",
+            "test_n",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("test_n"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -125,6 +125,7 @@ SENSITIVE = [
     "theil_sen_daily_trend",
     "scd2_interval_build",
     "fk_orphan_report",
+    "stump_cv_accuracy",
 ]
 
 
