@@ -228,6 +228,8 @@ HEADLINE = [
     "scd2_interval_build",
     "fk_orphan_report",
     "stump_cv_accuracy",
+    "nearest_centroid_accuracy",
+    "bm25_topk",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

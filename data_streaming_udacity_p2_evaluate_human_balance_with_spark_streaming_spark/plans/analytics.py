@@ -5842,3 +5842,238 @@ def q_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@register(
+    "nearest_centroid_accuracy",
+    f"""
+    WITH f AS (
+      SELECT label, vec_id, d,
+        CAST(floor(embedding[d] * {_DIV_FIX}) AS BIGINT) AS fd
+      FROM embeddings,
+        unnest(generate_series(1, len(embedding))) AS t(d)
+    ),
+    s AS (
+      SELECT label, d, CAST(sum(fd) AS DECIMAL(19,0)) AS sd
+      FROM f GROUP BY label, d
+    ),
+    cent AS (
+      SELECT label,
+        list_transform(list(sd ORDER BY d), v -> CAST(v AS DOUBLE)) AS c,
+        sqrt(CAST(sum(sd * sd) AS DOUBLE)) AS cn
+      FROM s GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, cent.label AS cand,
+        list_dot_product(e.embedding::DOUBLE[], cent.c) / cent.cn AS score
+      FROM embeddings e CROSS JOIN cent
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cand ASC) = 1
+    )
+    SELECT true_label AS label, count(*) AS n,
+      CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct,
+      round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def q_nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy per label —
+    the cheapest embedding-space quality probe: if vectors can't even
+    be claimed by their own class centroid, the embedding (or the
+    labels) are broken. Centroids come from the fixed-point BIGINT
+    coordinate sums (the embedding_diversity discipline — associative,
+    partition-independent), cosine ranking uses dot(x, S)/‖S‖ (the
+    row's own norm cancels across candidates), and argmax ties break
+    on label. Scoring raw embedding doubles against exact integer
+    centroid sums keeps every float op on identical cross-engine
+    operands.
+
+    Scale shape: one posexplode scan into a |labels|·64-cell aggregate
+    (centroid build), a |labels|-row broadcast back onto the corpus
+    (scores in codegen), and a per-vector argmin over |labels|
+    candidates — rows never pair with rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    fxp = v.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x") * F.lit(_DIV_FIX)).cast("bigint").alias("fd"),
+    )
+    s = fxp.groupBy("label", "d").agg(
+        F.sum("fd").cast("decimal(19,0)").alias("sd")
+    )
+    cent = s.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "sd"))),
+            lambda st: st["sd"].cast("double"),
+        ).alias("c"),
+        F.sqrt(F.sum(F.col("sd") * F.col("sd")).cast("double")).alias("cn"),
+    ).select(F.col("label").alias("cand"), "c", "cn")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand",
+        (dot / F.col("cn")).alias("score"),
+    )
+    wp = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("cand").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, w FROM documents,
+        unnest(string_split(text, ' ')) AS t(w) WHERE w <> ''
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avg
+      FROM dlen
+    ),
+    top3 AS (
+      SELECT w FROM (
+        SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY w
+        ORDER BY cf DESC, w LIMIT 3)
+    ),
+    dfq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df
+      FROM tf JOIN top3 USING (w) GROUP BY w
+    ),
+    terms AS (
+      SELECT w, ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfq CROSS JOIN stats
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+        sum(idf * (tf * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg))) AS s
+      FROM tf JOIN terms USING (w) JOIN dlen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM sc ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (k1 = 1.2, b = 0.75, Lucene's smoothed
+    idf) for the corpus's three most frequent terms — the lexical half
+    of every hybrid search stack (rrf_fusion_topk fuses the dense
+    half). Query terms are selected IN-PLAN (top collection frequency,
+    tie word asc) so the query is deterministic and SF-invariant
+    without data-dependent literals. idf's ln() runs on identical
+    operands (certified recipe); the ≤ 3 per-doc term contributions
+    commute within round-6 (the zipf precedent).
+
+    Scale shape: one token explode into (doc, word) and (doc) hash
+    aggregates — the corpus exchanges; term selection is a global
+    top-3 (TakeOrdered); scoring joins the 3-row term table broadcast
+    against the posting rows of just those terms; final answer is a
+    global top-20 (TakeOrdered), never a corpus sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dlen = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avg"),
+    )
+    top3 = (
+        tf.groupBy("w")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(3)
+        .select("w")
+    )
+    dfq = (
+        tf.join(F.broadcast(top3), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    terms = dfq.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avg",
+    )
+    term_score = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(1.0)
+                - F.lit(0.75)
+                + F.lit(0.75) * F.col("len") / F.col("avg")
+            )
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(terms), "w")
+        .join(dlen, "doc_id")
+        .select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts").alias("s"))
+    )
+    return (
+        sc.orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )

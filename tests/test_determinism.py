@@ -126,6 +126,8 @@ SENSITIVE = [
     "scd2_interval_build",
     "fk_orphan_report",
     "stump_cv_accuracy",
+    "nearest_centroid_accuracy",
+    "bm25_topk",
 ]
 
 
