@@ -6077,3 +6077,80 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("s", 6).alias("bm25"))
     )
+
+
+@register(
+    "time_decay_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             epoch_us(ts) AS tus
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT t.channel,
+        (c.cus - t.tus) // 86400000000 AS days_before
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tus < c.cus
+       AND t.tus >= c.cus - 2592000000000
+    )
+    SELECT channel, count(*) AS n_touches,
+      CAST(sum(CAST(2 AS BIGINT)
+               ** (20 - least(days_before, 20))) AS BIGINT) AS credits_fp,
+      round(CAST(sum(CAST(2 AS BIGINT)
+                     ** (20 - least(days_before, 20))) AS DOUBLE)
+            / 1048576.0, 6) AS credit
+    FROM pairs GROUP BY channel
+    """,
+)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every non-purchase touch in
+    the 30 days before a user's purchase earns credit 2^-min(days, 20)
+    — halving per day, the standard decay curve — aggregated per
+    channel. The dyadic weights are stored as INTEGER credits scaled
+    by 2^20 (credit = 1 << (20 − days)), so the channel totals are
+    associative BIGINT sums: exact, partition-order-independent, and
+    engine-identical with NO float in the pipeline until the final
+    display division (exact for totals < 2^33 credits ≈ 8.6e9 touch
+    units — document-raise to DECIMAL beyond). Complements
+    `last_touch_attribution` (winner-take-all) with the
+    fractional-credit model.
+
+    Scale shape: conversions and touches join user-keyed with an
+    event-time band predicate (the range_join_error_bursts class) —
+    per-user frames bounded by activity retention; then a
+    |channels|-cell hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("cus")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tus") < F.col("cus"))
+        & (F.col("tus") >= F.col("cus") - F.lit(2_592_000_000_000)),
+    ).select(
+        "channel",
+        F.expr("(cus - tus) div 86400000000").alias("days_before"),
+    )
+    credit_fp = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CAST(20 - least(days_before, 20) AS INT))"
+    )
+    return pairs.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(credit_fp).cast("bigint").alias("credits_fp"),
+        F.round(
+            F.sum(credit_fp).cast("double") / F.lit(1048576.0), 6
+        ).alias("credit"),
+    )

@@ -128,6 +128,7 @@ SENSITIVE = [
     "stump_cv_accuracy",
     "nearest_centroid_accuracy",
     "bm25_topk",
+    "time_decay_attribution",
 ]
 
 
