@@ -231,6 +231,7 @@ HEADLINE = [
     "nearest_centroid_accuracy",
     "bm25_topk",
     "time_decay_attribution",
+    "negative_sampling_copurchase",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

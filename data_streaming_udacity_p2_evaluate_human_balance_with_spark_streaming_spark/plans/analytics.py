@@ -6154,3 +6154,110 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(credit_fp).cast("double") / F.lit(1048576.0), 6
         ).alias("credit"),
     )
+
+
+_NEG_K = 2
+
+
+@register(
+    "negative_sampling_copurchase",
+    f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS pos_part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+    cand AS (
+      SELECT user_id, pos_part, j,
+        ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':'
+                               || CAST(pos_part AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)), 1, 12))::BIGINT
+          % n_parts AS neg_part
+      FROM pos CROSS JOIN np, range(0, {_NEG_K}) AS t(j)
+    )
+    SELECT c.user_id, c.pos_part, CAST(c.j AS BIGINT) AS j, c.neg_part
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pos p
+      WHERE p.user_id = c.user_id AND p.pos_part = c.neg_part
+    )
+    """,
+)
+def q_negative_sampling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: every
+    (user, purchased part) positive draws k=2 candidate negatives by
+    md5-hashing (user, part, j) into the part-key space, then an
+    ANTI-join against the user's true purchase set drops accidental
+    positives — the standard contrastive-pairs generator, with the
+    md5-threshold discipline instead of rand(): retries, speculative
+    tasks, both engines, and tomorrow's rerun all draw the SAME
+    negatives, so training data is reproducible and the eval split
+    can't silently shift. (Collision-dropped candidates are dropped,
+    not resampled — at |parts| ≫ per-user purchases the loss is the
+    purchase density, and determinism beats exact-k.)
+
+    Scale shape: one distinct (user, part) aggregate, a narrow k-way
+    candidate expansion in codegen, and a user-keyed LEFT ANTI join
+    back against the positives — all keyed shuffles, no row pairing
+    beyond the k factor."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pos = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("pos_part"),
+        )
+        .distinct()
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            "pos_part",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+            "n_parts",
+        )
+        .select(
+            "user_id",
+            "pos_part",
+            F.col("j").cast("long").alias("j"),
+            (
+                F.conv(
+                    F.concat_ws(
+                        "",
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("user_id").cast("string"),
+                                    F.col("pos_part").cast("string"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_parts")
+            ).alias("neg_part"),
+        )
+    )
+    return cand.join(
+        pos.select(
+            F.col("user_id").alias("p_user"), F.col("pos_part").alias("p_part")
+        ),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("neg_part") == F.col("p_part")),
+        "left_anti",
+    ).select("user_id", "pos_part", "j", "neg_part")

@@ -129,6 +129,7 @@ SENSITIVE = [
     "nearest_centroid_accuracy",
     "bm25_topk",
     "time_decay_attribution",
+    "negative_sampling_copurchase",
 ]
 
 
