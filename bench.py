@@ -232,6 +232,9 @@ HEADLINE = [
     "bm25_topk",
     "time_decay_attribution",
     "negative_sampling_copurchase",
+    "threshold_breach_episodes",
+    "diff_in_diff_value",
+    "encoding_advisor",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -6261,3 +6261,170 @@ def q_negative_sampling_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("neg_part") == F.col("p_part")),
         "left_anti",
     ).select("user_id", "pos_part", "j", "neg_part")
+
+
+@register(
+    "threshold_breach_episodes",
+    """
+    WITH d AS (
+      SELECT event_type,
+        CAST(CAST(date_trunc('day', ts) AS DATE)
+             - DATE '2024-01-01' AS BIGINT) AS day_num,
+        count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d GROUP BY event_type
+    ),
+    breach AS (
+      SELECT d.event_type, day_num
+      FROM d JOIN tot USING (event_type)
+      WHERE cnt * n_days > total
+    ),
+    isl AS (
+      SELECT event_type, day_num,
+        day_num - row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day_num) AS grp
+      FROM breach
+    )
+    SELECT event_type, CAST(min(day_num) AS BIGINT) AS start_day,
+      CAST(max(day_num) AS BIGINT) AS end_day,
+      count(*) AS n_days
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def q_threshold_breach_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive days where a type's volume runs
+    above its own average collapse into breach EPISODES (start, end,
+    length) — the alerting shape behind "elevated error rate for 4
+    straight days", and the canonical islands construction
+    (day − row_number = island key). The threshold compare is
+    cross-multiplied (cnt·n_days > total) so no division touches the
+    classification — integer-exact on both engines.
+
+    Scale shape: one (type, day) hash aggregate over the corpus; the
+    islands window and episode rollup run on calendar-bounded
+    per-type frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day_num"),
+    )
+    d = ev.groupBy("event_type", "day_num").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = d.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    breach = (
+        d.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cnt") * F.col("n_days") > F.col("total"))
+        .select("event_type", "day_num")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    isl = breach.withColumn(
+        "grp", F.col("day_num") - F.row_number().over(w)
+    )
+    return isl.groupBy("event_type", "grp").agg(
+        F.min("day_num").cast("bigint").alias("start_day"),
+        F.max("day_num").cast("bigint").alias("end_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("grp")
+
+
+@register(
+    "diff_in_diff_value",
+    f"""
+    WITH cells AS (
+      SELECT
+        CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+             THEN 1 ELSE 0 END AS treated,
+        CASE WHEN ts >= TIMESTAMP '{_CUPED_BOUNDARY}' THEN 1 ELSE 0 END
+          AS post,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+             AS DOUBLE) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS t_post,
+        max(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS t_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS c_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS c_pre,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+      round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+      round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+      round((t_post - t_pre) - (c_post - c_pre), 6) AS did
+    FROM m
+    """,
+)
+def q_diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treated × post-period) cell
+    means of `value` and the DiD estimate (ΔT − ΔC) — the workhorse
+    causal readout when assignment isn't randomized and a parallel
+    pre-trend is the identification assumption; shares its md5
+    assignment and period boundary with `ab_test_cuped` so the two
+    readouts are directly comparable on the same cohort. Cell sums
+    accumulate in DECIMAL (associative — partition-order-proof); the
+    four means and the final subtraction are one identical double
+    tree.
+
+    Scale shape: ONE scan into a 4-cell hash aggregate with map-side
+    partials, then scalar arithmetic. The cheapest causal query
+    there is."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("ts") >= F.lit(_CUPED_BOUNDARY).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("s"),
+    )
+    mean = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s") / F.col("n"),
+        )
+    )
+    m = cells.agg(
+        mean(1, 1).alias("t_post"),
+        mean(1, 0).alias("t_pre"),
+        mean(0, 1).alias("c_post"),
+        mean(0, 0).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did"),
+    )

@@ -2590,3 +2590,87 @@ def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             leg("events.user_id->customer", ev, "user_id", cust, "c_custkey")
         )
     )
+
+
+#: encoding-advisor column inventory: (table, columns profiled)
+_ADVISE_COLS = {
+    "events": ["event_type", "user_id", "value", "props"],
+    "documents": ["lang", "source", "text"],
+    "orders": ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    "lineitem": ["l_returnflag", "l_linestatus", "l_quantity"],
+}
+
+
+def _advisor_oracle() -> str:
+    legs = []
+    for tbl, cols in _ADVISE_COLS.items():
+        for c in cols:
+            legs.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col,"
+                f" CAST(count(*) AS BIGINT) AS n,"
+                f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv"
+                f" FROM {tbl}"
+            )
+    return f"""
+    WITH s AS ({" UNION ALL ".join(legs)})
+    SELECT tbl, col, n, ndv,
+      round(CAST(ndv AS DOUBLE) / n, 6) AS ndv_ratio,
+      CASE WHEN ndv * 100 < n THEN 'dictionary'
+           WHEN ndv * 2 < n THEN 'maybe-dictionary'
+           ELSE 'plain' END AS advice
+    FROM s
+    """
+
+
+@register("encoding_advisor", _advisor_oracle())
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: exact NDV/row ratios for the columns a
+    parquet writer must choose encodings for, with the standard
+    advice thresholds (NDV < 1% of rows → dictionary-encode;
+    < 50% → maybe; else plain) — the write-side layout tuning report
+    that decides scan cost for everything downstream (a mis-encoded
+    high-cardinality column bloats dictionaries; a plain-encoded
+    low-cardinality one wastes 10-100× space). Thresholds compare by
+    cross-multiplication (ndv·100 < n) so classification is
+    integer-exact.
+
+    Scale shape: one scan PER TABLE computing all of its columns'
+    distinct counts in a single multi-distinct aggregate (Catalyst
+    expands once, map-side partials); output is |columns| rows."""
+    parts = []
+    for tbl, cols in _ADVISE_COLS.items():
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.countDistinct(c).cast("bigint").alias(f"ndv_{c}")
+                for c in cols
+            ],
+        )
+        for c in cols:
+            parts.append(
+                agg.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    "n",
+                    F.col(f"ndv_{c}").alias("ndv"),
+                )
+            )
+    from functools import reduce
+
+    s = reduce(lambda a, b: a.unionByName(b), parts)
+    advice = (
+        F.when(F.col("ndv") * 100 < F.col("n"), "dictionary")
+        .when(F.col("ndv") * 2 < F.col("n"), "maybe-dictionary")
+        .otherwise("plain")
+    )
+    return s.select(
+        "tbl",
+        "col",
+        "n",
+        "ndv",
+        F.round(F.col("ndv").cast("double") / F.col("n"), 6).alias(
+            "ndv_ratio"
+        ),
+        advice.alias("advice"),
+    )

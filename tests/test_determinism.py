@@ -130,6 +130,9 @@ SENSITIVE = [
     "bm25_topk",
     "time_decay_attribution",
     "negative_sampling_copurchase",
+    "threshold_breach_episodes",
+    "diff_in_diff_value",
+    "encoding_advisor",
 ]
 
 
