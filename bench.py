@@ -235,6 +235,8 @@ HEADLINE = [
     "threshold_breach_episodes",
     "diff_in_diff_value",
     "encoding_advisor",
+    "relational_division_users",
+    "cart_abandonment_rate",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -6428,3 +6428,98 @@ def q_diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@register(
+    "relational_division_users",
+    """
+    WITH types AS (SELECT count(DISTINCT event_type) AS nt FROM events),
+    u AS (
+      SELECT user_id, count(DISTINCT event_type) AS k FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(k AS BIGINT) AS n_types
+    FROM u CROSS JOIN types WHERE k = nt
+    """,
+)
+def q_relational_division_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — "users who performed EVERY event type" —
+    the FOR ALL quantifier SQL famously lacks, spelled as the standard
+    count-matching reduction (per-user distinct-type count equals the
+    global distinct-type count). The doubled NOT EXISTS spelling is
+    semantically identical but plans two correlated anti-joins; the
+    count form is one hash aggregate plus a 1-row broadcast.
+
+    Scale shape: one user-keyed distinct aggregate over the corpus;
+    the divisor cardinality is a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(F.countDistinct("event_type").alias("nt"))
+    u = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("k")
+    )
+    return (
+        u.crossJoin(F.broadcast(types))
+        .filter(F.col("k") == F.col("nt"))
+        .select("user_id", F.col("k").cast("bigint").alias("n_types"))
+    )
+
+
+@register(
+    "cart_abandonment_rate",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    judged AS (
+      SELECT c.user_id, c.event_id,
+        CASE WHEN EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND epoch_us(p.ts) > c.cus
+            AND epoch_us(p.ts) <= c.cus + 86400000000
+        ) THEN 0 ELSE 1 END AS abandoned
+      FROM clicks c
+    )
+    SELECT count(*) AS n_clicks,
+      CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+      round(CAST(sum(abandoned) AS DOUBLE) / count(*), 6)
+        AS abandonment_rate
+    FROM judged
+    """,
+)
+def q_cart_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sequential pattern — clicks NOT followed by a purchase
+    within 24 hours — the abandonment metric that is the complement of
+    every funnel query here (funnels count completions; products
+    optimize the failures). The NOT-followed-by quantifier compiles to
+    a time-banded LEFT ANTI join on user (the watermarked
+    stream-stream left-join's batch shape), never a correlated
+    per-row subquery.
+
+    Scale shape: clicks anti-join purchases user-keyed with an
+    event-time band — both sides one scan, one keyed shuffle; the rate
+    is a 1-row reduce. Exact integer microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("cus")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pus")
+    )
+    abandoned = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pus") > F.col("cus"))
+        & (F.col("pus") <= F.col("cus") + F.lit(86_400_000_000)),
+        "left_anti",
+    )
+    n_ab = abandoned.agg(F.count(F.lit(1)).alias("n_abandoned"))
+    n_all = clicks.agg(F.count(F.lit(1)).alias("n_clicks"))
+    return n_all.crossJoin(n_ab).select(
+        "n_clicks",
+        "n_abandoned",
+        F.round(
+            F.col("n_abandoned").cast("double") / F.col("n_clicks"), 6
+        ).alias("abandonment_rate"),
+    )

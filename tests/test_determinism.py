@@ -133,6 +133,8 @@ SENSITIVE = [
     "threshold_breach_episodes",
     "diff_in_diff_value",
     "encoding_advisor",
+    "relational_division_users",
+    "cart_abandonment_rate",
 ]
 
 
