@@ -237,6 +237,7 @@ HEADLINE = [
     "encoding_advisor",
     "relational_division_users",
     "cart_abandonment_rate",
+    "hll_sliding_7day_users",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

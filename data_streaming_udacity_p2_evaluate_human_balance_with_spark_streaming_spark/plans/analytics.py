@@ -6523,3 +6523,99 @@ def q_cart_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_abandoned").cast("double") / F.col("n_clicks"), 6
         ).alias("abandonment_rate"),
     )
+
+
+def _hll_sliding_oracle() -> str:
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        _HLL_RHO_MAX,
+        hll_register_exprs,
+    )
+
+    e = hll_register_exprs("CAST(user_id AS VARCHAR)")
+    m = HLL_M
+    numer = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} * "
+        f"CAST((1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)"
+    )
+    s_all = f"(s_int + ({m} - n_regs) * (1::BIGINT << {_HLL_RHO_MAX}))"
+    raw = f"({numer}) / CAST({s_all} AS DOUBLE)"
+    v = f"({m} - n_regs)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {v} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {v}) ELSE {raw} END"
+    )
+    return f"""
+    WITH regs AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        {e["bucket_hex"]} AS bucket_hex, MAX({e["rho"]}) AS rho
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM regs),
+    spread AS (
+      SELECT regs.day + CAST(o AS INTEGER) AS wd, bucket_hex, rho
+      FROM regs, range(0, 7) AS t(o)
+    ),
+    win AS (
+      SELECT wd, bucket_hex, MAX(rho) AS rho
+      FROM spread JOIN days ON spread.wd = days.day
+      GROUP BY wd, bucket_hex
+    ),
+    summary AS (
+      SELECT wd AS day,
+        SUM((1::BIGINT << ({_HLL_RHO_MAX} - rho)))::BIGINT AS s_int,
+        COUNT(*) AS n_regs
+      FROM win GROUP BY 1
+    )
+    SELECT day, round({est}, 4) AS est_distinct,
+      CAST(n_regs AS BIGINT) AS n_registers
+    FROM summary
+    """
+
+
+@register("hll_sliding_7day_users", _hll_sliding_oracle())
+def q_hll_sliding_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — the sketch answer to the question `dau_wau_stickiness`
+    answers exactly: each day keeps only its 256-register table, and
+    every trailing window is the per-bucket MAX over 7 days of
+    registers (sketch union), never a rescan of raw ids. At 100 TB
+    this is THE sliding-distinct pattern: state per day is 256 rows
+    regardless of traffic, windows of any length merge associatively,
+    and backfills recompute from stored sketches. The oracle replays
+    register construction, the 7-day merge, and the exact-integer
+    harmonic estimate; accuracy vs the exact trailing distinct is
+    pytest-gated separately (m=256 → ~6.5% standard error).
+
+    Scale shape: one (day, bucket) hash aggregate over the corpus
+    (map-side max partials), a 7× register fan-out (≤ 7·256 rows per
+    day), a (window-day, bucket) max aggregate, and a |days|-row
+    estimate projection."""
+    from ..operators.sketches import _hll_summary_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, ["day"], "user_id")
+    days = regs.select("day").distinct()
+    spread = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "bucket_hex",
+        "rho",
+    ).select(
+        F.date_add("day", F.col("o").cast("int")).alias("wd"),
+        "bucket_hex",
+        "rho",
+    )
+    win = (
+        spread.join(
+            F.broadcast(days), spread["wd"] == days["day"], "left_semi"
+        )
+        .groupBy("wd", "bucket_hex")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _hll_summary_estimate(
+        win.withColumnRenamed("wd", "day"), "day"
+    )

@@ -135,6 +135,7 @@ SENSITIVE = [
     "encoding_advisor",
     "relational_division_users",
     "cart_abandonment_rate",
+    "hll_sliding_7day_users",
 ]
 
 

@@ -1486,3 +1486,40 @@ def test_global_running_max_property(spark, pts, parts):
         v = pts[i][1]
         running = v if running is None else max(running, v)
         assert got[i] == running, (i, pts[i], got[i], running)
+
+
+def test_hll_sliding_7day_tracks_exact_distinct(spark):
+    """The merged-sketch trailing-7-day estimates must track the EXACT
+    trailing distinct within HLL's m=256 error envelope (~6.5% standard
+    error; gate at 4 sigma = 26% relative, and mean error ≤ 10%)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        str(r["day"]): r["est_distinct"]
+        for r in REGISTRY["hll_sliding_7day_users"][0](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    rows = ev.distinct().collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    rel_errs = []
+    for i, d in enumerate(days):
+        exact = set()
+        for d2 in days[max(0, i - 6) : i + 1]:
+            if (d - d2).days <= 6:
+                exact |= by_day[d2]
+        e = est[str(d)]
+        rel = abs(e - len(exact)) / len(exact)
+        rel_errs.append(rel)
+        assert rel < 0.26, (d, e, len(exact))
+    assert sum(rel_errs) / len(rel_errs) <= 0.10, sum(rel_errs) / len(rel_errs)
