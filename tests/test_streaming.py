@@ -2171,3 +2171,131 @@ def test_additive_merge_mv_equals_batch_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermarked_full_outer_stream_join_emits_both_sides(spark, tmp_path):
+    """FULL-OUTER stream-stream join — the last row of the join-mode
+    matrix (inner / left-outer / left-semi are tested above): matched
+    pairs emit joined; unmatched LEFT rows emit with NULL right
+    columns and unmatched RIGHT rows emit with NULL left columns, each
+    only after the watermark closes their window."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.joins import (
+        watermarked_stream_join,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _os.makedirs(ldir), _os.makedirs(rdir)
+    lrows1 = [
+        {"email": "a@test.com", "cts": "2024-01-01T00:00:00.000Z"},
+        {"email": "c@test.com", "cts": "2024-01-01T00:01:00.000Z"},
+    ]
+    rrows1 = [
+        {"customer": "a@test.com", "score": "5.0", "ets": "2024-01-01T00:04:00.000Z"},
+        {"customer": "x@test.com", "score": "7.0", "ets": "2024-01-01T00:05:00.000Z"},
+    ]
+    # far-future watermark pushers on BOTH sides so every first-batch
+    # window closes and outer rows emit
+    lrows2 = [{"email": "z@test.com", "cts": "2024-01-01T03:00:00.000Z"}]
+    rrows2 = [
+        {"customer": "zz@test.com", "score": "0.0", "ets": "2024-01-01T03:00:00.000Z"}
+    ]
+    for d, batches in ((ldir, (lrows1, lrows2)), (rdir, (rrows1, rrows2))):
+        for i, rows in enumerate(batches):
+            with open(f"{d}/f{i}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    lschema = _parse_datatype_string("email string, cts timestamp")
+    rschema = _parse_datatype_string("customer string, score string, ets timestamp")
+    left = (
+        spark.readStream.format("json").schema(lschema)
+        .option("maxFilesPerTrigger", "1").load(ldir)
+    )
+    right = (
+        spark.readStream.format("json").schema(rschema)
+        .option("maxFilesPerTrigger", "1").load(rdir)
+    )
+    joined = watermarked_stream_join(
+        left,
+        right,
+        "email = customer",
+        "cts",
+        "ets",
+        watermark="10 minutes",
+        range_cond="ets BETWEEN cts AND cts + INTERVAL 10 MINUTES",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("fo_join_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.email, r.customer)
+        for r in spark.sql("SELECT email, customer FROM fo_join_tbl").collect()
+    }
+    # matched pair; unmatched left with NULL right; unmatched right
+    # with NULL left — all from batch 1 (batch-2 pushers may still sit
+    # in open windows, so only assert the CLOSED-window rows)
+    assert ("a@test.com", "a@test.com") in got
+    assert ("c@test.com", None) in got
+    assert (None, "x@test.com") in got
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay collapse to one row even when their EVENT TIMES
+    differ (the at-least-once-ingest dedup built-in that plain
+    dropDuplicates-on-(key,ts) cannot express); state for a key is
+    dropped once the watermark passes, bounding the dedup memory."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    src = str(tmp_path / "ddw_src")
+    _os.makedirs(src)
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "v": 1.0},
+        # same id, LATER event time (retry with re-stamped timestamp)
+        {"event_id": 1, "ts": "2024-01-01T00:03:00.000Z", "v": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00.000Z", "v": 2.0},
+    ]
+    b2 = [
+        # same id again within the delay window in the NEXT batch
+        {"event_id": 2, "ts": "2024-01-01T00:05:00.000Z", "v": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T02:00:00.000Z", "v": 3.0},
+    ]
+    for i, rows in enumerate((b1, b2)):
+        with open(f"{src}/f{i}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{src}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("event_id bigint, ts timestamp, v double")
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM ddw_tbl").collect())
+    assert ids == [1, 2, 3], ids
