@@ -238,6 +238,7 @@ HEADLINE = [
     "relational_division_users",
     "cart_abandonment_rate",
     "hll_sliding_7day_users",
+    "woe_encoding_bins",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

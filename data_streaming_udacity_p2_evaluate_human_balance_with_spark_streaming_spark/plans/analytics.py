@@ -6619,3 +6619,76 @@ def q_hll_sliding_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_summary_estimate(
         win.withColumnRenamed("wd", "day"), "day"
     )
+
+
+@register(
+    "woe_encoding_bins",
+    """
+    WITH b AS (
+      SELECT ntile(5) OVER (ORDER BY n_chars, doc_id) AS bin,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS pos
+      FROM b GROUP BY bin
+    ),
+    t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        CAST(sum(n - pos) AS BIGINT) AS tn
+      FROM g
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, pos,
+      round(ln((CAST(pos AS DOUBLE) + 0.5) / (tp + 0.5)
+               / (((n - pos) + 0.5) / (tn + 0.5))), 6) AS woe,
+      round(((CAST(pos AS DOUBLE) + 0.5) / (tp + 0.5)
+             - ((n - pos) + 0.5) / (tn + 0.5))
+            * ln((CAST(pos AS DOUBLE) + 0.5) / (tp + 0.5)
+                 / (((n - pos) + 0.5) / (tn + 0.5))), 6) AS iv_term
+    FROM g CROSS JOIN t
+    """,
+)
+def q_woe_encoding_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding of doc length against the
+    is-English label over exact quintile bins, with each bin's
+    Information-Value term — the credit-scoring-lineage feature
+    transform (monotone, missing-friendly, directly interpretable as
+    log-odds shift) that feeds logistic models; Σiv_term is the
+    classic feature-strength screen (IV > 0.3 ≈ strong). Counts are
+    exact integers, the ±0.5 Laplace terms keep empty cells finite,
+    and woe/iv are one identical ln-bearing double tree (the
+    logloss/zipf recipe).
+
+    Scale shape: binning is the TWO-PASS exact global_ntile (range
+    exchange + offsets — never a single-partition ntile window at
+    scale; the oracle's plain ntile is the SQL spelling), then a
+    5-cell aggregate and a broadcast totals row."""
+    from ..operators.ranking import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = global_ntile(docs, ["n_chars", "doc_id"], 5, out_col="bin")
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    t = g.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("tn"),
+    )
+    pp = (F.col("pos").cast("double") + F.lit(0.5)) / (F.col("tp") + F.lit(0.5))
+    pn = ((F.col("n") - F.col("pos")) + F.lit(0.5)) / (
+        F.col("tn") + F.lit(0.5)
+    )
+    woe = F.log(pp / pn)
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        "pos",
+        F.round(woe, 6).alias("woe"),
+        F.round((pp - pn) * woe, 6).alias("iv_term"),
+    )

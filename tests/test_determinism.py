@@ -136,6 +136,7 @@ SENSITIVE = [
     "relational_division_users",
     "cart_abandonment_rate",
     "hll_sliding_7day_users",
+    "woe_encoding_bins",
 ]
 
 
