@@ -239,6 +239,7 @@ HEADLINE = [
     "cart_abandonment_rate",
     "hll_sliding_7day_users",
     "woe_encoding_bins",
+    "paired_sign_test_improvement",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

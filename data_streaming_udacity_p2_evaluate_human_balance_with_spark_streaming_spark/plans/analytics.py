@@ -6692,3 +6692,94 @@ def q_woe_encoding_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((pp - pn) * woe, 6).alias("iv_term"),
     )
+
+
+@register(
+    "paired_sign_test_improvement",
+    """
+    WITH span AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+        sum(CASE WHEN epoch_us(ts) < lo + 604800000000
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+        count(CASE WHEN epoch_us(ts) < lo + 604800000000 THEN 1 END) AS n1,
+        sum(CASE WHEN epoch_us(ts) >= hi - 604800000000
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS s2,
+        count(CASE WHEN epoch_us(ts) >= hi - 604800000000 THEN 1 END) AS n2
+      FROM events CROSS JOIN span
+      WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    paired AS (
+      SELECT user_id,
+        CASE WHEN s2 * n1 > s1 * n2 THEN 1 ELSE 0 END AS improved,
+        CASE WHEN s2 * n1 < s1 * n2 THEN 1 ELSE 0 END AS worsened
+      FROM u WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT count(*) AS n_paired,
+      CAST(sum(improved) AS BIGINT) AS n_improved,
+      CAST(sum(worsened) AS BIGINT) AS n_worsened,
+      CAST(count(*) - sum(improved) - sum(worsened) AS BIGINT) AS n_tied,
+      round((CAST(sum(improved) AS DOUBLE) - CAST(sum(worsened) AS DOUBLE))
+            / sqrt(CAST(sum(improved) AS DOUBLE)
+                   + CAST(sum(worsened) AS DOUBLE)), 6) AS sign_z
+    FROM paired
+    """,
+)
+def q_paired_sign_test_improvement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: did per-user mean `value` improve between the
+    FIRST week and the LAST week of the observation span? Each user
+    with activity in both windows contributes one sign; the test
+    statistic (I − W)/√(I + W) is the tie-discarding binomial normal
+    approximation — the reference's domain question ("did the
+    customer's balance score improve?") answered distribution-free at
+    population level. The improved/worsened classification never
+    divides: mean comparison s2/n2 > s1/n1 is cross-multiplied to
+    s2·n1 > s1·n2 over DECIMAL-exact sums — integer-exact, so the
+    paired signs are bit-reproducible on both engines.
+
+    Scale shape: a 1-row span scan broadcast, ONE user-keyed
+    conditional aggregate over the corpus, and a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    wk = F.lit(604_800_000_000)
+    us = F.unix_micros("ts")
+    dec = F.col("value").cast("decimal(18,6)")
+    u = ev.crossJoin(F.broadcast(span)).groupBy("user_id").agg(
+        F.sum(F.when(us < F.col("lo") + wk, dec)).alias("s1"),
+        F.count(F.when(us < F.col("lo") + wk, 1)).alias("n1"),
+        F.sum(F.when(us >= F.col("hi") - wk, dec)).alias("s2"),
+        F.count(F.when(us >= F.col("hi") - wk, 1)).alias("n2"),
+    )
+    paired = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.when(F.col("s2") * F.col("n1") > F.col("s1") * F.col("n2"), 1)
+        .otherwise(0)
+        .alias("improved"),
+        F.when(F.col("s2") * F.col("n1") < F.col("s1") * F.col("n2"), 1)
+        .otherwise(0)
+        .alias("worsened"),
+    )
+    imp = F.sum("improved").cast("bigint")
+    wor = F.sum("worsened").cast("bigint")
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_paired"),
+        imp.alias("n_improved"),
+        wor.alias("n_worsened"),
+        (F.count(F.lit(1)) - F.sum("improved") - F.sum("worsened"))
+        .cast("bigint")
+        .alias("n_tied"),
+        F.round(
+            (imp.cast("double") - wor.cast("double"))
+            / F.sqrt(imp.cast("double") + wor.cast("double")),
+            6,
+        ).alias("sign_z"),
+    )

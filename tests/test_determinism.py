@@ -137,6 +137,7 @@ SENSITIVE = [
     "cart_abandonment_rate",
     "hll_sliding_7day_users",
     "woe_encoding_bins",
+    "paired_sign_test_improvement",
 ]
 
 
