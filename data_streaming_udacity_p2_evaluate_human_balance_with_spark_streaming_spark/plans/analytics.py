@@ -6783,3 +6783,120 @@ def q_paired_sign_test_improvement(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("sign_z"),
     )
+
+
+@register(
+    "risk_alert_bursts",
+    """
+    WITH hi AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE value > 200.0
+    ),
+    c AS (
+      SELECT user_id, us,
+        count(*) OVER (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 3600000000 PRECEDING
+                       AND CURRENT ROW) AS n_hour
+      FROM hi
+    )
+    SELECT user_id, count(*) AS n_alerts,
+      CAST(min(us) AS BIGINT) AS first_alert_us,
+      CAST(max(us) AS BIGINT) AS last_alert_us
+    FROM c WHERE n_hour >= 3
+    GROUP BY user_id
+    """,
+)
+def q_risk_alert_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst alerting on the reference's own domain signal: a
+    high-risk reading (value > 200) ALERTS when it is the third or
+    later within a trailing hour for that user — the page-the-nurse
+    rule that a single spike must not trigger but a cluster must. The
+    trailing count is an event-time RANGE frame (two-pointer O(n) per
+    user, the rolling_hour_avg machinery) over only the pre-filtered
+    high readings; integer microsecond arithmetic throughout.
+
+    Scale shape: the value filter prunes at the scan, then ONE
+    user-keyed exchange + sort shared by the frame and the final
+    per-user rollup. The streaming twin is a 1-hour sliding-window
+    count — the same predicate as a watermarked windowed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 200.0).select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    c = hi.withColumn("n_hour", F.count(F.lit(1)).over(w))
+    return (
+        c.filter(F.col("n_hour") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.min("us").cast("bigint").alias("first_alert_us"),
+            F.max("us").cast("bigint").alias("last_alert_us"),
+        )
+    )
+
+
+@register(
+    "repeat_customer_revenue_share",
+    """
+    WITH oc AS (
+      SELECT o_custkey, count(*) AS n_orders,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS repeat_customers,
+        CAST(count(*) AS BIGINT) AS total_customers,
+        CAST(CAST(sum(CASE WHEN n_orders >= 2 THEN rev END) AS VARCHAR)
+             AS DOUBLE) AS repeat_rev,
+        CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_rev
+      FROM oc
+    )
+    SELECT repeat_customers, total_customers,
+      round(repeat_rev, 2) AS repeat_revenue,
+      round(total_rev, 2) AS total_revenue,
+      round(repeat_rev / total_rev, 6) AS repeat_share
+    FROM s
+    """,
+)
+def q_repeat_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-vs-one-time customer revenue mix — the retention-economics
+    headline number (mature businesses book most revenue from repeat
+    buyers; a falling share is the early churn alarm). One customer
+    aggregate classifies by order count; DECIMAL revenue sums surface
+    as doubles through the string hop (the q1/q5 exactness recipe).
+
+    Scale shape: one (custkey) hash aggregate over orders with
+    map-side partials, then a 1-row classification reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    rep = F.col("n_orders") >= 2
+    s = oc.agg(
+        F.sum(F.when(rep, 1).otherwise(0)).cast("bigint").alias(
+            "repeat_customers"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("total_customers"),
+        F.sum(F.when(rep, F.col("rev")))
+        .cast("string")
+        .cast("double")
+        .alias("repeat_rev"),
+        F.sum("rev").cast("string").cast("double").alias("total_rev"),
+    )
+    return s.select(
+        "repeat_customers",
+        "total_customers",
+        F.round("repeat_rev", 2).alias("repeat_revenue"),
+        F.round("total_rev", 2).alias("total_revenue"),
+        F.round(F.col("repeat_rev") / F.col("total_rev"), 6).alias(
+            "repeat_share"
+        ),
+    )
