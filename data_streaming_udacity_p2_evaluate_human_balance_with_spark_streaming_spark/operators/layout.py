@@ -164,7 +164,11 @@ def zorder_write(
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], max_files_per_partition: int = 1
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_files_per_partition: int = 1,
+    n_tasks: int | None = None,
 ) -> None:
     """Hive-style directory-partitioned parquet layout
     (`path/col=value/…`): the lake convention that turns partition-
@@ -174,13 +178,28 @@ def write_partitioned(
     partition on the coarse always-filtered column (date, lang),
     Z-order WITHIN partitions for the rest.
 
-    The repartition keeps small-files discipline: without it, every
-    task writes a file into every partition directory it holds rows
-    for (tasks × partitions files — the classic lake mistake);
-    repartitioning by the partition columns first bounds output to
-    `max_files_per_partition` per directory."""
+    Small-files discipline WITHOUT a parallelism funnel: without any
+    repartition, every task writes a file into every partition
+    directory it holds rows for (tasks × partitions files — the
+    classic lake mistake). Hash-repartitioning on the partition
+    columns alone fixes the file count but funnels each directory
+    through exactly one task. Instead we repartition on
+    (partition_cols + salt) where the salt takes
+    `max_files_per_partition` values: a directory's rows land in at
+    most that many distinct (values, salt) combos → at most that many
+    tasks → at most that many files, while the write itself runs with
+    `n_tasks` (default `defaultParallelism`) tasks of cluster-wide
+    parallelism. The salt is `spark_partition_id() % m` — deterministic
+    for a given input partitioning and free (no row hashing); with
+    input partitions ≫ m it spreads each directory's bytes evenly
+    across its m writers."""
+    m = max(1, max_files_per_partition)
+    sc = df.sparkSession.sparkContext
+    n = n_tasks or sc.defaultParallelism
     (
-        df.repartition(max_files_per_partition, *[F.col(c) for c in partition_cols])
+        df.withColumn("_salt", F.spark_partition_id() % m)
+        .repartition(n, *[F.col(c) for c in partition_cols], F.col("_salt"))
+        .drop("_salt")
         .write.partitionBy(*partition_cols)
         .mode("overwrite")
         .parquet(path)

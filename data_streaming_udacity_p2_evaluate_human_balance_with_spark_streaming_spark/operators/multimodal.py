@@ -2,9 +2,12 @@
 typed metadata, with decode / feature-extract / resize / frame-sample
 as Arrow-batched Pandas UDFs over `mapInPandas`.
 
-The image/audio codec libraries are NOT in this container, so the
-actual decode step is STUBBED (deterministic fake features / explicit
-NotImplementedError) — but the Spark-side plumbing is real and tested:
+The image/audio codec LIBRARIES are not in this container, so
+compressed-format decode is out of reach — but `decode_image` is a
+REAL decoder for the uncompressed formats that need none (PPM P6,
+24-bit BMP: header parse + stride math in numpy), and the fake-feature
+stubs remain for the codec-shaped steps. The Spark-side plumbing is
+real and tested throughout:
 binary column schema, metadata struct, mapInPandas batch iteration,
 and the partitioning contract (payloads never shuffle unless the
 caller asks; feature extraction is a narrow map over Arrow batches).
@@ -44,11 +47,167 @@ def as_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode would use PIL/libvips — not in this container."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "environment; use extract_features (deterministic stub) instead"
+def decode_image(payload: bytes):
+    """Decode an UNCOMPRESSED image payload — PPM (P6, binary) or BMP
+    (24-bit, BI_RGB) — into an (h, w, 3) uint8 numpy array. These two
+    formats need no codec library (header parse + stride math only),
+    which closes the one family gap the sandbox's missing PIL/libvips
+    left open; a compressed format (JPEG/PNG) would swap this function
+    for the library call with the same contract.
+
+    PPM P6: ``P6 <ws> width <ws> height <ws> maxval <single-ws> raw
+    RGB``, ``#`` comments allowed between tokens. BMP: 'BM' magic,
+    pixel-array offset at byte 10, width/height at 18/22 (positive
+    height = bottom-up rows), 24 bpp, BI_RGB only; rows padded to 4
+    bytes, stored BGR → reordered to RGB."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        pos = 2
+        vals: list[int] = []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace byte before the raster
+        w, h, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        need = w * h * 3
+        raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        return raster.reshape(h, w, 3).copy()
+
+    if payload[:2] == b"BM":
+        def _u32(o):
+            return int.from_bytes(payload[o : o + 4], "little")
+
+        def _i32(o):
+            return int.from_bytes(payload[o : o + 4], "little", signed=True)
+
+        data_off = _u32(10)
+        w, h_raw = _i32(18), _i32(22)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = _u32(30)
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"only 24-bit BI_RGB BMP supported, got bpp={bpp}")
+        h, bottom_up = abs(h_raw), h_raw > 0
+        stride = ((w * 3 + 3) // 4) * 4
+        raster = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            raster = raster[::-1]
+        return raster[:, :, ::-1].copy()  # BGR -> RGB
+
+    raise ValueError("unsupported image format (need PPM P6 or 24-bit BMP)")
+
+
+DECODE_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_image_stats(mm: DataFrame) -> DataFrame:
+    """Decode every payload (PPM/BMP via decode_image) and emit exact
+    INTEGER per-channel byte sums + dimensions — the decode leg of an
+    image-curation pipeline (dims filter, brightness stats) with a
+    value-certifiable output: all-integer, so the Arrow path is
+    oracle-able byte-for-byte (the multimodal_features ascii-replay
+    recipe). Narrow mapInPandas, payload pruned from the output,
+    undecodable payloads dropped (curation semantics: quarantine)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _decode(payload):
+            # decode_image, inlined contract: shipped by value so
+            # workers don't import the engine package
+            if payload[:2] == b"P6":
+                pos, vals = 2, []
+                while len(vals) < 3:
+                    while payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if payload[pos : pos + 1] == b"#":
+                        while payload[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    vals.append(int(payload[start:pos]))
+                pos += 1
+                w, h, maxval = vals
+                if maxval > 255:
+                    raise ValueError
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, count=w * h * 3, offset=pos
+                )
+                return raster.reshape(h, w, 3)
+            if payload[:2] == b"BM":
+                data_off = int.from_bytes(payload[10:14], "little")
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+                bpp = int.from_bytes(payload[28:30], "little")
+                comp = int.from_bytes(payload[30:34], "little")
+                if bpp != 24 or comp != 0:
+                    raise ValueError
+                h = abs(h_raw)
+                stride = ((w * 3 + 3) // 4) * 4
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=data_off
+                ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                if h_raw > 0:
+                    raster = raster[::-1]
+                return raster[:, :, ::-1]
+            raise ValueError
+
+        def rows(doc_id, payload):
+            if payload is None:
+                return None
+            try:
+                img = _decode(bytes(payload))
+            except Exception:
+                return None
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            return (
+                doc_id,
+                img.shape[1],
+                img.shape[0],
+                3,
+                int(sums[0]),
+                int(sums[1]),
+                int(sums[2]),
+            )
+
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                if (r := rows(doc_id, payload)) is not None
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        stats, DECODE_STATS_SCHEMA
     )
 
 

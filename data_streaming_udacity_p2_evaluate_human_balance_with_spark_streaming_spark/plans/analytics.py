@@ -333,12 +333,21 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable.
 
     At 100 TB the block key is the knob: (lang, first-token) here;
-    real corpora would use a coarser LSH or length band. The join is a
-    plain shuffled equi-join on the block key — never a cartesian
-    (asserted in test_plan_shapes) — and a mega-block guard drops any
-    block over 1000 members before the self-join (same policy as the
-    SimHash chunk guard): one skewed block key must not go quadratic;
-    dropped blocks are the caller's signal to pick a finer key."""
+    real corpora would use a coarser LSH or length band. Formulation
+    (r7 rewrite, 3.1 s → 0.84 s quiet at sf0.1): instead of a self-join
+    — which scans the wide `text` column four times (d0 twice for the
+    guard, then both join sides) and re-shuffles full rows — collect
+    each block's (doc_id, prefix) members into one sorted array (ONE
+    scan, ONE shuffle of 40-byte structs), generate the i<j pairs
+    in-block with nested `transform` (pure codegen, no join), and run
+    the bounded levenshtein post-explode. The mega-block guard
+    (size ≤ 1000, same policy as the SimHash chunk guard) now also
+    bounds the collected array: one skewed block key must not go
+    quadratic; dropped blocks are the caller's signal to pick a finer
+    key. The repartition before the explode spreads the O(block²)
+    pair-generation compute across cores — without it AQE coalesces
+    the tiny post-agg map side to one task and the CPU-bound
+    levenshtein stage runs serially."""
     docs = load_table(spark, sf_dir, "documents")
     d0 = docs.select(
         "doc_id",
@@ -346,33 +355,32 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("text", " ", 1).alias("w1"),
         F.substring("text", 1, 32).alias("p"),
     )
-    ok = (
+    blocks = (
         d0.groupBy("lang", "w1")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= 1000)
-        .drop("_n")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= 1000))
     )
-    d = d0.join(ok, ["lang", "w1"])
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.w1") == F.col("b.w1"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            # threshold form (Spark 3.5+): banded DP with early exit,
-            # returns -1 above the bound — same kept set and same dist
-            # values for kept rows as the unbounded form (verified
-            # set-identical on 107k candidate pairs), ~15% cheaper here
-            # and increasingly cheaper the tighter the bound
-            F.levenshtein(F.col("a.p"), F.col("b.p"), 14).alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
+    pairs = blocks.repartition(spark.sparkContext.defaultParallelism).select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+                    "x.p as pa, y.p as pb)))"
+                )
+            )
+        ).alias("pr")
     )
+    return pairs.select(
+        F.col("pr.doc_a"),
+        F.col("pr.doc_b"),
+        # threshold form (Spark 3.5+): banded DP with early exit,
+        # returns -1 above the bound — same kept set and same dist
+        # values for kept rows as the unbounded form (verified
+        # set-identical on 107k candidate pairs)
+        F.levenshtein(F.col("pr.pa"), F.col("pr.pb"), 14).alias("dist"),
+    ).filter(F.col("dist") >= 0)
 
 
 @register(
@@ -1571,19 +1579,20 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(count(DISTINCT dow) AS BIGINT) AS n_col_levels,
       CAST((count(DISTINCT event_type) - 1)
            * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
-      round(sum(
+      round(sum(CAST(floor(
         (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
         * (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
         / (CAST(row_tot AS DOUBLE) * col_tot / big_n)
-      ), 6) AS chi2,
+        * 1000000) AS BIGINT)) / 1e6, 6) AS chi2,
       round(sqrt(
-        sum(
+        (sum(CAST(floor(
           (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
           * (n - CAST(row_tot AS DOUBLE) * col_tot / big_n)
           / (CAST(row_tot AS DOUBLE) * col_tot / big_n)
-        ) / (max(big_n)
-             * (least(count(DISTINCT event_type),
-                      count(DISTINCT dow)) - 1))
+          * 1000000) AS BIGINT)) / 1e6)
+        / (max(big_n)
+           * (least(count(DISTINCT event_type),
+                    count(DISTINCT dow)) - 1))
       ), 6) AS cramers_v
     FROM m
     """,
@@ -1625,7 +1634,14 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("big_n")
-    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    # fixed-point per-cell term (floor(term·1e6) as BIGINT): the term is
+    # pure IEEE arithmetic on integer marginals — bit-identical in any
+    # engine — so the quantized SUM is associative and order-stable
+    # (ra_fp/_MV_FIX discipline), unlike a raw double sum
+    term_fp = F.floor(
+        (F.col("n") - exp) * (F.col("n") - exp) / exp * F.lit(1000000)
+    ).cast("bigint")
+    chi2 = F.sum(term_fp) / F.lit(1e6)
     r_lv = F.countDistinct("event_type")
     c_lv = F.countDistinct("dow")
     return m.agg(
@@ -1633,11 +1649,10 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_lv.cast("long").alias("n_rows_levels"),
         c_lv.cast("long").alias("n_col_levels"),
         ((r_lv - 1) * (c_lv - 1)).cast("long").alias("dof"),
-        F.round(F.sum(term), 6).alias("chi2"),
+        F.round(chi2, 6).alias("chi2"),
         F.round(
             F.sqrt(
-                F.sum(term)
-                / (F.max("big_n") * (F.least(r_lv, c_lv) - F.lit(1)))
+                chi2 / (F.max("big_n") * (F.least(r_lv, c_lv) - F.lit(1)))
             ),
             6,
         ).alias("cramers_v"),
@@ -3077,9 +3092,9 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.source,
       CAST(count(*) AS BIGINT) AS n_bigrams,
-      round(exp(-sum(
+      round(exp(-sum(CAST(floor(
         ln((coalesce(b.cb, 0) + 1.0) / (coalesce(c.cu, 0) + vocab.v))
-      ) / count(*)), 6) AS perplexity
+        * 1000000000) AS BIGINT)) / 1e9 / count(*)), 6) AS perplexity
     FROM test_bg s
     LEFT JOIN train_bg b ON b.w1 = s.w1 AND b.w2 = s.w2
     LEFT JOIN ctx c ON c.w1 = s.w1
@@ -3094,9 +3109,13 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     75% md5 doc split, score the held-out 25%, report per-source
     perplexity exp(−mean ln P(w2|w1)). OOV contexts fall back to 1/V
     automatically (both counts coalesce to 0). The doc-level split
-    makes it leakage-safe; all counts are exact integers and the only
-    float math is the per-bigram ln and the final exp, absorbed by
-    round 6.
+    makes it leakage-safe; all counts are exact integers. The per-term
+    ln is quantized to fixed-point BIGINT (floor(ln(p)·1e9)) BEFORE
+    summing — the repo's ra_fp/_MV_FIX discipline — so the aggregate
+    is an associative integer sum, stable under any partitioning or
+    engine; the float exp/round runs once per source on the exact sum.
+    (A 1-ulp cross-engine ln difference can flip one term's floor by
+    1, shifting the exp argument by 1e-9/n — invisible at round 6.)
 
     Scale shape: two token explodes over the scan (train counts, test
     scoring) — the corpus stages; the model is (bigram, count) +
@@ -3144,15 +3163,18 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(vocab))
     )
-    term = F.log(
-        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
-        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
-    )
+    term_fp = F.floor(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        )
+        * F.lit(1000000000)
+    ).cast("bigint")
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.exp(-F.sum(term) / F.count(F.lit(1))), 6).alias(
-            "perplexity"
-        ),
+        F.round(
+            F.exp(-F.sum(term_fp) / F.lit(1e9) / F.count(F.lit(1))), 6
+        ).alias("perplexity"),
     )
 
 
@@ -4280,10 +4302,13 @@ def q_bellman_ford_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = best.groupBy("node").agg(
         F.min("cost").cast("long").alias("cost")
     )
+    # top-20 via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heaps + driver merge of 20-row candidates), so the rank window
+    # below runs on exactly 20 rows, never the full reached-node set
+    top = best.orderBy("cost", "node").limit(20)
     w = Window.orderBy("cost", "node")
     return (
-        best.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("node").alias("part"), "cost", "rank")
     )
 

@@ -1409,6 +1409,58 @@ def q_image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_nearest(mm, src_width=64, out_h=16, out_w=16).drop("resized")
 
 
+@register(
+    "image_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 384
+    ),
+    px AS (
+      SELECT doc_id,
+        ascii(substr(text, CAST(3 * p + 1 AS INT), 1)) AS r,
+        ascii(substr(text, CAST(3 * p + 2 AS INT), 1)) AS g,
+        ascii(substr(text, CAST(3 * p + 3 AS INT), 1)) AS b
+      FROM d, range(0, 128) AS t(p)
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      CAST(sum(r) AS BIGINT) AS sum_r,
+      CAST(sum(g) AS BIGINT) AS sum_g,
+      CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.py decode_image /
+    decode_image_stats): each document's first 384 bytes are wrapped
+    in-plan into a valid binary PPM (P6, 16×8, maxval 255 — header +
+    raw RGB raster, built with JVM-side concat/cast, no UDF), then the
+    numpy PPM parser decodes header + raster over Arrow batches and
+    emits dimensions plus exact INTEGER per-channel byte sums. The
+    payloads are ASCII (char positions == byte positions), so DuckDB
+    replays R/G/B as ascii(substr(text, 3p+1..3, 1)) over the pixel
+    grid — certifying the full decode path BY VALUE (the
+    multimodal_features recipe). BMP decode shares the same operator
+    and is pinned by planted-image pytests (byte-identical round-trip
+    incl. row padding and bottom-up flip).
+
+    Scale shape: narrow mapInPandas over the scan partitioning — zero
+    shuffles; payload pruned to 7 small columns out."""
+    from ..operators.multimodal import decode_image_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 384
+    )
+    mm = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n16 8\n255\n").cast("binary"),
+            F.substring("text", 1, 384).cast("binary"),
+        ).alias("payload"),
+    )
+    return decode_image_stats(mm)
+
+
 def _hll_merge_oracle() -> str:
     from ..operators.sketches import hll_merge_oracle_sql
 

@@ -904,15 +904,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one, SNIPPETS/guide pattern):
     equi-join on the key + time-range filter + ROW_NUMBER to keep the
     latest match. The equi-key bounds the blow-up to per-user order
-    counts; at scale bucketize time to tighten the range first."""
-    from pyspark.sql.window import Window
+    counts; at scale bucketize time to tighten the range first.
 
+    The explicit broadcast pins BuildRight on the narrow orders
+    projection (3 cols): left to itself the planner built on the wider
+    events side (BuildLeft), ~35% slower measured quiet at sf0.1. With
+    orders as the hash map, each event row emits its matches
+    contiguously, so the partial aggregate collapses the fan-out
+    map-side and only ~|events| rows shuffle. At 100 TB orders would
+    exceed the broadcast threshold — drop the hint and the same plan
+    runs as a shuffled hash join on the equi-key."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
     joined = ev.join(
-        orders,
+        F.broadcast(orders),
         (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
     )
     # "latest match" as max(struct(date, key)) — a plain hash aggregate

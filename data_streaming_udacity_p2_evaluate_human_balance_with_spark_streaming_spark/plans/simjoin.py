@@ -23,6 +23,13 @@ from ..operators.sampling import systematic_pps_sample
 from ..sources.files import load_table
 from .queries import register
 
+# Super-hub cap for link-prediction wedge centers: a center z fans out
+# deg(z)² candidate pairs, so one hub dominates the wedge count; capping
+# at this degree bounds per-center work to K² while dropping only the
+# centers whose 1/deg (resource-allocation) contribution is smallest.
+# The SQL oracle embeds the same literal — keep them in sync.
+WEDGE_CENTER_DEG_CAP = 48
+
 #: shared with dedup_minhash_lsh: exact all-pairs word-3-gram Jaccard.
 #: The prefix-filter join is LOSSLESS (prefix theorem, see
 #: operators/dedup.py:prefix_filter_near_dups), so unlike the LSH
@@ -1478,16 +1485,20 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT pb, pa FROM e
     ),
     deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    okz AS (SELECT u, d FROM deg WHERE d <= 48),
     wedge AS (
-      SELECT s1.u AS a, s2.v AS b, s1.v AS z
-      FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
+      SELECT s1.u AS a, s2.v AS b, s1.v AS z, okz.d AS dz
+      FROM sym s1
+      JOIN okz ON okz.u = s1.v
+      JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
     ),
     cand AS (
       SELECT w.a, w.b,
         CAST(count(*) AS BIGINT) AS common_neighbors,
-        CAST(sum(1000000000000 // dz.d) AS BIGINT) AS ra_fp,
-        round(sum(1.0 / ln(dz.d)), 6) AS adamic_adar
-      FROM wedge w JOIN deg dz ON dz.u = w.z
+        CAST(sum(1000000000000 // w.dz) AS BIGINT) AS ra_fp,
+        round(sum(CAST(floor(1000000000.0 / ln(w.dz)) AS BIGINT)) / 1e9,
+              6) AS adamic_adar
+      FROM wedge w
       GROUP BY w.a, w.b
     ),
     nonedge AS (
@@ -1519,18 +1530,24 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resource-allocation index in FIXED-POINT: Σ (10^12 div deg z)
     is a pure-integer sum (both engines' integer division), so the
     top-20 cut is bit-deterministic across engines and partitionings;
-    Adamic-Adar (1/ln deg) rides along as a rounded display column
-    (a wedge center always has deg ≥ 2, so ln > 0).
+    Adamic-Adar is likewise quantized per-term (floor(1e9/ln deg) as
+    BIGINT) before summing, making that column an associative integer
+    sum too (a wedge center always has deg ≥ 2, so ln > 0).
 
     Scale shape: same md5 4/16 node sample as the triangle/k-core
-    family (rate-based, SF-stable density). Wedges are generated once
-    from the symmetric edge list (Σ deg(z)² pairs — the hub-quadratic
-    every neighborhood method pays; at 100 TB the standard lever is
-    capping super-hub centers, whose 1/deg contribution is negligible,
-    before the wedge join). Candidate scoring is one (a,b) hash
-    aggregate; the anti-join against existing edges and the two degree
-    joins run on the candidate table (≤ wedge groups), and the final
-    rank window sees only that dimension-sized table."""
+    family (rate-based, SF-stable density). Wedges are generated from
+    the symmetric edge list with a SUPER-HUB CAP (r7): only centers z
+    with deg(z) ≤ 48 generate wedges, bounding the per-center fan-out
+    to 48² pairs — the Σ deg(z)² hub-quadratic every neighborhood
+    method pays becomes O(|V|·K²), and the dropped centers are exactly
+    the ones whose 1/deg contribution is smallest. The degree join now
+    happens BEFORE wedge expansion (on |sym| rows, not |wedge| rows),
+    which also removes a post-explosion join. Candidate scoring is one
+    (a,b) hash aggregate; the anti-join against existing edges and the
+    two degree joins run on the candidate table (≤ wedge groups), and
+    the top-20 cut is orderBy().limit() — TakeOrderedAndProject
+    (per-partition heaps, plan-pinned), so the only no-partition rank
+    window in the plan runs on exactly 20 rows."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -1560,25 +1577,32 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    okz = deg.filter(F.col("d") <= WEDGE_CENTER_DEG_CAP).select(
+        F.col("u").alias("z"), F.col("d").alias("dz")
+    )
     wedge = (
         sym.alias("s1")
+        .join(okz, F.col("s1.v") == F.col("z"))
         .join(sym.alias("s2"), F.col("s1.v") == F.col("s2.u"))
         .filter(F.col("s1.u") < F.col("s2.v"))
         .select(
             F.col("s1.u").alias("a"),
             F.col("s2.v").alias("b"),
-            F.col("s1.v").alias("z"),
+            F.col("dz"),
         )
     )
     cand = (
-        wedge.join(deg.withColumnRenamed("u", "z"), "z")
-        .groupBy("a", "b")
+        wedge.groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.sum(F.expr("1000000000000L div d"))
+            F.sum(F.expr("1000000000000L div dz"))
             .cast("long")
             .alias("ra_fp"),
-            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+            F.round(
+                F.sum(F.floor(F.lit(1000000000.0) / F.log("dz")).cast("bigint"))
+                / F.lit(1e9),
+                6,
+            ).alias("adamic_adar"),
         )
     )
     nonedge = cand.join(
@@ -1605,10 +1629,12 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
         )
     )
+    # top-20 via orderBy().limit() — TakeOrderedAndProject, so the rank
+    # window runs on exactly 20 rows, never the full candidate set
+    top = scored.orderBy(
+        F.desc("ra_fp"), F.desc("common_neighbors"), "part_a", "part_b"
+    ).limit(20)
     w = Window.orderBy(
         F.desc("ra_fp"), F.desc("common_neighbors"), "part_a", "part_b"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -127,40 +127,96 @@ def additive_merge_parquet(
 
     Measures must be associative adds (counts, fixed-point sums — see
     the _MV_FIX discipline in plans/warehouse.py): addition makes the
-    merge order-independent across micro-batches, so replay of a
-    FAILED (never-committed) batch converges to the same table. A
-    SUCCESSFUL batch replayed AGAIN would double-add; the checkpoint
-    prevents that in normal operation (same guarantee class as any
-    foreachBatch sink without target-side transaction support)."""
+    merge order-independent across micro-batches.
+
+    Replay-idempotent and crash-safe (r7, the two failure windows a
+    bare read-overwrite sink leaves open):
+    - Each applied epoch id is persisted IN the target (an
+      underscore-prefixed `_last_epoch` file, invisible to parquet
+      readers); a replayed micro-batch whose epoch ≤ the recorded one
+      — the "overwrite completed, checkpoint commit didn't" window —
+      is skipped instead of double-added.
+    - Every merge writes a NEW versioned directory and publishes it
+      with an atomic symlink replace (`rename(2)` of the link), so the
+      table path always resolves to a COMPLETE version; a crash
+      mid-write leaves the previous version live and the next replay
+      rebuilds the orphan. The self-overwrite of the exact path being
+      read is gone, which also drops the defensive localCheckpoint.
+    This is the transactional-commit discipline a lake table format
+    (Delta/Iceberg) provides natively; on an object store you'd use
+    one of those — the symlink swap is the POSIX/HDFS spelling."""
+    import os
+    import shutil
+
     keys = list(key_cols)
 
-    def merge(batch: DataFrame, _epoch: int) -> None:
-        from pyspark.errors import AnalysisException
+    def _current_version(p: str) -> str | None:
+        if os.path.islink(p):
+            return os.path.realpath(p)
+        if os.path.isdir(p):
+            return p  # legacy plain-directory table
+        return None
+
+    def merge(batch: DataFrame, epoch: int) -> None:
         from pyspark.sql import functions as F
 
         spark = batch.sparkSession
+        # recover from an interrupted legacy-dir conversion: the data
+        # dir was renamed but the symlink publish didn't happen
+        if not os.path.lexists(path) and os.path.isdir(f"{path}.v_legacy"):
+            os.symlink(os.path.abspath(f"{path}.v_legacy"), path)
+        real = _current_version(path)
+        last = -1
+        if real is not None and os.path.exists(f"{real}/_last_epoch"):
+            with open(f"{real}/_last_epoch") as fh:
+                last = int(fh.read().strip())
+        if epoch <= last:
+            return  # replay of an already-applied (committed) batch
+
         delta = batch.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in add_cols]
         )
-        try:
-            target = spark.read.parquet(path).select(*keys, *add_cols)
-        except AnalysisException as exc:
-            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
-                raise
-            delta.write.mode("overwrite").parquet(path)
-            return
-        t, d = target.alias("t"), delta.alias("d")
-        merged = t.join(d, keys, "full_outer").select(
-            *[F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
-            *[
-                (
-                    F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-                ).alias(c)
-                for c in add_cols
-            ],
-        ).localCheckpoint()
-        merged.write.mode("overwrite").parquet(path)
+        if real is None:
+            merged = delta
+        else:
+            target = spark.read.parquet(real).select(*keys, *add_cols)
+            t, d = target.alias("t"), delta.alias("d")
+            merged = t.join(d, keys, "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k)
+                    for k in keys
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in add_cols
+                ],
+            )
+
+        new_dir = f"{path}.v{epoch}"
+        shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a crash
+        merged.write.mode("overwrite").parquet(new_dir)
+        with open(f"{new_dir}/_last_epoch", "w") as fh:
+            fh.write(str(epoch))
+
+        # publish: atomic symlink replace; convert a legacy plain dir
+        # into a version first (with the recovery preamble covering a
+        # crash between these two renames)
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(f"{path}.v_legacy", ignore_errors=True)  # stale
+            os.rename(path, f"{path}.v_legacy")
+            real = f"{path}.v_legacy"
+        swap = f"{path}.swap"
+        if os.path.lexists(swap):
+            os.remove(swap)
+        os.symlink(os.path.abspath(new_dir), swap)
+        os.rename(swap, path)
+        if real is not None and os.path.realpath(real) != os.path.abspath(
+            new_dir
+        ):
+            shutil.rmtree(real, ignore_errors=True)
 
     w = df.writeStream.outputMode("append").foreachBatch(merge).option(
         "checkpointLocation", _checkpoint(checkpoint_dir)

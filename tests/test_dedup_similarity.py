@@ -261,11 +261,77 @@ def test_multimodal_features_shape(spark):
         assert r.format == "fake/raw"
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_decode_unsupported_raises(spark):
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG")  # compressed: no codec here
+
+
+def test_decode_image_ppm_planted():
+    """PPM P6 decode: header with a comment line, exact pixel
+    round-trip in row-major RGB order."""
+    import numpy as np
+
+    w, h = 3, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    got = multimodal.decode_image(payload)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, px)
+
+
+def test_decode_image_bmp_planted():
+    """24-bit BMP decode: bottom-up row order flipped, 4-byte row
+    padding stripped, BGR reordered to RGB — byte-identical to the
+    planted raster."""
+    import numpy as np
+
+    w, h = 3, 2  # stride = 12 (9 data + 3 pad)
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR on disk
+        raster += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + (data_off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    got = multimodal.decode_image(header + raster)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, px)
+
+
+def test_decode_image_stats_planted(spark):
+    """decode_image_stats over a mixed batch: valid PPM decoded with
+    exact integer channel sums, undecodable payload quarantined
+    (dropped), null payload dropped."""
+    import numpy as np
+
+    w, h = 4, 2
+    px = (np.arange(w * h * 3, dtype=np.uint8) * 3 % 251).reshape(h, w, 3)
+    ppm = b"P6\n4 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_image_stats(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    sums = px.reshape(-1, 3).sum(axis=0)
+    assert (r.width, r.height, r.channels) == (w, h, 3)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
 def test_frame_sample_counts(spark):

@@ -1130,6 +1130,34 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert back.count() == docs.count()
 
 
+def test_partitioned_write_salt_bounds_files_not_parallelism(spark, tmp_path):
+    """The non-degenerate max_files_per_partition=k case: every
+    directory gets AT MOST k files, MORE than one directory gets >1
+    file (the salt actually splits writers), and the write plan's
+    exchange carries the full task count, not k — i.e. the parameter
+    bounds files per directory without funneling the job through k
+    tasks."""
+    import glob as _glob
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.layout import (
+        write_partitioned,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").repartition(16)
+    out = str(tmp_path / "docs_by_lang_k2")
+    write_partitioned(docs, out, ["lang"], max_files_per_partition=2, n_tasks=16)
+
+    dirs = _glob.glob(f"{out}/lang=*")
+    assert dirs
+    per_dir = {d: len(_glob.glob(f"{d}/*.parquet")) for d in dirs}
+    assert all(n <= 2 for n in per_dir.values()), per_dir
+    # salt engaged: with 16 input partitions feeding salt=pid%2, both
+    # salt values exist, so populous directories split into 2 files
+    assert sum(1 for n in per_dir.values() if n == 2) >= 1, per_dir
+    # round-trip parity
+    assert spark.read.parquet(out).count() == docs.count()
+
+
 def test_weighted_median_halves_char_mass(spark):
     """The weighted median's defining property: docs with length ≤
     median carry ≥ half the source's total characters, and docs with
@@ -1523,3 +1551,42 @@ def test_hll_sliding_7day_tracks_exact_distinct(spark):
         rel_errs.append(rel)
         assert rel < 0.26, (d, e, len(exact))
     assert sum(rel_errs) / len(rel_errs) <= 0.10, sum(rel_errs) / len(rel_errs)
+
+
+def test_link_prediction_hub_cap_bounds_wedges(spark, tmp_path):
+    """Planted super-hub: a part co-purchased with 60 spokes would
+    alone generate C(60,2)=1770 candidate pairs as a wedge center;
+    with the deg<=48 cap it generates NONE, while a normal deg-3
+    center's 3 pairs survive. This is the guard that keeps the wedge
+    count O(|V|*K^2) instead of hub-quadratic."""
+    import hashlib
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    ok = [
+        k
+        for k in range(1, 2000)
+        if hashlib.md5(str(k).encode()).hexdigest()[0] in "0123"
+    ]
+    hub, spokes = ok[0], ok[1:61]
+    z, abc = ok[61], ok[62:65]
+    rows = []
+    for i, p in enumerate(spokes):
+        rows += [(1000 + i, hub), (1000 + i, p)]
+    for j, x in enumerate(abc):
+        rows += [(2000 + j, z), (2000 + j, x)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    fn, _ = REGISTRY["link_prediction_scores"]
+    got = fn(spark, str(tmp_path)).collect()
+    pairs = {(r.part_a, r.part_b) for r in got}
+    a, b, c = sorted(abc)
+    assert pairs == {(a, b), (a, c), (b, c)}, pairs
+    # no spoke pair leaked through the hub center
+    spoke_set = set(spokes)
+    assert not any(
+        r.part_a in spoke_set or r.part_b in spoke_set for r in got
+    )

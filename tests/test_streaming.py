@@ -2172,6 +2172,30 @@ def test_additive_merge_mv_equals_batch_recompute(spark, tmp_path):
     }
     assert got == want
 
+    # replay idempotency: wipe the CHECKPOINT (not the table) and run
+    # the whole stream again — every micro-batch replays with an epoch
+    # id ≤ the _last_epoch recorded in the target, so each is skipped
+    # and nothing double-adds (the "overwrite committed, checkpoint
+    # didn't" crash window)
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    q2 = additive_merge_parquet(
+        stream,
+        mv,
+        key_cols=("event_type", "day"),
+        add_cols=("cnt", "vfix"),
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r["event_type"], str(r["day"])): (r["cnt"], r["vfix"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got2 == want, "replayed batches double-added"
+    # the published table is a symlink to a complete version dir
+    assert _os.path.islink(mv)
+
 
 def test_watermarked_full_outer_stream_join_emits_both_sides(spark, tmp_path):
     """FULL-OUTER stream-stream join — the last row of the join-mode
