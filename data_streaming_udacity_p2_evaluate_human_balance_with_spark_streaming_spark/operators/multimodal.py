@@ -131,17 +131,23 @@ def decode_image_stats(mm: DataFrame) -> DataFrame:
             # decode_image, inlined contract: shipped by value so
             # workers don't import the engine package
             if payload[:2] == b"P6":
+                # every scan loop is bounded by len(payload): a truncated
+                # header (b'P6 3') or a '#' comment with no trailing
+                # newline must raise (int(b'') -> ValueError below), not
+                # spin forever on b''[0:1].isspace() == False
                 pos, vals = 2, []
                 while len(vals) < 3:
-                    while payload[pos : pos + 1].isspace():
+                    while pos < len(payload) and payload[pos : pos + 1].isspace():
                         pos += 1
                     if payload[pos : pos + 1] == b"#":
-                        while payload[pos : pos + 1] != b"\n":
+                        while pos < len(payload) and payload[pos : pos + 1] != b"\n":
                             pos += 1
                         continue
                     start = pos
-                    while not payload[pos : pos + 1].isspace():
+                    while pos < len(payload) and not payload[pos : pos + 1].isspace():
                         pos += 1
+                    if pos == start:
+                        raise ValueError  # header truncated mid-token
                     vals.append(int(payload[start:pos]))
                 pos += 1
                 w, h, maxval = vals

@@ -341,10 +341,17 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, ONE shuffle of 40-byte structs), generate the i<j pairs
     in-block with nested `transform` (pure codegen, no join), and run
     the bounded levenshtein post-explode. The mega-block guard
-    (size ≤ 1000, same policy as the SimHash chunk guard) now also
-    bounds the collected array: one skewed block key must not go
-    quadratic; dropped blocks are the caller's signal to pick a finer
-    key. The repartition before the explode spreads the O(block²)
+    (size ≤ 1000, same policy as the SimHash chunk guard) is enforced
+    BEFORE any full block materializes (r8): members first collect
+    into salted sub-lists — groupBy(lang, w1, doc_id % 64) — so one
+    skewed block key lands as 64 bounded sub-arrays in 64 tasks, a
+    window-sum over the tiny sub-aggregate rows computes the true
+    block size, over-limit blocks are dropped THEN, and only surviving
+    (≤ 1000-member) blocks flatten into a single sorted array. A naive
+    collect_list-then-filter would have built the mega-block's full
+    in-memory array inside one aggregation task before discarding it;
+    dropped blocks remain the caller's signal to pick a finer key.
+    The repartition before the explode spreads the O(block²)
     pair-generation compute across cores — without it AQE coalesces
     the tiny post-agg map side to one task and the CPU-bound
     levenshtein stage runs serially."""
@@ -355,10 +362,19 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("text", " ", 1).alias("w1"),
         F.substring("text", 1, 32).alias("p"),
     )
+    sub = d0.groupBy(
+        "lang", "w1", F.pmod("doc_id", F.lit(64)).alias("_salt")
+    ).agg(
+        F.collect_list(F.struct("doc_id", "p")).alias("sub"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     blocks = (
-        d0.groupBy("lang", "w1")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("m"))
-        .filter((F.size("m") >= 2) & (F.size("m") <= 1000))
+        sub.withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("lang", "w1"))
+        )
+        .filter((F.col("total") >= 2) & (F.col("total") <= 1000))
+        .groupBy("lang", "w1")
+        .agg(F.sort_array(F.flatten(F.collect_list("sub"))).alias("m"))
     )
     pairs = blocks.repartition(spark.sparkContext.defaultParallelism).select(
         F.explode(
@@ -6815,7 +6831,7 @@ def q_paired_sign_test_improvement(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH hi AS (
       SELECT user_id, epoch_us(ts) AS us
-      FROM events WHERE value > 200.0
+      FROM events WHERE value > 50.0
     ),
     c AS (
       SELECT user_id, us,
@@ -6833,19 +6849,25 @@ def q_paired_sign_test_improvement(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q_risk_alert_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst alerting on the reference's own domain signal: a
-    high-risk reading (value > 200) ALERTS when it is the third or
-    later within a trailing hour for that user — the page-the-nurse
-    rule that a single spike must not trigger but a cluster must. The
-    trailing count is an event-time RANGE frame (two-pointer O(n) per
-    user, the rolling_hour_avg machinery) over only the pre-filtered
-    high readings; integer microsecond arithmetic throughout.
+    high-risk reading (value > 50, the threshold is a deployment
+    parameter — set here so the synthetic corpus actually exercises
+    the rule: 4 alerting users at sf0.01, 18 at sf0.1, vs ZERO at the
+    r7 value of 200, which made the driver's 0-rows-vs-0-rows hash
+    match vacuous) ALERTS when it is the third or later within a
+    trailing hour for that user — the page-the-nurse rule that a
+    single spike must not trigger but a cluster must. The trailing
+    count is an event-time RANGE frame (two-pointer O(n) per user, the
+    rolling_hour_avg machinery) over only the pre-filtered high
+    readings; integer microsecond arithmetic throughout. A planted
+    3-in-an-hour burst (plus a 2-in-an-hour control that must stay
+    silent) is pinned in tests/test_fidelity_semantics.py.
 
     Scale shape: the value filter prunes at the scan, then ONE
     user-keyed exchange + sort shared by the frame and the final
     per-user rollup. The streaming twin is a 1-hour sliding-window
     count — the same predicate as a watermarked windowed aggregation."""
     ev = load_table(spark, sf_dir, "events")
-    hi = ev.filter(F.col("value") > 200.0).select(
+    hi = ev.filter(F.col("value") > 50.0).select(
         "user_id", F.unix_micros("ts").alias("us")
     )
     w = (

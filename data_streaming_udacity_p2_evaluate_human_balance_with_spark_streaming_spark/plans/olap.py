@@ -1336,6 +1336,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS frame_id
       FROM documents
       WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND strlen(text) = length(text)
     ),
     fr AS (
       SELECT doc_id, frame_id,
@@ -1365,8 +1366,10 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; payload pruned from the output (4 small columns out)."""
     from ..operators.multimodal import as_binary_payload, audio_frame_energy
 
-    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
-    return audio_frame_energy(mm, frame_bytes=128)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: bytes==chars
+    )
+    return audio_frame_energy(as_binary_payload(docs), frame_bytes=128)
 
 
 @register(
@@ -1377,6 +1380,7 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
              octet_length(CAST(text AS BLOB)) // 64 AS h
       FROM documents
       WHERE octet_length(CAST(text AS BLOB)) >= 64
+        AND strlen(text) = length(text)
     ),
     px AS (
       SELECT doc_id, y * 16 + x AS p,
@@ -1405,7 +1409,10 @@ def q_image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload size — the payload-pruning discipline."""
     from ..operators.multimodal import as_binary_payload, resize_nearest
 
-    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: bytes==chars
+    )
+    mm = as_binary_payload(docs)
     return resize_nearest(mm, src_width=64, out_h=16, out_w=16).drop("resized")
 
 
@@ -1413,7 +1420,8 @@ def q_image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_decode_stats",
     """
     WITH d AS (
-      SELECT doc_id, text FROM documents WHERE length(text) >= 384
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 384 AND strlen(text) = length(text)
     ),
     px AS (
       SELECT doc_id,
@@ -1437,9 +1445,14 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw RGB raster, built with JVM-side concat/cast, no UDF), then the
     numpy PPM parser decodes header + raster over Arrow batches and
     emits dimensions plus exact INTEGER per-channel byte sums. The
-    payloads are ASCII (char positions == byte positions), so DuckDB
-    replays R/G/B as ascii(substr(text, 3p+1..3, 1)) over the pixel
-    grid — certifying the full decode path BY VALUE (the
+    ASCII precondition (char positions == byte positions) is ENFORCED,
+    not assumed (r8): both engines filter to octet_length == length
+    rows (Spark octet_length/length, DuckDB strlen/length), so a
+    non-ASCII document — whose UTF-8 payload would make the byte-based
+    numpy decode diverge from the char-based ascii(substr) oracle — is
+    excluded from BOTH sides instead of silently corrupting the match.
+    DuckDB then replays R/G/B as ascii(substr(text, 3p+1..3, 1)) over
+    the pixel grid — certifying the full decode path BY VALUE (the
     multimodal_features recipe). BMP decode shares the same operator
     and is pinned by planted-image pytests (byte-identical round-trip
     incl. row padding and bottom-up flip).
@@ -1449,7 +1462,8 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= 384
+        (F.length("text") >= 384)
+        & (F.octet_length("text") == F.length("text"))
     )
     mm = docs.select(
         "doc_id",

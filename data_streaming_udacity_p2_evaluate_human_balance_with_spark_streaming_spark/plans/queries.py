@@ -2461,6 +2461,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, length(text) AS n,
              greatest(1, length(text) // 64) AS s
       FROM documents
+      WHERE strlen(text) = length(text)
     )
     SELECT doc_id, n AS n_bytes, 'fake/raw' AS format,
       printf('%.1f', CAST(n AS DOUBLE)) || ',' ||
@@ -2484,11 +2485,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     range — certifying the Arrow batch path END-TO-END (values, not
     just row counts). The feature vector is emitted as a '%.1f' joined
     string because raw array<double> columns are unhashable in the
-    driver's pandas compare (NOTES.md round-2)."""
+    driver's pandas compare (NOTES.md round-2). ASCII precondition
+    enforced, not assumed (r8): both engines filter to
+    octet_length == length so a non-ASCII doc can't silently diverge
+    byte-based features from the char-based oracle."""
     from ..operators.multimodal import as_binary_payload, extract_features
 
-    mm = as_binary_payload(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(mm)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    feats = extract_features(as_binary_payload(docs))
     return feats.select(
         "doc_id",
         "n_bytes",

@@ -129,13 +129,19 @@ def additive_merge_parquet(
     the _MV_FIX discipline in plans/warehouse.py): addition makes the
     merge order-independent across micro-batches.
 
-    Replay-idempotent and crash-safe (r7, the two failure windows a
+    Replay-idempotent and crash-safe (r7/r8, the two failure windows a
     bare read-overwrite sink leaves open):
-    - Each applied epoch id is persisted IN the target (an
+    - Each applied (lineage, epoch) pair is persisted IN the target (an
       underscore-prefixed `_last_epoch` file, invisible to parquet
-      readers); a replayed micro-batch whose epoch ≤ the recorded one
-      — the "overwrite completed, checkpoint commit didn't" window —
-      is skipped instead of double-added.
+      readers). foreachBatch epoch ids are only unique PER CHECKPOINT
+      LINEAGE — a brand-new query with a fresh checkpoint restarts at
+      epoch 0 — so the skip fires only when BOTH the lineage id (the
+      resolved checkpoint path) and the epoch match the record: a
+      replayed micro-batch of the same lineage with epoch ≤ the
+      recorded one — the "overwrite completed, checkpoint commit
+      didn't" window — is skipped instead of double-added, while a
+      different lineage's low-numbered batches of genuinely new data
+      still merge.
     - Every merge writes a NEW versioned directory and publishes it
       with an atomic symlink replace (`rename(2)` of the link), so the
       table path always resolves to a COMPLETE version; a crash
@@ -143,12 +149,27 @@ def additive_merge_parquet(
       rebuilds the orphan. The self-overwrite of the exact path being
       read is gone, which also drops the defensive localCheckpoint.
     This is the transactional-commit discipline a lake table format
-    (Delta/Iceberg) provides natively; on an object store you'd use
-    one of those — the symlink swap is the POSIX/HDFS spelling."""
+    (Delta/Iceberg) provides natively. LOCAL FILESYSTEM ONLY: the
+    publish step uses os.symlink/os.rename, which do not exist on
+    hdfs:// or s3a:// paths — a URI-schemed table path raises
+    ValueError up front; on a cluster land this table in a real lake
+    format (Delta/Iceberg) instead."""
     import os
     import shutil
 
+    if "://" in path:
+        raise ValueError(
+            "additive_merge_parquet publishes via os.symlink/os.rename "
+            f"(local filesystem only); got URI-schemed path {path!r} — "
+            "use a lake table format (Delta/Iceberg) for remote stores"
+        )
+
     keys = list(key_cols)
+    ckpt = _checkpoint(checkpoint_dir)
+    # lineage id: epochs are unique only within one checkpoint lineage,
+    # and the checkpoint path IS that lineage (stable across restarts
+    # of the same query, different for any new query)
+    lineage = os.path.abspath(ckpt)
 
     def _current_version(p: str) -> str | None:
         if os.path.islink(p):
@@ -166,12 +187,17 @@ def additive_merge_parquet(
         if not os.path.lexists(path) and os.path.isdir(f"{path}.v_legacy"):
             os.symlink(os.path.abspath(f"{path}.v_legacy"), path)
         real = _current_version(path)
-        last = -1
+        last, last_lineage = -1, None
         if real is not None and os.path.exists(f"{real}/_last_epoch"):
             with open(f"{real}/_last_epoch") as fh:
-                last = int(fh.read().strip())
-        if epoch <= last:
+                rec = fh.read().strip().splitlines()
+            if len(rec) >= 2:  # "lineage\nepoch"
+                last_lineage, last = rec[0], int(rec[1])
+            elif rec:  # legacy single-int record: lineage unknown
+                last_lineage, last = lineage, int(rec[0])
+        if last_lineage == lineage and epoch <= last:
             return  # replay of an already-applied (committed) batch
+            # of THIS lineage; a different lineage's epoch 0 merges
 
         delta = batch.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in add_cols]
@@ -199,7 +225,7 @@ def additive_merge_parquet(
         shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a crash
         merged.write.mode("overwrite").parquet(new_dir)
         with open(f"{new_dir}/_last_epoch", "w") as fh:
-            fh.write(str(epoch))
+            fh.write(f"{lineage}\n{epoch}")
 
         # publish: atomic symlink replace; convert a legacy plain dir
         # into a version first (with the recovery preamble covering a
@@ -219,7 +245,7 @@ def additive_merge_parquet(
             shutil.rmtree(real, ignore_errors=True)
 
     w = df.writeStream.outputMode("append").foreachBatch(merge).option(
-        "checkpointLocation", _checkpoint(checkpoint_dir)
+        "checkpointLocation", ckpt
     )
     if available_now:
         w = w.trigger(availableNow=True)

@@ -334,6 +334,35 @@ def test_decode_image_stats_planted(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_decode_image_stats_truncated_header_quarantined(spark):
+    """r8 ADVICE fix: a truncated PPM header (b'P6 3'), a '#' comment
+    with no trailing newline, and a bare magic must all be QUARANTINED
+    (dropped rows) — before the bounds guards the inlined scan loops
+    spun forever past end-of-payload (b''[0:1].isspace() is False),
+    hanging the executor task instead of dropping the payload."""
+    import numpy as np
+    import pytest
+
+    px = (np.arange(2 * 2 * 3, dtype=np.uint8)).reshape(2, 2, 3)
+    good = b"P6\n2 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"P6 3")),  # truncated mid-header
+            (3, bytearray(b"P6\n2 2 # no newline after comment")),
+            (4, bytearray(b"P6")),  # magic only
+            (5, bytearray(b"P6\n2 2\n255\n" + px.tobytes()[:-5])),  # short raster
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id for r in multimodal.decode_image_stats(df).collect()}
+    assert rows == {1}, "malformed payloads must drop, not hang or emit"
+    # the top-level decoder raises (caller-visible contract), same inputs
+    for bad in (b"P6 3", b"P6\n2 2 # no newline", b"P6"):
+        with pytest.raises(ValueError):
+            multimodal.decode_image(bad)
+
+
 def test_frame_sample_counts(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(20)
     mm = multimodal.as_binary_payload(docs)

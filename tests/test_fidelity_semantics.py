@@ -85,3 +85,63 @@ def test_envelope_schema_shape():
     entry = REDIS_ENVELOPE["zSetEntries"].dataType.elementType
     assert [f.name for f in entry.fields] == ["element", "Score"]
     assert entry["Score"].dataType.simpleString() == "string"  # §1.2
+
+
+def test_risk_alert_bursts_planted_burst(spark, tmp_path):
+    """De-vacuify risk_alert_bursts (r8, VERDICT r7 #2): at the old
+    threshold both Spark and the oracle returned 0 rows, so the hash
+    match proved nothing. Plant the decisive fixtures directly:
+    - user 1: THREE high readings inside one hour -> exactly one
+      alerting row, n_alerts counts the 3rd reading onward (here the
+      3rd and a 4th still in-window => 2 alerts),
+    - user 2: two high readings in an hour (control) -> silent,
+    - user 3: three high readings spread over 3 hours (never 3 within
+      a trailing hour) -> silent,
+    - low readings interleaved everywhere -> ignored by the filter.
+    """
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = []
+
+    def ev(i, user, minute, value, hour=10):
+        rows.append(
+            (i, f"2024-03-01 {hour:02d}:{minute:02d}:00", user, "risk", value, "{}")
+        )
+
+    # user 1: burst — 10:00, 10:10, 10:20 (3rd alerts), 10:50 (4th, the
+    # trailing hour still holds all four -> alerts too)
+    ev(1, 1, 0, 75.0)
+    ev(2, 1, 10, 80.0)
+    ev(3, 1, 20, 90.0)
+    ev(4, 1, 50, 95.0)
+    # user 1 low readings: must not count
+    ev(5, 1, 5, 10.0)
+    ev(6, 1, 15, 20.0)
+    # user 2: only two highs in the hour -> no alert
+    ev(7, 2, 0, 70.0)
+    ev(8, 2, 30, 71.0)
+    # user 3: three highs but 2h apart -> no trailing hour holds 3
+    ev(9, 3, 0, 60.0, hour=8)
+    ev(10, 3, 0, 61.0, hour=10)
+    ev(11, 3, 0, 62.0, hour=12)
+
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    fn, _ = REGISTRY["risk_alert_bursts"]
+    got = {r.user_id: r for r in fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {1}, "only the planted burst user may alert"
+    r = got[1]
+    assert r.n_alerts == 2  # the 3rd (10:20) and 4th (10:50) readings
+    first = spark.sql(
+        "SELECT unix_micros(timestamp'2024-03-01 10:20:00') AS us"
+    ).collect()[0].us
+    last = spark.sql(
+        "SELECT unix_micros(timestamp'2024-03-01 10:50:00') AS us"
+    ).collect()[0].us
+    assert (r.first_alert_us, r.last_alert_us) == (first, last)

@@ -2323,3 +2323,285 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM ddw_tbl").collect())
     assert ids == [1, 2, 3], ids
+
+
+def _mk_stream_files(spark, rows, schema, src, start_idx=0):
+    """One parquet file per micro-batch chunk under src (the
+    maxFilesPerTrigger=1 replay recipe from the additive-merge test)."""
+    import os as _os
+    import time as _t
+
+    for i, chunk in enumerate(rows):
+        b = start_idx + i
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{b}")
+        part = [
+            f for f in _os.listdir(f"{src}/b{b}") if f.endswith(".parquet")
+        ][0]
+        _os.rename(f"{src}/b{b}/{part}", f"{src}/f{b}.parquet")
+        _os.utime(f"{src}/f{b}.parquet", (1700000000 + b, 1700000000 + b))
+        _t.sleep(0.01)
+
+
+def test_additive_merge_new_lineage_epoch0_merges(spark, tmp_path):
+    """r8 ADVICE fix: foreachBatch epoch ids are unique only per
+    checkpoint lineage. A brand-NEW query (fresh checkpoint dir)
+    against an existing table restarts at epoch 0; the old bare
+    `epoch <= last` skip silently DROPPED its early batches. The fix
+    keys the skip on (lineage, epoch): same-lineage replays still
+    skip, a different lineage's epoch-0 batch must MERGE."""
+    import os as _os
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    schema = "k string, v bigint"
+    mv = str(tmp_path / "mv")
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    _os.makedirs(src1), _os.makedirs(src2)
+
+    # query 1: two micro-batches (epochs 0, 1) -> a=3, b=5
+    _mk_stream_files(spark, [[("a", 1), ("b", 5)], [("a", 2)]], schema, src1)
+    s1 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src1)
+    )
+    q1 = additive_merge_parquet(
+        s1, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q1.awaitTermination()
+    got1 = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got1 == {"a": 3, "b": 5}
+
+    # query 2: DIFFERENT checkpoint, epochs restart at 0 with NEW data.
+    # Under the old bare-epoch skip both batches (epochs 0,1 <= last=1)
+    # were dropped; with lineage keying they must merge.
+    _mk_stream_files(spark, [[("a", 10)], [("c", 7)]], schema, src2)
+    s2 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src2)
+    )
+    q2 = additive_merge_parquet(
+        s2, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    got2 = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got2 == {"a": 13, "b": 5, "c": 7}, (
+        "new-lineage epoch-0/1 batches were dropped as replays"
+    )
+
+    # and same-lineage replay STILL skips: wipe ckpt2, rerun src2
+    import shutil as _sh
+
+    _sh.rmtree(str(tmp_path / "ckpt2"))
+    q3 = additive_merge_parquet(
+        s2, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q3.awaitTermination()
+    got3 = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got3 == got2, "same-lineage replay double-added"
+
+
+def test_additive_merge_crash_between_write_and_publish(spark, tmp_path):
+    """r8 (VERDICT r7 #8): crash window BETWEEN the versioned-dir write
+    and the symlink publish. Simulated by planting a fully-written but
+    never-published orphan version dir (with a poisoned _last_epoch
+    that, were it read, would wrongly skip the replay). The table path
+    must keep resolving to the previous COMPLETE version, and the next
+    run of that epoch must rebuild the orphan and publish it."""
+    import os as _os
+    import shutil as _sh
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    schema = "k string, v bigint"
+    mv = str(tmp_path / "mv")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+
+    # epoch 0 publishes normally
+    _mk_stream_files(spark, [[("a", 1)]], schema, src)
+    s = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    additive_merge_parquet(
+        s, mv, key_cols=("k",), add_cols=("v",), checkpoint_dir=ckpt
+    ).awaitTermination()
+    v0 = _os.path.realpath(mv)
+    assert {r.k: r.v for r in spark.read.parquet(mv).collect()} == {"a": 1}
+
+    # simulate the crash: epoch 1's version dir was fully written
+    # (data + _last_epoch) but the symlink rename never happened
+    orphan = f"{mv}.v1"
+    spark.createDataFrame([("zzz", 999)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    lineage = _os.path.abspath(ckpt)
+    with open(f"{orphan}/_last_epoch", "w") as fh:
+        fh.write(f"{lineage}\n1")
+
+    # the table still resolves to the previous complete version
+    assert _os.path.realpath(mv) == v0
+    assert {r.k: r.v for r in spark.read.parquet(mv).collect()} == {"a": 1}
+
+    # replay epoch 1 for real: orphan must be reconciled (rebuilt from
+    # the live table + batch, NOT trusted), then published
+    _mk_stream_files(spark, [[("b", 2)]], schema, src, start_idx=1)
+    additive_merge_parquet(
+        s, mv, key_cols=("k",), add_cols=("v",), checkpoint_dir=ckpt
+    ).awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got == {"a": 1, "b": 2}, "orphan version dir was not rebuilt"
+    assert _os.path.realpath(mv) == _os.path.abspath(orphan)
+    assert not _os.path.exists(v0), "superseded version not cleaned up"
+    _sh.rmtree(_os.path.realpath(mv), ignore_errors=True)
+
+
+def test_additive_merge_rejects_uri_scheme_path():
+    """The publish step is os.symlink/os.rename — local FS only. A
+    URI-schemed table path must fail fast, not mid-publish."""
+    import pytest as _pytest
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    with _pytest.raises(ValueError, match="local filesystem"):
+        additive_merge_parquet(
+            None, "hdfs://nn/warehouse/mv", key_cols=("k",), add_cols=("v",)
+        )
+
+
+def test_streaming_mannwhitney_partials_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of mannwhitney_u_click_view (r8, the 8th member
+    of the mergeable-twin family: digest, CMS, HLL, AUC, rules, chi2,
+    bitmap). The rank-sum needs only per-distinct-value counts
+    (t, n1v) — plain mergeable SUMS — so per-window (value, t, n1v)
+    partials from an append-mode watermarked aggregation, merged by
+    value and finalized with the SAME exact-integer below-count +
+    z assembly as the batch query, must equal the all-batch statistic
+    BIT-IDENTICALLY: the merged (t, n1v) cells are exact integers and
+    the final expression tree is shared, so u1/z repr-match, not just
+    approx-match."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    # two arms with overlapping, tie-heavy values (value domain of 12
+    # levels over 600 rows -> every level is a tie group)
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "click" if i % 3 == 0 else "view",
+            "value": float((i * 7) % 12) / 2.0,
+            "ts": f"2024-01-01T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "value": 1.0,
+        "ts": "2024-01-05T00:00:00.000Z",
+    }
+    d = str(tmp_path / "mwu_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, value double, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    arm = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"), F.col("value")
+    ).agg(F.count(F.lit(1)).alias("t"), F.sum(arm).alias("n1v"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("mwu_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(g):
+        """(value, t, n1v) -> one (n1, n2, u1, z) row: the exact
+        arithmetic of plans/analytics.py q_mannwhitney_u_click_view."""
+        c = global_running_sum(g, ["value"], "t", "cum").withColumn(
+            "nb", F.col("cum") - F.col("t")
+        )
+        td = F.col("t").cast("decimal(12,0)")
+        s = c.agg(
+            F.sum("n1v").alias("n1"),
+            F.sum(F.col("t") - F.col("n1v")).alias("n2"),
+            F.sum(
+                F.col("n1v").cast("decimal(12,0)")
+                * (2 * F.col("nb") + F.col("t") + 1).cast("decimal(15,0)")
+            ).cast("double").alias("r1x2"),
+            F.sum(td * td * td - F.col("t")).cast("double").alias("ties"),
+        )
+        n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+        nd = (F.col("n1") + F.col("n2")).cast("double")
+        u1 = (F.col("r1x2") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+        var = n1d * n2d / F.lit(12.0) * (
+            (nd + F.lit(1.0)) - F.col("ties") / (nd * (nd - F.lit(1.0)))
+        )
+        z = (u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(var)
+        r = s.select("n1", "n2", u1.alias("u1"), z.alias("z")).collect()[0]
+        return (r.n1, r.n2, repr(r.u1), repr(r.z))
+
+    # finalize: merge windowed partials by value (sentinel's window
+    # never closed -> streamed partials cover exactly `rows`)
+    streamed = (
+        spark.table("mwu_partials_tbl")
+        .groupBy("value")
+        .agg(F.sum("t").alias("t"), F.sum("n1v").alias("n1v"))
+    )
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in rows],
+        "event_type string, value double",
+    )
+    batch_g = batch.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"), F.sum(arm).alias("n1v")
+    )
+    # merged cells identical as exact integers
+    sc = {(r.value): (r.t, r.n1v) for r in streamed.collect()}
+    bc = {(r.value): (r.t, r.n1v) for r in batch_g.collect()}
+    assert sc == bc and sum(t for t, _ in sc.values()) == 600
+    assert any(t >= 2 for t, _ in sc.values())  # ties present
+    # and the finalized statistic is bit-identical
+    assert finalize(streamed) == finalize(batch_g)
+    # the partials really were incremental: >1 window emitted
+    assert (
+        spark.table("mwu_partials_tbl").select("win").distinct().count() >= 2
+    )
