@@ -6947,3 +6947,426 @@ def q_repeat_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFra
             "repeat_share"
         ),
     )
+
+
+@register(
+    "welch_ttest_click_view",
+    """
+    WITH c AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cv) AS BIGINT) AS s1,
+        CAST(sum(cv * cv) AS BIGINT) AS s2
+      FROM c GROUP BY a
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN a = 1 THEN n END) AS n1,
+        max(CASE WHEN a = 0 THEN n END) AS n2,
+        CAST(max(CASE WHEN a = 1 THEN s1 END) AS DOUBLE) AS s11,
+        CAST(max(CASE WHEN a = 0 THEN s1 END) AS DOUBLE) AS s12,
+        CAST(max(CASE WHEN a = 1 THEN s2 END) AS DOUBLE) AS s21,
+        CAST(max(CASE WHEN a = 0 THEN s2 END) AS DOUBLE) AS s22
+      FROM s
+    ),
+    v AS (
+      SELECT n1, n2,
+        s11 / CAST(n1 AS DOUBLE) AS m1, s12 / CAST(n2 AS DOUBLE) AS m2,
+        (s21 - s11 * s11 / CAST(n1 AS DOUBLE))
+          / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) / 10000.0 AS v1n,
+        (s22 - s12 * s12 / CAST(n2 AS DOUBLE))
+          / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) / 10000.0 AS v2n
+      FROM w
+    )
+    SELECT n1, n2,
+      round(m1 / 100.0, 6) AS mean_click,
+      round(m2 / 100.0, 6) AS mean_view,
+      round((m1 - m2) / 100.0 / sqrt(v1n + v2n), 6) AS t_stat,
+      round((v1n + v2n) * (v1n + v2n)
+            / (v1n * v1n / (CAST(n1 AS DOUBLE) - 1.0)
+               + v2n * v2n / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+    FROM v
+    """,
+)
+def q_welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (click-arm vs view-arm `value`)
+    with the Welch-Satterthwaite df — the parametric sibling of
+    mannwhitney_u_click_view for when means (not ranks) are the
+    question and the two arms' variances can't be pooled. The
+    per-arm sufficient statistics (n, Σx, Σx²) are EXACT BIGINTs in
+    cents fixed-point (`value` is 2-decimal by construction; Σx² ≤
+    (56e3)²·6e5 ≈ 2e15 stays inside bigint), so both engines feed the
+    identical integers into one shared double expression tree —
+    mean/t/df agree bit-for-bit before the round(6).
+
+    Scale shape: one map-side-combinable hash aggregate over the
+    filtered scan (3 sums per arm), then a 1-row final projection.
+    Streaming twin: (n, Σx, Σx²) are plain mergeable sums — the
+    Mann-Whitney windowed-partials recipe applies verbatim."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    c = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    s = c.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).alias("s2"),
+    )
+    pick = lambda arm, col: F.max(F.when(F.col("a") == arm, F.col(col)))
+    w = s.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n2"),
+        pick(1, "s1").cast("double").alias("s11"),
+        pick(0, "s1").cast("double").alias("s12"),
+        pick(1, "s2").cast("double").alias("s21"),
+        pick(0, "s2").cast("double").alias("s22"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s11") / n1d
+    m2 = F.col("s12") / n2d
+    v1n = (
+        (F.col("s21") - F.col("s11") * F.col("s11") / n1d)
+        / (n1d - F.lit(1.0)) / n1d / F.lit(10000.0)
+    )
+    v2n = (
+        (F.col("s22") - F.col("s12") * F.col("s12") / n2d)
+        / (n2d - F.lit(1.0)) / n2d / F.lit(10000.0)
+    )
+    se2 = v1n + v2n
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1 / F.lit(100.0), 6).alias("mean_click"),
+        F.round(m2 / F.lit(100.0), 6).alias("mean_view"),
+        F.round((m1 - m2) / F.lit(100.0) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                v1n * v1n / (n1d - F.lit(1.0))
+                + v2n * v2n / (n2d - F.lit(1.0))
+            ),
+            6,
+        ).alias("df"),
+    )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH e AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT value, count(*) AS t FROM e GROUP BY value),
+    cv AS (
+      SELECT value, t, sum(t) OVER (ORDER BY value) - t AS below FROM gv
+    ),
+    gj AS (
+      SELECT event_type, value, count(*) AS njv FROM e GROUP BY 1, 2
+    ),
+    rj AS (
+      SELECT event_type,
+        CAST(sum(CAST(njv AS DECIMAL(16, 0))
+                 * CAST(2 * below + t + 1 AS DECIMAL(18, 0))) AS DOUBLE)
+          AS r2j,
+        CAST(sum(njv) AS BIGINT) AS nj
+      FROM gj JOIN cv USING (value) GROUP BY event_type
+    ),
+    tt AS (
+      SELECT
+        CAST(sum(CAST(t AS DECIMAL(12, 0)) * t * t - t) AS DOUBLE) AS ties,
+        CAST(sum(t) AS BIGINT) AS n
+      FROM gv
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, max(tt.n) AS n,
+        CAST(max(tt.n) AS DOUBLE) AS nd,
+        sum((r2j / 2.0) * (r2j / 2.0) / CAST(nj AS DOUBLE)) AS sr,
+        max(tt.ties) AS ties
+      FROM rj, tt
+    )
+    SELECT k, n,
+      round(12.0 / (nd * (nd + 1.0)) * sr - 3.0 * (nd + 1.0), 6) AS h,
+      round((12.0 / (nd * (nd + 1.0)) * sr - 3.0 * (nd + 1.0))
+            / (1.0 - ties / (nd * nd * nd - nd)), 6) AS h_adj
+    FROM agg
+    """,
+)
+def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (tie-corrected) across ALL event types — the
+    k-group generalization of mannwhitney_u_click_view: does `value`'s
+    distribution differ across the 5 types? Rank sums never
+    materialize per row: the doubled tie-average-rank identity
+    2·R_j = Σ_v n_j(v)·(2·below(v) + t(v) + 1) needs only
+    per-distinct-value counts, exact DECIMAL-integer until the 1-row
+    final assembly; ties enter through Σ(t³−t). The only
+    order-sensitive float step is the k-term (k=5) sum of R_j²/n_j,
+    whose cross-engine spread (~4 ulps of 5e16 → ~1e-9 in H after the
+    12/(N(N+1)) scaling) sits ~500× under the round(6) threshold.
+
+    Scale shape: one hash agg on distinct values + one on
+    (type, value), the TWO-PASS global_running_sum for below-counts
+    (no single-partition window), a k-row reduce."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    gv = e.groupBy("value").agg(F.count(F.lit(1)).alias("t"))
+    cva = global_running_sum(gv, ["value"], "t", "cum").withColumn(
+        "below", F.col("cum") - F.col("t")
+    )
+    gj = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("njv")
+    )
+    rj = (
+        gj.join(cva.select("value", "t", "below"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("njv").cast("decimal(16,0)")
+                * (2 * F.col("below") + F.col("t") + 1).cast("decimal(18,0)")
+            )
+            .cast("double")
+            .alias("r2j"),
+            F.sum("njv").alias("nj"),
+        )
+    )
+    td = F.col("t").cast("decimal(12,0)")
+    tt = gv.agg(
+        F.sum(td * td * td - F.col("t")).cast("double").alias("ties"),
+        F.sum("t").alias("n"),
+    )
+    agg = rj.crossJoin(F.broadcast(tt)).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("n"),
+        F.max("n").cast("double").alias("nd"),
+        F.sum(
+            (F.col("r2j") / F.lit(2.0))
+            * (F.col("r2j") / F.lit(2.0))
+            / F.col("nj").cast("double")
+        ).alias("sr"),
+        F.max("ties").alias("ties"),
+    )
+    nd = F.col("nd")
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("sr") - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("ties") / (nd * nd * nd - nd)
+    return agg.select(
+        "k", "n", F.round(h, 6).alias("h"), F.round(h / corr, 6).alias("h_adj")
+    )
+
+
+@register(
+    "trimmed_mean_value_by_type",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cv,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY cv, event_id) AS rk,
+        count(*) OVER (PARTITION BY event_type) AS nt
+      FROM e
+    )
+    SELECT event_type, CAST(max(nt) AS BIGINT) AS n,
+      CAST(max(nt) // 10 AS BIGINT) AS n_trimmed_each_side,
+      CAST(count(*) AS BIGINT) AS n_kept,
+      round(CAST(sum(cv) AS DOUBLE) / count(*) / 100.0, 6) AS trimmed_mean
+    FROM r
+    WHERE rk > nt // 10 AND rk <= nt - nt // 10
+    GROUP BY event_type
+    """,
+)
+def q_trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of `value` per event type — the
+    robust location estimate that survives the heavy tails winsorize
+    clips (winsorize_value_per_type is the same family; trimming DROPS
+    the tails instead of clamping them). Deterministic spec: rows rank
+    by (cents, event_id) so value ties cut identically in both
+    engines; the kept-range mean is an exact BIGINT cents sum divided
+    once.
+
+    Scale shape: per-type ranks WITHOUT per-type single-partition
+    windows — the _doubled_avg_rank offset machinery: one global
+    range-partitioned running count in (type, cents, event_id) order,
+    minus each type's lexicographic predecessor totals via the
+    |types|² triangular broadcast join; then one (type) hash agg over
+    the kept rows."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+            F.lit(1).alias("one"),
+        )
+    )
+    r = global_running_sum(
+        e, ["event_type", "cv", "event_id"], "one", "gcum"
+    )
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(
+            F.broadcast(b),
+            F.col("b.event_type") < F.col("a.event_type"),
+            "left",
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.coalesce(F.sum("b.nt"), F.lit(0)).alias("off"),
+            F.max("a.nt").alias("nt"),
+        )
+    )
+    ranked = r.join(F.broadcast(off), "event_type").withColumn(
+        "rk", F.col("gcum") - F.col("off")
+    )
+    kept = ranked.filter(
+        (F.col("rk") > F.expr("nt div 10"))
+        & (F.col("rk") <= F.col("nt") - F.expr("nt div 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("nt").cast("bigint").alias("n"),
+        F.expr("max(nt) div 10").cast("bigint").alias(
+            "n_trimmed_each_side"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum("cv").cast("double") / F.count(F.lit(1)) / F.lit(100.0), 6
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "mood_median_test",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT cv, count(*) AS t FROM e GROUP BY cv),
+    cum AS (SELECT cv, sum(t) OVER (ORDER BY cv) AS c FROM gv),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    med AS (
+      SELECT min(cv) AS mcv FROM cum, n WHERE c >= (n + 1) // 2
+    ),
+    cells AS (
+      SELECT event_type,
+        CAST(sum(CASE WHEN cv <= mcv THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+        CAST(sum(CASE WHEN cv > mcv THEN 1 ELSE 0 END) AS BIGINT) AS n_gt
+      FROM e, med GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_le) AS DOUBLE) AS tle,
+        CAST(sum(n_gt) AS DOUBLE) AS tgt,
+        CAST(sum(n_le + n_gt) AS DOUBLE) AS nn
+      FROM cells
+    ),
+    chi AS (
+      SELECT round(sum(
+        (CAST(n_le AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * tle / nn)
+          * (CAST(n_le AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * tle / nn)
+          / (CAST(n_le + n_gt AS DOUBLE) * tle / nn)
+        + (CAST(n_gt AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * tgt / nn)
+          * (CAST(n_gt AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * tgt / nn)
+          / (CAST(n_le + n_gt AS DOUBLE) * tgt / nn)
+      ), 6) AS chi2
+      FROM cells, tot
+    )
+    SELECT c.event_type, c.n_le, c.n_gt,
+      round(CAST(m.mcv AS DOUBLE) / 100.0, 6) AS grand_median,
+      chi.chi2
+    FROM cells c, med m, chi
+    """,
+)
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each event type sit above/below the
+    GRAND median of `value` at the same rate? The k-group
+    nonparametric test that needs only a 2×k contingency table — the
+    cheapest multi-group location check (Kruskal-Wallis is the
+    higher-power sibling; this one survives arbitrary outliers and
+    needs no ranks). The grand median is the LOWER median — the
+    ((N+1) div 2)-th smallest cents value — picked exactly via
+    cumulative counts over distinct cents (no interpolation, so both
+    engines agree on the exact BIGINT cut); cells are exact integer
+    counts; only the final chi² (a 2k-term sum over k=5 types) is
+    float, ~1e-15 spread vs the round(6) gate.
+
+    Scale shape: one hash agg on distinct cents (bounded domain), the
+    TWO-PASS global running sum for the median cut, a broadcast 1-row
+    median join, one (type) hash agg, a k-row reduce."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+    )
+    gv = e.groupBy("cv").agg(F.count(F.lit(1)).alias("t"))
+    cum = global_running_sum(gv, ["cv"], "t", "c")
+    n = gv.agg(F.sum("t").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("c") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("cv").alias("mcv"))
+    )
+    cells = (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("cv") <= F.col("mcv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le"),
+            F.sum(F.when(F.col("cv") > F.col("mcv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gt"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_le").cast("double").alias("tle"),
+        F.sum("n_gt").cast("double").alias("tgt"),
+        F.sum(F.col("n_le") + F.col("n_gt")).cast("double").alias("nn"),
+    )
+    rt = (F.col("n_le") + F.col("n_gt")).cast("double")
+    ele = rt * F.col("tle") / F.col("nn")
+    egt = rt * F.col("tgt") / F.col("nn")
+    dle = F.col("n_le").cast("double") - ele
+    dgt = F.col("n_gt").cast("double") - egt
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(dle * dle / ele + dgt * dgt / egt), 6).alias("chi2"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            "n_le",
+            "n_gt",
+            F.round(F.col("mcv").cast("double") / F.lit(100.0), 6).alias(
+                "grand_median"
+            ),
+            "chi2",
+        )
+    )

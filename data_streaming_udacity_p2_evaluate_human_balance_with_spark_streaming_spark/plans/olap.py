@@ -2113,3 +2113,434 @@ def q_quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     return s.join(g, pos == F.col("gpos")).select(
         "doc_id", "source", "n_chars", "norm_chars"
     )
+
+
+@register(
+    "gopher_quality_rules",
+    """
+    WITH d AS (
+      SELECT source,
+        len(string_split(text, ' ')) AS nw,
+        len(list_distinct(string_split(text, ' '))) AS ndw,
+        length(text) AS nc
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT source,
+        CASE WHEN nw >= 20 THEN 1 ELSE 0 END AS ok_wc,
+        CASE WHEN nc - nw + 1 >= 3 * nw
+              AND 10 * (nc - nw + 1) <= 51 * nw THEN 1 ELSE 0 END AS ok_mwl,
+        CASE WHEN 10 * ndw >= 3 * nw THEN 1 ELSE 0 END AS ok_dr
+      FROM d
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(ok_wc * ok_mwl * ok_dr) AS BIGINT) AS n_pass,
+      CAST(sum(1 - ok_wc) AS BIGINT) AS n_fail_wordcount,
+      CAST(sum(1 - ok_mwl) AS BIGINT) AS n_fail_meanwordlen,
+      CAST(sum(1 - ok_dr) AS BIGINT) AS n_fail_distinctratio
+    FROM f GROUP BY source
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality gate, reported per source:
+    word count ≥ 20, mean word length in [3.0, 5.1], distinct-word
+    ratio ≥ 0.3 — the cheap pre-filter a training pipeline runs before
+    any model-scored quality pass (quality_classifier_scores /
+    quality_logit_frozen are the expensive siblings). Every rule is an
+    EXACT INTEGER comparison (mean-word-length band as
+    nc−nw+1 ≥ 3·nw and 10·(nc−nw+1) ≤ 51·nw; distinct ratio as
+    10·ndw ≥ 3·nw) so no float boundary can flip a doc between
+    engines. Non-vacuous on the synthetic corpus: at sf0.01, 43 docs
+    fail the word-count rule and 8 fail distinct-ratio.
+
+    Scale shape: narrow per-row derivation over the scan (split +
+    array_distinct, no shuffle), one (source) hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    w = F.split(F.col("text"), " ")
+    d = docs.select(
+        "source",
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("ndw"),
+        F.length("text").alias("nc"),
+    )
+    mw_num = F.col("nc") - F.col("nw") + 1
+    f = d.select(
+        "source",
+        F.when(F.col("nw") >= 20, 1).otherwise(0).alias("ok_wc"),
+        F.when(
+            (mw_num >= 3 * F.col("nw")) & (10 * mw_num <= 51 * F.col("nw")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok_mwl"),
+        F.when(10 * F.col("ndw") >= 3 * F.col("nw"), 1)
+        .otherwise(0)
+        .alias("ok_dr"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok_wc") * F.col("ok_mwl") * F.col("ok_dr"))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(1 - F.col("ok_wc")).cast("bigint").alias("n_fail_wordcount"),
+        F.sum(1 - F.col("ok_mwl")).cast("bigint").alias("n_fail_meanwordlen"),
+        F.sum(1 - F.col("ok_dr")).cast("bigint").alias("n_fail_distinctratio"),
+    )
+
+
+@register(
+    "context_fit_report",
+    """
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    ),
+    ctx AS (SELECT unnest([16, 32, 64, 128]) AS ctx)
+    SELECT source, CAST(ctx AS INT) AS ctx,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN nw <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+      CAST(sum(CASE WHEN nw > ctx THEN nw - ctx ELSE 0 END) AS BIGINT)
+        AS waste_tokens
+    FROM d, ctx GROUP BY source, ctx
+    """,
+)
+def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit audit: for each candidate context length,
+    how many docs per source fit whole and how many tokens a
+    truncate-to-fit policy would discard — the sizing study behind
+    pack_shards_token_budget (which packs; this one reports what
+    packing/truncation costs at each context size). Whitespace tokens
+    (the corpus's exact tokenization); all-integer output.
+
+    Scale shape: per-row token count over the scan, a 4-row broadcast
+    context grid (explode of a literal array — rows × 4, never a
+    shuffle amplification), one (source, ctx) hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    d = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("nw")
+    )
+    e = d.withColumn(
+        "ctx", F.explode(F.array(*[F.lit(c) for c in (16, 32, 64, 128)]))
+    )
+    return e.groupBy("source", F.col("ctx").cast("int").alias("ctx")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("nw") <= F.col("ctx"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fit"),
+        F.sum(
+            F.when(
+                F.col("nw") > F.col("ctx"), F.col("nw") - F.col("ctx")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("waste_tokens"),
+    )
+
+
+@register(
+    "shingle_containment_pairs",
+    """
+    WITH d0 AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 4
+    ),
+    s AS (
+      SELECT doc_id, lang, w[1] AS w1,
+        list_distinct(list_transform(range(1, len(w) - 2),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+      FROM d0
+    ),
+    ok AS (
+      SELECT lang, w1 FROM s GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    d AS (SELECT s.* FROM s JOIN ok USING (lang, w1))
+    SELECT doc_a, doc_b, cont_a, cont_b, n_sh_a, n_sh_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.sh, b.sh)) AS inter,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(a.sh), 6) AS cont_a,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(b.sh), 6) AS cont_b,
+        CAST(len(a.sh) AS INT) AS n_sh_a, CAST(len(b.sh) AS INT) AS n_sh_b
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+    )
+    WHERE 2 * inter >= n_sh_a OR 2 * inter >= n_sh_b
+    """,
+)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection: word-4-gram shingle sets,
+    pair (a, b) surfaces when ≥ half of EITHER doc's shingles appear
+    in the other — the quote/subset relation Jaccard-based near-dup
+    (dedup_minhash_lsh, ngram_jaccard_pairs) systematically misses,
+    because a short doc fully contained in a long one has low Jaccard
+    but containment 1.0. Blocked by (lang, first token) with the
+    fuzzy_prefix_pairs r8 guard verbatim: salted sub-collect →
+    window-sum block size → drop mega-blocks BEFORE materializing →
+    flatten survivors (≤ 1000 members) sorted by doc_id → in-block
+    i<j pair generation in codegen → array_intersect post-explode.
+    The ≥½ thresholds are exact integer compares (2·|∩| vs |S|); the
+    reported containments are round-6 ratios of identical integers.
+
+    Scale shape: ONE text scan, ONE shuffle of (doc_id, shingle-array)
+    structs; pair volume bounded by Σ block² with the block cap; the
+    repartition spreads the O(block²) intersect compute. At 100 TB the
+    block key coarsens to an LSH band, same skeleton."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d0 = docs.select("doc_id", "lang", w.alias("w")).filter(
+        F.size("w") >= 4
+    )
+    s = d0.select(
+        "doc_id",
+        "lang",
+        F.col("w")[0].alias("w1"),
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 4), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"
+        ).alias("sh"),
+    )
+    sub = s.groupBy(
+        "lang", "w1", F.pmod("doc_id", F.lit(64)).alias("_salt")
+    ).agg(
+        F.collect_list(F.struct("doc_id", "sh")).alias("sub"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    blocks = (
+        sub.withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("lang", "w1"))
+        )
+        .filter((F.col("total") >= 2) & (F.col("total") <= 1000))
+        .groupBy("lang", "w1")
+        .agg(F.sort_array(F.flatten(F.collect_list("sub"))).alias("m"))
+    )
+    pairs = blocks.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+                    "x.sh as sa, y.sh as sb)))"
+                )
+            )
+        ).alias("pr")
+    )
+    inter = F.size(F.array_intersect(F.col("pr.sa"), F.col("pr.sb")))
+    na, nb = F.size("pr.sa"), F.size("pr.sb")
+    return (
+        pairs.select(
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            inter.alias("inter"),
+            F.round(inter.cast("double") / na, 6).alias("cont_a"),
+            F.round(inter.cast("double") / nb, 6).alias("cont_b"),
+            na.cast("int").alias("n_sh_a"),
+            nb.cast("int").alias("n_sh_b"),
+        )
+        .filter(
+            (2 * F.col("inter") >= F.col("n_sh_a"))
+            | (2 * F.col("inter") >= F.col("n_sh_b"))
+        )
+        .drop("inter")
+    )
+
+
+@register(
+    "dirichlet_lm_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+           FROM toks GROUP BY doc_id),
+    ct AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM toks),
+    q AS (SELECT unnest(['spark', 'stream', 'join']) AS tok),
+    cf AS (
+      SELECT q.tok, CAST(count(*) AS BIGINT) AS cf
+      FROM toks JOIN q USING (tok) GROUP BY q.tok
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks JOIN q USING (tok) GROUP BY doc_id, tok
+    ),
+    scored AS (
+      SELECT dl.doc_id,
+        sum(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                + 1000.0 * CAST(cf.cf AS DOUBLE) / CAST(ct.ctot AS DOUBLE))
+               / (CAST(dl.len AS DOUBLE) + 1000.0))) AS score
+      FROM dl CROSS JOIN cf CROSS JOIN ct
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = cf.tok
+      GROUP BY dl.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score,
+      CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+           AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def q_dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=1000):
+    score(d) = Σ_t ln((tf_dt + μ·cf_t/|C|) / (len_d + μ)) for the
+    fixed 3-term query — the language-model ranking that complements
+    bm25_topk (BM25's probabilistic-IDF cousin; Dirichlet LM is the
+    standard baseline the IR literature pairs it with). Every input
+    (tf, cf, len, |C|) is an exact BIGINT; both engines evaluate one
+    shared double expression per (doc, term) and sum 3 terms — the
+    only order-sensitive float step, ~1e-15 spread vs the round(6)
+    gate. Top-20 cut on the ROUNDED score (tie-break doc_id) so the
+    cut is identical cross-engine.
+
+    Scale shape: one token explode feeding three hash aggs (doc
+    length, corpus total, per-term tf — tf only for the 3 query
+    terms, filtered by a broadcast semi-join before the agg); the
+    doc×term grid is |docs|×3 via broadcast cross join; top-20 via
+    orderBy().limit() — TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    ct = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    q = spark.createDataFrame(
+        [("spark",), ("stream",), ("join",)], "tok string"
+    )
+    qtoks = toks.join(F.broadcast(q), "tok")
+    cf = qtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(ct))
+        .join(tf, ["doc_id", "tok"], "left")
+    )
+    term = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(1000.0) * F.col("cf").cast("double")
+            / F.col("ctot").cast("double")
+        )
+        / (F.col("len").cast("double") + F.lit(1000.0))
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(F.sum(term), 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+@register(
+    "js_source_divergence",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM cnt GROUP BY source),
+    vocab AS (SELECT DISTINCT tok FROM cnt),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    grid AS (
+      SELECT p.src_a, p.src_b, v.tok,
+        CAST(coalesce(ca.c, 0) AS DOUBLE) / p.na AS pa,
+        CAST(coalesce(cb.c, 0) AS DOUBLE) / p.nb AS pb
+      FROM pairs p CROSS JOIN vocab v
+      LEFT JOIN cnt ca ON ca.source = p.src_a AND ca.tok = v.tok
+      LEFT JOIN cnt cb ON cb.source = p.src_b AND cb.tok = v.tok
+    )
+    SELECT src_a, src_b,
+      round(sum(
+        CASE WHEN pa > 0
+          THEN 0.5 * pa * log2(pa / ((pa + pb) / 2.0)) ELSE 0.0 END
+        + CASE WHEN pb > 0
+          THEN 0.5 * pb * log2(pb / ((pa + pb) / 2.0)) ELSE 0.0 END
+      ), 6) AS js_divergence
+    FROM grid GROUP BY src_a, src_b
+    """,
+)
+def q_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the SYMMETRIC, always-finite drift measure that
+    complements source_token_tv_divergence (TV is the L1 geometry; JS
+    is the information geometry, the standard corpus-mixture distance
+    in data-curation papers). JS(P,Q) = ½Σ p·log2(p/m) + ½Σ q·log2(q/m)
+    with m=(p+q)/2, in bits (log2), ∈ [0,1]. Probabilities are ratios
+    of exact BIGINT counts; the per-token float terms are identical
+    cross-engine, and the vocab-sized sum's order spread (~1e-15)
+    sits far under the round(6) gate.
+
+    Scale shape: one token-explode hash agg, a |sources|² broadcast
+    pair grid × the bounded vocab (dims×dims×vocab, never row-scale),
+    two broadcast lookups, one (pair) hash agg."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = cnt.select("tok").distinct()
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    ca = cnt.select(
+        F.col("source").alias("src_a"),
+        F.col("tok"),
+        F.col("c").alias("c_a"),
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"),
+        F.col("tok"),
+        F.col("c").alias("c_b"),
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(ca), ["src_a", "tok"], "left")
+        .join(F.broadcast(cb), ["src_b", "tok"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+                / F.col("na")
+            ).alias("pa"),
+            (
+                F.coalesce(F.col("c_b"), F.lit(0)).cast("double")
+                / F.col("nb")
+            ).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = F.when(
+        F.col("pa") > 0, F.lit(0.5) * F.col("pa") * F.log2(F.col("pa") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("pb") > 0, F.lit(0.5) * F.col("pb") * F.log2(F.col("pb") / m)
+    ).otherwise(F.lit(0.0))
+    return grid.groupBy("src_a", "src_b").agg(
+        F.round(F.sum(term), 6).alias("js_divergence")
+    )

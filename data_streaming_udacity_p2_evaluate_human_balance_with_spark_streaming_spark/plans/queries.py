@@ -901,36 +901,64 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark has no native one, SNIPPETS/guide pattern):
-    equi-join on the key + time-range filter + ROW_NUMBER to keep the
-    latest match. The equi-key bounds the blow-up to per-user order
-    counts; at scale bucketize time to tighten the range first.
+    """As-of join (Spark has no native one) as a UNION + carry-forward
+    running max — the fan-out-free formulation (r8, replacing the
+    equi+range join + max(struct) aggregate): orders and events merge
+    onto ONE per-user timeline ordered by (t, is_event) — an order
+    dated exactly at an event's ts sorts first, preserving the `<=`
+    inclusive bound — and a per-user running max of the
+    (o_orderdate, o_orderkey) struct carries each event its latest
+    preceding order; event rows without a carried order (no prior
+    order) are dropped, matching the oracle's inner join.
 
-    The explicit broadcast pins BuildRight on the narrow orders
-    projection (3 cols): left to itself the planner built on the wider
-    events side (BuildLeft), ~35% slower measured quiet at sf0.1. With
-    orders as the hash map, each event row emits its matches
-    contiguously, so the partial aggregate collapses the fan-out
-    map-side and only ~|events| rows shuffle. At 100 TB orders would
-    exceed the broadcast threshold — drop the hint and the same plan
-    runs as a shuffled hash join on the equi-key."""
+    Measured quiet sf0.1 min-of-4 (scripts/profile_r8_asof.py, results
+    value-identical across all three): 0.218 s vs 0.787 s for the r7
+    broadcast+max(struct) plan and 0.963 s for pre-aggregated orders —
+    the join fan-out (|events|·orders-per-user intermediate rows
+    through the hash agg) was the whole regression, not build-side
+    choice or version drift. Also the 100 TB shape: ONE shuffle of
+    |orders|+|events| rows on the user key + a per-user-bounded sort,
+    where the join form's fan-out grows with orders-per-user."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    joined = ev.join(
-        F.broadcast(orders),
-        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ok"),
     )
-    # "latest match" as max(struct(date, key)) — a plain hash aggregate
-    # (map-side combine, no per-partition sort), ~2× cheaper than the
-    # equivalent row_number window at sf0.1
-    return joined.groupBy("event_id").agg(
-        F.first("user_id").alias("user_id"),
-        F.first("ts").alias("ts"),
-        F.max(F.struct("o_orderdate", "o_orderkey")).getField("o_orderkey").alias(
-            "o_orderkey"
-        ),
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ok"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = o.unionByName(e).withColumn("best", F.max("ok").over(w))
+    return (
+        carried.filter(
+            (F.col("is_event") == 1) & F.col("best").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+        )
     )
 
 

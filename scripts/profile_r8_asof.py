@@ -1,0 +1,137 @@
+"""r8: settle asof_latest_order_before_event (VERDICT r7 #1).
+
+Quiet min-of-N comparison of as-of formulations at sf0.1:
+  1. current registered plan: broadcast(orders) equi+range join ->
+     max(struct) hash agg (plans/queries.py q_asof_join)
+  2. union + last-carry-forward window per user (fan-out-free as-of:
+     orders and events share one per-user timeline, the best
+     (date, orderkey) struct carries forward, keep event rows)
+  3. pre-aggregated orders (one candidate per (custkey, orderdate))
+     before the range join
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+SF_DIR = "/root/testdata/sf0.1"
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "24g")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("profile_r8_asof")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (  # noqa: E402
+    load_table,
+)
+
+ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+orders = load_table(spark, SF_DIR, "orders").select(
+    "o_custkey", "o_orderkey", "o_orderdate"
+)
+
+
+def asof_current():
+    joined = ev.join(
+        F.broadcast(orders),
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    return joined.groupBy("event_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.first("ts").alias("ts"),
+        F.max(F.struct("o_orderdate", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("o_orderkey"),
+    )
+
+
+def asof_union_window():
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ok"),
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ok"),
+    )
+    u = o.unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("best", F.max("ok").over(w))
+    return carried.filter(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("best.o_orderkey").alias("o_orderkey"),
+    )
+
+
+def asof_pre_agg():
+    o2 = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    joined = ev.join(
+        F.broadcast(o2),
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    return joined.groupBy("event_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.first("ts").alias("ts"),
+        F.max(F.struct("o_orderdate", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("o_orderkey"),
+    )
+
+
+def timeit(name, fn, passes=4):
+    best, n = float("inf"), 0
+    for _ in range(passes):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn().count()
+        best = min(best, time.time() - t0)
+    print(f"{name:28s} {best:7.3f}s  rows={n}", flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    # warm codegen once each
+    for f in (asof_current, asof_union_window, asof_pre_agg):
+        f().write.format("noop").mode("overwrite").save()
+    timeit("current (bcast + max agg)", asof_current)
+    timeit("union + carry-forward win", asof_union_window)
+    timeit("pre-agg orders + bcast", asof_pre_agg)
+    # cross-check the three agree
+    a = {
+        (r.event_id, r.o_orderkey) for r in asof_current().collect()
+    }
+    b = {
+        (r.event_id, r.o_orderkey) for r in asof_union_window().collect()
+    }
+    c = {(r.event_id, r.o_orderkey) for r in asof_pre_agg().collect()}
+    print("agree:", a == b == c, len(a))

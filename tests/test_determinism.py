@@ -138,6 +138,16 @@ SENSITIVE = [
     "hll_sliding_7day_users",
     "woe_encoding_bins",
     "paired_sign_test_improvement",
+    # r8 wave
+    "welch_ttest_click_view",
+    "kruskal_wallis_value_by_type",
+    "trimmed_mean_value_by_type",
+    "mood_median_test",
+    "gopher_quality_rules",
+    "context_fit_report",
+    "shingle_containment_pairs",
+    "dirichlet_lm_topk",
+    "js_source_divergence",
 ]
 
 

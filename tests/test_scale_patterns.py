@@ -1590,3 +1590,141 @@ def test_link_prediction_hub_cap_bounds_wedges(spark, tmp_path):
     assert not any(
         r.part_a in spoke_set or r.part_b in spoke_set for r in got
     )
+
+
+def _write_events(spark, tmp_path, rows):
+    """Plant an events.parquet a registry query can load via sf_dir."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_welch_ttest_planted_hand_values(spark, tmp_path):
+    """Welch t on a hand-checkable fixture: click = {1, 2, 3},
+    view = {2, 4, 6, 8}. Means 2 and 5; s1²=1, s2²=20/3;
+    se² = 1/3 + 5/3 = 2; t = -3/sqrt(2); Welch df = 4/(1/18 + 25/27).
+    Pins the cents fixed-point path and the exact df formula."""
+    import math
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 1, "click", float(v), "{}")
+        for i, v in enumerate([1, 2, 3])
+    ] + [
+        (10 + i, f"2024-01-01 01:{i:02d}:00", 2, "view", float(v), "{}")
+        for i, v in enumerate([2, 4, 6, 8])
+    ] + [
+        (99, "2024-01-01 02:00:00", 3, "purchase", 500.0, "{}"),  # ignored
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["welch_ttest_click_view"]
+    r = fn(spark, sf).collect()[0]
+    assert (r.n1, r.n2) == (3, 4)
+    assert (r.mean_click, r.mean_view) == (2.0, 5.0)
+    assert r.t_stat == round(-3.0 / math.sqrt(2.0), 6)
+    v1n, v2n = 1.0 / 3.0, (20.0 / 3.0) / 4.0
+    df_expect = (v1n + v2n) ** 2 / (v1n**2 / 2.0 + v2n**2 / 3.0)
+    assert abs(r.df - df_expect) < 1e-6
+
+
+def test_mood_median_planted(spark, tmp_path):
+    """Mood's median on a planted split: grand lower median of
+    {1..6} is 3; type A = {1,2,3} -> (3 le, 0 gt),
+    type B = {4,5,6} -> (0 le, 3 gt); chi2 of the perfect split = 6."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 1, "click", float(i + 1), "{}")
+        for i in range(3)
+    ] + [
+        (10 + i, f"2024-01-01 01:{i:02d}:00", 2, "view", float(i + 4), "{}")
+        for i in range(3)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["mood_median_test"]
+    got = {r.event_type: r for r in fn(spark, sf).collect()}
+    assert (got["click"].n_le, got["click"].n_gt) == (3, 0)
+    assert (got["view"].n_le, got["view"].n_gt) == (0, 3)
+    assert got["click"].grand_median == 3.0
+    assert got["click"].chi2 == 6.0
+
+
+def test_trimmed_mean_planted(spark, tmp_path):
+    """10% trim on 10 rows drops exactly the min and max: values
+    1..9 plus an outlier 1000 -> k=1, kept = 2..9 + 9? no: sorted
+    {1..9, 1000}, drop rank 1 (=1) and rank 10 (=1000), mean of
+    2..9 = 5.5. The untrimmed mean (104.5) must NOT appear."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["trimmed_mean_value_by_type"]
+    r = fn(spark, sf).collect()[0]
+    assert (r.n, r.n_trimmed_each_side, r.n_kept) == (10, 1, 8)
+    assert r.trimmed_mean == 5.5
+
+
+def test_kruskal_wallis_planted_separation(spark, tmp_path):
+    """KW H on perfectly separated groups {1,2,3} vs {4,5,6} vs
+    {7,8,9} (no ties): H = 12/(9*10) * (6²+15²+24²)/3 - 3*10 = 7.2;
+    tie correction = 1 so h == h_adj."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = []
+    for g, (t, base) in enumerate(
+        [("click", 1), ("view", 4), ("purchase", 7)]
+    ):
+        for j in range(3):
+            rows.append(
+                (g * 10 + j, f"2024-01-01 0{g}:{j:02d}:00", g, t,
+                 float(base + j), "{}")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["kruskal_wallis_value_by_type"]
+    r = fn(spark, sf).collect()[0]
+    assert (r.k, r.n) == (3, 9)
+    assert r.h == 7.2 and r.h_adj == 7.2
+
+
+def test_shingle_containment_planted_subset(spark, tmp_path):
+    """A doc whose text is a strict prefix of another (same lang, same
+    first word) must surface with containment 1.0 on the short side —
+    the quote/subset relation Jaccard misses; an unrelated doc in the
+    same block with no shared 4-grams must NOT pair."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta"
+    short = "alpha beta gamma delta epsilon"  # prefix: all its 4-grams ⊂ long
+    other = "alpha one two three four five six"  # same w1, disjoint 4-grams
+    rows = [(1, long, "en", "s", len(long)),
+            (2, short, "en", "s", len(short)),
+            (3, other, "en", "s", len(other))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fn, _ = REGISTRY["shingle_containment_pairs"]
+    got = {(r.doc_a, r.doc_b): r for r in fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # short doc (2) has 2 shingles, both inside long's 5
+    assert (r.n_sh_a, r.n_sh_b) == (5, 2)
+    assert r.cont_b == 1.0 and r.cont_a == 0.4
