@@ -252,6 +252,14 @@ HEADLINE = [
     "shingle_containment_pairs",
     "dirichlet_lm_topk",
     "js_source_divergence",
+    "grubbs_outlier_by_type",
+    "runs_test_daily_volume",
+    "ljung_box_daily_volume",
+    "cochran_armitage_trend",
+    "duplicate_payment_pairs",
+    "lexical_density_by_source",
+    "kl_surprise_docs",
+    "rank_biased_overlap_topk",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -7370,3 +7370,375 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@register(
+    "grubbs_outlier_by_type",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cv) AS BIGINT) AS s1,
+        CAST(sum(cv * cv) AS BIGINT) AS s2,
+        CAST(min(cv) AS BIGINT) AS mn, CAST(max(cv) AS BIGINT) AS mx
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+      round(CAST(mn AS DOUBLE) / 100.0, 6) AS min_value,
+      round(CAST(mx AS DOUBLE) / 100.0, 6) AS max_value,
+      round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_value,
+      round(
+        (CAST(CASE WHEN s1 - n * mn >= n * mx - s1
+                   THEN s1 - n * mn ELSE n * mx - s1 END AS DOUBLE)
+         / CAST(n AS DOUBLE))
+        / sqrt((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)),
+        6) AS g
+    FROM s
+    """,
+)
+def q_grubbs_outlier_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic per event type: G = max|x − mean|/s —
+    the single-most-extreme-point test that complements the
+    per-row z-score/MAD anomaly feeds (anomaly_zscore_events /
+    anomaly_mad_events flag rows; Grubbs asks whether the WORST row is
+    statistically surprising at all). The extreme deviation is chosen
+    with an EXACT integer comparison — max(mean−min, max−mean)
+    ⇔ max(S1 − n·min, n·max − S1) in cents — so no float boundary
+    picks different tails across engines; G's float assembly runs on
+    identical exact (n, Σx, Σx², min, max).
+
+    Scale shape: one map-side-combinable hash aggregate (5 scalars per
+    type), k-row projection. All five inputs are plain mergeable
+    aggregates, so the windowed-partials streaming recipe applies."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).alias("s2"),
+        F.min("cv").alias("mn"),
+        F.max("cv").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    dev_lo = F.col("s1") - F.col("n") * F.col("mn")
+    dev_hi = F.col("n") * F.col("mx") - F.col("s1")
+    dev = F.when(dev_lo >= dev_hi, dev_lo).otherwise(dev_hi).cast("double")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+        )
+        / (nd - F.lit(1.0))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("mn").cast("double") / F.lit(100.0), 6).alias(
+            "min_value"
+        ),
+        F.round(F.col("mx").cast("double") / F.lit(100.0), 6).alias(
+            "max_value"
+        ),
+        F.round(F.col("s1").cast("double") / nd / F.lit(100.0), 6).alias(
+            "mean_value"
+        ),
+        F.round((dev / nd) / sd, 6).alias("g"),
+    )
+
+
+@register(
+    "runs_test_daily_volume",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    sg AS (
+      SELECT day,
+        CASE WHEN n > lag(n) OVER (ORDER BY day) THEN 1
+             WHEN n < lag(n) OVER (ORDER BY day) THEN -1 END AS sgn
+      FROM d
+    ),
+    s AS (SELECT day, sgn FROM sg WHERE sgn IS NOT NULL),
+    r AS (
+      SELECT sgn,
+        CASE WHEN sgn IS DISTINCT FROM lag(sgn) OVER (ORDER BY day)
+             THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+        CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM r
+    )
+    SELECT runs, n_up, n_down,
+      round(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+            / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0, 6)
+        AS mu,
+      round((CAST(runs AS DOUBLE)
+             - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0))
+            / sqrt((2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                    / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)))
+                   * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                      / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) - 1.0)
+                   / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)),
+            6) AS z
+    FROM agg
+    """,
+)
+def q_runs_test_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-volume up/down sequence:
+    too FEW runs = trending (momentum), too MANY = oscillating
+    (overcorrection) — the randomness check a forecasting pipeline
+    runs before trusting seasonal_naive_backtest residuals. Signs and
+    the run count are exact integers from lag comparisons over the
+    bounded day domain (30 days at sf0.01); μ and z assemble from
+    (runs, n_up, n_down) in one shared double tree (zero-change days
+    dropped, the standard two-category reduction).
+
+    Scale shape: one (day) hash agg — the only row-scale exchange —
+    then lag windows over the BOUNDED day domain (the
+    analytics-precedent domain-bounded no-partition window), a 1-row
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wday = Window.orderBy("day")
+    sg = d.select(
+        "day",
+        F.when(F.col("n") > F.lag("n").over(wday), 1)
+        .when(F.col("n") < F.lag("n").over(wday), -1)
+        .alias("sgn"),
+    ).filter(F.col("sgn").isNotNull())
+    r = sg.select(
+        "sgn",
+        F.when(
+            ~F.col("sgn").eqNullSafe(F.lag("sgn").over(Window.orderBy("day"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = r.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    nu, nd_ = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    mu = F.lit(2.0) * nu * nd_ / (nu + nd_) + F.lit(1.0)
+    var = (
+        (F.lit(2.0) * nu * nd_ / (nu + nd_))
+        * (F.lit(2.0) * nu * nd_ / (nu + nd_) - F.lit(1.0))
+        / (nu + nd_ - F.lit(1.0))
+    )
+    return agg.select(
+        "runs",
+        "n_up",
+        "n_down",
+        F.round(mu, 6).alias("mu"),
+        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z"
+        ),
+    )
+
+
+@register(
+    "ljung_box_daily_volume",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, row_number() OVER (ORDER BY day) AS i,
+        CAST(count(*) OVER () AS BIGINT) AS nn,
+        CAST(sum(n) OVER () AS BIGINT) AS tot
+      FROM d
+    ),
+    dev AS (
+      SELECT i, nn, CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) / nn AS dv
+      FROM idx
+    ),
+    denom AS (SELECT CAST(max(nn) AS BIGINT) AS nn,
+                     sum(dv * dv) AS s0 FROM dev),
+    lags AS (
+      SELECT k, sum(a.dv * b.dv) AS sk
+      FROM (SELECT unnest([1, 2, 3]) AS k) lk
+      JOIN dev a ON true
+      JOIN dev b ON b.i = a.i + k
+      GROUP BY k
+    )
+    SELECT CAST(max(d2.nn) AS BIGINT) AS n_days,
+      round(max(CASE WHEN k = 1 THEN sk END) / max(s0), 6) AS r1,
+      round(max(CASE WHEN k = 2 THEN sk END) / max(s0), 6) AS r2,
+      round(max(CASE WHEN k = 3 THEN sk END) / max(s0), 6) AS r3,
+      round(CAST(max(d2.nn) AS DOUBLE) * (CAST(max(d2.nn) AS DOUBLE) + 2.0)
+        * ((max(CASE WHEN k = 1 THEN sk END) / max(s0))
+           * (max(CASE WHEN k = 1 THEN sk END) / max(s0))
+           / (CAST(max(d2.nn) AS DOUBLE) - 1.0)
+         + (max(CASE WHEN k = 2 THEN sk END) / max(s0))
+           * (max(CASE WHEN k = 2 THEN sk END) / max(s0))
+           / (CAST(max(d2.nn) AS DOUBLE) - 2.0)
+         + (max(CASE WHEN k = 3 THEN sk END) / max(s0))
+           * (max(CASE WHEN k = 3 THEN sk END) / max(s0))
+           / (CAST(max(d2.nn) AS DOUBLE) - 3.0)), 6) AS q_lb
+    FROM lags, denom d2
+    """,
+)
+def q_ljung_box_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over lags 1-3 of the daily event
+    volume — the single-number "is there ANY autocorrelation left"
+    test that wraps seasonality_autocorr's per-lag ACF into the
+    standard χ²(3) statistic forecasting pipelines gate on before
+    shipping a naive model. Lagged products come from an explicit
+    self-join on day index (i, i+k) — identical row pairing in both
+    engines, no window-frame ambiguity; devs are (exact count −
+    exact-total/n) doubles; each float sum spans ≤30 terms (~1e-15
+    order spread vs round 6).
+
+    Scale shape: one (day) hash agg, then everything runs on the
+    BOUNDED day domain (30 rows at sf0.01): index window, 3-lag
+    self-join, 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    idx = d.select(
+        "n",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("nn"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    dev = idx.select(
+        "i",
+        "nn",
+        (
+            F.col("n").cast("double")
+            - F.col("tot").cast("double") / F.col("nn")
+        ).alias("dv"),
+    )
+    denom = dev.agg(
+        F.max("nn").alias("nn"), F.sum(F.col("dv") * F.col("dv")).alias("s0")
+    )
+    lk = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a = dev.alias("a")
+    b = dev.select(F.col("i").alias("bi"), F.col("dv").alias("bdv"))
+    lags = (
+        F.broadcast(lk)
+        .crossJoin(a)
+        .join(b, F.col("bi") == F.col("i") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("dv") * F.col("bdv")).alias("sk"))
+    )
+    j = lags.crossJoin(F.broadcast(denom))
+    nnd = F.max("nn").cast("double")
+
+    def rk(k):
+        return F.max(F.when(F.col("k") == k, F.col("sk"))) / F.max("s0")
+
+    q_lb = (
+        nnd
+        * (nnd + F.lit(2.0))
+        * (
+            rk(1) * rk(1) / (nnd - F.lit(1.0))
+            + rk(2) * rk(2) / (nnd - F.lit(2.0))
+            + rk(3) * rk(3) / (nnd - F.lit(3.0))
+        )
+    )
+    return j.agg(
+        F.max("nn").cast("bigint").alias("n_days"),
+        F.round(rk(1), 6).alias("r1"),
+        F.round(rk(2), 6).alias("r2"),
+        F.round(rk(3), 6).alias("r3"),
+        F.round(q_lb, 6).alias("q_lb"),
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    """
+    WITH e AS (
+      SELECT dayofweek(ts) + 1 AS s,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    cells AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS ni,
+        CAST(sum(x) AS BIGINT) AS xi
+      FROM e GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS x,
+        CAST(sum(s * xi) AS BIGINT) AS sx,
+        CAST(sum(s * ni) AS BIGINT) AS sn,
+        CAST(sum(s * s * ni) AS BIGINT) AS ssn
+      FROM cells
+    )
+    SELECT n, x,
+      round((CAST(sx AS DOUBLE)
+             - CAST(x AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(ssn AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(n AS DOUBLE))),
+            6) AS z_trend
+    FROM tot
+    """,
+)
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the purchase RATE trend
+    monotonically across the ordered day-of-week scores 1..7? The
+    ordered-alternative refinement of chi_square_independence — a flat
+    χ² can miss a clean monotone drift that this z catches with one
+    degree of freedom. Everything up to the final z is five exact
+    BIGINT sufficient statistics (n, x, Σs·x, Σs·n, Σs²·n) from one
+    pass; the z assembles from them in one shared double tree.
+
+    Scale shape: one map-side-combinable (dow) hash aggregate — 7
+    cells — then a 1-row reduce. Mergeable sums throughout, so the
+    windowed-partials streaming recipe applies verbatim."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    cells = e.groupBy("s").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("x").alias("xi")
+    )
+    tot = cells.agg(
+        F.sum("ni").alias("n"),
+        F.sum("xi").alias("x"),
+        F.sum(F.col("s") * F.col("xi")).alias("sx"),
+        F.sum(F.col("s") * F.col("ni")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("ni")).alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    p = xd / nd
+    num = F.col("sx").cast("double") - xd * F.col("sn").cast("double") / nd
+    var = p * (F.lit(1.0) - p) * (
+        F.col("ssn").cast("double")
+        - F.col("sn").cast("double") * F.col("sn").cast("double") / nd
+    )
+    return tot.select(
+        "n", "x", F.round(num / F.sqrt(var), 6).alias("z_trend")
+    )

@@ -2544,3 +2544,215 @@ def q_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("src_a", "src_b").agg(
         F.round(F.sum(term), 6).alias("js_divergence")
     )
+
+
+@register(
+    "lexical_density_by_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'or', 'to',
+                                 'in', 'is', 'on', 'for')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_function,
+      round(1.0 - CAST(sum(CASE WHEN tok IN ('the', 'a', 'of', 'and',
+                                             'or', 'to', 'in', 'is',
+                                             'on', 'for')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        AS lexical_density
+    FROM toks GROUP BY source
+    """,
+)
+def q_lexical_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical density per source: the share of content (non-function)
+    tokens — the classic text-quality signal (low density = boilerplate
+    / navigational sludge; text_profile's stopword ratio is the
+    per-doc sibling, this is the corpus-mix view). Fixed 10-word
+    function list in-plan; counts exact BIGINT, one round-6 ratio.
+
+    Scale shape: token explode into ONE (source) hash aggregate with
+    map-side combine — the IN list evaluates at the scan, no second
+    pass, no join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    stop = ("the", "a", "of", "and", "or", "to", "in", "is", "on", "for")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    isf = F.when(F.col("tok").isin(*stop), 1).otherwise(0)
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(isf).cast("bigint").alias("n_function"),
+        F.round(
+            F.lit(1.0) - F.sum(isf).cast("double") / F.count(F.lit(1)), 6
+        ).alias("lexical_density"),
+    )
+
+
+@register(
+    "kl_surprise_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+           FROM tf GROUP BY doc_id),
+    cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+    ct AS (SELECT CAST(sum(cf) AS BIGINT) AS ctot FROM cf),
+    scored AS (
+      SELECT tf.doc_id,
+        round(sum((CAST(tf.tf AS DOUBLE) / dl.len)
+                  * ln((CAST(tf.tf AS DOUBLE) / dl.len)
+                       / (CAST(cf.cf AS DOUBLE) / ct.ctot))), 6) AS kl
+      FROM tf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN ct
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, kl,
+      CAST(row_number() OVER (ORDER BY kl DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def q_kl_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document "surprise" — KL(doc unigram ‖ corpus unigram) —
+    ranked top-20: the outlier-document detector a curation pipeline
+    uses to surface off-distribution content (high KL = vocabulary
+    unlike the corpus; bigram_lm_perplexity is the sequence-model
+    sibling, this is the bag-of-words one; dirichlet_lm_topk reuses
+    the same tf/cf/len machinery for retrieval). Every input is an
+    exact BIGINT count; each doc's float sum spans its ≤|vocab|
+    distinct tokens (~1e-15 order spread vs round 6); the top-20 cut
+    ranks the ROUNDED score with doc_id tie-break.
+
+    Scale shape: one token explode into (doc, tok) / (tok) / (doc)
+    hash aggs; the per-term join hits only each doc's own distinct
+    terms (posting-sized, never doc×vocab); top-20 via
+    orderBy().limit() — TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    ct = cf.agg(F.sum("cf").alias("ctot"))
+    p = F.col("tf").cast("double") / F.col("len")
+    q = F.col("cf").cast("double") / F.col("ctot")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+    )
+    top = scored.orderBy(F.desc("kl"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("kl"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "rank_biased_overlap_topk",
+    """
+    WITH d AS (
+      SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY nc DESC, doc_id) AS r
+      FROM d QUALIFY r <= 50
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY nw DESC, doc_id) AS r
+      FROM d QUALIFY r <= 50
+    ),
+    m AS (
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        coalesce(ra.r, 999999) AS r_a, coalesce(rb.r, 999999) AS r_b
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ),
+    depth AS (SELECT unnest(range(1, 51)) AS dp),
+    ov AS (
+      SELECT dp, CAST(sum(CASE WHEN r_a <= dp AND r_b <= dp
+                          THEN 1 ELSE 0 END) AS BIGINT) AS inter
+      FROM depth, m GROUP BY dp
+    )
+    SELECT CAST(50 AS INT) AS k,
+      CAST(max(CASE WHEN dp = 50 THEN inter END) AS BIGINT) AS overlap_at_k,
+      round(0.1 * sum(power(0.9, dp - 1) * inter / dp), 6) AS rbo
+    FROM ov
+    """,
+)
+def q_rank_biased_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, truncated at depth 50) between two
+    document rankings — by character length vs by token count: the
+    top-weighted ranking-agreement measure (Webber et al.) retrieval
+    stacks use to compare rankers where Kendall/Spearman over-weight
+    the tail (rrf_fusion_topk FUSES two rankings; RBO SCORES their
+    agreement). Both rankings are integer-keyed with doc_id
+    tie-breaks, so per-depth intersection counts are exact BIGINTs;
+    the weighted sum spans 50 terms of identical per-term floats
+    (power(0.9, d−1) on equal integer args).
+
+    Scale shape: two TakeOrdered top-50s (never a corpus sort), a
+    50×~100 broadcast depth grid, one (depth) hash agg, 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.size(F.split(F.col("text"), " ")).alias("nw"),
+    )
+
+    def top50(col):
+        t = d.orderBy(F.desc(col), "doc_id").limit(50)
+        w = Window.orderBy(F.desc(col), "doc_id")
+        return t.select(
+            "doc_id", F.row_number().over(w).alias("r")
+        )
+
+    ra = top50("nc").select("doc_id", F.col("r").alias("r_a"))
+    rb = top50("nw").select("doc_id", F.col("r").alias("r_b"))
+    m = ra.join(rb, "doc_id", "full_outer").select(
+        F.coalesce(F.col("r_a"), F.lit(999999)).alias("r_a"),
+        F.coalesce(F.col("r_b"), F.lit(999999)).alias("r_b"),
+    )
+    depth = spark.range(1, 51).select(F.col("id").cast("int").alias("dp"))
+    ov = (
+        F.broadcast(depth)
+        .crossJoin(m)
+        .groupBy("dp")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_a") <= F.col("dp"))
+                    & (F.col("r_b") <= F.col("dp")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("inter")
+        )
+    )
+    return ov.agg(
+        F.lit(50).cast("int").alias("k"),
+        F.max(F.when(F.col("dp") == 50, F.col("inter")))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.round(
+            F.lit(0.1)
+            * F.sum(
+                F.pow(F.lit(0.9), F.col("dp") - 1)
+                * F.col("inter")
+                / F.col("dp")
+            ),
+            6,
+        ).alias("rbo"),
+    )

@@ -2674,3 +2674,66 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         advice.alias("advice"),
     )
+
+
+@register(
+    "duplicate_payment_pairs",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT a.user_id, a.cv AS cents,
+      a.event_id AS event_a, b.event_id AS event_b,
+      CAST(b.us - a.us AS BIGINT) AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.cv = b.cv
+     AND a.event_id < b.event_id
+     AND abs(b.us - a.us) <= 86400000000
+    """,
+)
+def q_duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detector: two events by the SAME user with the
+    SAME cents amount within 24 hours — the double-submit /
+    retry-without-idempotency audit every payments warehouse runs
+    daily. The join key is (user, cents) — an equi-key, so candidate
+    pairs are bounded by Σ group² over user×amount groups (naturally
+    tiny: an amount repeating for one user is itself the anomaly) and
+    the time predicate only filters within groups; integer microsecond
+    gap output. Non-vacuous at sf0.01 (3 pairs).
+
+    Scale shape: one self equi-join on (user_id, cents) — hash
+    partitionable, no range-join fan-out since the equi-key is the
+    selective part; at 100 TB add a day-bucket to the key to bound
+    clock-distant pairs at the scan."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (
+                F.abs(F.col("b.us") - F.col("a.us"))
+                <= F.lit(86_400_000_000)
+            ),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.cv").alias("cents"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (F.col("b.us") - F.col("a.us")).cast("bigint").alias("gap_us"),
+        )
+    )

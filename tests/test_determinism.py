@@ -148,6 +148,14 @@ SENSITIVE = [
     "shingle_containment_pairs",
     "dirichlet_lm_topk",
     "js_source_divergence",
+    "grubbs_outlier_by_type",
+    "runs_test_daily_volume",
+    "ljung_box_daily_volume",
+    "cochran_armitage_trend",
+    "duplicate_payment_pairs",
+    "lexical_density_by_source",
+    "kl_surprise_docs",
+    "rank_biased_overlap_topk",
 ]
 
 
