@@ -1209,3 +1209,61 @@ def test_lateness_profile_no_global_window(spark):
         if "windowspecdefinition" in line:
             assert "_pid" in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_fanout_free(spark):
+    """r8: the as-of join is the UNION + carry-forward running-max
+    plan — NO join operator anywhere (the old equi+range join's
+    |events|·orders-per-user fan-out was a 3-round perf regression),
+    one hash exchange on the user key, a per-user sort, a Window."""
+    plan = _plan(spark, "asof_latest_order_before_event")
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "Window" in plan
+    assert "Union" in plan
+    # exactly one data exchange (the user-key hash partitioning for
+    # the window); no range/single partitioning of the corpus
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_shingle_containment_blocked_equijoin(spark):
+    """Pair generation happens in-block post-collect: no join operator
+    between corpus-sized inputs, no cartesian; the only joins permitted
+    are none at all (collect+transform does the pairing)."""
+    plan = _plan(spark, "shingle_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kl_and_dirichlet_use_take_ordered(spark):
+    """Top-20 cuts must be TakeOrderedAndProject (per-partition heaps),
+    never a global sort of the scored corpus."""
+    for name in ("kl_surprise_docs", "dirichlet_lm_topk"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+    # and the rank window then runs on exactly the 20 surviving rows,
+    # which is the only SinglePartition exchange allowed
+    plan = _plan(spark, "kl_surprise_docs")
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_duplicate_payment_pairs_equijoin(spark):
+    """The 24h predicate must ride on a (user, cents) equi-join —
+    never a nested-loop range join over the corpus."""
+    plan = _plan(spark, "duplicate_payment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_welch_partial_aggregation(spark):
+    """The Welch sufficient statistics must combine map-side: a
+    HashAggregate below the exchange, raw rows never shuffle."""
+    plan = _plan(spark, "welch_ttest_click_view")
+    pre, _, post = plan.partition("Exchange")
+    assert "HashAggregate" in post  # partial agg below the first exchange

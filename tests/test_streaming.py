@@ -2605,3 +2605,177 @@ def test_streaming_mannwhitney_partials_finalize_equals_batch(spark, tmp_path):
     assert (
         spark.table("mwu_partials_tbl").select("win").distinct().count() >= 2
     )
+
+
+def test_additive_merge_legacy_dir_conversion_crash(spark, tmp_path):
+    """The OTHER publish crash window (r8): a legacy plain-directory
+    table is converted by rename(dir -> .v_legacy) + symlink publish;
+    a crash BETWEEN the two renames leaves no table path at all. The
+    recovery preamble must re-link the .v_legacy dir on the next batch
+    and then merge on top of the preserved contents."""
+    import os as _os
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    schema = "k string, v bigint"
+    mv = str(tmp_path / "mv")
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+
+    # legacy world: a PLAIN directory table (pre-versioning layout),
+    # mid-conversion crash simulated by it sitting at .v_legacy with
+    # no symlink at the table path
+    spark.createDataFrame([("a", 5)], schema).coalesce(1).write.parquet(
+        f"{mv}.v_legacy"
+    )
+    assert not _os.path.lexists(mv)
+
+    _mk_stream_files(spark, [[("a", 1), ("b", 2)]], schema, src)
+    s = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    additive_merge_parquet(
+        s, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got == {"a": 6, "b": 2}, "legacy contents lost in recovery"
+    assert _os.path.islink(mv)
+
+
+def test_streaming_welch_partials_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of welch_ttest_click_view (r8): the Welch
+    sufficient statistics (n, Σcents, Σcents²) per arm are plain
+    mergeable sums, so per-window partials from an append-mode
+    watermarked aggregation, merged by arm and pushed through the SAME
+    double expression tree as the batch query, must reproduce the
+    batch t/df BIT-identically (the Mann-Whitney twin recipe on the
+    parametric sibling)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "click" if i % 3 == 0 else "view",
+            "value": round(((i * 13) % 400) / 4.0 + 0.25, 2),
+            "ts": f"2024-01-01T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(500)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "value": 1.0,
+        "ts": "2024-01-05T00:00:00.000Z",
+    }
+    d = str(tmp_path / "welch_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, value double, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    arm = F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a")
+    cv = F.round(F.col("value") * 100).cast("bigint").alias("cv")
+    partials = stream.select(arm, cv, "ts").groupBy(
+        F.window("ts", "6 hours").alias("win"), "a"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).alias("s2"),
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("welch_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(s):
+        """(a, n, s1, s2) -> (n1, n2, t, df): the exact arithmetic of
+        plans/analytics.py q_welch_ttest_click_view."""
+        pick = lambda arm_, col: F.max(
+            F.when(F.col("a") == arm_, F.col(col))
+        )
+        w = s.agg(
+            pick(1, "n").alias("n1"),
+            pick(0, "n").alias("n2"),
+            pick(1, "s1").cast("double").alias("s11"),
+            pick(0, "s1").cast("double").alias("s12"),
+            pick(1, "s2").cast("double").alias("s21"),
+            pick(0, "s2").cast("double").alias("s22"),
+        )
+        n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+        m1, m2 = F.col("s11") / n1d, F.col("s12") / n2d
+        v1n = (
+            (F.col("s21") - F.col("s11") * F.col("s11") / n1d)
+            / (n1d - F.lit(1.0)) / n1d / F.lit(10000.0)
+        )
+        v2n = (
+            (F.col("s22") - F.col("s12") * F.col("s12") / n2d)
+            / (n2d - F.lit(1.0)) / n2d / F.lit(10000.0)
+        )
+        se2 = v1n + v2n
+        r = w.select(
+            "n1", "n2",
+            ((m1 - m2) / F.lit(100.0) / F.sqrt(se2)).alias("t"),
+            (
+                se2 * se2
+                / (
+                    v1n * v1n / (n1d - F.lit(1.0))
+                    + v2n * v2n / (n2d - F.lit(1.0))
+                )
+            ).alias("df"),
+        ).collect()[0]
+        return (r.n1, r.n2, repr(r.t), repr(r.df))
+
+    streamed = (
+        spark.table("welch_partials_tbl")
+        .groupBy("a")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+    )
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in rows],
+        "event_type string, value double",
+    ).select(arm, cv)
+    batch_s = batch.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).alias("s2"),
+    )
+    sc = {r.a: (r.n, r.s1, r.s2) for r in streamed.collect()}
+    bc = {r.a: (r.n, r.s1, r.s2) for r in batch_s.collect()}
+    assert sc == bc and sum(v[0] for v in sc.values()) == 500
+    assert finalize(streamed) == finalize(batch_s)
+    assert (
+        spark.table("welch_partials_tbl").select("win").distinct().count()
+        >= 2
+    )
