@@ -50,13 +50,25 @@ def _pin(rp: DataFrame) -> DataFrame:
     deduplicates the branches, but not reliably: measured on
     pack_shards_token_budget, one of the totals branches materialized
     its own second range exchange (column pruning diverged the
-    canonical forms). persist() makes single-materialization a
-    guarantee instead of an optimizer courtesy — the branches then read
-    the cached range-partitioned blocks, which also drops the duplicate
-    shuffle work. Callers that loop many ranking queries in one session
-    should spark.catalog.clearCache() between them (the bench and
-    driver harnesses do)."""
-    return rp.persist()
+    canonical forms).
+
+    r8: pinning is `localCheckpoint(eager=True)`, NOT `persist()`.
+    persist()'s single-materialization guarantee turned out to be VOID
+    whenever the input lineage contains a localCheckpoint (a LogicalRDD
+    child): the cache lookup silently misses for the consumer plans and
+    each branch re-runs the range exchange with freshly sampled
+    boundaries — measured 5-8k corrupted running sums out of 10k rows,
+    even with the persisted frame eagerly pre-materialized (see
+    tests/test_scale_patterns.py::test_grs_checkpointed_input_exact and
+    NOTES.md r8). Checkpointing rp itself freezes the partitioned ROWS
+    as RDD blocks, so every consumer scans the same physical partitions
+    and re-sampling is structurally impossible, for ANY input lineage.
+    Tradeoff: lineage truncation means an executor loss fails the query
+    instead of recomputing — strictly better than a recompute that
+    silently corrupts ranks. The one extra eager job costs ~the
+    materialization the first consumer paid anyway (isolated sf0.1
+    timings unchanged within noise)."""
+    return rp.localCheckpoint(eager=True)
 
 
 def global_row_number(

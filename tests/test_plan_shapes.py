@@ -143,9 +143,12 @@ def test_two_pass_ranking_reuses_range_exchange(spark, name):
     boundaries come from per-materialization sampling, so the range
     exchange must execute exactly once. AQE's exchange reuse is not a
     guarantee (measured: pack_shards materialized a second range
-    exchange before the _pin fix), so ranking.py pins the subtree with
-    persist() — assert the final adaptive plan has exactly ONE
-    materialized range exchange and the branches read the cache."""
+    exchange before the _pin fix), and persist()'s cache lookup
+    silently MISSES when the input lineage holds a localCheckpoint
+    (r8 finding), so ranking.py pins the subtree with
+    localCheckpoint(eager=True) — the consumer plan must read the
+    frozen RDD (Scan ExistingRDD) and contain ZERO live range
+    exchanges that could re-sample boundaries."""
     fn, _ = REGISTRY[name]
     df = fn(spark, SF_SMOKE)
     try:
@@ -153,10 +156,9 @@ def test_two_pass_ranking_reuses_range_exchange(spark, name):
         final = (
             df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
         )
-        assert "isFinalPlan=true" in final, final
         materialized = re.findall(r"Exchange rangepartitioning", final)
-        assert len(materialized) == 1, final
-        assert "InMemoryTableScan" in final, final
+        assert len(materialized) == 0, final
+        assert "Scan ExistingRDD" in final, final
     finally:
         spark.catalog.clearCache()
 

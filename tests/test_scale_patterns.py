@@ -1728,3 +1728,46 @@ def test_shingle_containment_planted_subset(spark, tmp_path):
     # short doc (2) has 2 shingles, both inside long's 5
     assert (r.n_sh_a, r.n_sh_b) == (5, 2)
     assert r.cont_b == 1.0 and r.cont_a == 0.4
+
+
+def test_grs_checkpointed_input_exact(spark):
+    """r8 regression pin: global_running_sum fed a frame whose lineage
+    contains a localCheckpoint must stay EXACT under adversarial
+    partitioning. Under the old persist() pin, the cache lookup
+    silently missed for LogicalRDD-childed plans, each branch re-ran
+    the range exchange with freshly sampled boundaries, and 50-80% of
+    cumulative sums came back corrupted (offsets from one boundary set,
+    local sums from another)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = spark.range(0, 100000).select((F.col("id") % 9973).alias("cv"))
+        g = (
+            df.groupBy("cv")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        cum = {
+            r.cv: r.c
+            for r in global_running_sum(g, ["cv"], "t", "c").collect()
+        }
+        gmap = {r.cv: r.t for r in g.collect()}
+        run = 0
+        for k in sorted(gmap):
+            run += gmap[k]
+            assert cum[k] == run, (k, cum[k], run)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
