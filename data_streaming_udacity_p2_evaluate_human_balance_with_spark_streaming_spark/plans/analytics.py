@@ -7765,3 +7765,222 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "n", "x", F.round(num / F.sqrt(var), 6).alias("z_trend")
     )
+
+
+@register(
+    "rbo_bm25_vs_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id, w FROM documents,
+        unnest(string_split(text, ' ')) AS t(w) WHERE w <> ''
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avg,
+             CAST(sum(len) AS BIGINT) AS ctot
+      FROM dlen
+    ),
+    top3 AS (
+      SELECT w, cf FROM (
+        SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY w
+        ORDER BY cf DESC, w LIMIT 3)
+    ),
+    dfq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df
+      FROM tf JOIN top3 USING (w) GROUP BY w
+    ),
+    terms AS (
+      SELECT dfq.w, top3.cf,
+        ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfq JOIN top3 USING (w) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+        round(sum(idf * (tf * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg))), 6) AS s
+      FROM tf JOIN terms USING (w) JOIN dlen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lm AS (
+      SELECT dlen.doc_id,
+        round(sum(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                      + 1000.0 * CAST(terms.cf AS DOUBLE)
+                        / CAST(stats.ctot AS DOUBLE))
+                     / (CAST(dlen.len AS DOUBLE) + 1000.0))), 6) AS s
+      FROM dlen CROSS JOIN terms CROSS JOIN stats
+      LEFT JOIN tf ON tf.doc_id = dlen.doc_id AND tf.w = terms.w
+      GROUP BY dlen.doc_id
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 50
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM lm QUALIFY r <= 50
+    ),
+    m AS (
+      SELECT coalesce(ra.r, 999999) AS r_a, coalesce(rb.r, 999999) AS r_b
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ),
+    depth AS (SELECT unnest(range(1, 51)) AS dp),
+    ov AS (
+      SELECT dp, CAST(sum(CASE WHEN r_a <= dp AND r_b <= dp
+                          THEN 1 ELSE 0 END) AS BIGINT) AS inter
+      FROM depth, m GROUP BY dp
+    )
+    SELECT CAST(50 AS INT) AS k,
+      CAST(max(CASE WHEN dp = 50 THEN inter END) AS BIGINT) AS overlap_at_k,
+      round(0.1 * sum(power(0.9, dp - 1) * inter / dp), 6) AS rbo
+    FROM ov
+    """,
+)
+def q_rbo_bm25_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking agreement between the two lexical retrieval stacks —
+    BM25 (bm25_topk's scorer: k1=1.2, b=0.75, Lucene idf) vs the
+    Dirichlet query-likelihood LM (dirichlet_lm_topk's scorer, μ=1000)
+    — over the SAME in-plan query (top-3 collection-frequency terms),
+    measured as truncated RBO (p=0.9, depth 50). The ranker-comparison
+    readout a retrieval stack checks before fusing (rrf_fusion_topk):
+    high RBO = the fusion adds little; low = complementary signals.
+    Both rankings cut on their ROUNDED scores with doc_id tie-breaks
+    (exact-integer inputs → identical doubles → identical ranked
+    lists); the RBO weighted sum spans 50 identical per-term floats.
+
+    Scale shape: one token explode feeding the tf/dlen/stats hash
+    aggs shared by BOTH scorers; per-scorer cost is a broadcast 3-term
+    join; two TakeOrdered top-50s (never a corpus sort); a 50-depth
+    broadcast grid; 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avg"),
+        F.sum("len").alias("ctot"),
+    )
+    top3 = (
+        tf.groupBy("w")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(3)
+    )
+    dfq = (
+        tf.join(F.broadcast(top3.select("w")), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    terms = (
+        dfq.join(F.broadcast(top3), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(terms), "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(1.0)
+                            - F.lit(0.75)
+                            + F.lit(0.75) * F.col("len") / F.col("avg")
+                        )
+                    )
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    lm = (
+        dlen.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(stats))
+        .join(tf, ["doc_id", "w"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (
+                            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                            + F.lit(1000.0)
+                            * F.col("cf").cast("double")
+                            / F.col("ctot").cast("double")
+                        )
+                        / (F.col("len").cast("double") + F.lit(1000.0))
+                    )
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+
+    def top50(scored):
+        t = scored.orderBy(F.desc("s"), "doc_id").limit(50)
+        w = Window.orderBy(F.desc("s"), "doc_id")
+        return t.select("doc_id", F.row_number().over(w).alias("r"))
+
+    ra = top50(bm).select("doc_id", F.col("r").alias("r_a"))
+    rb = top50(lm).select("doc_id", F.col("r").alias("r_b"))
+    m = ra.join(rb, "doc_id", "full_outer").select(
+        F.coalesce(F.col("r_a"), F.lit(999999)).alias("r_a"),
+        F.coalesce(F.col("r_b"), F.lit(999999)).alias("r_b"),
+    )
+    depth = spark.range(1, 51).select(F.col("id").cast("int").alias("dp"))
+    ov = (
+        F.broadcast(depth)
+        .crossJoin(m)
+        .groupBy("dp")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_a") <= F.col("dp"))
+                    & (F.col("r_b") <= F.col("dp")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("inter")
+        )
+    )
+    return ov.agg(
+        F.lit(50).cast("int").alias("k"),
+        F.max(F.when(F.col("dp") == 50, F.col("inter")))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.round(
+            F.lit(0.1)
+            * F.sum(
+                F.pow(F.lit(0.9), F.col("dp") - 1)
+                * F.col("inter")
+                / F.col("dp")
+            ),
+            6,
+        ).alias("rbo"),
+    )

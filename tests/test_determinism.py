@@ -156,6 +156,7 @@ SENSITIVE = [
     "lexical_density_by_source",
     "kl_surprise_docs",
     "rank_biased_overlap_topk",
+    "rbo_bm25_vs_lm",
 ]
 
 
