@@ -2779,3 +2779,118 @@ def test_streaming_welch_partials_finalize_equals_batch(spark, tmp_path):
         spark.table("welch_partials_tbl").select("win").distinct().count()
         >= 2
     )
+
+
+def test_streaming_cochran_armitage_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of cochran_armitage_trend (r8, 10th mergeable-twin
+    member): the five sufficient statistics are per-dow-cell sums
+    (n_i, x_i), so per-window (s, ni, xi) partials from an append-mode
+    watermarked aggregation, merged by score and pushed through the
+    SAME z assembly as the batch query, reproduce the batch z_trend
+    BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "purchase" if (i * 7) % 11 < 3 + (i % 5) else "view",
+            "ts": f"2024-01-{1 + i % 7:02d}T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(700)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "ts": "2024-02-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "ca_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    x = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"),
+        F.dayofweek("ts").alias("s"),
+    ).agg(F.count(F.lit(1)).alias("ni"), F.sum(x).alias("xi"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("ca_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cells):
+        """(s, ni, xi) -> (n, x, repr(z)): the exact arithmetic of
+        plans/analytics.py q_cochran_armitage_trend."""
+        tot = cells.agg(
+            F.sum("ni").alias("n"),
+            F.sum("xi").alias("x"),
+            F.sum(F.col("s") * F.col("xi")).alias("sx"),
+            F.sum(F.col("s") * F.col("ni")).alias("sn"),
+            F.sum(F.col("s") * F.col("s") * F.col("ni")).alias("ssn"),
+        )
+        nd = F.col("n").cast("double")
+        xd = F.col("x").cast("double")
+        p = xd / nd
+        num = (
+            F.col("sx").cast("double")
+            - xd * F.col("sn").cast("double") / nd
+        )
+        var = p * (F.lit(1.0) - p) * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn").cast("double") / nd
+        )
+        r = tot.select(
+            "n", "x", (num / F.sqrt(var)).alias("z")
+        ).collect()[0]
+        return (r.n, r.x, repr(r.z))
+
+    streamed = (
+        spark.table("ca_partials_tbl")
+        .groupBy("s")
+        .agg(F.sum("ni").alias("ni"), F.sum("xi").alias("xi"))
+    )
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["ts"]) for r in rows],
+        "event_type string, ts_s string",
+    ).select(
+        F.dayofweek(F.to_timestamp("ts_s")).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    batch_cells = batch.groupBy("s").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("x").alias("xi")
+    )
+    sc = {r.s: (r.ni, r.xi) for r in streamed.collect()}
+    bc = {r.s: (r.ni, r.xi) for r in batch_cells.collect()}
+    assert sc == bc and sum(v[0] for v in sc.values()) == 700
+    assert len(sc) >= 2  # multiple dow levels: trend nontrivial
+    assert finalize(streamed) == finalize(batch_cells)
+    assert (
+        spark.table("ca_partials_tbl").select("win").distinct().count() >= 2
+    )
