@@ -339,16 +339,79 @@ def main() -> None:
             # drop persisted intermediates (LSH tables, IVF cells) so later
             # queries aren't perturbed by earlier queries' cached memory
             spark.catalog.clearCache()
-        # localCheckpoint blocks (iterative ops) are NOT covered by
-        # clearCache; a driver GC lets the ContextCleaner release
-        # dereferenced checkpoint/broadcast/shuffle state between passes
+        # localCheckpoint blocks (iterative ops, ranking._pin) are NOT
+        # covered by clearCache; Python gc detaches any cyclic py4j
+        # refs, then a driver GC lets the ContextCleaner release the
+        # dereferenced checkpoint/broadcast/shuffle state between
+        # passes (verified drains storage to 0:
+        # scripts/verify_pin_release.py)
         try:
+            import gc as _gc
+
+            _gc.collect()
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
         load_samples.append(os.getloadavg()[0])
 
     timings = {name: min(ts) for name, ts in passes.items()}
+
+    # --- per-query regression gate vs the PINNED quiet baseline (r9) ---
+    # BENCH_QUIET_BASELINE.json is the committed quiet sf0.1 reference
+    # (r8: 221 queries, min-of-3, contended:false, loadavg 0.19). It is
+    # written only by hand — bench.py NEVER writes it — so a contended
+    # driver run can't clobber the reference the way r8's run clobbered
+    # the working-tree BENCH_DETAIL.json. Gate: flag any query >2× its
+    # quiet-baseline time (with a 0.25 s absolute floor so sub-100 ms
+    # scheduler jitter can't flag), only when SFs match.
+    qbase_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET_BASELINE.json"
+    )
+    regressions: dict[str, float] = {}
+    isolated_recheck: dict[str, float] = {}
+    try:
+        with open(qbase_path) as fh:
+            qbase_doc = json.load(fh)
+        qbase = (
+            qbase_doc.get("queries", {})
+            if str(qbase_doc.get("sf")) == sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+            else {}
+        )
+    except (OSError, ValueError):
+        qbase = {}
+    for name, t in timings.items():
+        b = qbase.get(name)
+        if b and b > 0 and t > 2.0 * b and t - b > 0.25:
+            regressions[name] = round(t / b, 2)
+    # Isolated-vs-in-suite drift (r8 VERDICT #7): a >2× flag can mean a
+    # plan regression OR suite-context pressure (GC debt, codegen cache
+    # churn from 200 earlier queries). Re-measure each flagged query in
+    # a quiesced JVM (caches cleared, full GC, min-of-2): if the
+    # isolated number is back near baseline the flag was context, not
+    # plan. Costs nothing on a clean run (only flagged queries re-run).
+    if regressions:
+        try:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        for name in regressions:
+            fn, _ = REGISTRY[name]
+            ts2: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    break
+                ts2.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            if ts2:
+                isolated_recheck[name] = round(min(ts2), 3)
     # contention markers: 1-min loadavg sampled around each pass (the
     # bench itself contributes ≤ cpus), plus the worst cross-pass
     # max/min ratio — quiet-box runs sit near 1.0; >1.5 means another
@@ -406,6 +469,12 @@ def main() -> None:
         loadavg_1m=[round(x, 2) for x in load_samples],
         max_pass_spread=round(spread, 3),
         agg_pass_spread=round(agg_spread, 3),
+        # >2× flags vs BENCH_QUIET_BASELINE.json (ratio per flagged
+        # query), plus each flag's quiesced-JVM re-measure: isolated ≈
+        # baseline → suite-context pressure; isolated still >2× → a
+        # real plan regression.
+        regressions_vs_quiet=regressions,
+        isolated_recheck=isolated_recheck,
     )
     try:
         # SPARK_GRAFT_DETAIL_PATH redirects the side file (the pytest

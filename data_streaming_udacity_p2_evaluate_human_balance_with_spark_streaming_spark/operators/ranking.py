@@ -67,7 +67,19 @@ def _pin(rp: DataFrame) -> DataFrame:
     instead of recomputing — strictly better than a recompute that
     silently corrupts ranks. The one extra eager job costs ~the
     materialization the first consumer paid anyway (isolated sf0.1
-    timings unchanged within noise)."""
+    timings unchanged within noise).
+
+    Block lifetime (r9, ADVICE r8): unlike persist(), these
+    checkpointed RDD blocks are NOT released by
+    `spark.catalog.clearCache()` — they free when the last reference
+    to the returned frame is dropped and the ContextCleaner runs
+    (Python GC → py4j detach → JVM GC → cleaner). Verified empirically
+    (`scripts/verify_pin_release.py`): after clearCache alone 2 blocks
+    linger; after `gc.collect()` + `System.gc()` storage drains to 0
+    on every round — no accumulation across a long multi-query
+    session. bench.py triggers exactly that pair at each pass
+    boundary; looped harnesses holding query results across many
+    ranking calls should do the same."""
     return rp.localCheckpoint(eager=True)
 
 

@@ -129,25 +129,33 @@ def additive_merge_parquet(
     the _MV_FIX discipline in plans/warehouse.py): addition makes the
     merge order-independent across micro-batches.
 
-    Replay-idempotent and crash-safe (r7/r8, the two failure windows a
+    Replay-idempotent and crash-safe (r7/r8/r9, the failure windows a
     bare read-overwrite sink leaves open):
-    - Each applied (lineage, epoch) pair is persisted IN the target (an
+    - A per-lineage epoch MAP is persisted IN the target (an
       underscore-prefixed `_last_epoch` file, invisible to parquet
-      readers). foreachBatch epoch ids are only unique PER CHECKPOINT
-      LINEAGE — a brand-new query with a fresh checkpoint restarts at
-      epoch 0 — so the skip fires only when BOTH the lineage id (the
-      resolved checkpoint path) and the epoch match the record: a
-      replayed micro-batch of the same lineage with epoch ≤ the
-      recorded one — the "overwrite completed, checkpoint commit
-      didn't" window — is skipped instead of double-added, while a
+      readers; one `lineage\tepoch` line per lineage, carried forward
+      into every new version). foreachBatch epoch ids are only unique
+      PER CHECKPOINT LINEAGE — a brand-new query with a fresh
+      checkpoint restarts at epoch 0 — so the skip fires only when the
+      replaying batch's OWN lineage (the resolved checkpoint path) has
+      epoch ≤ its recorded value: the "overwrite completed, checkpoint
+      commit didn't" window is skipped instead of double-added, while a
       different lineage's low-numbered batches of genuinely new data
-      still merge.
-    - Every merge writes a NEW versioned directory and publishes it
-      with an atomic symlink replace (`rename(2)` of the link), so the
-      table path always resolves to a COMPLETE version; a crash
-      mid-write leaves the previous version live and the next replay
-      rebuilds the orphan. The self-overwrite of the exact path being
-      read is gone, which also drops the defensive localCheckpoint.
+      still merge. The map (not a single last-writer pair, r9) keeps
+      that guarantee when lineages interleave: A crashes in the
+      committed-but-unacknowledged window, B merges, A restarts — A's
+      replay still finds its own recorded epoch and skips.
+    - Every merge writes a NEW versioned directory — named by
+      (lineage-hash, epoch), so two lineages can never contend for the
+      same version dir and the build-dir cleanup can never touch a
+      version published by another lineage — and publishes it with an
+      atomic symlink replace (`rename(2)` of the link), so the table
+      path always resolves to a COMPLETE version; a crash mid-write
+      leaves the previous version live and the next replay rebuilds
+      the orphan. The self-overwrite of the exact path being read is
+      gone, which also drops the defensive localCheckpoint. A belt-and-
+      braces guard additionally refuses to rmtree any dir the live
+      symlink currently resolves to.
     This is the transactional-commit discipline a lake table format
     (Delta/Iceberg) provides natively. LOCAL FILESYSTEM ONLY: the
     publish step uses os.symlink/os.rename, which do not exist on
@@ -164,12 +172,15 @@ def additive_merge_parquet(
             "use a lake table format (Delta/Iceberg) for remote stores"
         )
 
+    import hashlib
+
     keys = list(key_cols)
     ckpt = _checkpoint(checkpoint_dir)
     # lineage id: epochs are unique only within one checkpoint lineage,
     # and the checkpoint path IS that lineage (stable across restarts
     # of the same query, different for any new query)
     lineage = os.path.abspath(ckpt)
+    lin_tag = hashlib.md5(lineage.encode()).hexdigest()[:8]
 
     def _current_version(p: str) -> str | None:
         if os.path.islink(p):
@@ -177,6 +188,28 @@ def additive_merge_parquet(
         if os.path.isdir(p):
             return p  # legacy plain-directory table
         return None
+
+    def _read_epoch_map(real: str | None) -> dict[str, int]:
+        """Per-lineage applied-epoch map from the live version. Accepts
+        all three historical formats: `lineage\\tepoch` lines (r9 map),
+        the r7/r8 two-line `lineage\\nepoch` pair, and the original
+        bare-int record (lineage unknown → attributed to the current
+        lineage, the conservative reading: skip rather than double-add)."""
+        m: dict[str, int] = {}
+        if real is None or not os.path.exists(f"{real}/_last_epoch"):
+            return m
+        with open(f"{real}/_last_epoch") as fh:
+            rec = fh.read().strip().splitlines()
+        if any("\t" in ln for ln in rec):
+            for ln in rec:
+                if "\t" in ln:
+                    lin, ep = ln.rsplit("\t", 1)
+                    m[lin] = int(ep)
+        elif len(rec) >= 2:
+            m[rec[0]] = int(rec[1])
+        elif rec:
+            m[lineage] = int(rec[0])
+        return m
 
     def merge(batch: DataFrame, epoch: int) -> None:
         from pyspark.sql import functions as F
@@ -187,17 +220,10 @@ def additive_merge_parquet(
         if not os.path.lexists(path) and os.path.isdir(f"{path}.v_legacy"):
             os.symlink(os.path.abspath(f"{path}.v_legacy"), path)
         real = _current_version(path)
-        last, last_lineage = -1, None
-        if real is not None and os.path.exists(f"{real}/_last_epoch"):
-            with open(f"{real}/_last_epoch") as fh:
-                rec = fh.read().strip().splitlines()
-            if len(rec) >= 2:  # "lineage\nepoch"
-                last_lineage, last = rec[0], int(rec[1])
-            elif rec:  # legacy single-int record: lineage unknown
-                last_lineage, last = lineage, int(rec[0])
-        if last_lineage == lineage and epoch <= last:
+        emap = _read_epoch_map(real)
+        if emap.get(lineage, -1) >= epoch:
             return  # replay of an already-applied (committed) batch
-            # of THIS lineage; a different lineage's epoch 0 merges
+            # of THIS lineage; other lineages' records don't gate us
 
         delta = batch.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in add_cols]
@@ -221,11 +247,22 @@ def additive_merge_parquet(
                 ],
             )
 
-        new_dir = f"{path}.v{epoch}"
+        # version dir keyed by (lineage-hash, epoch): a fresh lineage
+        # restarting at epoch 0 can never name-collide with — and so
+        # never rmtree — a version published by a previous lineage
+        new_dir = f"{path}.v{lin_tag}_{epoch}"
+        if real is not None and os.path.abspath(new_dir) == os.path.realpath(
+            real
+        ):
+            # same lineage+epoch IS the live version (published but the
+            # epoch-map read raced/was tampered): re-publishing it would
+            # destroy live data mid-read — treat as already applied
+            return
         shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a crash
         merged.write.mode("overwrite").parquet(new_dir)
+        emap[lineage] = epoch  # carry every lineage's record forward
         with open(f"{new_dir}/_last_epoch", "w") as fh:
-            fh.write(f"{lineage}\n{epoch}")
+            fh.write("\n".join(f"{k}\t{v}" for k, v in sorted(emap.items())))
 
         # publish: atomic symlink replace; convert a legacy plain dir
         # into a version first (with the recovery preamble covering a

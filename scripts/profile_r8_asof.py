@@ -82,7 +82,13 @@ def asof_union_window():
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("best", F.max("ok").over(w))
-    return carried.filter(F.col("is_event") == 1).select(
+    # match the registered plan: events with NO prior order are dropped
+    # (the two join variants are inner joins) — without this the
+    # value-identity check only holds when every user's first event is
+    # preceded by an order (r8 ADVICE)
+    return carried.filter(
+        (F.col("is_event") == 1) & F.col("best").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         "ts",

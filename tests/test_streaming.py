@@ -2440,14 +2440,18 @@ def test_additive_merge_crash_between_write_and_publish(spark, tmp_path):
     assert {r.k: r.v for r in spark.read.parquet(mv).collect()} == {"a": 1}
 
     # simulate the crash: epoch 1's version dir was fully written
-    # (data + _last_epoch) but the symlink rename never happened
-    orphan = f"{mv}.v1"
+    # (data + _last_epoch) but the symlink rename never happened.
+    # r9: version dirs are named .v{md5(lineage)[:8]}_{epoch}
+    import hashlib as _hl
+
+    lineage = _os.path.abspath(ckpt)
+    tag = _hl.md5(lineage.encode()).hexdigest()[:8]
+    orphan = f"{mv}.v{tag}_1"
     spark.createDataFrame([("zzz", 999)], schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(orphan)
-    lineage = _os.path.abspath(ckpt)
     with open(f"{orphan}/_last_epoch", "w") as fh:
-        fh.write(f"{lineage}\n1")
+        fh.write(f"{lineage}\t1")
 
     # the table still resolves to the previous complete version
     assert _os.path.realpath(mv) == v0
@@ -2464,6 +2468,115 @@ def test_additive_merge_crash_between_write_and_publish(spark, tmp_path):
     assert _os.path.realpath(mv) == _os.path.abspath(orphan)
     assert not _os.path.exists(v0), "superseded version not cleaned up"
     _sh.rmtree(_os.path.realpath(mv), ignore_errors=True)
+
+
+def test_additive_merge_new_lineage_never_clobbers_live_version(
+    spark, tmp_path
+):
+    """r9 ADVICE(high): version dirs used to be named by epoch alone
+    (`{path}.v{epoch}`), so when the live version was `.v0` (previous
+    lineage ran exactly one micro-batch) and a NEW lineage started at
+    epoch 0, the build-dir cleanup rmtree'd the LIVE version before the
+    lazy read of it executed — merge failed mid-write and the table was
+    destroyed. Dirs are now (lineage-hash, epoch)-unique; this pins the
+    exact single-batch-then-new-lineage sequence."""
+    import hashlib as _hl
+    import os as _os
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    schema = "k string, v bigint"
+    mv = str(tmp_path / "mv")
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    _os.makedirs(src1), _os.makedirs(src2)
+
+    # lineage A: EXACTLY one micro-batch -> live version is A's epoch 0
+    _mk_stream_files(spark, [[("a", 1), ("b", 5)]], schema, src1)
+    s1 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "10").load(src1)
+    )
+    additive_merge_parquet(
+        s1, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckptA"),
+    ).awaitTermination()
+    tag_a = _hl.md5(
+        _os.path.abspath(str(tmp_path / "ckptA")).encode()
+    ).hexdigest()[:8]
+    assert _os.path.realpath(mv) == _os.path.abspath(f"{mv}.v{tag_a}_0")
+
+    # lineage B: fresh checkpoint, its first batch is ALSO epoch 0 —
+    # must build in its own version dir and merge, never touching A's
+    _mk_stream_files(spark, [[("a", 10), ("c", 7)]], schema, src2)
+    s2 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "10").load(src2)
+    )
+    additive_merge_parquet(
+        s2, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckptB"),
+    ).awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got == {"a": 11, "b": 5, "c": 7}, (
+        "new lineage's epoch-0 merge clobbered or lost the live version"
+    )
+
+
+def test_additive_merge_epoch_map_survives_interleaved_lineages(
+    spark, tmp_path
+):
+    """r9 ADVICE(medium): `_last_epoch` used to record only the single
+    most-recent (lineage, epoch) pair, so the replay-idempotence
+    guarantee narrowed to the LAST writer: A commits a batch (overwrite
+    done, checkpoint ack lost), B merges (overwriting the record with
+    B's), A restarts and replays — A's batch was double-added. The
+    record is now a per-lineage MAP carried forward into every version."""
+    import os as _os
+    import shutil as _sh
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    schema = "k string, v bigint"
+    mv = str(tmp_path / "mv")
+    src_a, src_b = str(tmp_path / "srcA"), str(tmp_path / "srcB")
+    ckpt_a = str(tmp_path / "ckptA")
+    _os.makedirs(src_a), _os.makedirs(src_b)
+
+    # lineage A applies epoch 0 (committed into the target)
+    _mk_stream_files(spark, [[("a", 1)]], schema, src_a)
+    s_a = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "10").load(src_a)
+    )
+    additive_merge_parquet(
+        s_a, mv, key_cols=("k",), add_cols=("v",), checkpoint_dir=ckpt_a
+    ).awaitTermination()
+
+    # lineage B merges next — its version must CARRY A's epoch record
+    _mk_stream_files(spark, [[("b", 2)]], schema, src_b)
+    s_b = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "10").load(src_b)
+    )
+    additive_merge_parquet(
+        s_b, mv, key_cols=("k",), add_cols=("v",),
+        checkpoint_dir=str(tmp_path / "ckptB"),
+    ).awaitTermination()
+
+    # A "crashed before the checkpoint ack": wipe A's checkpoint so the
+    # restarted query replays its epoch 0 against the B-written version
+    _sh.rmtree(ckpt_a)
+    additive_merge_parquet(
+        s_a, mv, key_cols=("k",), add_cols=("v",), checkpoint_dir=ckpt_a
+    ).awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(mv).collect()}
+    assert got == {"a": 1, "b": 2}, (
+        "lineage A's replay was double-added after B overwrote the record"
+    )
 
 
 def test_additive_merge_rejects_uri_scheme_path():
