@@ -261,6 +261,8 @@ HEADLINE = [
     "kl_surprise_docs",
     "rank_biased_overlap_topk",
     "rbo_bm25_vs_lm",
+    # r9 wave
+    "chi_square_gof_uniform",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -7768,6 +7768,74 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi_square_gof_uniform",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS nn,
+        CAST(count(*) AS BIGINT) AS k
+      FROM cells
+    ),
+    chi AS (
+      SELECT round(sum(
+        (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) / CAST(k AS DOUBLE))
+          * (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) / CAST(k AS DOUBLE))
+          / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE))), 6) AS chi2,
+        CAST(max(k) - 1 AS BIGINT) AS df
+      FROM cells, tot
+    )
+    SELECT c.event_type, c.n_obs,
+      round(CAST(t.nn AS DOUBLE) / CAST(t.k AS DOUBLE), 6) AS expected,
+      chi.chi2, chi.df
+    FROM cells c, tot t, chi
+    """,
+)
+def q_chi_square_gof_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square GOODNESS-OF-FIT: do event-type counts fit a uniform
+    distribution over the observed k types? The one-sample sibling of
+    chi_square_independence (that one tests association between TWO
+    categoricals; this one tests one categorical against a fixed
+    expected law) — the classic sanity check that an ingest's category
+    mix hasn't collapsed onto a few values. Sufficient statistics are
+    just the k observed counts (plain mergeable SUMS), so the windowed-
+    partials streaming recipe applies verbatim — the 11th mergeable-
+    twin member (tests/test_streaming.py). Cells are exact BIGINTs;
+    only the final k-term chi² is float, ~1e-15 spread vs round(6).
+
+    Scale shape: one map-side-combinable hash aggregate to k cells,
+    then a 1-row reduce broadcast back — no shuffle beyond the k-cell
+    agg at any data size."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    cells = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("nn"), F.count(F.lit(1)).alias("k")
+    )
+    exp = F.col("nn").cast("double") / F.col("k").cast("double")
+    d = F.col("n_obs").cast("double") - exp
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(d * d / exp), 6).alias("chi2"),
+            (F.max("k") - F.lit(1)).cast("bigint").alias("df"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            "n_obs",
+            F.round(exp, 6).alias("expected"),
+            "chi2",
+            "df",
+        )
+    )
+
+
+@register(
     "rbo_bm25_vs_lm",
     """
     WITH tok AS (

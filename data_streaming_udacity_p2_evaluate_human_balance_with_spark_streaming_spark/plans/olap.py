@@ -2287,11 +2287,33 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ≥½ thresholds are exact integer compares (2·|∩| vs |S|); the
     reported containments are round-6 ratios of identical integers.
 
-    Scale shape: ONE text scan, ONE shuffle of (doc_id, shingle-array)
+    Shingles are hashed to int64 (xxhash64) BEFORE the block
+    collect_list (r9, the fix for the r8 superlinear scale probe): the
+    block payloads used to carry full word-4-gram STRING arrays —
+    tens of MB per block row at scale, and the probe showed the
+    collect+flatten stage's allocation/GC cost going superlinear at
+    10× data. 8-byte longs cut the payload ~10× and make
+    array_intersect integer compares. The oracle needs NO mirror hash:
+    every output column is a set SIZE (|∩|, |S_a|, |S_b|), and
+    |hash(A) ∩ hash(B)| == |A ∩ B| for any injective hash — a 64-bit
+    within-block collision is the only failure mode (P ≈ n²/2⁶⁴,
+    negligible at the ≤1000-member block cap).
+
+    Scale shape: ONE text scan, ONE shuffle of (doc_id, hash-array)
     structs; pair volume bounded by Σ block² with the block cap; the
     repartition spreads the O(block²) intersect compute. At 100 TB the
     block key coarsens to an LSH band, same skeleton."""
     docs = load_table(spark, sf_dir, "documents")
+    return shingle_containment_core(spark, docs)
+
+
+def shingle_containment_core(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """Query core of shingle_containment_pairs over an arbitrary docs
+    frame (doc_id, lang, text) — split out so the salted-replica scale
+    probe (scripts/scale_probe_shingle.py) measures the EXACT
+    registered plan, not a copy that can drift."""
     w = F.split(F.col("text"), " ")
     d0 = docs.select("doc_id", "lang", w.alias("w")).filter(
         F.size("w") >= 4
@@ -2300,9 +2322,11 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.col("w")[0].alias("w1"),
+        # distinct on the HASHES: string-level duplicates collide by
+        # construction, so this equals hashing the distinct strings
         F.expr(
             "array_distinct(transform(sequence(0, size(w) - 4), "
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"
+            "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))))"
         ).alias("sh"),
     )
     sub = s.groupBy(

@@ -157,6 +157,8 @@ SENSITIVE = [
     "kl_surprise_docs",
     "rank_biased_overlap_topk",
     "rbo_bm25_vs_lm",
+    # r9 wave
+    "chi_square_gof_uniform",
 ]
 
 

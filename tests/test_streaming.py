@@ -3007,3 +3007,108 @@ def test_streaming_cochran_armitage_partials_finalize_equals_batch(
     assert (
         spark.table("ca_partials_tbl").select("win").distinct().count() >= 2
     )
+
+
+def test_streaming_chi_square_gof_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of chi_square_gof_uniform (r9, 11th mergeable-
+    twin member): the sufficient statistics are the k per-category
+    counts — plain mergeable SUMS — so per-window (event_type, ni)
+    partials from an append-mode watermarked aggregation, merged by
+    category and pushed through the SAME chi² assembly as the batch
+    query, reproduce the batch statistic BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    types = ["view", "click", "purchase", "refund"]
+    rows = [
+        {
+            "event_id": i,
+            "event_type": types[(i * i + 3 * i) % 17 % len(types)],
+            "ts": f"2024-01-{1 + i % 7:02d}T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "ts": "2024-02-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "gof_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("gof_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cells):
+        """(event_type, ni) -> (n, k, repr(chi2)): the exact arithmetic
+        of plans/analytics.py q_chi_square_gof_uniform."""
+        tot = cells.agg(
+            F.sum("ni").alias("nn"), F.count(F.lit(1)).alias("k")
+        )
+        exp = F.col("nn").cast("double") / F.col("k").cast("double")
+        dlt = F.col("ni").cast("double") - exp
+        r = (
+            cells.crossJoin(F.broadcast(tot))
+            .agg(
+                F.max("nn").alias("n"),
+                F.max("k").alias("k"),
+                F.sum(dlt * dlt / exp).alias("chi2"),
+            )
+            .collect()[0]
+        )
+        return (r.n, r.k, repr(r.chi2))
+
+    streamed = (
+        spark.table("gof_partials_tbl")
+        .groupBy("event_type")
+        .agg(F.sum("ni").alias("ni"))
+    )
+    batch_cells = (
+        spark.createDataFrame(
+            [(r["event_type"],) for r in rows], "event_type string"
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sc = {r.event_type: r.ni for r in streamed.collect()}
+    bc = {r.event_type: r.ni for r in batch_cells.collect()}
+    assert sc == bc and sum(sc.values()) == 600
+    assert len(sc) == len(types)  # every category observed: k cells
+    assert finalize(streamed) == finalize(batch_cells)
+    assert (
+        spark.table("gof_partials_tbl").select("win").distinct().count() >= 2
+    )
