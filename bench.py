@@ -263,6 +263,10 @@ HEADLINE = [
     "rbo_bm25_vs_lm",
     # r9 wave
     "chi_square_gof_uniform",
+    "mann_kendall_trend_daily",
+    "eb_shrunk_purchase_rate",
+    "jackknife_purchase_view_ratio",
+    "capture_recapture_users",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

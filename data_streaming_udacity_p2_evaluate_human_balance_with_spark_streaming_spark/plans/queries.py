@@ -832,15 +832,52 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggs", None)
+@register(
+    "approx_aggs",
+    """
+    SELECT l_returnflag,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      CAST(1 AS BIGINT) AS acd_ok, CAST(1 AS BIGINT) AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for 100 TB interactive use:
     approx_count_distinct (HyperLogLog++) + percentile_approx
-    (KLL-like). Rows-only: sketches are implementation-defined."""
+    (KLL-like), SEMI-ORACLED (r9, VERDICT r8 #5): the sketch outputs
+    themselves are implementation-defined, so the emitted columns are
+    the exact per-group distinct count plus two INVARIANT flags the
+    oracle predicts as constants — acd_ok (HLL++ estimate within 10%
+    of exact; default rsd is 5%, so 10% is a ≥2-sigma margin) and
+    p50_ok (percentile_approx(0.5, accuracy=1000) lands between the
+    exact 45th and 55th percentiles; the guaranteed rank error at
+    accuracy 1000 is 0.1%, a 50× margin). A sketch regression now
+    flips a flag and fails the value-hash, instead of hiding behind a
+    rows-only check. The approximate values remain reachable via the
+    operator; this query's contract is the certificate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        )
+        .cast("bigint")
+        .alias("acd_ok"),
+        (
+            (F.col("approx_p50") >= F.col("_p45"))
+            & (F.col("approx_p50") <= F.col("_p55"))
+        )
+        .cast("bigint")
+        .alias("p50_ok"),
     )
 
 
@@ -1334,27 +1371,115 @@ def q_dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_users", None)
+@register(
+    "hll_distinct_users",
+    """
+    SELECT event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      CAST(1 AS BIGINT) AS within_2pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      CAST(1 AS BIGINT) AS within_2pct
+    FROM events
+    """,
+)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches per event_type + global union
     estimate (DataSketches binary sketches — THE incremental
-    distinct-count pattern at 100 TB). Rows-only: sketch bytes are
-    implementation-defined; accuracy asserted in tests."""
-    from ..operators.aggregates import hll_sketch_per_group, hll_union_estimate
+    distinct-count pattern at 100 TB: store sketches, merge blobs,
+    never rescan). SEMI-ORACLED (r9, VERDICT r8 #5): sketch bytes are
+    implementation-defined, so the output is the exact distinct count
+    per group (plus the 'ALL' row whose estimate comes from MERGING
+    the per-group sketches — the mergeability contract itself) and a
+    within_2pct flag the oracle predicts as constant 1. Measured
+    estimate error: 0% at sf0.001/0.01 (below HLL's dense threshold),
+    0.4% at sf0.1 — a 5× margin under the 2% gate. A sketch or merge
+    regression now flips the flag and fails the value-hash."""
+    from ..operators.aggregates import hll_sketch_per_group
 
     ev = load_table(spark, sf_dir, "events")
     sketches = hll_sketch_per_group(ev, "event_type", "user_id")
-    return hll_union_estimate(sketches)
+    per = sketches.select(
+        "event_type", F.expr("hll_sketch_estimate(sketch)").alias("est")
+    )
+    allr = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
+    ).select(F.lit("ALL").alias("event_type"), "est")
+    exact_per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("ALL").alias("event_type"), "exact_users")
+    return (
+        per.unionByName(allr)
+        .join(exact_per.unionByName(exact_all), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            )
+            .cast("bigint")
+            .alias("within_2pct"),
+        )
+    )
 
 
-@register("dedup_simhash", None)
+@register(
+    "dedup_simhash",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS planted_found,
+      CAST(count(*) AS BIGINT) AS planted_expected,
+      CAST(1 AS BIGINT) AS all_hamming_le3
+    FROM documents WHERE doc_id < 200
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit sign-sum + 16-bit chunk LSH +
-    hamming ≤ 3 — the pigeonhole-complete bound for 4 chunks).
-    Rows-only: xxhash64-based."""
+    """SimHash near-dup (64-bit sign-sum + 16-bit chunk LSH + hamming
+    ≤ 3 — the pigeonhole-complete bound for 4 chunks), SEMI-ORACLED
+    (r9, VERDICT r8 #5): the natural pairs depend on xxhash64 (not
+    SQL-reproducible), so the emitted row is a CERTIFICATE over the
+    full corpus + 200 planted exact copies: planted_found (identical
+    text ⇒ identical signature ⇒ hamming 0, so every plant MUST be
+    recalled — the max_bucket guard cannot drop them below ~100k docs
+    per 16-bit chunk value), planted_expected (the oracle counts the
+    plantable docs), and all_hamming_le3 (min over EVERY emitted pair,
+    so the whole natural pair generation still executes — a recall or
+    filter regression flips a flag and fails the value-hash). The raw
+    pair listing stays available via operators/dedup.simhash_near_dups
+    and the closed-form dedup_simhash_planted twin."""
     from ..operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") < 200)
+    planted = sub.select(
+        (F.col("doc_id") + _EMB_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = simhash_near_dups(docs.unionByName(planted))
+    n_planted = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("planted_expected")
+    )
+    cert = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("doc_a") < 200)
+                & (F.col("doc_b") == F.col("doc_a") + _EMB_OFFSET),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("planted_found"),
+        F.min((F.col("hamming") <= 3).cast("bigint"))
+        .cast("bigint")
+        .alias("all_hamming_le3"),
+    )
+    return cert.crossJoin(F.broadcast(n_planted)).select(
+        "planted_found", "planted_expected", "all_hamming_le3"
+    )
 
 
 #: planted near-dup construction shared by query and oracle: copies of
@@ -1982,25 +2107,61 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", threshold=_CMS_THRESHOLD)
 
 
-@register("ann_ivf_topk", None)
+@register(
+    "ann_ivf_topk",
+    f"""
+    SELECT CAST({_ANN_NQ} AS BIGINT) AS n_queries,
+      CAST(1 AS BIGINT) AS mean_recall_ge_080
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells, spill-2 multi-assignment, n_probe
-    nearest cells per query) — the index-based scale path. Rows-only:
-    iterative ML training isn't SQL-expressible; the correctness gate
-    is the registry-level recall bound vs the exact brute-force top-k
-    (tests/test_dedup_similarity.py::test_registry_ivf_topk_recall_bound,
-    ≥0.8 at these exact parameters; measured 0.89/0.94 at
-    sf0.001/sf0.01). n_probe=5 of 16 cells with spill-2: ~2·5/16 of
-    the index scanned per query — the quality/throughput operating
-    point the recall bound certifies."""
-    from ..operators.similarity import ivf_topk
+    nearest cells per query) — the index-based scale path,
+    SEMI-ORACLED (r9, VERDICT r8 #5): iterative KMeans training isn't
+    SQL-expressible, so the emitted row is the recall CERTIFICATE the
+    registry pytest used to hold externally — the IVF top-k is joined
+    against the exact brute-force top-k computed in the same query,
+    and the output is (n_queries, mean_recall ≥ 0.8 as a flag) which
+    the oracle predicts as constants. Measured mean recall 0.89/0.94
+    at sf0.001/sf0.01 — deterministic given the seeded KMeans — so an
+    index regression flips the flag and fails the value-hash.
+    n_probe=5 of 16 cells with spill-2: ~2·5/16 of the index scanned
+    per query. The raw neighbor listing stays available via
+    operators/similarity.ivf_topk and the fully-oracled deterministic
+    twin ann_ivf_fixed_topk."""
+    from ..operators.similarity import cosine_topk_bruteforce, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(
+    approx = ivf_topk(
         emb, queries_df, k=_ANN_K, n_probe=5, cache_key=f"{sf_dir}/embeddings"
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk_bruteforce(emb, queries_df, k=_ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            (
+                F.avg(
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_exact").cast("double")
+                )
+                >= 0.8
+            )
+            .cast("bigint")
+            .alias("mean_recall_ge_080"),
+        )
     )
 
 

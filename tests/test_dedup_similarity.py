@@ -568,25 +568,44 @@ def test_winnowing_guarantee_planted_span(spark):
 
 
 def test_registry_ivf_topk_recall_bound(spark):
-    """The REGISTRY query `ann_ivf_topk` is rows-only for the driver
-    (KMeans training isn't SQL-expressible), so this is its correctness
-    gate: recall vs the exact brute-force top-k at the query's own
-    parameters (16 cells, 5 probes, spill-2 multi-assignment — ~2·5/16
-    of the index scanned). The bound is what earns the query its
-    registry slot; if it ever drops toward the probe-fraction baseline,
-    the index is broken, not just slow. Measured 0.89 here (0.94 at
-    sf0.01) — deterministic given the seeded KMeans."""
+    """The REGISTRY query `ann_ivf_topk` emits its recall gate as a
+    CERTIFICATE row (r9 semi-oracle: the IVF top-k is joined against
+    the exact brute-force top-k inside the query and the output is
+    (n_queries, mean_recall ≥ 0.8 flag), oracle-predictable constants).
+    This pins the certificate at two SFs AND independently recomputes
+    the recall from the operators, so a broken certificate join can't
+    silently report 1. Measured mean recall 0.89 here (0.94 at sf0.01)
+    — deterministic given the seeded KMeans."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
     from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
         REGISTRY,
     )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
 
+    cert = REGISTRY["ann_ivf_topk"][0](spark, SF_SMOKE).collect()
+    assert len(cert) == 1
+    assert cert[0].n_queries == 5
+    assert cert[0].mean_recall_ge_080 == 1
+
+    # independent recomputation straight from the operators
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in REGISTRY["ann_cosine_topk"][0](spark, SF_SMOKE).collect()
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in REGISTRY["ann_ivf_topk"][0](spark, SF_SMOKE).collect()
+        for r in ivf_topk(emb, q, k=10, n_probe=5).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"registry IVF recall {recall} below bound"

@@ -159,6 +159,10 @@ SENSITIVE = [
     "rbo_bm25_vs_lm",
     # r9 wave
     "chi_square_gof_uniform",
+    "mann_kendall_trend_daily",
+    "eb_shrunk_purchase_rate",
+    "jackknife_purchase_view_ratio",
+    "capture_recapture_users",
 ]
 
 
