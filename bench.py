@@ -267,6 +267,9 @@ HEADLINE = [
     "eb_shrunk_purchase_rate",
     "jackknife_purchase_view_ratio",
     "capture_recapture_users",
+    "good_turing_unseen_mass",
+    "shapley_channel_attribution",
+    "fellegi_sunter_linkage",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

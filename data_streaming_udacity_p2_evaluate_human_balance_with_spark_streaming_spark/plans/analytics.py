@@ -8236,6 +8236,401 @@ def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fellegi_sunter_linkage",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        right(c_name, 2) AS nm2
+      FROM customer
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+    useg AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c
+            GROUP BY c_mktsegment)
+    ),
+    ubal AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c GROUP BY bal_band)
+    ),
+    uph AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c GROUP BY nm2)
+    ),
+    uu AS (
+      SELECT
+        CAST(useg.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_seg,
+        CAST(ubal.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_bal,
+        CAST(uph.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_nm
+      FROM useg, ubal, uph, n
+    ),
+    pr AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS agr_seg,
+        CAST(a.bal_band = b.bal_band AS BIGINT) AS agr_bal,
+        CAST(a.nm2 = b.nm2 AS BIGINT) AS agr_nm
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    sc AS (
+      SELECT cust_a, cust_b, agr_seg, agr_bal, agr_nm,
+        round(
+          (CASE WHEN agr_seg = 1 THEN ln(0.9 / u_seg)
+                ELSE ln(0.1 / (1.0 - u_seg)) END
+           + CASE WHEN agr_bal = 1 THEN ln(0.9 / u_bal)
+                  ELSE ln(0.1 / (1.0 - u_bal)) END
+           + CASE WHEN agr_nm = 1 THEN ln(0.9 / u_nm)
+                  ELSE ln(0.1 / (1.0 - u_nm)) END) / ln(2.0), 6)
+          AS match_weight
+      FROM pr, uu
+    )
+    SELECT cust_a, cust_b, agr_seg, agr_bal, agr_nm, match_weight,
+      CAST(row_number() OVER (ORDER BY match_weight DESC, cust_a, cust_b)
+           AS BIGINT) AS rank
+    FROM sc
+    QUALIFY rank <= 20
+    """,
+)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer pairs: per-field agreement weights log₂(m/u) (agree) /
+    log₂((1−m)/(1−u)) (disagree) summed into a match weight — THE
+    classical entity-resolution scoring rule, the record-level sibling
+    of the document dedup family. m is the fixed literature prior 0.9
+    per field (a labeled-EM fit isn't SQL-expressible; frozen like the
+    quality classifier's serving coefficients); u is estimated EXACTLY
+    from the data as the random-agreement probability
+    Σ n_v(n_v−1) / N(N−1) per field (segment, 1k-balance band, and the
+    last-2-digits-of-name stand-in quasi-identifier — the synthetic
+    customer table has no phone/address columns) — exact BIGINT pair
+    counts, one double division.
+    Each pair's weight is one shared per-row double expression (no
+    cross-row float accumulation); top-20 cut on the ROUNDED weight
+    with (cust_a, cust_b) tie-break, the dirichlet pattern.
+
+    Scale shape: blocking on c_nationkey bounds the pair join
+    (block² per nation, the standard linkage discipline — at 100 TB
+    the block key refines to nation × phone-prefix); the u table is a
+    broadcast 1-row frame; top-20 is TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.expr("right(c_name, 2)").alias("nm2"),
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("nn"))
+
+    def u_of(col: str, alias: str):
+        return (
+            cust.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("v"))
+            .agg(
+                F.sum(F.col("v") * (F.col("v") - 1)).alias(alias)
+            )
+        )
+
+    uu = (
+        u_of("c_mktsegment", "ap_seg")
+        .crossJoin(F.broadcast(u_of("bal_band", "ap_bal")))
+        .crossJoin(F.broadcast(u_of("nm2", "ap_nm")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            *[
+                (
+                    F.col(ap).cast("double")
+                    / (
+                        F.col("nn").cast("double")
+                        * (F.col("nn").cast("double") - 1.0)
+                    )
+                ).alias(u)
+                for ap, u in (
+                    ("ap_seg", "u_seg"),
+                    ("ap_bal", "u_bal"),
+                    ("ap_nm", "u_nm"),
+                )
+            ]
+        )
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("bigint")
+        .alias("agr_seg"),
+        (F.col("a.bal_band") == F.col("b.bal_band"))
+        .cast("bigint")
+        .alias("agr_bal"),
+        (F.col("a.nm2") == F.col("b.nm2")).cast("bigint").alias("agr_nm"),
+    )
+    term = lambda agr, u: F.when(  # noqa: E731 - local expression builder
+        F.col(agr) == 1, F.log(0.9 / F.col(u))
+    ).otherwise(F.log(0.1 / (1.0 - F.col(u))))
+    sc = pr.crossJoin(F.broadcast(uu)).select(
+        "cust_a",
+        "cust_b",
+        "agr_seg",
+        "agr_bal",
+        "agr_nm",
+        F.round(
+            (
+                term("agr_seg", "u_seg")
+                + term("agr_bal", "u_bal")
+                + term("agr_nm", "u_nm")
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("match_weight"),
+    )
+    w = Window.orderBy(
+        F.col("match_weight").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()
+    )
+    return sc.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= 20)
+
+
+@register(
+    "shapley_channel_attribution",
+    """
+    WITH u AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS mask,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS nu,
+        CAST(sum(conv) AS BIGINT) AS nc
+      FROM u GROUP BY mask
+    ),
+    grid AS (SELECT unnest(range(0, 16)) AS m),
+    v AS (
+      SELECT grid.m,
+        CAST(coalesce(floor(1000000000.0 * st.nc / st.nu), 0) AS BIGINT)
+          AS vfp
+      FROM grid LEFT JOIN st ON st.mask = grid.m
+    ),
+    ch AS (SELECT unnest(range(0, 4)) AS c),
+    terms AS (
+      SELECT ch.c,
+        CASE ((v0.m & 1) + ((v0.m >> 1) & 1) + ((v0.m >> 2) & 1)
+              + ((v0.m >> 3) & 1))
+          WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+          * (v1.vfp - v0.vfp) AS t
+      FROM ch
+      JOIN v v0 ON ((v0.m >> ch.c) & 1) = 0
+      JOIN v v1 ON v1.m = v0.m + (1 << ch.c)
+    )
+    SELECT CASE c WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+      round(CAST(sum(t) AS DOUBLE) / 24000000000.0, 6) AS shapley_value
+    FROM terms GROUP BY c
+    """,
+)
+def q_shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value channel attribution (data-driven attribution, the
+    coalition-game answer to last_touch_attribution / time_decay's
+    heuristics): coalition value v(S) = empirical conversion rate of
+    users whose channel SET is exactly S (the 4 non-purchase event
+    types as channels), and each channel's credit is its exact Shapley
+    value φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)) over the
+    full 2⁴ subset lattice. Unobserved subsets contribute v = 0 (the
+    standard empirical-DDA convention, stated not hidden). Cross-engine
+    exactness: v enters as FIXED-POINT floor(1e9·nc/nu) BIGINTs and the
+    k=4 weights ×24 are the INTEGERS {6,2,2,6}, so every φ is an exact
+    integer sum divided once by 24e9 — no double accumulates across
+    rows. Efficiency holds by construction: Σφ_c = v(full) − v(∅).
+
+    Scale shape: one (user) hash aggregate over the corpus, one (mask)
+    aggregate to ≤16 rows, then the whole lattice walk on broadcast
+    16-row frames — at 100 TB the only row-scale exchange is the user
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    st = u.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("conv").alias("nc")
+    )
+    grid = spark.range(0, 16).select(F.col("id").cast("int").alias("m"))
+    v = grid.join(
+        F.broadcast(st), F.col("m") == F.col("mask"), "left"
+    ).select(
+        "m",
+        F.coalesce(
+            F.floor(F.lit(1000000000.0) * F.col("nc") / F.col("nu")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("vfp"),
+    )
+    ch = spark.range(0, 4).select(F.col("id").cast("int").alias("c"))
+    v0 = v.select(F.col("m").alias("m0"), F.col("vfp").alias("vfp0"))
+    v1 = v.select(F.col("m").alias("m1"), F.col("vfp").alias("vfp1"))
+    popcount = (
+        F.col("m0").bitwiseAND(1)
+        + F.shiftright("m0", 1).bitwiseAND(1)
+        + F.shiftright("m0", 2).bitwiseAND(1)
+        + F.shiftright("m0", 3).bitwiseAND(1)
+    )
+    w24 = (
+        F.when(popcount == 0, 6)
+        .when(popcount == 1, 2)
+        .when(popcount == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(F.broadcast(v0), F.expr("(shiftright(m0, c) & 1) = 0"))
+        .join(F.broadcast(v1), F.expr("m1 = m0 + shiftleft(1, c)"))
+        .select("c", (w24 * (F.col("vfp1") - F.col("vfp0"))).alias("t"))
+    )
+    return terms.groupBy("c").agg(
+        F.round(
+            F.sum("t").cast("double") / F.lit(24000000000.0), 6
+        ).alias("shapley_value")
+    ).select(
+        F.when(F.col("c") == 0, "view")
+        .when(F.col("c") == 1, "click")
+        .when(F.col("c") == 2, "signup")
+        .otherwise("error")
+        .alias("channel"),
+        "shapley_value",
+    )
+
+
+@register(
+    "good_turing_unseen_mass",
+    """
+    WITH d0 AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    toks AS (
+      SELECT unnest(list_transform(range(1, len(w) - 1),
+        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS tok
+      FROM d0
+    ),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY tok
+    ),
+    nr AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt
+      WHERE r <= 5 GROUP BY r
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+    n1 AS (
+      SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+        AS n1
+      FROM nr
+    ),
+    grid AS (SELECT unnest(range(1, 5)) AS r)
+    SELECT grid.r, coalesce(a.n_r, 0) AS n_r,
+      coalesce(b.n_r, 0) AS n_r_plus1,
+      round(CAST(grid.r + 1 AS DOUBLE) * CAST(coalesce(b.n_r, 0) AS DOUBLE)
+            / nullif(CAST(coalesce(a.n_r, 0) AS DOUBLE), 0.0), 6) AS r_star,
+      round(CAST(n1.n1 AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6)
+        AS p_unseen
+    FROM grid LEFT JOIN nr a ON a.r = grid.r
+    LEFT JOIN nr b ON b.r = grid.r + 1
+    CROSS JOIN tot CROSS JOIN n1
+    """,
+)
+def q_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus word-TRIGRAM
+    vocabulary: p_unseen = N₁/N (the total probability mass of
+    trigrams never seen — what an n-gram LM / coverage model built on
+    this corpus will miss on the next shard) and the adjusted counts
+    r* = (r+1)·N_{r+1}/N_r for r = 1..4 (how much observed low counts
+    overstate their true frequency). THE coverage-planning number
+    vocab_coverage_topk's head-coverage view doesn't give. Trigrams,
+    not unigrams: the synthetic corpus has a closed 31-word vocabulary
+    (min unigram count 26 — no frequency tail at all), while its
+    trigram space has the genuine power-law tail Good-Turing exists
+    for. Every input (N, N_r) is an exact BIGINT from two hash
+    aggregates; the ratios are single shared double expressions,
+    round-6; empty N_r cells yield NULL r* via nullif in both engines.
+
+    Scale shape: one trigram explode → (gram) hash aggregate (the
+    top_bigrams exchange), then a count-of-counts aggregate on the
+    BOUNDED r≤5 domain and a 4-row broadcast grid assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d0 = docs.select(w.alias("w")).filter(F.size("w") >= 3)
+    toks = d0.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    nr = (
+        cnt.filter(F.col("r") <= 5)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    n1 = nr.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n1")
+    )
+    grid = spark.range(1, 5).select(F.col("id").alias("r"))
+    a = nr.select(F.col("r").alias("ra"), F.col("n_r").alias("na"))
+    b = nr.select(F.col("r").alias("rb"), F.col("n_r").alias("nb"))
+    return (
+        grid.join(F.broadcast(a), F.col("r") == F.col("ra"), "left")
+        .join(F.broadcast(b), F.col("r") + 1 == F.col("rb"), "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.coalesce(F.col("na"), F.lit(0)).alias("n_r"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("n_r_plus1"),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("nb"), F.lit(0)).cast("double")
+                / F.nullif(
+                    F.coalesce(F.col("na"), F.lit(0)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("n1").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("p_unseen"),
+        )
+    )
+
+
+@register(
     "rbo_bm25_vs_lm",
     """
     WITH tok AS (

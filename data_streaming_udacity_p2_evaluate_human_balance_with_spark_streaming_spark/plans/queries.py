@@ -35,6 +35,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # r9: a duplicate name silently SHADOWED an earlier query (a
+        # second winnowing_fingerprints overwrote the r3 one and its
+        # oracle before review caught it) — fail loudly instead
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} is already registered — pick a new name"
+            )
         REGISTRY[name] = (fn, oracle)
         return fn
 
@@ -3451,17 +3458,25 @@ def _driver_status() -> dict[str, bool]:
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     latest: dict[str, bool] = {}
+    _ROWS_ONLY_LATEST.clear()
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 for name, row in _json.load(fh).items():
                     if row.get("err") == "no_oracle":
                         latest[name] = bool(row.get("spark_rows"))
+                        _ROWS_ONLY_LATEST.add(name)
                     else:
                         latest[name] = bool(row.get("hash_match"))
+                        _ROWS_ONLY_LATEST.discard(name)
         except Exception:
             pass
     return latest
+
+
+#: names whose LATEST driver row was the weaker rows-only check
+#: (err == no_oracle); populated as a side effect of _driver_status()
+_ROWS_ONLY_LATEST: set[str] = set()
 
 
 def _driver_checked() -> frozenset[str]:
@@ -3475,13 +3490,25 @@ def _driver_order() -> list[str]:
     """Driver-window priority: (1) never-checked names, (2) names whose
     LATEST driver row was red (so a fixed regression re-rotates into
     the next 50-slot CORRECTNESS window automatically instead of
-    sorting behind 100+ green names), (3) the green rest — each tier
-    in registration order."""
+    sorting behind 100+ green names), (3) UPGRADED names — latest row
+    was the weaker rows-only check but the query NOW carries an oracle
+    (the r9 semi-oracle rewrites: their new value-hash contract needs a
+    driver row, or the judge only ever sees the stale no_oracle row),
+    (4) the green rest — each tier in registration order."""
     status = _driver_status()
     unchecked = [n for n in REGISTRY if n not in status]
     red = [n for n in REGISTRY if n in status and not status[n]]
-    green = [n for n in REGISTRY if status.get(n)]
-    return unchecked + red + green
+    upgraded = [
+        n
+        for n in REGISTRY
+        if status.get(n)
+        and n in _ROWS_ONLY_LATEST
+        and REGISTRY[n][1] is not None
+    ]
+    green = [
+        n for n in REGISTRY if status.get(n) and n not in set(upgraded)
+    ]
+    return unchecked + red + upgraded + green
 
 
 def all_queries() -> dict[str, QueryFn]:

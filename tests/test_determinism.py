@@ -163,6 +163,9 @@ SENSITIVE = [
     "eb_shrunk_purchase_rate",
     "jackknife_purchase_view_ratio",
     "capture_recapture_users",
+    "good_turing_unseen_mass",
+    "shapley_channel_attribution",
+    "fellegi_sunter_linkage",
 ]
 
 

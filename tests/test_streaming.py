@@ -3112,3 +3112,264 @@ def test_streaming_chi_square_gof_partials_finalize_equals_batch(
     assert (
         spark.table("gof_partials_tbl").select("win").distinct().count() >= 2
     )
+
+
+def test_streaming_eb_shrinkage_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of eb_shrunk_purchase_rate (r9, 12th mergeable-
+    twin member): the sufficient statistics are per-user (x, n) —
+    plain mergeable SUMS — so per-window (user_id, x, n) partials from
+    an append-mode watermarked aggregation, merged by user and pushed
+    through the SAME fixed-point prior moments + shrinkage assembly as
+    the batch query, reproduce the batch top rates BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": i % 37,
+            "event_type": "purchase" if (i * 13) % 17 < (i % 37) % 5 else "view",
+            "ts": f"2024-01-{1 + i % 7:02d}T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(700)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "user_id": 0,
+        "event_type": "view",
+        "ts": "2024-02-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "eb_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    xcol = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"), "user_id"
+    ).agg(F.sum(xcol).alias("x"), F.count(F.lit(1)).alias("n"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("eb_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cells):
+        """(user_id, x, n) -> sorted top rows under the exact
+        fixed-point EB arithmetic of q_eb_shrunk_purchase_rate."""
+        fp = cells.withColumn(
+            "r_fp",
+            F.floor(F.lit(1000000.0) * F.col("x") / F.col("n")).cast(
+                "bigint"
+            ),
+        )
+        m = fp.agg(
+            F.count(F.lit(1)).alias("uu"),
+            F.sum("r_fp").alias("sr"),
+            F.sum(F.col("r_fp") * F.col("r_fp")).alias("sr2"),
+        )
+        uu = F.col("uu").cast("double")
+        mm = F.col("sr").cast("double") / uu / F.lit(1000000.0)
+        vv = (
+            F.col("sr2").cast("double") / uu
+            - (F.col("sr").cast("double") / uu)
+            * (F.col("sr").cast("double") / uu)
+        ) / F.lit(1000000000000.0)
+        cc = m.select(
+            F.greatest(mm * (1.0 - mm) / vv - 1.0, F.lit(0.0)).alias("c"),
+            mm.alias("mm"),
+        )
+        out = fp.crossJoin(F.broadcast(cc)).select(
+            "user_id",
+            "x",
+            "n",
+            (
+                (F.col("x").cast("double") + F.col("mm") * F.col("c"))
+                / (F.col("n").cast("double") + F.col("c"))
+            ).alias("sr_raw"),
+        )
+        return sorted(
+            (r.user_id, r.x, r.n, repr(r.sr_raw)) for r in out.collect()
+        )
+
+    streamed = (
+        spark.table("eb_partials_tbl")
+        .groupBy("user_id")
+        .agg(F.sum("x").alias("x"), F.sum("n").alias("n"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["user_id"], r["event_type"]) for r in rows],
+            "user_id long, event_type string",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sc = {r.user_id: (r.x, r.n) for r in streamed.collect()}
+    bc = {r.user_id: (r.x, r.n) for r in batch.collect()}
+    assert sc == bc and sum(v[1] for v in sc.values()) == 700
+    assert any(v[0] > 0 for v in sc.values())  # purchases present
+    assert finalize(streamed) == finalize(batch)
+    assert (
+        spark.table("eb_partials_tbl").select("win").distinct().count() >= 2
+    )
+
+
+def test_streaming_jackknife_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of jackknife_purchase_view_ratio (r9, 13th
+    mergeable-twin member): the sufficient statistics are per-DAY
+    (p, v) counts — plain mergeable SUMS — so per-window partials
+    merged by day and pushed through the SAME fixed-point LOO + SE
+    assembly reproduce the batch jackknife SE BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "purchase" if (i * 11) % 13 < 4 else "view",
+            "ts": f"2024-01-{1 + i % 9:02d}T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(700)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "ts": "2024-02-05T00:00:00.000Z",
+    }
+    d = str(tmp_path / "jk_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "v"
+        ),
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("jk_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(days):
+        """(day, p, v) -> (n_days, repr(theta), repr(se·1e6)): the
+        exact fixed-point arithmetic of q_jackknife_purchase_view_ratio."""
+        tot = days.agg(
+            F.count(F.lit(1)).alias("dd"),
+            F.sum("p").alias("pp"),
+            F.sum("v").alias("vv"),
+        )
+        loo = days.crossJoin(F.broadcast(tot)).select(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("pp") - F.col("p"))
+                / (F.col("vv") - F.col("v"))
+            )
+            .cast("bigint")
+            .alias("l_fp")
+        )
+        s = loo.agg(
+            F.count(F.lit(1)).alias("dd"),
+            F.sum("l_fp").alias("sl"),
+            F.sum(F.col("l_fp") * F.col("l_fp")).alias("sl2"),
+        ).collect()[0]
+        t = tot.collect()[0]
+        import math as _math
+
+        ss = float(s.sl2) - float(s.sl) * float(s.sl) / float(s.dd)
+        se = _math.sqrt((float(s.dd) - 1.0) / float(s.dd) * ss)
+        return (t.dd, repr(t.pp / t.vv), repr(se))
+
+    streamed = (
+        spark.table("jk_partials_tbl")
+        .groupBy("day")
+        .agg(F.sum("p").alias("p"), F.sum("v").alias("v"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["event_type"], r["ts"]) for r in rows],
+            "event_type string, ts_s string",
+        )
+        .select(
+            F.date_trunc("day", F.to_timestamp("ts_s")).alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("ip"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "iv"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("ip").alias("p"), F.sum("iv").alias("v"))
+    )
+    sc = {r.day: (r.p, r.v) for r in streamed.collect()}
+    bc = {r.day: (r.p, r.v) for r in batch.collect()}
+    assert sc == bc and sum(a + b for a, b in sc.values()) == 700
+    assert len(sc) >= 3  # several days: LOO nontrivial
+    assert finalize(streamed) == finalize(batch)
+    assert (
+        spark.table("jk_partials_tbl").select("win").distinct().count() >= 2
+    )
