@@ -270,6 +270,7 @@ HEADLINE = [
     "good_turing_unseen_mass",
     "shapley_channel_attribution",
     "fellegi_sunter_linkage",
+    "entity_resolution_clusters",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -8316,6 +8316,13 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block² per nation, the standard linkage discipline — at 100 TB
     the block key refines to nation × phone-prefix); the u table is a
     broadcast 1-row frame; top-20 is TakeOrderedAndProject."""
+    return _fs_top20(spark, sf_dir)
+
+
+def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored Fellegi-Sunter pair frame (cust_a, cust_b, agr_*,
+    match_weight) — shared by the top-20 linkage query and
+    entity_resolution_clusters."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -8391,12 +8398,121 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("match_weight"),
     )
+    return sc
+
+
+def _fs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _fs_scored_pairs(spark, sf_dir)
     w = Window.orderBy(
         F.col("match_weight").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()
     )
     return sc.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= 20)
+
+
+#: the Fellegi-Sunter scored-pair CTE chain, shared by the top-20 query
+#: and the entity-resolution clustering oracle (threshold applied by
+#: the consumer)
+_FS_PAIRS_SQL = """c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        right(c_name, 2) AS nm2
+      FROM customer
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+    useg AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c
+            GROUP BY c_mktsegment)
+    ),
+    ubal AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c GROUP BY bal_band)
+    ),
+    uph AS (
+      SELECT CAST(sum(v * (v - 1)) AS BIGINT) AS agree_pairs
+      FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM c GROUP BY nm2)
+    ),
+    uu AS (
+      SELECT
+        CAST(useg.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_seg,
+        CAST(ubal.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_bal,
+        CAST(uph.agree_pairs AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS u_nm
+      FROM useg, ubal, uph, n
+    ),
+    pr AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS agr_seg,
+        CAST(a.bal_band = b.bal_band AS BIGINT) AS agr_bal,
+        CAST(a.nm2 = b.nm2 AS BIGINT) AS agr_nm
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    fs_sc AS (
+      SELECT cust_a, cust_b, agr_seg, agr_bal, agr_nm,
+        round(
+          (CASE WHEN agr_seg = 1 THEN ln(0.9 / u_seg)
+                ELSE ln(0.1 / (1.0 - u_seg)) END
+           + CASE WHEN agr_bal = 1 THEN ln(0.9 / u_bal)
+                  ELSE ln(0.1 / (1.0 - u_bal)) END
+           + CASE WHEN agr_nm = 1 THEN ln(0.9 / u_nm)
+                  ELSE ln(0.1 / (1.0 - u_nm)) END) / ln(2.0), 6)
+          AS match_weight
+      FROM pr, uu
+    )"""
+
+
+@register(
+    "entity_resolution_clusters",
+    f"""
+    WITH RECURSIVE {_FS_PAIRS_SQL},
+    links AS (
+      SELECT cust_a, cust_b FROM fs_sc WHERE match_weight >= 8.0
+    ),
+    edges AS (
+      SELECT cust_a AS a, cust_b AS b FROM links
+      UNION ALL SELECT cust_b, cust_a FROM links
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS cust, MIN(lab) AS cluster FROM reach GROUP BY node
+    """,
+)
+def q_entity_resolution_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end entity resolution: Fellegi-Sunter match weights over
+    nation-blocked customer pairs, a ≥8-bit link threshold (in this
+    field setup only all-three-fields-agree pairs clear it — the
+    high-precision operating point), then min-label connected
+    components to turn pairwise links into ENTITY ids — the
+    record-level twin of dedup_cluster_assignment's document pipeline
+    (match → link → consolidate is the canonical linkage architecture;
+    the threshold is applied to the ROUND-6 weight so both engines cut
+    identically). The oracle recomputes true components via a
+    recursive CTE over the identical scored-pair set, certifying the
+    propagation fixpoint on this graph.
+
+    Scale shape: the blocked pair join + broadcast u-table from the
+    linkage query, then iterative label propagation whose state is
+    (node, label) int pairs — one keyed shuffle per round, never
+    adjacency blowups."""
+    from ..operators.dedup import connected_components
+
+    links = _fs_scored_pairs(spark, sf_dir).filter(
+        F.col("match_weight") >= 8.0
+    )
+    return connected_components(
+        links, a_col="cust_a", b_col="cust_b"
+    ).select(F.col("node").alias("cust"), F.col("cluster"))
 
 
 @register(

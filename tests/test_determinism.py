@@ -166,6 +166,7 @@ SENSITIVE = [
     "good_turing_unseen_mass",
     "shapley_channel_attribution",
     "fellegi_sunter_linkage",
+    "entity_resolution_clusters",
 ]
 
 

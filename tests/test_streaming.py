@@ -3373,3 +3373,107 @@ def test_streaming_jackknife_partials_finalize_equals_batch(
     assert (
         spark.table("jk_partials_tbl").select("win").distinct().count() >= 2
     )
+
+
+def test_streaming_good_turing_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of good_turing_unseen_mass (r9, 14th mergeable-
+    twin member — the incremental vocabulary-coverage monitor): the
+    sufficient statistics are per-trigram counts — plain mergeable
+    SUMS — so per-window (tok, cnt) partials from an append-mode
+    watermarked aggregation over a DOCUMENT stream, merged by trigram
+    and pushed through the SAME count-of-counts + N₁/N assembly,
+    reproduce the batch unseen-mass estimate BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                vocab[(i * j * j + 3 * j) % len(vocab)]
+                for j in range(4 + i % 5)
+            ),
+            "ts": f"2024-01-{1 + i % 5:02d}T{(i * 7) % 24:02d}:00:00.000Z",
+        }
+        for i in range(120)
+    ]
+    sentinel = {"doc_id": 999999, "text": "x y z", "ts": "2024-02-01T00:00:00.000Z"}
+    d = str(tmp_path / "gt_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("doc_id long, text string, ts timestamp")
+    trigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
+        "concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2]))"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("ts", F.explode(trigrams).alias("tok"))
+    )
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"), "tok"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("gt_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cnt):
+        """(tok, r) -> (N, N1..N5 dict, repr(p_unseen)): the exact
+        count-of-counts arithmetic of q_good_turing_unseen_mass."""
+        nr = {
+            row.r: row.n_r
+            for row in cnt.filter(F.col("r") <= 5)
+            .groupBy("r")
+            .agg(F.count(F.lit(1)).alias("n_r"))
+            .collect()
+        }
+        n_tokens = cnt.agg(F.sum("r")).collect()[0][0]
+        return (n_tokens, nr, repr(nr.get(1, 0) / n_tokens))
+
+    streamed = (
+        spark.table("gt_partials_tbl")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("r"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["text"],) for r in rows], "text string"
+        )
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(F.explode(trigrams).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    sc = {r.tok: r.r for r in streamed.collect()}
+    bc = {r.tok: r.r for r in batch.collect()}
+    assert sc == bc and len(sc) > 10
+    assert finalize(streamed) == finalize(batch)
+    assert (
+        spark.table("gt_partials_tbl").select("win").distinct().count() >= 2
+    )
