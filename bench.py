@@ -271,6 +271,8 @@ HEADLINE = [
     "shapley_channel_attribution",
     "fellegi_sunter_linkage",
     "entity_resolution_clusters",
+    "heaps_law_vocab_growth",
+    "markov_removal_attribution",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -8638,6 +8638,385 @@ def q_shapley_channel_attribution(
     )
 
 
+#: Markov-attribution state encoding shared by the Spark query and the
+#: DuckDB oracle: 0=start, 1..4=channels (view/click/signup/error),
+#: 5=conv, 6=null. 32 fixed-point iterations at 1e9 scale.
+_MK_STATES = {"view": 1, "click": 2, "signup": 3, "error": 4}
+_MK_ITERS = 32
+_MK_FP = 1_000_000_000
+
+
+def _markov_oracle() -> str:
+    ch_case = " ".join(
+        f"WHEN event_type = '{n}' THEN {i}" for n, i in _MK_STATES.items()
+    )
+    # 32 unrolled fixed-point power-iteration steps (DuckDB disallows
+    # GROUP BY in a recursive CTE term; unrolling keeps each step a
+    # plain aggregate — the iteration count is a compile-time constant
+    # shared with the Spark side via _MK_ITERS)
+    steps_sql = ",\n    ".join(
+        f"""w{k} AS MATERIALIZED (
+      SELECT w.rm,
+        CASE WHEN t.s2 = w.rm THEN 6 ELSE t.s2 END AS st,
+        CAST(sum(w.p * t.c // ct.tot) AS BIGINT) AS p
+      FROM w{k - 1} w
+      JOIN tt t ON t.s = w.st
+      JOIN ctot ct ON ct.s = w.st
+      WHERE w.st NOT IN (5, 6) AND w.st <> w.rm
+      GROUP BY 1, 2
+    )"""
+        for k in range(1, _MK_ITERS + 1)
+    )
+    all_steps = "\n      UNION ALL ".join(
+        f"SELECT rm, st, p FROM w{k}" for k in range(1, _MK_ITERS + 1)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS fts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touch AS MATERIALIZED (
+      SELECT e.user_id, e.ts, e.event_id,
+        CASE {ch_case} END AS st
+      FROM events e LEFT JOIN fp USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (fp.fts IS NULL OR e.ts < fp.fts)
+    ),
+    path AS MATERIALIZED (
+      SELECT user_id, st,
+        lag(st, 1, 0) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rrn
+      FROM touch
+    ),
+    conv AS MATERIALIZED (
+      SELECT t.user_id,
+        CASE WHEN fp.fts IS NOT NULL THEN 5 ELSE 6 END AS absorb,
+        max(CASE WHEN rrn = 1 THEN st END) AS last_st
+      FROM path t LEFT JOIN fp ON fp.user_id = t.user_id
+      GROUP BY t.user_id, 2
+    ),
+    bare AS MATERIALIZED (
+      SELECT f.user_id FROM fp f
+      WHERE NOT EXISTS (SELECT 1 FROM touch t WHERE t.user_id = f.user_id)
+    ),
+    trans AS MATERIALIZED (
+      SELECT prev AS s, st AS s2, CAST(count(*) AS BIGINT) AS c
+      FROM path GROUP BY 1, 2
+      UNION ALL
+      SELECT last_st AS s, absorb AS s2, CAST(count(*) AS BIGINT) AS c
+      FROM conv GROUP BY 1, 2
+      UNION ALL
+      SELECT 0 AS s, 5 AS s2, CAST(count(*) AS BIGINT) AS c
+      FROM bare HAVING count(*) > 0
+    ),
+    tt AS MATERIALIZED (SELECT s, s2, CAST(sum(c) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+    ctot AS MATERIALIZED (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM tt GROUP BY s),
+    variants AS (SELECT unnest([-1, 1, 2, 3, 4]) AS rm),
+    w0 AS MATERIALIZED (
+      SELECT rm, 0 AS st, CAST({_MK_FP} AS BIGINT) AS p FROM variants
+    ),
+    {steps_sql},
+    absorbed AS (
+      SELECT rm, CAST(sum(p) AS BIGINT) AS conv_fp FROM (
+      {all_steps}
+      ) WHERE st = 5 GROUP BY rm
+    ),
+    base AS (SELECT conv_fp AS base_fp FROM absorbed WHERE rm = -1),
+    re AS (
+      SELECT v.rm,
+        1.0 - CAST(coalesce(a.conv_fp, 0) AS DOUBLE)
+          / CAST(base.base_fp AS DOUBLE) AS eff
+      FROM variants v LEFT JOIN absorbed a ON a.rm = v.rm CROSS JOIN base
+      WHERE v.rm <> -1
+    ),
+    tot_eff AS (SELECT sum(eff) AS te FROM re)
+    SELECT CASE rm WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                   WHEN 3 THEN 'signup' ELSE 'error' END AS channel,
+      round(eff, 6) AS removal_effect,
+      round(eff / te, 6) AS attribution_share
+    FROM re, tot_eff
+    """
+
+
+@register("markov_removal_attribution", _markov_oracle())
+def q_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution — the OTHER standard
+    data-driven attribution (Anderl et al.'s removal effect),
+    complementing shapley_channel_attribution's coalition view with a
+    SEQUENCE view: fit a first-order Markov chain over user journeys
+    (start → channel touches before first purchase → conv/null), then
+    each channel's credit is how much the chain's absorption
+    probability into conv drops when that channel is removed
+    (its inbound mass redirected to null), normalized into shares.
+
+    Cross-engine exactness: transition counts are exact BIGINTs from
+    one lag pass; absorption runs as a FIXED 32-step fixed-point power
+    iteration where every step is integer arithmetic —
+    p'(s') = Σ_s floor(p_fp(s)·c(s,s')/tot(s)) at 1e9 scale (terms
+    floored BEFORE summing, so partial-sum order cannot matter) — in
+    Spark as driver-side Python ints over the COLLECTED 7×7 count
+    matrix (bounded-domain collect, the BPE-merge precedent: the
+    row-scale work is the distributed journey/lag pass; the solve is
+    O(states²·iters) scalar math), in DuckDB as a recursive CTE doing
+    the IDENTICAL integer updates. The only doubles are the final
+    removal-effect ratios, round-6.
+
+    Scale shape: one events scan, per-user lag windows (bounded
+    per-user rows), a (s, s') hash aggregate to ≤ 7² cells, then O(1)
+    driver math — at 100 TB the cost is the scan + the user-keyed
+    window exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    st = F.create_map(
+        *[x for n, i in _MK_STATES.items() for x in (F.lit(n), F.lit(i))]
+    )[F.col("event_type")]
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("fts").isNull() | (F.col("ts") < F.col("fts")))
+        .select("user_id", "ts", "event_id", st.alias("st"),
+                F.col("fts").isNotNull().alias("conv"))
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    path = touch.select(
+        "user_id",
+        "st",
+        "conv",
+        F.lag("st", 1, 0).over(wu).alias("prev"),
+        F.row_number().over(wr).alias("rrn"),
+    )
+    steps = path.select(F.col("prev").alias("s"), F.col("st").alias("s2"))
+    absorbs = path.filter(F.col("rrn") == 1).select(
+        F.col("st").alias("s"),
+        F.when(F.col("conv"), 5).otherwise(6).alias("s2"),
+    )
+    bare = (
+        fp.join(
+            touch.select("user_id").distinct(), "user_id", "left_anti"
+        ).select(F.lit(0).alias("s"), F.lit(5).alias("s2"))
+    )
+    tt = (
+        steps.unionByName(absorbs)
+        .unionByName(bare)
+        .groupBy("s", "s2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded-domain collect: ≤ 7×7 transition cells
+    cells = {(r.s, r.s2): r.c for r in tt.collect()}
+    tot = {}
+    for (s, _), c in cells.items():
+        tot[s] = tot.get(s, 0) + c
+
+    def absorb_fp(removed: int) -> int:
+        p = {0: _MK_FP}
+        conv_fp = 0
+        for _ in range(_MK_ITERS):
+            nxt: dict[int, int] = {}
+            for s, mass in p.items():
+                if s in (5, 6) or s == removed or s not in tot:
+                    continue
+                for (a, b), c in cells.items():
+                    if a != s:
+                        continue
+                    b2 = 6 if b == removed else b
+                    nxt[b2] = nxt.get(b2, 0) + mass * c // tot[s]
+            conv_fp += nxt.pop(5, 0)
+            p = nxt
+        return conv_fp
+
+    base = absorb_fp(-1)
+    effs = {
+        name: 1.0 - absorb_fp(i) / base for name, i in _MK_STATES.items()
+    }
+    te = sum(effs.values())
+    rows = [
+        (name, round(eff, 6), round(eff / te, 6))
+        for name, eff in effs.items()
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution_share double"
+    )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    """
+    WITH d0 AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS tok
+      FROM d0
+    ),
+    md AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxdoc FROM tri),
+    grid AS (
+      SELECT CAST(j AS BIGINT) AS j,
+        CAST(maxdoc * j // 10 AS BIGINT) AS thr
+      FROM (SELECT unnest(range(1, 11)) AS j), md
+    ),
+    firsts AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM tri GROUP BY tok
+    ),
+    doccnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY doc_id
+    ),
+    cp AS (
+      SELECT g.j,
+        (SELECT CAST(sum(c) AS BIGINT) FROM doccnt WHERE doc_id <= g.thr)
+          AS n_tokens,
+        (SELECT CAST(count(*) AS BIGINT) FROM firsts WHERE fd <= g.thr)
+          AS vocab
+      FROM grid g
+    ),
+    lg AS (
+      SELECT j, n_tokens, vocab,
+        CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+          AS x_fp,
+        CAST(floor(1000000.0 * ln(CAST(vocab AS DOUBLE))) AS BIGINT) AS y_fp
+      FROM cp
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x_fp) AS BIGINT) AS sx, CAST(sum(y_fp) AS BIGINT) AS sy,
+        CAST(sum(x_fp * y_fp) AS BIGINT) AS sxy,
+        CAST(sum(x_fp * x_fp) AS BIGINT) AS sxx
+      FROM lg
+    ),
+    fit AS (
+      SELECT
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+        sx, sy, n
+      FROM ols
+    )
+    SELECT lg.j, lg.n_tokens, lg.vocab,
+      round(fit.beta, 6) AS heaps_beta,
+      round(exp((CAST(fit.sy AS DOUBLE)
+                 - fit.beta * CAST(fit.sx AS DOUBLE))
+                / CAST(fit.n AS DOUBLE) / 1000000.0), 6) AS heaps_k
+    FROM lg, fit
+    """,
+)
+def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit over the word-trigram vocabulary: V(N) = K·N^β,
+    the vocabulary-GROWTH scaling law that pairs with
+    zipf_slope_by_source (frequency decay) and good_turing_unseen_mass
+    (unseen mass at the current N) to answer "how fast does new
+    vocabulary keep arriving as the corpus grows" — the number that
+    sizes tokenizer vocabularies and dedup fingerprint tables before a
+    100 TB ingest. Growth curve sampled at 10 DOC-PREFIX checkpoints
+    (vocab = trigrams whose FIRST document lies in the prefix; token
+    count = trigram occurrences in the prefix) — prefix membership is
+    a pure doc_id threshold, so no global token ordering or rank
+    machinery is needed. Every checkpoint count is an exact BIGINT;
+    the log-log OLS runs on FIXED-POINT logs (floor(1e6·ln) — exact
+    integer sums, the repo discipline; ln on identical operands is
+    engine-identical per the weighted_sample_wor precedent), and β/K
+    assemble in one shared double tree, round-6.
+
+    Scale shape: one trigram explode feeding two hash aggregates
+    (first-doc per trigram — the dedup-fingerprint exchange — and
+    per-doc counts), then all checkpoint/OLS work on broadcast
+    10-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d0 = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    tri = d0.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("tok"),
+    )
+    md = tri.agg(F.max("doc_id").alias("maxdoc"))
+    grid = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(md))
+        .select("j", ((F.col("maxdoc") * F.col("j")) / 10).cast("bigint").alias("thr"))
+    )
+    firsts = tri.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    doccnt = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    vj = (
+        firsts.join(F.broadcast(grid), F.col("fd") <= F.col("thr"))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    nj = (
+        doccnt.join(F.broadcast(grid), F.col("doc_id") <= F.col("thr"))
+        .groupBy("j")
+        .agg(F.sum("c").alias("n_tokens"))
+    )
+    lg = (
+        nj.join(vj, "j")
+        .select(
+            "j",
+            "n_tokens",
+            "vocab",
+            F.floor(
+                F.lit(1000000.0) * F.log(F.col("n_tokens").cast("double"))
+            )
+            .cast("bigint")
+            .alias("x_fp"),
+            F.floor(
+                F.lit(1000000.0) * F.log(F.col("vocab").cast("double"))
+            )
+            .cast("bigint")
+            .alias("y_fp"),
+        )
+    )
+    ols = lg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_fp").alias("sx"),
+        F.sum("y_fp").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).alias("sxy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fit = ols.select(
+        beta.alias("beta"), "sx", "sy", "n"
+    )
+    return lg.crossJoin(F.broadcast(fit)).select(
+        "j",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("beta"), 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (
+                    F.col("sy").cast("double")
+                    - F.col("beta") * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / F.lit(1000000.0)
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+
+
 @register(
     "good_turing_unseen_mass",
     """

@@ -167,6 +167,8 @@ SENSITIVE = [
     "shapley_channel_attribution",
     "fellegi_sunter_linkage",
     "entity_resolution_clusters",
+    "heaps_law_vocab_growth",
+    "markov_removal_attribution",
 ]
 
 
