@@ -8963,7 +8963,7 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n_tokens"))
     )
     lg = (
-        nj.join(vj, "j")
+        nj.join(F.broadcast(vj), "j")
         .select(
             "j",
             "n_tokens",

@@ -1269,3 +1269,52 @@ def test_welch_partial_aggregation(spark):
     plan = _plan(spark, "welch_ttest_click_view")
     pre, _, post = plan.partition("Exchange")
     assert "HashAggregate" in post  # partial agg below the first exchange
+
+
+def test_eb_shrunk_take_ordered_top20(spark):
+    """The QUALIFY rank<=20 spelling must optimize to
+    TakeOrderedAndProject at row scale (WindowGroupLimit rewrite) with
+    the rank window running on just the 20 survivors — never a global
+    sort/window over all users. Same contract for the linkage top-20
+    (which legitimately carries four extra SinglePartition exchanges:
+    its 1-row u-probability/N scalar aggregates)."""
+    for name, max_sp in (
+        ("eb_shrunk_purchase_rate", 1),
+        ("fellegi_sunter_linkage", 5),
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert plan.count("Exchange SinglePartition") <= max_sp, name
+        # the window must sit directly on the 20-row TakeOrdered result
+        win = plan.index("Window [row_number()")
+        tk = plan.index("TakeOrderedAndProject", win)
+        assert 0 < tk - win < 400, name  # adjacent operators, not a resort
+
+
+def test_shapley_lattice_joins_are_broadcast(spark):
+    """All Shapley lattice work (16-row mask frames, 4-row channel
+    grid) must ride broadcast joins; the only row-scale exchange is
+    the per-user aggregate. No cartesian of corpus-sized inputs."""
+    plan = _plan(spark, "shapley_channel_attribution")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_heaps_checkpoint_joins_are_broadcast(spark):
+    """Checkpoint thresholds (10-row grid) join the vocab/doc-count
+    aggregates via broadcast inequality joins; no corpus-vs-corpus
+    join and no single-partition window anywhere."""
+    plan = _plan(spark, "heaps_law_vocab_growth")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_mann_kendall_pairs_on_bounded_domain(spark):
+    """The O(days²) sign join must be a broadcast over the
+    day-aggregate (bounded domain), never a shuffle join — the
+    row-scale exchange is the single (day) hash aggregate."""
+    plan = _plan(spark, "mann_kendall_trend_daily")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
