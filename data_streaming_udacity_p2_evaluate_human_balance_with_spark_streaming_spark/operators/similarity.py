@@ -129,10 +129,29 @@ def quantized_topk(
     )
 
 
-#: memoized IVF indexes: cache_key -> (model, assigned-cells DataFrame).
-#: An IVF index is built once and queried many times — callers pass a
-#: stable cache_key (e.g. the corpus path) to get that semantics.
+#: memoized IVF indexes: cache_key -> (model, assigned-cells DataFrame,
+#: corpus fingerprint). An IVF index is built once and queried many
+#: times — callers pass a stable cache_key (e.g. the corpus path) to
+#: get that semantics. The fingerprint guards the REBUILD path: a
+#: cache hit re-derives the corpus fingerprint and rebuilds on
+#: mismatch, so a corpus that changed under the same key can never be
+#: served a stale index (the classic index-invalidation bug).
 _IVF_INDEX_CACHE: dict = {}
+
+
+def _corpus_fingerprint(corpus: DataFrame, id_col: str) -> tuple:
+    """Order-insensitive corpus identity: (row count, sum of
+    xxhash64(id)). One column-pruned aggregation scan — O(corpus) but
+    id-column-only, a vanishing fraction of the ANN query itself. At
+    100 TB the same contract would be met for O(metadata) from parquet
+    file listing + sizes (the snapshot id of a table format); the
+    hash-sum form is the storage-agnostic equivalent."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0): BIGINT hash sums overflow under ANSI mode
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
 
 
 def _nearest_cells_expr(vec_col: str, n_clusters: int, m: int) -> "F.Column":
@@ -197,9 +216,17 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     full_key = cache_key and (cache_key, n_clusters, seed, spill)
-    if full_key and full_key in _IVF_INDEX_CACHE:
-        model, c_cells = _IVF_INDEX_CACHE[full_key]
-    else:
+    cached = full_key and _IVF_INDEX_CACHE.get(full_key)
+    if cached:
+        # rebuild guard: same key, changed corpus -> stale index.
+        fp = _corpus_fingerprint(corpus, id_col)
+        if fp == cached[2]:
+            model, c_cells = cached[0], cached[1]
+        else:
+            cached[1].unpersist()
+            del _IVF_INDEX_CACHE[full_key]
+            cached = None
+    if not cached:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -226,7 +253,11 @@ def ivf_topk(
             .persist()
         )
         if full_key:
-            _IVF_INDEX_CACHE[full_key] = (model, c_cells)
+            _IVF_INDEX_CACHE[full_key] = (
+                model,
+                c_cells,
+                _corpus_fingerprint(corpus, id_col),
+            )
 
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in cv]) for cv in model.clusterCenters()]

@@ -1496,3 +1496,59 @@ def test_kfold_assignment_balance_property(spark):
         assert sum(counts) == sizes[lbl]
         nonzero_spread = max(counts) - min(counts)
         assert nonzero_spread <= 1, (lbl, counts)
+
+
+def test_ivf_index_rebuild_on_corpus_change(spark):
+    """Cache-invalidation certificate for the memoized IVF index: the
+    cache key alone must not pin a stale index — a corpus that CHANGED
+    under the same cache_key has a different fingerprint, forcing a
+    rebuild, and the rebuilt index must surface a neighbor that only
+    exists in the new corpus."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.similarity import (
+        _IVF_INDEX_CACHE,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    key = "rebuild-cert"
+    full_key = (key, 8, 42, 2)
+    _IVF_INDEX_CACHE.pop(full_key, None)
+
+    r1 = similarity.ivf_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=3, cache_key=key
+    ).collect()
+    assert full_key in _IVF_INDEX_CACHE
+    fp1 = _IVF_INDEX_CACHE[full_key][2]
+
+    # identical corpus, same key -> cache HIT (fingerprint unchanged,
+    # same index object served)
+    idx_obj = _IVF_INDEX_CACHE[full_key][1]
+    similarity.ivf_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=3, cache_key=key
+    ).collect()
+    assert _IVF_INDEX_CACHE[full_key][1] is idx_obj
+
+    # changed corpus under the SAME key: plant an exact duplicate of
+    # the query vector with a fresh id -> fingerprint mismatch ->
+    # rebuild; the planted twin must now rank first.
+    planted = queries.select(
+        F.lit(990_001).alias("vec_id"),
+        F.col("query_vec").alias("embedding"),
+    )
+    emb2 = emb.unionByName(planted)
+    r2 = similarity.ivf_topk(
+        emb2, queries, k=5, n_clusters=8, n_probe=3, cache_key=key
+    ).collect()
+    fp2 = _IVF_INDEX_CACHE[full_key][2]
+    assert fp2 != fp1
+    assert {r.neighbor_id for r in r1} != set() and all(
+        r.neighbor_id != 990_001 for r in r1
+    )
+    top = min(r2, key=lambda r: r.rank)
+    assert top.neighbor_id == 990_001 and abs(top.cosine - 1.0) < 1e-9
+    _IVF_INDEX_CACHE.pop(full_key, None)
