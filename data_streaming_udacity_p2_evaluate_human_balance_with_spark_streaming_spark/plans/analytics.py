@@ -9342,3 +9342,334 @@ def q_rbo_bm25_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+@register(
+    "friedman_event_counts",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type
+      FROM (SELECT DISTINCT day FROM c) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+    ),
+    z AS (
+      SELECT g.day, g.event_type, coalesce(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN c ON c.day = g.day
+        AND c.event_type = g.event_type
+    ),
+    tv AS (
+      SELECT day, cnt, CAST(count(*) AS BIGINT) AS t FROM z GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT day, cnt, t,
+        sum(t) OVER (PARTITION BY day ORDER BY cnt) - t AS below
+      FROM tv
+    ),
+    r2 AS (
+      SELECT z.event_type,
+        CAST(sum(2 * cv.below + cv.t + 1) AS BIGINT) AS r2j
+      FROM z JOIN cv ON cv.day = z.day AND cv.cnt = z.cnt
+      GROUP BY z.event_type
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM z
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM tv
+    ),
+    agg AS (
+      SELECT max(dims.n) AS n, max(dims.k) AS k,
+        sum(CAST(r2j AS DECIMAL(38, 0)) * r2j) AS sr2,
+        max(ties.tie3) AS tie3
+      FROM r2, dims, ties
+    )
+    SELECT k, n,
+      round(3.0 * CAST(sr2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * k * (k + 1))
+            - 3.0 * n * (k + 1), 6) AS q,
+      round((3.0 * CAST(sr2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * k * (k + 1))
+             - 3.0 * n * (k + 1))
+            / (1.0 - CAST(tie3 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * k * (k * k - 1))), 6) AS q_adj
+    FROM agg
+    """,
+)
+def q_friedman_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test on daily event-type volumes: blocks = days,
+    treatments = the k event types, measure = events per (day, type)
+    (zero-filled so every block ranks all k treatments). The
+    repeated-measures counterpart of kruskal_wallis_value_by_type —
+    Kruskal asks "do the groups differ overall", Friedman removes the
+    between-day volume effect by ranking WITHIN each day, the right
+    test when days differ wildly in traffic. Q = 12/(nk(k+1))·ΣR_j²
+    − 3n(k+1) with the Σ(t³−t) tie correction.
+
+    Exactness: counts are integers, so within-day average ranks use
+    the doubled-rank identity 2r = 2·below + t + 1 (exact BIGINTs,
+    the kruskal discipline); ΣR2_j² accumulates in DECIMAL(38,0);
+    doubles appear only in the 1-row final assembly, round-6 gated.
+
+    Scale shape: one (day, type) hash agg over the corpus, zero-fill
+    via a broadcast type list, per-day windows over ≤k rows each
+    (partitioned by day — no global window), k-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = c.select("day").distinct()
+    types = c.select("event_type").distinct()
+    z = (
+        days.crossJoin(F.broadcast(types))
+        .join(c, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    )
+    tv = z.groupBy("day", "cnt").agg(F.count(F.lit(1)).alias("t"))
+    wd = Window.partitionBy("day").orderBy("cnt")
+    cv = tv.withColumn("below", F.sum("t").over(wd) - F.col("t"))
+    r2 = (
+        z.join(cv, ["day", "cnt"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(2 * F.col("below") + F.col("t") + 1)
+            .cast("bigint")
+            .alias("r2j")
+        )
+    )
+    dims = z.agg(
+        F.countDistinct("day").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    ties = tv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3")
+    )
+    agg = (
+        r2.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(ties))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            F.sum(F.col("r2j").cast("decimal(38,0)") * F.col("r2j")).alias(
+                "sr2"
+            ),
+            F.max("tie3").alias("tie3"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    q = (
+        F.lit(3.0)
+        * F.col("sr2").cast("double")
+        / (nd * kd * (kd + 1))
+        - F.lit(3.0) * nd * (kd + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * kd * (kd * kd - 1)
+    )
+    return agg.select(
+        "k", "n", F.round(q, 6).alias("q"), F.round(q / corr, 6).alias("q_adj")
+    )
+
+
+@register(
+    "sprt_purchase_decision",
+    """
+    WITH inc AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN event_type = 'purchase'
+             THEN CAST(510825623 AS BIGINT)
+             ELSE CAST(-125163143 AS BIGINT) END AS d
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id,
+        sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum,
+        CAST(row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS step
+      FROM inc
+    ),
+    crossed AS (
+      SELECT user_id,
+        min(step) AS cross_step,
+        arg_min(CASE WHEN cum >= 2944438979 THEN 'h1' ELSE 'h0' END, step)
+          AS dec
+      FROM walk
+      WHERE cum >= 2944438979 OR cum <= -2944438979
+      GROUP BY user_id
+    ),
+    allu AS (SELECT DISTINCT user_id FROM inc)
+    SELECT coalesce(c.dec, 'open') AS decision,
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(min(c.cross_step) AS BIGINT) AS min_cross_step,
+      round(avg(CAST(c.cross_step AS DOUBLE)), 6) AS avg_cross_step
+    FROM allu a LEFT JOIN crossed c ON c.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def q_sprt_purchase_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per user stream:
+    H0 purchase-rate p0=0.15 vs H1 p1=0.25, α=β=0.05. Each event adds
+    the log-likelihood-ratio increment (ln(p1/p0) on purchase, else
+    ln((1−p1)/(1−p0))); the walk stops at the first crossing of
+    ±ln(19). The SEQUENTIAL counterpart of two_proportion_ztest —
+    fixed-horizon tests need n chosen in advance, SPRT reads each
+    user's stream once and stops optimally (Wald-Wolfowitz), which is
+    exactly the early-exit shape a 100 TB quality gate wants. Reports
+    users by terminal decision with first-crossing step stats.
+
+    Exactness: the three LLR constants are PRECOMPUTED fixed-point
+    integer literals (floor(1e9·ln), identical in both engines — no
+    runtime transcendentals), so every cumulative sum and the
+    boundary compare are exact BIGINT arithmetic; the only double is
+    the final avg(step), round-6 gated.
+
+    Scale shape: the walk is a per-user window (partitioned cumsum —
+    no global window); crossings reduce per user; one k≤3-row final
+    group. At 100 TB the stream is naturally user-partitioned and the
+    walk is the streaming stateful twin's batch form."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(510825623))
+        .otherwise(F.lit(-125163143))
+        .cast("bigint")
+        .alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = inc.select(
+        "user_id",
+        F.sum("d").over(w).alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("step"),
+    )
+    crossed = (
+        walk.filter(
+            (F.col("cum") >= 2944438979) | (F.col("cum") <= -2944438979)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("step").alias("cross_step"),
+            F.min_by(
+                F.when(F.col("cum") >= 2944438979, F.lit("h1")).otherwise(
+                    F.lit("h0")
+                ),
+                "step",
+            ).alias("dec"),
+        )
+    )
+    allu = inc.select("user_id").distinct()
+    return (
+        allu.join(crossed, "user_id", "left")
+        .groupBy(F.coalesce(F.col("dec"), F.lit("open")).alias("decision"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("cross_step").cast("bigint").alias("min_cross_step"),
+            F.round(F.avg(F.col("cross_step").cast("double")), 6).alias(
+                "avg_cross_step"
+            ),
+        )
+    )
+
+
+@register(
+    "cramers_v_type_dow",
+    """
+    WITH e AS (
+      SELECT event_type,
+        (CAST(floor((epoch_ns(ts) / 1000) / 86400000000) AS BIGINT) % 7)
+          AS dow
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      FROM e GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+    chi AS (
+      SELECT min(nn.n) AS n,
+        CAST(count(DISTINCT o.event_type) AS BIGINT) AS r_k,
+        CAST(count(DISTINCT o.dow) AS BIGINT) AS c_k,
+        CAST(sum(CAST(o.o AS HUGEINT) * o.o * nn.n * 1000000000
+                 // (CAST(rt.r AS HUGEINT) * ct.c)) AS BIGINT) AS sfp
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dow), nn
+    )
+    SELECT n, r_k, c_k,
+      round(CAST(sfp AS DOUBLE) / 1e9 - n, 6) AS chi2,
+      round(sqrt((CAST(sfp AS DOUBLE) / 1e9 - n)
+                 / (n * (CASE WHEN r_k < c_k THEN r_k ELSE c_k END - 1))),
+            6) AS cramers_v
+    FROM chi
+    """,
+)
+def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and day-of-week — the normalized
+    EFFECT SIZE companion to chi_square_independence's test statistic
+    (χ² grows with n even for trivial association; V ∈ [0,1] is
+    comparable across tables, the quantity a feature-selection pass
+    actually thresholds). Uses χ² = n·(Σ o²/(r·c) − 1) so expected
+    counts never materialize. Day-of-week is the calendar-free
+    day-index mod 7 (floor(epoch_µs/86.4e9) % 7) — the same partition
+    of rows in both engines without touching dow conventions.
+
+    Exactness: Σ o²·n/(r·c) accumulates ×1e9 with per-term exact
+    integer FLOOR division (Spark DECIMAL(38,0) `div` ↔ DuckDB
+    HUGEINT `//`, both exact integral quotients — order-independent
+    BIGINT sums), so the value is bit-identical before the single
+    double assembly; round-6 on χ² and V.
+
+    Scale shape: one (type, dow) hash agg over the corpus, then all
+    work on ≤ r_k·c_k cells; marginals broadcast-join back to cells."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)) % 7
+        ).alias("dow"),
+    )
+    o = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("o").alias("c"))
+    nn = o.agg(F.sum("o").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nn))
+    )
+    chi = cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("r_k"),
+        F.countDistinct("dow").alias("c_k"),
+        F.sum(
+            F.expr(
+                "(CAST(o AS DECIMAL(38,0)) * o * n * 1000000000) div "
+                "(CAST(r AS DECIMAL(38,0)) * c)"
+            )
+        ).alias("sfp"),
+    )
+    chi2 = F.col("sfp").cast("double") / F.lit(1e9) - F.col("n")
+    mink = F.when(F.col("r_k") < F.col("c_k"), F.col("r_k")).otherwise(
+        F.col("c_k")
+    )
+    return chi.select(
+        "n",
+        "r_k",
+        "c_k",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * (mink - 1))), 6).alias(
+            "cramers_v"
+        ),
+    )

@@ -496,6 +496,127 @@ def q_triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_coefficient_copurchase",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.pa x, e1.pb y, e2.pb z
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    pern AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    cc AS (
+      SELECT d.node, d.degree, coalesce(p.n_triangles, 0) AS n_triangles,
+        round(2.0 * coalesce(p.n_triangles, 0)
+              / (d.degree * (d.degree - 1)), 6) AS local_cc
+      FROM deg d LEFT JOIN pern p ON p.node = d.node
+      WHERE d.degree >= 2
+    )
+    SELECT node AS part, degree, n_triangles, local_cc,
+      CAST(row_number() OVER (
+        ORDER BY local_cc DESC, n_triangles DESC, node ASC) AS BIGINT)
+        AS rank
+    FROM cc QUALIFY rank <= 20
+    """,
+)
+def q_clustering_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 parts by LOCAL CLUSTERING COEFFICIENT in the co-purchase
+    graph — 2·T(v)/(deg(v)·(deg(v)−1)), the fraction of a node's
+    neighbor pairs that are themselves connected. The normalized twin
+    of triangle_parts_copurchase's raw counts: triangles rank hubs,
+    the coefficient ranks tight LOCAL cliques regardless of degree —
+    the community-cohesion diagnostic (watts-strogatz small-world
+    statistic) a curation pipeline uses to find redundant product
+    clusters. Same deterministic 4/16 md5 node sample as the triangle
+    query, so the two certify the same graph.
+
+    Exactness: T and deg are exact BIGINTs; the coefficient is ONE
+    double division of exact integers (identical IEEE result in both
+    engines) rounded to 6 — no cross-row float accumulation.
+
+    Scale shape: degree aggregate + the oriented-wedge triangle count
+    (O(√m) fan-out bound, operators/graphs.py), a broadcast-size
+    left join of per-node frames (|V| rows), TakeOrderedAndProject
+    top-20. Nothing touches the corpus after the edge distinct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.graphs import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(e).withColumnRenamed("n_triangles", "_t")
+    cc = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("_t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            2.0
+            * F.coalesce(F.col("_t"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ).alias("local_cc"),
+    )
+    w = Window.orderBy(
+        F.desc("local_cc"), F.desc("n_triangles"), F.asc("node")
+    )
+    return (
+        cc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("node").alias("part"), "degree", "n_triangles",
+                "local_cc", "rank")
+    )
+
+
+@register(
     "multiset_ops_all",
     """
     WITH ev AS (SELECT user_id AS id FROM events WHERE event_type = 'purchase'),
