@@ -3477,3 +3477,145 @@ def test_streaming_good_turing_partials_finalize_equals_batch(
     assert (
         spark.table("gt_partials_tbl").select("win").distinct().count() >= 2
     )
+
+
+def test_streaming_shapley_partials_finalize_equals_batch(spark, tmp_path):
+    """Streaming twin of shapley_channel_attribution (15th mergeable-
+    twin member — incremental attribution): a user's coalition mask is
+    the bitwise OR of channel bits and conversion is a max, BOTH
+    mergeable across windows, so per-window (user, mask, conv)
+    partials from an append-mode watermarked aggregation OR/max-merge
+    into the exact per-user coalition table; the fixed-point 2⁴
+    Shapley lattice over the merged masks reproduces the batch
+    attribution BIT-identically (every φ is an exact integer sum,
+    plans/analytics.py:q_shapley_channel_attribution)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    channels = ["view", "click", "signup", "error"]
+    rows = []
+    for i in range(160):
+        user = i % 23
+        etype = (
+            "purchase"
+            if (i % 11) == 0
+            else channels[(i * 3 + user) % len(channels)]
+        )
+        rows.append(
+            {
+                "user_id": user,
+                "event_type": etype,
+                "ts": f"2024-01-{1 + i % 4:02d}T{(i * 5) % 24:02d}:00:00.000Z",
+            }
+        )
+    sentinel = {
+        "user_id": 999,
+        "event_type": "view",
+        "ts": "2024-02-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "shap_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "user_id long, event_type string, ts timestamp"
+    )
+    mask_bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    conv_bit = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "ts",
+            "user_id",
+            mask_bit.alias("mb"),
+            conv_bit.alias("cb"),
+        )
+    )
+    partials = stream.groupBy(
+        F.window("ts", "6 hours").alias("win"), "user_id"
+    ).agg(
+        F.expr("bit_or(mb)").alias("mask_w"),
+        F.max("cb").alias("conv_w"),
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("shap_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(per_user):
+        """(user, mask, conv) -> channel -> exact integer Σ24e9·φ:
+        the fixed-point lattice of q_shapley_channel_attribution."""
+        counts = {}
+        for r in per_user.collect():
+            nu, nc = counts.get(r.mask, (0, 0))
+            counts[r.mask] = (nu + 1, nc + r.conv)
+        vfp = {
+            m: (1_000_000_000 * nc) // nu for m, (nu, nc) in counts.items()
+        }
+        phi = {}
+        for c in range(4):
+            tot = 0
+            for m0 in range(16):
+                if (m0 >> c) & 1:
+                    continue
+                m1 = m0 | (1 << c)
+                k = bin(m0).count("1")
+                w = {0: 6, 1: 2, 2: 2, 3: 6}[k]
+                tot += w * (vfp.get(m1, 0) - vfp.get(m0, 0))
+            phi[c] = tot
+        return phi
+
+    streamed = (
+        spark.table("shap_partials_tbl")
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(mask_w)").alias("mask"),
+            F.max("conv_w").alias("conv"),
+        )
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["user_id"], r["event_type"]) for r in rows],
+            "user_id long, event_type string",
+        )
+        .select("user_id", mask_bit.alias("mb"), conv_bit.alias("cb"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(mb)").alias("mask"), F.max("cb").alias("conv"))
+    )
+    sc = {r.user_id: (r.mask, r.conv) for r in streamed.collect()}
+    bc = {r.user_id: (r.mask, r.conv) for r in batch.collect()}
+    # sentinel user only exists on the streamed side; drop before compare
+    sc.pop(999, None)
+    assert sc == bc and len(sc) == 23
+    assert finalize(streamed.filter(F.col("user_id") != 999)) == finalize(
+        batch
+    )
+    assert (
+        spark.table("shap_partials_tbl").select("win").distinct().count()
+        >= 2
+    )
