@@ -1318,3 +1318,55 @@ def test_mann_kendall_pairs_on_bounded_domain(spark):
     plan = _plan(spark, "mann_kendall_trend_daily")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_clustering_coefficient_take_ordered_top20(spark):
+    """The cc top-20 must be TakeOrderedAndProject with its rank
+    window on the 20 survivors (WindowGroupLimit rewrite); per-node
+    frames never pass through a single-partition exchange and the
+    wedge joins are all equi (no cartesian)."""
+    plan = _plan(spark, "clustering_coefficient_copurchase")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    win = plan.index("Window [row_number()")
+    tk = plan.index("TakeOrderedAndProject", win)
+    assert 0 < tk - win < 400  # adjacent operators, not a resort
+
+
+def test_friedman_windows_partitioned_by_day(spark):
+    """Friedman's rank machinery must run in per-day windows (k rows
+    each), never a global window; the only single-partition exchanges
+    are the 1-row dims/ties/final scalar aggregates."""
+    plan = _plan(spark, "friedman_event_counts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert "windowspecdefinition(day" in plan
+    # no global (unpartitioned) window: every spec opens with a
+    # partition column, not directly with an ordering spec
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_sprt_walk_is_per_user_window(spark):
+    """The SPRT walk is a per-user partitioned cumsum — no global
+    window, no single-partition exchange, no sort-merge join (the
+    crossed/all-users join rides broadcast or shuffled-hash at this
+    scale; what's pinned is that nothing serializes)."""
+    plan = _plan(spark, "sprt_purchase_decision")
+    assert "windowspecdefinition(user_id" in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_cramers_v_marginals_broadcast(spark):
+    """Cell/marginal joins on the ≤r·c contingency frames must ride
+    broadcast; single-partition exchanges only for the 1-row N scalar
+    and final assembly."""
+    plan = _plan(spark, "cramers_v_type_dow")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
