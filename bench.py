@@ -273,6 +273,10 @@ HEADLINE = [
     "entity_resolution_clusters",
     "heaps_law_vocab_growth",
     "markov_removal_attribution",
+    "clustering_coefficient_copurchase",
+    "friedman_event_counts",
+    "sprt_purchase_decision",
+    "cramers_v_type_dow",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is
