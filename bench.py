@@ -277,6 +277,8 @@ HEADLINE = [
     "friedman_event_counts",
     "sprt_purchase_decision",
     "cramers_v_type_dow",
+    "bh_fdr_high_value_rate",
+    "stratified_ate_urgent_orders",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

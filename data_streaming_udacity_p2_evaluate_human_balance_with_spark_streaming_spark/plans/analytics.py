@@ -9673,3 +9673,240 @@ def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v"
         ),
     )
+
+
+#: BH step-up z-thresholds for m=5 two-sided tests at α=0.05:
+#: thr_k = Φ⁻¹(1 − k·α/(2m)), precomputed (statistics.NormalDist) so
+#: NEITHER engine evaluates an inverse normal at runtime. p_(k) ≤ kα/m
+#: ⟺ |z|_(k) ≥ thr_k — BH on p-values without ever computing one.
+_BH_THRESHOLDS = (
+    (1, 2.575829304),
+    (2, 2.326347874),
+    (3, 2.170090378),
+    (4, 2.053748911),
+    (5, 1.959963985),
+)
+
+_BH_THR_SQL = "VALUES " + ", ".join(f"({k}, {t})" for k, t in _BH_THRESHOLDS)
+
+
+@register(
+    "bh_fdr_high_value_rate",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+        CASE WHEN value > 50 THEN 1 ELSE 0 END AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(hi) AS BIGINT) AS x
+      FROM e GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt
+      FROM per
+    ),
+    z AS (
+      SELECT event_type, n, x,
+        (CAST(x AS DOUBLE) / n
+         - CAST(tot.xt - x AS DOUBLE) / (tot.nt - n))
+        / sqrt((CAST(tot.xt AS DOUBLE) / tot.nt)
+               * (1.0 - CAST(tot.xt AS DOUBLE) / tot.nt)
+               * (1.0 / n + 1.0 / (tot.nt - n))) AS zval
+      FROM per, tot
+    ),
+    ranked AS (
+      SELECT event_type, n, x, zval,
+        CAST(row_number() OVER (
+          ORDER BY abs(zval) DESC, event_type ASC) AS BIGINT) AS p_rank
+      FROM z
+    ),
+    thr(k, thr) AS ({_BH_THR_SQL}),
+    cutoff AS (
+      SELECT coalesce(max(r.p_rank), 0) AS kmax
+      FROM ranked r JOIN thr ON thr.k = r.p_rank
+      WHERE abs(r.zval) >= thr.thr
+    )
+    SELECT r.event_type, r.n, r.x, round(r.zval, 6) AS z, r.p_rank,
+      r.p_rank <= cutoff.kmax AS rejected
+    FROM ranked r, cutoff
+    """,
+)
+def q_bh_fdr_high_value_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-type
+    high-value-rate tests: each event type's rate of value>50 events
+    is two-proportion-z tested against all OTHER types pooled, then
+    the FIVE simultaneous tests are BH step-up corrected at α=0.05 —
+    the multiple-testing discipline every per-segment test family in
+    this registry (welch/mannwhitney/two_proportion/…) needs before
+    anyone acts on its smallest p-value.
+
+    Transcendental-free: BH compares p_(k) ≤ kα/m, which for
+    two-sided z-tests is |z|_(k) ≥ Φ⁻¹(1−kα/2m) — the five inverse-
+    normal thresholds are PRECOMPUTED literals shared by both engines
+    (_BH_THRESHOLDS), and z itself is one shared arithmetic tree over
+    exact BIGINT counts (+,−,×,÷,sqrt are all IEEE correctly-rounded,
+    so the doubles are bit-identical cross-engine — no erf anywhere).
+    Step-up: reject ranks 1..kmax where kmax is the LARGEST k passing,
+    exactly the BH rule (not step-down).
+
+    Scale shape: one hash agg over the corpus; everything after is a
+    k=5-row frame (broadcast scalar total, k-row window, k-row
+    threshold join)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"), F.sum("x").alias("xt")
+    )
+    z = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "x",
+        (
+            (
+                F.col("x").cast("double") / F.col("n")
+                - (F.col("xt") - F.col("x")).cast("double")
+                / (F.col("nt") - F.col("n"))
+            )
+            / F.sqrt(
+                (F.col("xt").cast("double") / F.col("nt"))
+                * (
+                    F.lit(1.0)
+                    - F.col("xt").cast("double") / F.col("nt")
+                )
+                * (
+                    F.lit(1.0) / F.col("n")
+                    + F.lit(1.0) / (F.col("nt") - F.col("n"))
+                )
+            )
+        ).alias("zval"),
+    )
+    w = Window.orderBy(F.abs(F.col("zval")).desc(), F.col("event_type").asc())
+    ranked = z.withColumn("p_rank", F.row_number().over(w).cast("bigint"))
+    thr = spark.createDataFrame(
+        list(_BH_THRESHOLDS), "k bigint, thr double"
+    )
+    cutoff = (
+        ranked.join(F.broadcast(thr), ranked["p_rank"] == thr["k"])
+        .filter(F.abs(F.col("zval")) >= F.col("thr"))
+        .agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("kmax"))
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "n",
+        "x",
+        F.round("zval", 6).alias("z"),
+        "p_rank",
+        (F.col("p_rank") <= F.col("kmax")).alias("rejected"),
+    )
+
+
+@register(
+    "stratified_ate_urgent_orders",
+    """
+    WITH o AS (
+      SELECT c.c_nationkey AS stratum,
+        CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+        CAST(o.o_totalprice AS DECIMAL(38, 6)) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT stratum,
+        CAST(count(*) AS BIGINT) AS n_s,
+        CAST(sum(tr) AS BIGINT) AS n_t,
+        CAST(sum(CASE WHEN tr = 1 THEN y END) AS DECIMAL(38, 6)) AS y_t,
+        CAST(sum(CASE WHEN tr = 0 THEN y END) AS DECIMAL(38, 6)) AS y_c
+      FROM o GROUP BY stratum
+    ),
+    ok AS (
+      SELECT * FROM s WHERE n_t > 0 AND n_s - n_t > 0
+    ),
+    nn AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ok)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_strata,
+      CAST(sum(n_t) AS BIGINT) AS n_treated,
+      CAST(sum(n_s - n_t) AS BIGINT) AS n_control,
+      round(sum((CAST(n_s AS DOUBLE) / nn.n)
+                * (CAST(y_t AS DOUBLE) / n_t
+                   - CAST(y_c AS DOUBLE) / (n_s - n_t))), 4) AS ate,
+      round(sum(CAST(y_t AS DOUBLE)) / sum(n_t)
+            - sum(CAST(y_c AS DOUBLE)) / sum(n_s - n_t), 4) AS naive_diff
+    FROM ok, nn
+    """,
+)
+def q_stratified_ate_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-stratification average treatment effect: the effect of
+    1-URGENT priority on order value, stratified by customer nation —
+    ATE = Σ_s (n_s/N)(ȳ_treated,s − ȳ_control,s) over strata with both
+    arms, next to the naive pooled difference it corrects. THE
+    confounding-adjustment baseline of the causal family (CUPED
+    reduces variance, diff-in-diff removes time trends; this removes
+    composition bias when treatment assignment varies by stratum).
+
+    Exactness: per-stratum sums accumulate in DECIMAL(38,6) (exact,
+    order-free — o_totalprice is decimal-born); each stratum
+    contributes one shared double expression; the cross-stratum sum
+    is ≤25 doubles of magnitude ~1e3 (ulp noise ~1e-12, round-4
+    gated ~1e8 safety factor).
+
+    Scale shape: one corpus join (customer dim broadcasts), one
+    (stratum) hash agg, then a ≤25-row frame with a broadcast scalar
+    N; final 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_nationkey").alias("stratum"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("y"),
+    )
+    s = o.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("tr").cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")))
+        .cast("decimal(38,6)")
+        .alias("y_t"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")))
+        .cast("decimal(38,6)")
+        .alias("y_c"),
+    )
+    ok = s.filter((F.col("n_t") > 0) & (F.col("n_s") - F.col("n_t") > 0))
+    nn = ok.agg(F.sum("n_s").alias("n"))
+    return ok.crossJoin(F.broadcast(nn)).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n_t").cast("bigint").alias("n_treated"),
+        F.sum(F.col("n_s") - F.col("n_t")).cast("bigint").alias("n_control"),
+        F.round(
+            F.sum(
+                (F.col("n_s").cast("double") / F.col("n"))
+                * (
+                    F.col("y_t").cast("double") / F.col("n_t")
+                    - F.col("y_c").cast("double")
+                    / (F.col("n_s") - F.col("n_t"))
+                )
+            ),
+            4,
+        ).alias("ate"),
+        F.round(
+            F.sum(F.col("y_t").cast("double")) / F.sum("n_t")
+            - F.sum(F.col("y_c").cast("double"))
+            / F.sum(F.col("n_s") - F.col("n_t")),
+            4,
+        ).alias("naive_diff"),
+    )

@@ -1370,3 +1370,24 @@ def test_cramers_v_marginals_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_bh_fdr_post_agg_frames_are_small(spark):
+    """Everything after the one corpus hash-agg is a k=5-row frame:
+    no sort-merge join, no cartesian; the single-partition exchanges
+    are the 1-row total/cutoff scalars and the k-row rank window."""
+    plan = _plan(spark, "bh_fdr_high_value_rate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 4
+
+
+def test_stratified_ate_broadcasts_dimension(spark):
+    """The orders→customer stratum join must broadcast the dim; after
+    the (stratum) agg everything is a ≤25-row frame (1-row N scalar +
+    final reduce are the only single-partition exchanges)."""
+    plan = _plan(spark, "stratified_ate_urgent_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2
