@@ -279,6 +279,12 @@ HEADLINE = [
     "cramers_v_type_dow",
     "bh_fdr_high_value_rate",
     "stratified_ate_urgent_orders",
+    "log_rank_conversion_survival",
+    "brown_forsythe_value_by_type",
+    "hodges_lehmann_click_vs_view",
+    "wasserstein_click_vs_view",
+    "degree_assortativity_copurchase",
+    "mmr_rerank_diverse_topk",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -9910,3 +9910,814 @@ def q_stratified_ate_urgent_orders(
             4,
         ).alias("naive_diff"),
     )
+
+
+@register(
+    "log_rank_conversion_survival",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    pur AS (
+      SELECT * FROM e WHERE event_type = 'purchase' AND cv IS NOT NULL
+    ),
+    gv AS (SELECT cv, count(*) AS t FROM pur GROUP BY cv),
+    cum AS (SELECT cv, t, sum(t) OVER (ORDER BY cv) AS c FROM gv),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pur),
+    cut AS (
+      SELECT min(cv) AS cut FROM cum, np WHERE c >= (9 * np.n + 9) // 10
+    ),
+    conv AS (
+      SELECT user_id, min(us) AS tc
+      FROM pur, cut WHERE pur.cv > cut.cut GROUP BY user_id
+    ),
+    peru AS (SELECT user_id, min(us) AS t0, max(us) AS tl FROM e GROUP BY 1),
+    surv AS (
+      SELECT peru.user_id % 2 AS g,
+        (COALESCE(conv.tc, peru.tl) - peru.t0) // 86400000000 AS dur,
+        CASE WHEN conv.tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM peru LEFT JOIN conv ON peru.user_id = conv.user_id
+    ),
+    cnt AS (
+      SELECT dur,
+        CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+      FROM surv GROUP BY dur
+    ),
+    ar AS (
+      SELECT d.dur, d.d0, d.d1,
+        CAST(sum(c.c1) AS BIGINT) AS n1, CAST(sum(c.c0) AS BIGINT) AS n0
+      FROM cnt d JOIN cnt c ON c.dur >= d.dur
+      WHERE d.d0 + d.d1 > 0
+      GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT d1,
+        CAST(d0 + d1 AS HUGEINT) * n1 * 1000000000000 // (n0 + n1) AS e1fp,
+        CASE WHEN n0 + n1 > 1 THEN
+          CAST(d0 + d1 AS HUGEINT) * n1 * n0 * (n0 + n1 - d0 - d1)
+            * 1000000000000
+            // (CAST(n0 + n1 AS HUGEINT) * (n0 + n1) * (n0 + n1 - 1))
+        ELSE 0 END AS vfp
+      FROM ar
+    ),
+    meta AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_users_g1,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_g0,
+        CAST(sum(ev) AS BIGINT) AS n_conv
+      FROM surv
+    ),
+    s AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        CAST(CAST(sum(e1fp) AS VARCHAR) AS DOUBLE) / 1e12 AS e1,
+        CAST(CAST(sum(vfp) AS VARCHAR) AS DOUBLE) / 1e12 AS v1
+      FROM terms
+    )
+    SELECT meta.n_users_g1, meta.n_users_g0, meta.n_conv, s.o1,
+      round(s.e1, 6) AS e1,
+      round(s.v1, 6) AS var1,
+      round((s.o1 - s.e1) / sqrt(s.v1), 6) AS z,
+      round((s.o1 - s.e1) * (s.o1 - s.e1) / s.v1, 6) AS chi2
+    FROM s, meta
+    """,
+)
+def q_log_rank_conversion_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test comparing two user cohorts' time-to-conversion
+    survival curves — the HYPOTHESIS-TEST companion to
+    `kaplan_meier_retention` (which draws a curve but cannot say
+    whether two cohorts differ). Entry = a user's first event;
+    conversion = first purchase whose value exceeds the in-query exact
+    90th-percentile purchase cut (an order statistic, so the event
+    definition is scale-invariant — an absolute threshold would go
+    vacuous as value ranges grow with SF, the r4 lesson); users who
+    never convert are right-CENSORED at their last observed event.
+    Cohorts split on user_id parity. At each death time d:
+    O1 = observed conversions in cohort 1, E1 = d·n1/n under H0,
+    V = d·(n1/n)(n0/n)(n−d)/(n−1); z = (ΣO1−ΣE1)/√ΣV.
+
+    Exactness: counts and at-risk sets are exact BIGINTs; per-term
+    E and V accumulate ×1e12 with exact integer floor division (Spark
+    DECIMAL(38,0) `div` ↔ DuckDB HUGEINT `//`), so the sums are
+    order-independent integers; decimal sums cross to double via
+    STRING (the r4 decimal→double two-rounding trap). The final z/χ²
+    assembly is one identical IEEE expression tree.
+
+    Scale shape: one per-user hash agg over the corpus (shuffle on
+    user_id), then everything lives on ≤ |distinct days| rows — the
+    at-risk table comes from a broadcast non-equi self-join of the
+    tiny per-day count frame (bounded by the calendar, not the data);
+    no windows over unaggregated rows."""
+    from ..operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    pur = e.filter(
+        (F.col("event_type") == "purchase") & F.col("cv").isNotNull()
+    )
+    gv = pur.groupBy("cv").agg(F.count(F.lit(1)).alias("t"))
+    cum = global_running_sum(gv, ["cv"], "t", "c")
+    np_ = pur.agg(F.count(F.lit(1)).alias("n"))
+    cut = (
+        cum.crossJoin(F.broadcast(np_))
+        .filter(F.col("c") >= F.expr("(9 * n + 9) div 10"))
+        .agg(F.min("cv").alias("cut"))
+    )
+    conv = (
+        pur.crossJoin(F.broadcast(cut))
+        .filter(F.col("cv") > F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tc"))
+    )
+    peru = e.groupBy("user_id").agg(
+        F.min("us").alias("t0"), F.max("us").alias("tl")
+    )
+    surv = peru.join(conv, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.expr(
+            "(coalesce(tc, tl) - t0) div 86400000000"
+        ).alias("dur"),
+        F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cnt = surv.groupBy("dur").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c0"),
+    )
+    d = cnt.filter(F.col("d0") + F.col("d1") > 0).alias("d")
+    c = cnt.alias("c")
+    ar = (
+        d.join(F.broadcast(c), F.col("c.dur") >= F.col("d.dur"))
+        .groupBy(
+            F.col("d.dur").alias("dur"),
+            F.col("d.d0").alias("d0"),
+            F.col("d.d1").alias("d1"),
+        )
+        .agg(
+            F.sum(F.col("c.c1")).alias("n1"),
+            F.sum(F.col("c.c0")).alias("n0"),
+        )
+    )
+    terms = ar.select(
+        "d1",
+        F.expr(
+            "(CAST(d0 + d1 AS DECIMAL(38,0)) * n1 * 1000000000000)"
+            " div (n0 + n1)"
+        ).alias("e1fp"),
+        F.expr(
+            "CASE WHEN n0 + n1 > 1 THEN"
+            " (CAST(d0 + d1 AS DECIMAL(38,0)) * n1 * n0"
+            "  * (n0 + n1 - d0 - d1) * 1000000000000)"
+            " div (CAST(n0 + n1 AS DECIMAL(38,0)) * (n0 + n1)"
+            "      * (n0 + n1 - 1))"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("vfp"),
+    )
+    meta = surv.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_users_g1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n_users_g0"),
+        F.sum("ev").alias("n_conv"),
+    )
+    s = terms.agg(
+        F.sum("d1").alias("o1"),
+        (
+            F.sum(F.col("e1fp").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.lit(1e12)
+        ).alias("e1"),
+        (
+            F.sum(F.col("vfp").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.lit(1e12)
+        ).alias("v1"),
+    )
+    zc = (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1"))
+    return s.crossJoin(F.broadcast(meta)).select(
+        "n_users_g1",
+        "n_users_g0",
+        "n_conv",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v1", 6).alias("var1"),
+        F.round(zc, 6).alias("z"),
+        F.round(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v1"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "brown_forsythe_value_by_type",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT event_type, cv, count(*) AS t FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, cv, t,
+        sum(t) OVER (PARTITION BY event_type ORDER BY cv) AS cumin
+      FROM gv
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(t) AS BIGINT) AS nt FROM gv GROUP BY 1
+    ),
+    med AS (
+      SELECT c.event_type,
+        max(CASE WHEN c.cumin - c.t < (tot.nt + 1) // 2
+                  AND (tot.nt + 1) // 2 <= c.cumin THEN c.cv END)
+        + max(CASE WHEN c.cumin - c.t < (tot.nt + 2) // 2
+                    AND (tot.nt + 2) // 2 <= c.cumin THEN c.cv END) AS m2
+      FROM c JOIN tot USING (event_type) GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type, abs(2 * e.cv - med.m2) AS z
+      FROM e JOIN med USING (event_type)
+    ),
+    gr AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(z) AS HUGEINT) AS s,
+        CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+      FROM z GROUP BY 1
+    ),
+    fin AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+        CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(s * s // n) AS HUGEINT) AS a,
+        CAST(sum(s) AS HUGEINT) AS st,
+        CAST(sum(q) AS HUGEINT) AS qt
+      FROM gr
+    )
+    SELECT nn AS n, k,
+      CAST(a - st * st // nn AS BIGINT) AS ssb,
+      CAST(qt - a AS BIGINT) AS ssw,
+      round(
+        (CAST(nn - k AS DOUBLE) * CAST(a - st * st // nn AS BIGINT))
+        / (CAST(k - 1 AS DOUBLE) * CAST(qt - a AS BIGINT)), 6) AS f_stat
+    FROM fin
+    """,
+)
+def q_brown_forsythe_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene with MEDIAN
+    centers) on `value` across event types — the missing assumption
+    check behind `anova_value_by_type` (ANOVA's F is only calibrated
+    under equal group variances; BF is the robust standard test for
+    that premise). One-way ANOVA F applied to absolute deviations from
+    each group's exact MEDIAN.
+
+    Exactness: values quantize to cv = round(100·value) (the
+    mood_median convention, proven cross-engine); group medians are
+    exact order statistics found by cumulative counts over distinct
+    values — DOUBLED (vlo+vhi) so half-integer medians stay BIGINT,
+    and z = |2·cv − m2| is the doubled deviation (the ×2 cancels in
+    F's ratio). Sg, Qg = Σz, Σz² are exact integers; SSB/SSW assemble
+    via exact integer floor division (DECIMAL(38,0) div ↔ HUGEINT //,
+    quotients ≤ ~2.5e14 so Spark's LONG div result cannot overflow);
+    the ≤6-unit floor slack is ~1e-13 relative and identical in both
+    engines. One double ratio at the end.
+
+    Scale shape: distinct-value hash agg → per-type cumulative counts
+    via the two-pass global_running_sum + triangular type-offset
+    broadcast (no per-type window over raw rows); medians broadcast
+    back (k rows); two more hash aggs. Nothing global-windowed."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+    )
+    gv = e.groupBy("event_type", "cv").agg(F.count(F.lit(1)).alias("t"))
+    c = global_running_sum(gv, ["event_type", "cv"], "t", "gcum")
+    tot = gv.groupBy("event_type").agg(F.sum("t").alias("nt"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(
+            F.broadcast(b),
+            F.col("b.event_type") < F.col("a.event_type"),
+            "left",
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.coalesce(F.sum("b.nt"), F.lit(0)).alias("off"),
+            F.max("a.nt").alias("nt"),
+        )
+    )
+    j = c.join(F.broadcast(off), "event_type").withColumn(
+        "cumin", F.col("gcum") - F.col("off")
+    )
+    plo = F.expr("(nt + 1) div 2")
+    phi = F.expr("(nt + 2) div 2")
+    med = j.groupBy("event_type").agg(
+        (
+            F.max(
+                F.when(
+                    (F.col("cumin") - F.col("t") < plo)
+                    & (plo <= F.col("cumin")),
+                    F.col("cv"),
+                )
+            )
+            + F.max(
+                F.when(
+                    (F.col("cumin") - F.col("t") < phi)
+                    & (phi <= F.col("cumin")),
+                    F.col("cv"),
+                )
+            )
+        ).alias("m2")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("cv") - F.col("m2")).alias("z")
+    )
+    gr = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("z") * F.col("z")).cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    fin = gr.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("(s * s) div n").cast("decimal(38,0)")).alias("a"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+    )
+    ssb = F.expr("CAST(a - ((st * st) div nn) AS BIGINT)")
+    ssw = F.expr("CAST(qt - a AS BIGINT)")
+    return fin.select(
+        F.col("nn").alias("n"),
+        "k",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        F.round(
+            ((F.col("nn") - F.col("k")).cast("double") * ssb)
+            / ((F.col("k") - 1).cast("double") * ssw),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "hodges_lehmann_click_vs_view",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    x AS (SELECT h, CAST(sum(cv) AS BIGINT) AS xc FROM e
+          WHERE event_type = 'click' GROUP BY h),
+    y AS (SELECT h, CAST(sum(cv) AS BIGINT) AS yc FROM e
+          WHERE event_type = 'view' GROUP BY h),
+    meta AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS m,
+             (SELECT CAST(count(*) AS BIGINT) FROM y) AS n
+    ),
+    dv AS (
+      SELECT x.xc - y.yc AS d, CAST(count(*) AS BIGINT) AS t
+      FROM x, y GROUP BY 1
+    ),
+    cum AS (SELECT d, t, sum(t) OVER (ORDER BY d) AS c FROM dv),
+    sel AS (
+      SELECT
+        max(CASE WHEN c - t < (m * n + 1) // 2
+                  AND (m * n + 1) // 2 <= c THEN d END) AS dlo,
+        max(CASE WHEN c - t < (m * n + 2) // 2
+                  AND (m * n + 2) // 2 <= c THEN d END) AS dhi,
+        max(m) AS m, max(n) AS n
+      FROM cum, meta
+    )
+    SELECT m AS m_hours, n AS n_hours, m * n AS n_pairs,
+      round(CAST(dlo + dhi AS DOUBLE) / 200.0, 6) AS hl_shift
+    FROM sel
+    """,
+)
+def q_hodges_lehmann_click_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann shift estimator between click and view HOURLY
+    volumes: the median of all m·n pairwise differences — the robust
+    EFFECT-SIZE companion to `mannwhitney_u_click_view` (U says the
+    distributions differ; HL says BY HOW MUCH, with 0.29 breakdown
+    robustness where a difference of means has none). The hourly
+    measure is the SUM of quantized values (hourly event counts are
+    equal across types by fixture construction — a count-based shift
+    is identically 0 at every SF and certifies nothing, the r4
+    vacuousness lesson; value mass genuinely differs).
+
+    Exactness: hourly value sums are exact BIGINTs (cv = round(100·v),
+    the mood_median convention), so every pairwise
+    difference is an integer; the median is an exact order statistic
+    over the difference multiset (doubled-position trick: dlo + dhi
+    keeps the half-integer median exact until one final /2.0).
+
+    Scale shape: HL on raw samples is O(N²) and unbounded — this query
+    deliberately estimates the shift between TIME-BUCKET aggregates,
+    so the pair space is |hours|² (calendar-bounded, independent of
+    row count). Per-hour hash aggs shrink the corpus first; the pair
+    join is a broadcast product of two tiny frames; the difference
+    median reuses the two-pass running-sum (no global window)."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value").isNotNull())
+    )
+    h = F.expr("unix_micros(ts) div 3600000000").alias("h")
+    cv = F.round(F.col("value") * 100).cast("bigint").alias("cv")
+    x = (
+        e.filter(F.col("event_type") == "click")
+        .select(h, cv)
+        .groupBy("h")
+        .agg(F.sum("cv").alias("xc"))
+    )
+    y = (
+        e.filter(F.col("event_type") == "view")
+        .select(h, cv)
+        .groupBy("h")
+        .agg(F.sum("cv").alias("yc"))
+    )
+    meta = x.agg(F.count(F.lit(1)).alias("m")).crossJoin(
+        F.broadcast(y.agg(F.count(F.lit(1)).alias("n")))
+    )
+    dv = (
+        x.crossJoin(F.broadcast(y))
+        .select((F.col("xc") - F.col("yc")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cum = global_running_sum(dv, ["d"], "t", "c")
+    plo = F.expr("(m * n + 1) div 2")
+    phi = F.expr("(m * n + 2) div 2")
+    sel = cum.crossJoin(F.broadcast(meta)).agg(
+        F.max(
+            F.when(
+                (F.col("c") - F.col("t") < plo) & (plo <= F.col("c")),
+                F.col("d"),
+            )
+        ).alias("dlo"),
+        F.max(
+            F.when(
+                (F.col("c") - F.col("t") < phi) & (phi <= F.col("c")),
+                F.col("d"),
+            )
+        ).alias("dhi"),
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+    )
+    return sel.select(
+        F.col("m").alias("m_hours"),
+        F.col("n").alias("n_hours"),
+        (F.col("m") * F.col("n")).alias("n_pairs"),
+        F.round(
+            (F.col("dlo") + F.col("dhi")).cast("double") / F.lit(200.0), 6
+        ).alias("hl_shift"),
+    )
+
+
+@register(
+    "wasserstein_click_vs_view",
+    """
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cv,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT cv, CAST(sum(a) AS BIGINT) AS t1,
+        CAST(sum(1 - a) AS BIGINT) AS t2
+      FROM e GROUP BY cv
+    ),
+    tot AS (
+      SELECT CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2
+      FROM g
+    ),
+    d AS (
+      SELECT cv,
+        sum(t1 * tot.n2 - t2 * tot.n1) OVER (ORDER BY cv) AS dc,
+        lead(cv) OVER (ORDER BY cv) AS nxt
+      FROM g, tot
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(CAST(sum(CAST(abs(dc) AS HUGEINT) * (nxt - cv))
+                  AS VARCHAR) AS DOUBLE) AS wfp
+      FROM d WHERE nxt IS NOT NULL
+    )
+    SELECT tot.n1, tot.n2, s.n_distinct + 1 AS n_values,
+      round(s.wfp / (CAST(tot.n1 AS DOUBLE) * tot.n2 * 100.0), 6) AS w1
+    FROM s, tot
+    """,
+)
+def q_wasserstein_click_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between the click and
+    view `value` distributions — the INTEGRAL companion to
+    `ks_two_sample_sources`' sup-norm: W1 = ∫|F1−F2| dx weights the
+    whole CDF gap by how far mass must move, the metric drift
+    monitors actually alert on (KS sees a spike, W1 sees the cost).
+
+    Exactness: W1 over the sorted distinct values v_i equals
+    Σ |F1(v_i)−F2(v_i)|·(v_{i+1}−v_i); with counts on the common
+    denominator n1·n2, each term is |cum(t1·n2 − t2·n1)| · Δcv — all
+    exact BIGINT products (|D| ≤ n1·n2, Δcv ≤ value span) summed in
+    DECIMAL(38,0), crossing to double via STRING (decimal→double
+    double-rounding trap), then ONE division by n1·n2·100.
+
+    Scale shape: one hash agg on distinct quantized values; the
+    cumulative mass-imbalance D(v) comes from the two-pass
+    global_running_sum and the neighbor gap from global_row_number +
+    an equi-join on rn+1 — no global window, no lead() over an
+    unbounded frame; everything after the first agg is
+    |distinct values|-sized."""
+    from ..operators.ranking import global_row_number, global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("a"),
+        )
+    )
+    g = e.groupBy("cv").agg(
+        F.sum("a").alias("t1"), F.sum(1 - F.col("a")).alias("t2")
+    )
+    tot = g.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
+    gs = g.crossJoin(F.broadcast(tot)).select(
+        "cv",
+        (
+            F.col("t1") * F.col("n2") - F.col("t2") * F.col("n1")
+        ).alias("sgn"),
+    )
+    rn = global_row_number(gs, ["cv"], rn_col="rn")
+    dc = global_running_sum(rn, ["cv"], "sgn", "dc")
+    l, r = dc.alias("l"), dc.alias("r")
+    terms = l.join(
+        r, F.col("l.rn") + 1 == F.col("r.rn"), "inner"
+    ).select(
+        F.col("l.dc").alias("dc"),
+        (F.col("r.cv") - F.col("l.cv")).alias("gap"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            (F.abs(F.col("dc")) * F.col("gap")).cast("decimal(38,0)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("wfp"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        (F.col("n_distinct") + 1).alias("n_values"),
+        F.round(
+            F.col("wfp")
+            / (F.col("n1").cast("double") * F.col("n2") * F.lit(100.0)),
+            6,
+        ).alias("w1"),
+    )
+
+
+def _mmr_step_ctes(k_steps: int) -> str:
+    """Generate the unrolled MMR greedy steps as MATERIALIZED CTEs
+    (the markov_removal_attribution technique: DuckDB recursive CTEs
+    cannot re-aggregate over the working set per step, and without
+    AS MATERIALIZED the planner re-inlines each step's subtree
+    exponentially). Step k picks argmax(7·reln − 3·maxsim) over the
+    not-yet-selected candidates, maxsim = max Jaccard to the picks so
+    far; ties break on doc_id."""
+    parts = [
+        """sel1 AS MATERIALIZED (
+      SELECT doc_id, reln, CAST(0 AS BIGINT) AS maxsim,
+        7 * reln AS mmr, CAST(1 AS BIGINT) AS rank
+      FROM cand ORDER BY 7 * reln DESC, doc_id LIMIT 1
+    ),
+    selu1 AS MATERIALIZED (SELECT doc_id FROM sel1)"""
+    ]
+    for k in range(2, k_steps + 1):
+        km = k - 1
+        parts.append(
+            f"""sc{k} AS MATERIALIZED (
+      SELECT c.doc_id, c.reln, coalesce(max(sv.s), 0) AS ms
+      FROM cand c
+      LEFT JOIN simv sv ON sv.a = c.doc_id
+        AND sv.b IN (SELECT doc_id FROM selu{km})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM selu{km})
+      GROUP BY c.doc_id, c.reln
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT doc_id, reln, ms AS maxsim, 7 * reln - 3 * ms AS mmr,
+        CAST({k} AS BIGINT) AS rank
+      FROM sc{k} ORDER BY 7 * reln - 3 * ms DESC, doc_id LIMIT 1
+    ),
+    selu{k} AS MATERIALIZED (
+      SELECT doc_id FROM selu{km} UNION ALL SELECT doc_id FROM sel{k}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_MMR_K = 10
+
+_MMR_ORACLE = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, w FROM documents,
+        unnest(string_split(text, ' ')) AS t(w) WHERE w <> ''
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    top3 AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY w
+        ORDER BY cf DESC, w LIMIT 3)
+    ),
+    dfq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df
+      FROM tf JOIN top3 USING (w) GROUP BY w
+    ),
+    rels AS (
+      SELECT tf.doc_id,
+        CAST(sum(tf.tf * (1000000 // dfq.df)) AS BIGINT) AS rel
+      FROM tf JOIN dfq USING (w) GROUP BY tf.doc_id
+    ),
+    cand0 AS MATERIALIZED (
+      SELECT doc_id, rel FROM rels ORDER BY rel DESC, doc_id LIMIT 30
+    ),
+    rmax AS (SELECT max(rel) AS rm FROM cand0),
+    cand AS MATERIALIZED (
+      SELECT doc_id, rel * 1000000000 // rm AS reln FROM cand0, rmax
+    ),
+    ctok AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id, t.w
+      FROM tok t JOIN cand ON cand.doc_id = t.doc_id
+    ),
+    clen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS l
+             FROM ctok GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+      FROM ctok x JOIN ctok y ON x.w = y.w AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    simv AS MATERIALIZED (
+      SELECT a, b, i * 1000000000 // (la.l + lb.l - i) AS s
+      FROM inter JOIN clen la ON la.doc_id = inter.a
+                 JOIN clen lb ON lb.doc_id = inter.b
+      UNION ALL
+      SELECT b, a, i * 1000000000 // (la.l + lb.l - i)
+      FROM inter JOIN clen la ON la.doc_id = inter.a
+                 JOIN clen lb ON lb.doc_id = inter.b
+    ),
+    {_mmr_step_ctes(_MMR_K)}
+    SELECT rank, doc_id, reln, maxsim, mmr FROM (
+      {" UNION ALL ".join(f"SELECT * FROM sel{k}" for k in range(1, _MMR_K + 1))}
+    ) ORDER BY rank
+"""
+
+
+@register("mmr_rerank_diverse_topk", _MMR_ORACLE)
+def q_mmr_rerank_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: the diversity-aware
+    top-10 a RAG stack serves AFTER retrieval — bm25_topk/dirichlet
+    rank by relevance alone, so near-duplicate hits crowd the context
+    window; MMR greedily picks argmax λ·rel − (1−λ)·max-sim-to-picked
+    (λ = 0.7), trading the two off (Carbonell-Goldstein '98).
+
+    Candidate pool: top-30 docs by integer tf-idf relevance for the
+    top-3 collection-frequency terms (tf · (1e6 // df), the
+    sparse_cosine integer-weight discipline). Relevance normalizes to
+    reln = rel·1e9 // max-rel; doc-doc similarity is exact Jaccard on
+    distinct word sets as simv = |∩|·1e9 // |∪|. The greedy score
+    7·reln − 3·maxsim is pure BIGINT, so every pick (ties → doc_id)
+    is bit-identical cross-engine. The 10-step greedy runs as driver
+    Python ints over the COLLECTED candidate frame (30 rels + ≤435
+    pair sims — the bounded-domain-collect precedent of
+    markov_removal_attribution/BPE; the pool size, not the corpus,
+    bounds the collect); the oracle replays the identical integer
+    updates via 10 unrolled MATERIALIZED CTE steps.
+
+    Scale shape: corpus-side work is the tf/df hash aggs + one
+    TakeOrdered(30); pairwise similarity touches only the 30
+    candidates (token semi-join, then a 30×30 bounded pair join).
+    At 100 TB only the retrieval stage grows; the rerank stays O(k²)."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    top3 = (
+        tf.groupBy("w")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(3)
+        .select("w")
+    )
+    dfq = (
+        tf.join(F.broadcast(top3), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    rels = (
+        tf.join(F.broadcast(dfq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("1000000 div df")).alias("rel")
+        )
+    )
+    cand0 = rels.orderBy(F.desc("rel"), F.asc("doc_id")).limit(30)
+    rows = cand0.collect()
+    rm = max(r["rel"] for r in rows)
+    cand = {r["doc_id"]: (r["rel"] * 1000000000) // rm for r in rows}
+    cand_ids = sorted(cand)
+    cdf = spark.createDataFrame(
+        [(i,) for i in cand_ids], ["doc_id"]
+    )
+    ctok = (
+        tok.join(F.broadcast(cdf), "doc_id")
+        .select("doc_id", "w")
+        .distinct()
+    )
+    clen = ctok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("l"))
+    x, y = ctok.alias("x"), ctok.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.w") == F.col("y.w"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    la, lb = clen.alias("la"), clen.alias("lb")
+    simdf = (
+        inter.join(F.broadcast(la), F.col("la.doc_id") == F.col("a"))
+        .join(F.broadcast(lb), F.col("lb.doc_id") == F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr("i * 1000000000 div (la.l + lb.l - i)").alias("s"),
+        )
+    )
+    sims: dict[tuple, int] = {}
+    for r in simdf.collect():
+        sims[(r["a"], r["b"])] = r["s"]
+        sims[(r["b"], r["a"])] = r["s"]
+
+    selected: list[tuple] = []
+    remaining = set(cand_ids)
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for d in remaining:
+            ms = max(
+                (sims.get((d, s[1]), 0) for s in selected), default=0
+            )
+            mmr = 7 * cand[d] - 3 * ms
+            key = (-mmr, d)
+            if best is None or key < best[0]:
+                best = (key, d, ms, mmr)
+        _, d, ms, mmr = best
+        selected.append((rank, d, cand[d], ms, mmr))
+        remaining.discard(d)
+    return spark.createDataFrame(
+        selected, "rank bigint, doc_id bigint, reln bigint, "
+        "maxsim bigint, mmr bigint"
+    )

@@ -1759,3 +1759,122 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("ra_fp"), F.desc("common_neighbors"), "part_a", "part_b"
     )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "degree_assortativity_copurchase",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    ej AS (
+      SELECT da.d AS j, db.d AS k
+      FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+        CAST(sum(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+        CAST(sum(CAST(j AS HUGEINT) + k) AS HUGEINT) AS sj,
+        CAST(sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k)
+             AS HUGEINT) AS sj2
+      FROM ej
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nv.n_nodes, s.m AS n_edges,
+      round(
+        (CAST(CAST(2 * s.m * 2 * s.sjk - s.sj * s.sj AS VARCHAR) AS DOUBLE))
+        / (CAST(CAST(2 * s.m * s.sj2 - s.sj * s.sj AS VARCHAR) AS DOUBLE)),
+        6) AS assortativity
+    FROM s, nv
+    """,
+)
+def q_degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph — the
+    Pearson correlation of endpoint degrees over edges (positive:
+    hubs link to hubs; negative: hub-and-spoke). The one global
+    mixing statistic the graph family (triangles, clustering
+    coefficient, k-core, power-law MLE) still lacked: it tells a
+    sampler whether degree-stratified negatives are needed. Same
+    deterministic 4/16 md5 node sample as triangle_parts_copurchase,
+    so all graph queries certify the same graph.
+
+    Exactness: with both edge orientations as stubs, Σj = Σk and
+    Σj² = Σk², so r = (M'·Σjk − S²)/(M'·Σj² − S²) with M' = 2M,
+    Σjk/Σj²/S folded from the undirected edge list as exact integer
+    sums (DECIMAL(38,0) — S² ~1e20 overflows BIGINT); the two exact
+    integers cross to double via STRING (decimal→double two-rounding
+    trap) for ONE final division, round-6.
+
+    Scale shape: degree agg (|V| rows) broadcast-joins back onto the
+    edge list twice, then one reduce — no windows, no self-join beyond
+    the shared co-purchase edge build."""
+    from pyspark.sql import functions as F
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ej = (
+        e.join(F.broadcast(da), F.col("da.node") == F.col("pa"))
+        .join(F.broadcast(db), F.col("db.node") == F.col("pb"))
+        .select(F.col("da.d").alias("j"), F.col("db.d").alias("k"))
+    )
+    jd = F.col("j").cast("decimal(38,0)")
+    kd = F.col("k").cast("decimal(38,0)")
+    s = ej.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(jd * F.col("k")).alias("sjk"),
+        F.sum(jd + F.col("k")).alias("sj"),
+        F.sum(jd * F.col("j") + kd * F.col("k")).alias("sj2"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.expr(
+        "CAST(CAST(2 * m * 2 * sjk - sj * sj AS STRING) AS DOUBLE)"
+    )
+    den = F.expr(
+        "CAST(CAST(2 * m * sj2 - sj * sj AS STRING) AS DOUBLE)"
+    )
+    return s.crossJoin(F.broadcast(nv)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -1391,3 +1391,65 @@ def test_stratified_ate_broadcasts_dimension(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_log_rank_at_risk_join_is_broadcast(spark):
+    """The log-rank at-risk table comes from a broadcast non-equi
+    self-join of the tiny per-day count frame — never a cartesian
+    product — and the only windows are the two-pass helper's per-_pid
+    cumsums (no global window over unaggregated rows)."""
+    plan = _plan(spark, "log_rank_conversion_survival")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    for schema in m:
+        assert set(schema.split(",")) <= {
+            "user_id:bigint",
+            "ts:timestamp",
+            "ts:timestamp_ntz",
+            "event_type:string",
+            "value:double",
+        }, schema
+
+
+def test_brown_forsythe_median_join_broadcast(spark):
+    """Per-type medians (k rows) must broadcast back onto the corpus;
+    cumulative counts ride the two-pass helper (per-_pid windows
+    only); no cartesian product anywhere."""
+    plan = _plan(spark, "brown_forsythe_value_by_type")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_hodges_lehmann_pair_join_broadcast(spark):
+    """The m·n difference product is a broadcast nested-loop over two
+    calendar-bounded hourly frames (never CartesianProduct), and the
+    difference-median machinery is the per-_pid two-pass form."""
+    plan = _plan(spark, "hodges_lehmann_click_vs_view")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_wasserstein_no_global_window(spark):
+    """W1's cumulative mass imbalance and neighbor gap must come from
+    the two-pass helpers (per-_pid windows, rn+1 equi-join) — no
+    global lead()/running-sum window, no cartesian product."""
+    plan = _plan(spark, "wasserstein_click_vs_view")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_assortativity_degree_joins_broadcast(spark):
+    """Endpoint-degree lookups must broadcast the |V|-row degree frame
+    onto the edge list (never sort-merge both sides of the tiny dim);
+    no cartesian product; the final stats are one reduce."""
+    plan = _plan(spark, "degree_assortativity_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

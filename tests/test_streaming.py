@@ -3619,3 +3619,273 @@ def test_streaming_shapley_partials_finalize_equals_batch(spark, tmp_path):
         spark.table("shap_partials_tbl").select("win").distinct().count()
         >= 2
     )
+
+
+def test_streaming_cramers_v_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of cramers_v_type_dow (16th mergeable-twin
+    member): the sufficient statistics are the r×c contingency CELL
+    COUNTS — plain mergeable sums — so per-window (event_type, dow, o)
+    partials from an append-mode watermarked aggregation, merged by
+    cell and pushed through the SAME fixed-point χ²/V assembly as the
+    batch query (exact integer floor division, order-free), reproduce
+    the batch statistic BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    types = ["view", "click", "purchase"]
+    rows = [
+        {
+            "event_id": i,
+            "event_type": types[(i * i + 5 * i) % 13 % len(types)],
+            "ts": f"2024-01-{1 + (i * 7 + i // 9) % 14:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(700)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "ts": "2024-03-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "cramers_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    dow = (
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)) % 7
+    ).alias("dow")
+    partials = stream.groupBy(
+        F.window("ts", "12 hours").alias("win"),
+        "event_type",
+        dow,
+    ).agg(F.count(F.lit(1)).alias("o"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("cramers_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cells):
+        """(event_type, dow, o) -> exact-integer sfp + doubles: the
+        arithmetic of plans/analytics.py q_cramers_v_type_dow."""
+        rt = (
+            cells.groupBy("event_type")
+            .agg(F.sum("o").alias("r"))
+            .select(F.col("event_type").alias("_et"), "r")
+        )
+        ct = (
+            cells.groupBy("dow")
+            .agg(F.sum("o").alias("c"))
+            .select(F.col("dow").alias("_dw"), "c")
+        )
+        nn = cells.agg(F.sum("o").alias("n"))
+        full = (
+            cells.join(
+                F.broadcast(rt), F.col("event_type") == F.col("_et")
+            )
+            .join(F.broadcast(ct), F.col("dow") == F.col("_dw"))
+            .crossJoin(F.broadcast(nn))
+        )
+        r = full.agg(
+            F.max("n").alias("n"),
+            F.countDistinct("event_type").alias("rk"),
+            F.countDistinct("dow").alias("ck"),
+            F.sum(
+                F.expr(
+                    "(CAST(o AS DECIMAL(38,0)) * o * n * 1000000000) div "
+                    "(CAST(r AS DECIMAL(38,0)) * c)"
+                )
+            ).alias("sfp"),
+        ).collect()[0]
+        chi2 = float(r.sfp) / 1e9 - r.n
+        return (r.n, r.rk, r.ck, str(r.sfp), repr(chi2))
+
+    streamed = (
+        spark.table("cramers_partials_tbl")
+        .groupBy("event_type", "dow")
+        .agg(F.sum("o").alias("o"))
+    )
+    batch_cells = (
+        spark.createDataFrame(
+            [(r["event_type"], r["ts"]) for r in rows],
+            "event_type string, ts string",
+        )
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("event_type", dow)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sc = {(r.event_type, r.dow): r.o for r in streamed.collect()}
+    bc = {(r.event_type, r.dow): r.o for r in batch_cells.collect()}
+    assert sc == bc and sum(sc.values()) == 700
+    assert len({k[1] for k in sc}) >= 5  # several dow columns observed
+    assert finalize(streamed) == finalize(batch_cells)
+    assert (
+        spark.table("cramers_partials_tbl")
+        .select("win")
+        .distinct()
+        .count()
+        >= 2
+    )
+
+
+def test_streaming_wasserstein_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of wasserstein_click_vs_view (17th mergeable-twin
+    member): the sufficient statistic is the per-distinct-value
+    HISTOGRAM (cv, t1, t2) — mergeable sums — so per-window partials
+    merged by cv and pushed through the same exact-integer W1 assembly
+    (cum mass imbalance × neighbor gap on the common n1·n2
+    denominator) reproduce the batch distance BIT-identically. This is
+    the incremental distribution-drift monitor: each window ships a
+    tiny histogram delta; W1 re-finalizes from the merged histogram."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "click" if (i * i + i) % 5 < 2 else "view",
+            "value": ((i * 37) % 97) + (0.25 if i % 2 else 0.5),
+            "ts": f"2024-01-{1 + i % 9:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(800)
+    ]
+    sentinel = {
+        "event_id": 999999,
+        "event_type": "view",
+        "value": 1.0,
+        "ts": "2024-03-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "w1_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, value double, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    cv = F.round(F.col("value") * 100).cast("bigint").alias("cv")
+    a = F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a")
+    partials = (
+        stream.select("ts", cv, a)
+        .groupBy(F.window("ts", "12 hours").alias("win"), "cv")
+        .agg(
+            F.sum("a").alias("t1"),
+            F.sum(1 - F.col("a")).alias("t2"),
+        )
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("w1_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(hist):
+        """(cv, t1, t2) histogram -> (n1, n2, repr(w1)): the exact
+        arithmetic of plans/analytics.py q_wasserstein_click_vs_view
+        (test-side uses a plain window — fixture-sized input)."""
+        tot = hist.agg(
+            F.sum("t1").alias("n1"), F.sum("t2").alias("n2")
+        )
+        w = Window.orderBy("cv").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        full = hist.crossJoin(F.broadcast(tot)).select(
+            "cv",
+            "n1",
+            "n2",
+            F.sum(
+                F.col("t1") * F.col("n2") - F.col("t2") * F.col("n1")
+            )
+            .over(w)
+            .alias("dc"),
+            F.lead("cv").over(Window.orderBy("cv")).alias("nxt"),
+        )
+        r = (
+            full.filter(F.col("nxt").isNotNull())
+            .agg(
+                F.max("n1").alias("n1"),
+                F.max("n2").alias("n2"),
+                F.sum(
+                    (F.abs(F.col("dc")) * (F.col("nxt") - F.col("cv")))
+                    .cast("decimal(38,0)")
+                ).alias("wfp"),
+            )
+            .collect()[0]
+        )
+        w1 = float(str(r.wfp)) / (r.n1 * r.n2 * 100.0)
+        return (r.n1, r.n2, str(r.wfp), repr(w1))
+
+    streamed = (
+        spark.table("w1_partials_tbl")
+        .groupBy("cv")
+        .agg(F.sum("t1").alias("t1"), F.sum("t2").alias("t2"))
+    )
+    batch_hist = (
+        spark.createDataFrame(
+            [(r["event_type"], r["value"]) for r in rows],
+            "event_type string, value double",
+        )
+        .select(cv, a)
+        .groupBy("cv")
+        .agg(F.sum("a").alias("t1"), F.sum(1 - F.col("a")).alias("t2"))
+    )
+    sc = {r.cv: (r.t1, r.t2) for r in streamed.collect()}
+    bc = {r.cv: (r.t1, r.t2) for r in batch_hist.collect()}
+    assert sc == bc and sum(v[0] + v[1] for v in sc.values()) == 800
+    fs, fb = finalize(streamed), finalize(batch_hist)
+    assert fs == fb
+    assert float(fs[3]) > 0.0  # drift actually present, not vacuous
+    assert (
+        spark.table("w1_partials_tbl").select("win").distinct().count()
+        >= 2
+    )
