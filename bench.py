@@ -285,6 +285,8 @@ HEADLINE = [
     "wasserstein_click_vs_view",
     "degree_assortativity_copurchase",
     "mmr_rerank_diverse_topk",
+    "ndcg_mrr_dense_retrieval",
+    "cohens_kappa_lang_id",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -10050,6 +10050,15 @@ def q_log_rank_conversion_survival(
         ).alias("dur"),
         F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("ev"),
     )
+    return log_rank_from_surv(surv)
+
+
+def log_rank_from_surv(surv: DataFrame) -> DataFrame:
+    """Log-rank assembly over a (g, dur, ev) survival frame — shared
+    by the batch query and the streaming twin test so both run the
+    IDENTICAL Column tree (the digest_term precedent): per-duration
+    death/at-risk counts via the broadcast non-equi self-join, exact
+    fixed-point E/V terms, one final z/chi-square row."""
     cnt = surv.groupBy("dur").agg(
         F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0)).alias("d0"),
@@ -10720,4 +10729,222 @@ def q_mmr_rerank_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank bigint, doc_id bigint, reln bigint, "
         "maxsim bigint, mmr bigint"
+    )
+
+
+#: nDCG discount weights floor(1e12 / log2(r+1)) for ranks 1..10,
+#: precomputed in Python (the _BH_THRESHOLDS recipe: neither engine
+#: evaluates a log at runtime — rank weights enter as shared literals,
+#: so the DCG sum is exact integer arithmetic).
+_NDCG_W = (
+    1000000000000,
+    630929753571,
+    500000000000,
+    430676558073,
+    386852807234,
+    356207187108,
+    333333333333,
+    315464876785,
+    301029995663,
+    289064826317,
+)
+
+_NDCG_W_SQL = "VALUES " + ", ".join(
+    f"({r + 1}, CAST({w} AS BIGINT))" for r, w in enumerate(_NDCG_W)
+)
+
+
+@register(
+    "ndcg_mrr_dense_retrieval",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+      FROM base
+    ),
+    codes AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS q
+      FROM scaled
+    ),
+    normed AS (
+      SELECT vec_id, q,
+        sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+             AS DOUBLE)) AS qn
+      FROM codes
+    ),
+    ranked AS (
+      SELECT neighbor_id, rank FROM (
+        SELECT c.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (ORDER BY
+            CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
+              i -> CAST(qs.q[i] AS BIGINT) * c.q[i])) AS DOUBLE)
+              / (qs.qn * c.qn) DESC,
+            c.vec_id ASC) AS rank
+        FROM normed qs, normed c
+        WHERE qs.vec_id = 0 AND c.vec_id <> 0
+      ) WHERE rank <= 10
+    ),
+    tok AS (
+      SELECT doc_id, w FROM documents,
+        unnest(string_split(text, ' ')) AS t(w) WHERE w <> ''
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    top12 AS (
+      SELECT w, cf FROM (
+        SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY w
+        ORDER BY cf DESC, w LIMIT 12)
+    ),
+    qterms AS (
+      SELECT w FROM (SELECT w FROM top12 ORDER BY cf ASC, w DESC LIMIT 3)
+    ),
+    grades AS (
+      SELECT tf.doc_id, CAST(count(DISTINCT tf.w) AS BIGINT) AS grade
+      FROM tf JOIN qterms USING (w) GROUP BY tf.doc_id
+    ),
+    wt(rank, wt) AS ({_NDCG_W_SQL}),
+    dcg AS (
+      SELECT CAST(sum(coalesce(g.grade, 0) * wt.wt) AS BIGINT) AS dcg_fp,
+        min(CASE WHEN coalesce(g.grade, 0) = 3 THEN ranked.rank END)
+          AS first_rel,
+        CAST(sum(CASE WHEN coalesce(g.grade, 0) >= 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rel
+      FROM ranked JOIN wt USING (rank)
+      LEFT JOIN grades g ON g.doc_id = ranked.neighbor_id
+    ),
+    ideal AS (
+      SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC, vec_id ASC)
+        AS rank
+      FROM (
+        SELECT b.vec_id, coalesce(g.grade, 0) AS grade
+        FROM base b LEFT JOIN grades g ON g.doc_id = b.vec_id
+        WHERE b.vec_id <> 0
+      ) QUALIFY rank <= 10
+    ),
+    idcg AS (
+      SELECT CAST(sum(ideal.grade * wt.wt) AS BIGINT) AS idcg_fp
+      FROM ideal JOIN wt USING (rank)
+    )
+    SELECT dcg.dcg_fp, idcg.idcg_fp,
+      round(CAST(dcg.dcg_fp AS DOUBLE) / idcg.idcg_fp, 6) AS ndcg10,
+      round(coalesce(1.0 / dcg.first_rel, 0.0), 6) AS mrr,
+      round(CAST(dcg.n_rel AS DOUBLE) / 10.0, 6) AS p_at_10
+    FROM dcg, idcg
+    """,
+)
+def q_ndcg_mrr_dense_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """nDCG@10 / MRR / precision@10 of the DENSE (int8-quantized
+    cosine) retrieval for query vector 0, graded by LEXICAL relevance
+    — the standard hybrid-stack evaluation row: does embedding
+    retrieval surface documents that actually contain the query's
+    terms? (Grading the lexical ranking by its own terms is
+    tautologically all-3s on this corpus — measured — so the metric
+    is only non-vacuous across modalities.) Grades = number of the 3
+    query terms (collection-frequency ranks 10-12, the probed spread)
+    present in the doc, 0..3; a retrievable vector with no doc text
+    grades 0.
+
+    Exactness: ranks come from the integer-dot quantized scorer
+    (ann_quantized_topk's proven-parity scoring); grades are exact
+    integers; the log2 discounts enter as shared Python-precomputed
+    literals (_NDCG_W, the _BH_THRESHOLDS recipe), so DCG/IDCG are
+    exact BIGINT sums (≤3e13, double-safe) with two final divisions.
+
+    Scale shape: one broadcast-query scan over the embedding corpus
+    (the quantized_topk plan), tf/cf hash aggs for grades, and two
+    TakeOrdered(10) windows (WindowGroupLimit) — nothing global."""
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ranked = quantized_topk(emb, qdf, k=10).select("neighbor_id", "rank")
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    top12 = (
+        tf.groupBy("w")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(12)
+    )
+    qterms = top12.orderBy(F.asc("cf"), F.desc("w")).limit(3).select("w")
+    grades = (
+        tf.join(F.broadcast(qterms), "w")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").alias("grade"))
+    )
+    wt = F.element_at(
+        F.array(*[F.lit(w) for w in _NDCG_W]), F.col("rank")
+    )
+    g = F.coalesce(F.col("grade"), F.lit(0))
+    dcg = (
+        ranked.join(
+            F.broadcast(grades),
+            F.col("doc_id") == F.col("neighbor_id"),
+            "left",
+        )
+        .select("rank", g.alias("g"))
+        .agg(
+            F.sum(F.col("g") * wt).alias("dcg_fp"),
+            F.min(
+                F.when(F.col("g") == 3, F.col("rank"))
+            ).alias("first_rel"),
+            F.sum(
+                F.when(F.col("g") >= 2, 1).otherwise(0)
+            ).alias("n_rel"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .join(
+            F.broadcast(grades),
+            F.col("doc_id") == F.col("vec_id"),
+            "left",
+        )
+        .select("vec_id", g.alias("grade"))
+    )
+    ideal = (
+        cands.withColumn(
+            "rank",
+            F.row_number().over(
+                _W.orderBy(F.desc("grade"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("grade", "rank")
+    )
+    idcg = ideal.select(
+        (F.col("grade") * wt).alias("t")
+    ).agg(F.sum("t").alias("idcg_fp"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.col("dcg_fp").cast("bigint").alias("dcg_fp"),
+        F.col("idcg_fp").cast("bigint").alias("idcg_fp"),
+        F.round(
+            F.col("dcg_fp").cast("double") / F.col("idcg_fp"), 6
+        ).alias("ndcg10"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(F.col("n_rel").cast("double") / F.lit(10.0), 6).alias(
+            "p_at_10"
+        ),
     )

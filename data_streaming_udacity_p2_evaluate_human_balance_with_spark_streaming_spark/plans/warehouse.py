@@ -2737,3 +2737,92 @@ def q_duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.us") - F.col("a.us")).cast("bigint").alias("gap_us"),
         )
     )
+
+
+@register(
+    "cohens_kappa_lang_id",
+    f"""
+    WITH conf AS (
+      SELECT lang, {{pred}} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, lang_pred
+    ),
+    rows_m AS (SELECT lang AS lbl, CAST(sum(n) AS BIGINT) AS r
+               FROM conf GROUP BY 1),
+    cols_m AS (SELECT lang_pred AS lbl, CAST(sum(n) AS BIGINT) AS c
+               FROM conf GROUP BY 1),
+    tots AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT)
+          AS agree
+      FROM conf
+    ),
+    src AS (
+      SELECT CAST(sum(rows_m.r * cols_m.c) AS BIGINT) AS s
+      FROM rows_m JOIN cols_m USING (lbl)
+    )
+    SELECT tots.nn AS n_docs, tots.agree AS n_agree,
+      round(CAST(tots.agree AS DOUBLE) / tots.nn, 6) AS po,
+      round(CAST(src.s AS DOUBLE) / (CAST(tots.nn AS DOUBLE) * tots.nn), 6)
+        AS pe,
+      round(CAST(tots.nn * tots.agree - src.s AS DOUBLE)
+            / (tots.nn * tots.nn - src.s), 6) AS kappa
+    FROM tots, src
+    """.format(pred=_lang_pred_sql()),
+)
+def q_cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language classifier and the
+    labeled `lang` — the chance-corrected AGREEMENT summary of
+    lang_id_confusion's matrix (raw accuracy po rewards a classifier
+    that parrots the majority class; kappa subtracts the marginal-
+    product chance rate pe). The single go/no-go number an ingest
+    pipeline thresholds before trusting the classifier to route a
+    crawl.
+
+    Exactness: kappa = (N·agree − Σ r·c)/(N² − Σ r·c) on exact BIGINT
+    cell counts and marginals — integer until three final double
+    divisions (round-6).
+
+    Scale shape: one scan into a ≤|langs|² hash aggregate (the
+    confusion build lang_id_confusion already certifies), then all
+    arithmetic on ≤|langs| rows; the marginal join is |langs|-sized."""
+    from ..operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_m = conf.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("n").alias("r")
+    )
+    cols_m = conf.groupBy(F.col("lang_pred").alias("lbl")).agg(
+        F.sum("n").alias("c")
+    )
+    tots = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(
+                0
+            )
+        ).alias("agree"),
+    )
+    src = (
+        rows_m.join(F.broadcast(cols_m), "lbl")
+        .agg(F.sum(F.col("r") * F.col("c")).alias("s"))
+    )
+    return tots.crossJoin(F.broadcast(src)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(F.col("agree").cast("double") / F.col("nn"), 6).alias("po"),
+        F.round(
+            F.col("s").cast("double")
+            / (F.col("nn").cast("double") * F.col("nn")),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("nn") * F.col("agree") - F.col("s")).cast("double")
+            / (F.col("nn") * F.col("nn") - F.col("s")),
+            6,
+        ).alias("kappa"),
+    )

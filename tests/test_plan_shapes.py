@@ -1453,3 +1453,23 @@ def test_assortativity_degree_joins_broadcast(spark):
     plan = _plan(spark, "degree_assortativity_copurchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ndcg_rankings_take_ordered(spark):
+    """Both top-10 rankings (quantized retrieval per query-partition,
+    ideal by grade) must ride WindowGroupLimit/TakeOrdered shapes over
+    aggregated frames; grade/weight joins broadcast; no cartesian."""
+    plan = _plan(spark, "ndcg_mrr_dense_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_cohens_kappa_post_agg_tiny(spark):
+    """Everything after the one corpus scan is a ≤|langs|²-row frame:
+    marginal join broadcasts, no sort-merge join, no cartesian; the
+    single-partition exchanges are the 1-row totals/final assembly."""
+    plan = _plan(spark, "cohens_kappa_lang_id")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 3

@@ -3889,3 +3889,192 @@ def test_streaming_wasserstein_partials_finalize_equals_batch(
         spark.table("w1_partials_tbl").select("win").distinct().count()
         >= 2
     )
+
+
+def test_streaming_log_rank_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of log_rank_conversion_survival (18th mergeable-
+    twin member, and the first whose partials merge by MIN/MAX rather
+    than sum): the sufficient statistics are per-user (min ts, max ts)
+    plus per-(user, purchase-value) (min purchase ts, count) — the
+    value-grained state an order-statistic conversion cut requires.
+    Per-window partials merge by min/min/max/sum; the finalize derives
+    the exact 90th-percentile cut from the merged purchase histogram,
+    rebuilds the (g, dur, ev) survival frame, and pushes it through
+    THE SAME log_rank_from_surv Column tree as the batch query —
+    bit-identical output."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.analytics import (
+        log_rank_from_surv,
+    )
+
+    types = ["view", "click", "purchase", "signup"]
+    rows = [
+        {
+            "user_id": i % 24,
+            "event_type": types[(i * i + 7 * i) % 11 % len(types)],
+            "value": ((i * 53) % 211) + (0.25 if i % 3 else 0.75),
+            "ts": f"2024-01-{1 + (i * 5 + i // 13) % 12:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(900)
+    ]
+    sentinel = {
+        "user_id": 999,
+        "event_type": "view",
+        "value": 1.0,
+        "ts": "2024-03-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "logrank_src")
+    _os.makedirs(d)
+    # two data chunks + sentinel: the late-record filter lags state
+    # eviction by one batch, so a THIRD data chunk re-visiting old days
+    # is dropped as late (measured: 624/901 survive) — the two-chunk
+    # shape every twin in this family uses is the safe envelope.
+    half = len(rows) // 2
+    chunks = [rows[:half], rows[half:], [sentinel]]
+    for i, chunk in enumerate(chunks):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "user_id long, event_type string, value double, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    us = F.unix_micros("ts").alias("us")
+    cv = F.round(F.col("value") * 100).cast("bigint").alias("cv")
+    is_p = (F.col("event_type") == "purchase").alias("is_p")
+    partials = (
+        stream.select("ts", "user_id", us, cv, is_p)
+        .groupBy(
+            F.window("ts", "12 hours").alias("win"),
+            "user_id",
+            F.when(F.col("is_p"), F.col("cv")).alias("pcv"),
+        )
+        .agg(
+            F.min("us").alias("t0p"),
+            F.max("us").alias("tlp"),
+            F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("pcnt"),
+            F.min(F.when(F.col("is_p"), F.col("us"))).alias("pmin"),
+        )
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("logrank_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def surv_from_parts(parts):
+        """Merged partials -> (g, dur, ev): exact-cut + per-user
+        min/max merge, the arithmetic of the batch query's front half."""
+        # exclude the sentinel user (it exists only to close windows)
+        parts = parts.filter(F.col("user_id") != 999)
+        hist = (
+            parts.filter(F.col("pcv").isNotNull())
+            .groupBy("pcv")
+            .agg(F.sum("pcnt").alias("t"))
+        )
+        w = Window.orderBy("pcv").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        np_ = hist.agg(F.sum("t").alias("n"))
+        cut = (
+            hist.select("pcv", F.sum("t").over(w).alias("c"))
+            .crossJoin(F.broadcast(np_))
+            .filter(F.col("c") >= F.expr("(9 * n + 9) div 10"))
+            .agg(F.min("pcv").alias("cut"))
+        )
+        peru = parts.groupBy("user_id").agg(
+            F.min("t0p").alias("t0"), F.max("tlp").alias("tl")
+        )
+        conv = (
+            parts.crossJoin(F.broadcast(cut))
+            .filter(F.col("pcv") > F.col("cut"))
+            .groupBy("user_id")
+            .agg(F.min("pmin").alias("tc"))
+            .select(F.col("user_id").alias("_cu"), "tc")
+        )
+        return peru.join(
+            conv, F.col("user_id") == F.col("_cu"), "left"
+        ).select(
+            (F.col("user_id") % 2).alias("g"),
+            F.expr("(coalesce(tc, tl) - t0) div 86400000000").alias("dur"),
+            F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+
+    streamed_parts = spark.table("logrank_partials_tbl").groupBy(
+        "user_id", "pcv"
+    ).agg(
+        F.min("t0p").alias("t0p"),
+        F.max("tlp").alias("tlp"),
+        F.sum("pcnt").alias("pcnt"),
+        F.min("pmin").alias("pmin"),
+    )
+    batch_parts = (
+        spark.createDataFrame(
+            [
+                (r["user_id"], r["event_type"], r["value"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_type string, value double, ts string",
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+        .select("user_id", us, cv, is_p)
+        .groupBy(
+            "user_id", F.when(F.col("is_p"), F.col("cv")).alias("pcv")
+        )
+        .agg(
+            F.min("us").alias("t0p"),
+            F.max("us").alias("tlp"),
+            F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("pcnt"),
+            F.min(F.when(F.col("is_p"), F.col("us"))).alias("pmin"),
+        )
+    )
+    sres = [
+        tuple(r)
+        for r in log_rank_from_surv(surv_from_parts(streamed_parts))
+        .collect()
+    ]
+    bres = [
+        tuple(r)
+        for r in log_rank_from_surv(surv_from_parts(batch_parts)).collect()
+    ]
+    assert sres == bres
+    (row,) = sres
+    # non-vacuous: conversions and censoring both present, variance > 0
+    n_g1, n_g0, n_conv, o1 = row[0], row[1], row[2], row[3]
+    assert n_g1 + n_g0 == 24 and 0 < n_conv < 24 and 0 < o1 < n_conv + 1
+    assert row[5] > 0  # var1
+    assert (
+        spark.table("logrank_partials_tbl")
+        .select("win")
+        .distinct()
+        .count()
+        >= 2
+    )
