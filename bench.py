@@ -287,6 +287,9 @@ HEADLINE = [
     "mmr_rerank_diverse_topk",
     "ndcg_mrr_dense_retrieval",
     "cohens_kappa_lang_id",
+    "nelson_aalen_hazard",
+    "l_diversity_report",
+    "isotonic_calibration_pava",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

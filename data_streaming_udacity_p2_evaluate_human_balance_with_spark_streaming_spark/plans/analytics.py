@@ -10014,6 +10014,15 @@ def q_log_rank_conversion_survival(
     at-risk table comes from a broadcast non-equi self-join of the
     tiny per-day count frame (bounded by the calendar, not the data);
     no windows over unaggregated rows."""
+    return log_rank_from_surv(conversion_surv(spark, sf_dir))
+
+
+def conversion_surv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (g, dur, ev) time-to-conversion survival frame shared by
+    the log-rank test and the Nelson-Aalen estimator: cohort = user_id
+    parity, conversion = first purchase above the in-query exact 90th-
+    percentile purchase-value cut, right-censored at last observed
+    event; durations in whole days."""
     from ..operators.ranking import global_running_sum
 
     ev = load_table(spark, sf_dir, "events")
@@ -10043,14 +10052,13 @@ def q_log_rank_conversion_survival(
     peru = e.groupBy("user_id").agg(
         F.min("us").alias("t0"), F.max("us").alias("tl")
     )
-    surv = peru.join(conv, "user_id", "left").select(
+    return peru.join(conv, "user_id", "left").select(
         (F.col("user_id") % 2).alias("g"),
         F.expr(
             "(coalesce(tc, tl) - t0) div 86400000000"
         ).alias("dur"),
         F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    return log_rank_from_surv(surv)
 
 
 def log_rank_from_surv(surv: DataFrame) -> DataFrame:
@@ -10947,4 +10955,316 @@ def q_ndcg_mrr_dense_retrieval(
         F.round(F.col("n_rel").cast("double") / F.lit(10.0), 6).alias(
             "p_at_10"
         ),
+    )
+
+
+@register(
+    "nelson_aalen_hazard",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    pur AS (
+      SELECT * FROM e WHERE event_type = 'purchase' AND cv IS NOT NULL
+    ),
+    gv AS (SELECT cv, count(*) AS t FROM pur GROUP BY cv),
+    cum AS (SELECT cv, t, sum(t) OVER (ORDER BY cv) AS c FROM gv),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pur),
+    cut AS (
+      SELECT min(cv) AS cut FROM cum, np WHERE c >= (9 * np.n + 9) // 10
+    ),
+    conv AS (
+      SELECT user_id, min(us) AS tc
+      FROM pur, cut WHERE pur.cv > cut.cut GROUP BY user_id
+    ),
+    peru AS (SELECT user_id, min(us) AS t0, max(us) AS tl FROM e GROUP BY 1),
+    surv AS (
+      SELECT peru.user_id % 2 AS g,
+        (COALESCE(conv.tc, peru.tl) - peru.t0) // 86400000000 AS dur,
+        CASE WHEN conv.tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM peru LEFT JOIN conv ON peru.user_id = conv.user_id
+    ),
+    cnt AS (
+      SELECT g, dur, CAST(sum(ev) AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS c
+      FROM surv GROUP BY g, dur
+    ),
+    ar AS (
+      SELECT d.g, d.dur, d.d,
+        CAST(sum(c.c) AS BIGINT) AS n_at_risk
+      FROM cnt d JOIN cnt c ON c.g = d.g AND c.dur >= d.dur
+      WHERE d.d > 0
+      GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT g, dur, d, n_at_risk,
+        CAST(d AS HUGEINT) * 1000000000000 // n_at_risk AS hfp
+      FROM ar
+    )
+    SELECT g, dur, d AS deaths, n_at_risk,
+      round(CAST(CAST(sum(hfp) OVER (
+        PARTITION BY g ORDER BY dur) AS VARCHAR) AS DOUBLE) / 1e12, 6)
+        AS cum_hazard
+    FROM terms
+    ORDER BY g, dur
+    """,
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curves H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ per
+    cohort — the CURVE companion to log_rank_conversion_survival's
+    scalar test (the test says the cohorts differ; the hazard curve
+    shows WHERE along the timeline), on the identical conversion_surv
+    frame so all three survival queries certify one construction.
+    Unlike Kaplan-Meier's sequential product, the hazard is a plain
+    SUM of per-time terms — exactly the shape SQL and fixed-point
+    arithmetic replay losslessly.
+
+    Exactness: each increment accumulates as (d·1e12) div n — exact
+    integer floor division (DECIMAL(38,0) div ↔ HUGEINT //) — and the
+    cumulative sum is an integer prefix sum (order-free per prefix);
+    decimal crosses to double via STRING.
+
+    Scale shape: per-user hash agg, then everything on ≤|days|·2 rows;
+    the at-risk table is the per-cohort broadcast non-equi self-join
+    (calendar-bounded); the final per-cohort prefix sum runs over that
+    tiny frame via the two-pass helper (no global window)."""
+    from ..operators.ranking import global_running_sum
+
+    surv = conversion_surv(spark, sf_dir)
+    cnt = surv.groupBy("g", "dur").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    d = cnt.filter(F.col("d") > 0).alias("d")
+    c = cnt.alias("c")
+    ar = (
+        d.join(
+            F.broadcast(c),
+            (F.col("c.g") == F.col("d.g"))
+            & (F.col("c.dur") >= F.col("d.dur")),
+        )
+        .groupBy(
+            F.col("d.g").alias("g"),
+            F.col("d.dur").alias("dur"),
+            F.col("d.d").alias("deaths"),
+        )
+        .agg(F.sum(F.col("c.c")).alias("n_at_risk"))
+    )
+    terms = ar.select(
+        "g",
+        "dur",
+        "deaths",
+        "n_at_risk",
+        F.expr(
+            "(CAST(deaths AS DECIMAL(38,0)) * 1000000000000)"
+            " div n_at_risk"
+        ).alias("hfp"),
+    )
+    cumh = global_running_sum(
+        terms.withColumn(
+            "hfp", F.col("hfp").cast("decimal(38,0)")
+        ),
+        ["g", "dur"],
+        "hfp",
+        "gcum",
+    )
+    tot = terms.groupBy("g").agg(
+        F.sum(F.col("hfp").cast("decimal(38,0)")).alias("gt")
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(F.broadcast(b), F.col("b.g") < F.col("a.g"), "left")
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(F.coalesce(F.sum("b.gt"), F.lit(0)).alias("off"))
+    )
+    return (
+        cumh.join(F.broadcast(off), "g")
+        .select(
+            "g",
+            "dur",
+            "deaths",
+            "n_at_risk",
+            F.round(
+                (F.col("gcum") - F.col("off"))
+                .cast("string")
+                .cast("double")
+                / F.lit(1e12),
+                6,
+            ).alias("cum_hazard"),
+        )
+        .orderBy("g", "dur")
+    )
+
+
+def pava_pool_bins(bins: list) -> list:
+    """Pure-integer PAVA over ordered (bin_id, s, n) rows, leftmost
+    violator merged first (mean order compared by exact cross-
+    multiplication). Returns one (bin_id, n, s, pool_start, pool_pos,
+    pool_n) row per input bin. Extracted for direct property-testing
+    against an independent stack-based PAVA."""
+    pools = [[b, s, n] for b, s, n in bins]
+    while True:
+        i = next(
+            (
+                i
+                for i in range(len(pools) - 1)
+                if pools[i][1] * pools[i + 1][2]
+                > pools[i + 1][1] * pools[i][2]
+            ),
+            None,
+        )
+        if i is None:
+            break
+        pools[i][1] += pools[i + 1][1]
+        pools[i][2] += pools[i + 1][2]
+        del pools[i + 1]
+    out = []
+    pi = 0
+    for b, s, n in bins:
+        while pi + 1 < len(pools) and pools[pi + 1][0] <= b:
+            pi += 1
+        start, ps, pn = pools[pi]
+        out.append((b, n, s, start, ps, pn))
+    return out
+
+
+def _pava_oracle() -> str:
+    """Calibration bins (the _calibration_oracle feature/label CTEs)
+    + 11 unrolled PAVA merge steps as MATERIALIZED CTEs (bins ≤ 12 →
+    ≤ 11 merges; steps past the fixpoint are idempotent, the kcore
+    fixed-iteration recipe). Each step finds the LEFTMOST adjacent
+    pool pair violating mean_left > mean_right — compared by exact
+    integer cross-multiplication s_l·n_r > s_r·n_l, no rate division
+    — and relabels the right pool's bins onto the left pool."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    steps = []
+    for k in range(1, 12):
+        km = k - 1
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT lbl, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
+      FROM l{km} GROUP BY lbl
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT a.lbl AS la, b.lbl AS lb
+      FROM p{k} a JOIN p{k} b
+        ON b.lbl = (SELECT min(lbl) FROM p{k} x WHERE x.lbl > a.lbl)
+      WHERE a.s * b.n > b.s * a.n
+      ORDER BY a.lbl LIMIT 1
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT bin_id, s, n,
+        CASE WHEN lbl = (SELECT lb FROM v{k})
+             THEN (SELECT la FROM v{k}) ELSE lbl END AS lbl
+      FROM l{km}
+    )"""
+        )
+    stepsql = ",\n    ".join(steps)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t),
+    lab AS (SELECT doc_id,
+      CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END > {_QUALITY_LABEL_THRESHOLD} AS weak_label,
+      least(greatest(CAST(floor({z}) AS BIGINT), -8), 3) AS bin_id
+    FROM f),
+    l0 AS MATERIALIZED (
+      SELECT bin_id,
+        CAST(sum(CASE WHEN weak_label THEN 1 ELSE 0 END) AS BIGINT) AS s,
+        CAST(count(*) AS BIGINT) AS n,
+        bin_id AS lbl
+      FROM lab GROUP BY bin_id
+    ),
+    {stepsql},
+    pools AS (
+      SELECT lbl, CAST(sum(s) AS BIGINT) AS pool_pos,
+        CAST(sum(n) AS BIGINT) AS pool_n
+      FROM l11 GROUP BY lbl
+    )
+    SELECT l.bin_id AS logit_bin, l.n, l.s AS n_pos,
+      l.lbl AS pool_start, pools.pool_pos, pools.pool_n,
+      round(CAST(pools.pool_pos AS DOUBLE) / pools.pool_n, 6)
+        AS calibrated_rate
+    FROM l11 l JOIN pools USING (lbl)
+    ORDER BY logit_bin
+    """
+
+
+@register("isotonic_calibration_pava", _pava_oracle())
+def q_isotonic_calibration_pava(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic calibration of the frozen quality classifier via
+    Pool-Adjacent-Violators: quality_calibration_bins SHOWS the
+    reliability table (measured: the empirical label rate is
+    non-monotone — 2 violations at sf0.01); this query FIXES it,
+    producing the stepwise non-decreasing calibrated rate a serving
+    layer would look up instead of a sigmoid. The standard
+    calibration step between classifier training and production
+    thresholding (Zadrozny-Elkan '02).
+
+    Exactness: PAVA needs only ORDER comparisons of pool means —
+    done by integer cross-multiplication (s_l·n_r > s_r·n_l), so the
+    whole algorithm is exact BIGINT arithmetic; the calibrated rate
+    divides once at output (round-6). Merge order is pinned
+    (leftmost violator first); PAVA's solution is order-invariant,
+    but both engines replay the identical order anyway. The ≤12-bin
+    frame is a bounded-domain COLLECT (markov/BPE/MMR precedent);
+    the oracle unrolls the ≤11 merges as MATERIALIZED CTEs,
+    idempotent past the fixpoint.
+
+    Scale shape: the corpus work is one scan into the ≤12-bin hash
+    aggregate (the calibration_bins plan); PAVA itself touches 12
+    rows regardless of corpus size."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    z = frozen_logit_expr()
+    binned = (
+        feats.select(
+            F.least(
+                F.greatest(F.floor(z).cast("bigint"), F.lit(-8)), F.lit(3)
+            ).alias("bin_id"),
+            F.col("weak_label").cast("bigint").alias("wl"),
+        )
+        .groupBy("bin_id")
+        .agg(F.sum("wl").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    bins = sorted(
+        ((r["bin_id"], r["s"], r["n"]) for r in binned.collect()),
+        key=lambda t: t[0],
+    )
+    out = pava_pool_bins(bins)
+    # round via F.round (HALF_UP, matching DuckDB's round) — Python's
+    # banker's round would diverge on exact .5 ties like 1/128
+    return spark.createDataFrame(
+        out,
+        "logit_bin bigint, n bigint, n_pos bigint, pool_start bigint, "
+        "pool_pos bigint, pool_n bigint",
+    ).select(
+        "*",
+        F.round(
+            F.col("pool_pos").cast("double") / F.col("pool_n"), 6
+        ).alias("calibrated_rate"),
     )

@@ -2826,3 +2826,61 @@ def q_cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+@register(
+    "l_diversity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(count(*) AS BIGINT) AS group_n,
+        CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+          AS BIGINT) AS l_distinct
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    m AS (SELECT min(l_distinct) AS min_l FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment, g.group_n, g.l_distinct,
+      CASE WHEN g.l_distinct >= 3 THEN 1 ELSE 0 END AS meets_l3,
+      m.min_l
+    FROM g, m
+    ORDER BY g.c_nationkey, g.c_mktsegment
+    """,
+)
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over the SAME (nation, mktsegment)
+    equivalence classes as k_anonymity_report: k-anonymity alone
+    leaves the homogeneity attack open (a class of 50 that all share
+    one salary bucket reveals the salary without re-identification);
+    l counts DISTINCT sensitive values (account-balance k$-bucket,
+    exact floor) per class, flags classes below l = 3, and carries
+    the table-wide minimum — the one number a release gate thresholds.
+
+    Exactness: counts and distinct counts of exact integer buckets
+    (floor(acctbal/1000) on DECIMAL input is engine-stable); no
+    floating assembly at all.
+
+    Scale shape: one hash aggregate to ≤|nations|·|segments| rows,
+    then a broadcast 1-row min join. The distinct-count is per-group
+    (partial_count over (class, bucket)) — no global structure."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+        ).alias("l_distinct"),
+    )
+    m = g.agg(F.min("l_distinct").alias("min_l"))
+    return (
+        g.crossJoin(F.broadcast(m))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "l_distinct",
+            F.when(F.col("l_distinct") >= 3, 1)
+            .otherwise(0)
+            .alias("meets_l3"),
+            "min_l",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -1473,3 +1473,31 @@ def test_cohens_kappa_post_agg_tiny(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange SinglePartition") <= 3
+
+
+def test_nelson_aalen_at_risk_join_broadcast(spark):
+    """The per-cohort at-risk table is a broadcast non-equi self-join
+    of the tiny (g, dur) count frame; cumulative hazard rides the
+    two-pass helper (per-_pid windows only); no cartesian product."""
+    plan = _plan(spark, "nelson_aalen_hazard")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_l_diversity_single_agg(spark):
+    """One hash aggregate over customer into ≤|nations|·|segments|
+    rows; the min-l join is a broadcast 1-row frame; the scan reads
+    only the three columns used."""
+    plan = _plan(spark, "l_diversity_report")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert set(m.group(1).split(",")) <= {
+        "c_nationkey:bigint",
+        "c_nationkey:int",
+        "c_mktsegment:string",
+        "c_acctbal:double",
+        "c_acctbal:decimal(12,2)",
+    }, m.group(1)

@@ -276,3 +276,67 @@ def test_systematic_pps_exact_k_arbitrary_weights(spark, weights, k):
     for r in out:
         assert r.n_picks <= (k * r.weight) // total + 1
     spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # s_extra
+            st.integers(min_value=1, max_value=10**6),  # n
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pava_leftmost_merge_equals_stack_pava(raw):
+    """pava_pool_bins (leftmost-violator merge, the oracle's unrolled
+    order) must produce the SAME pooling as the classical stack-based
+    PAVA on arbitrary bin tables — the textbook order-invariance of
+    the isotonic solution, certified with exact integer inputs
+    (s clamped ≤ n so rates are valid)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.analytics import (
+        pava_pool_bins,
+    )
+
+    bins = [
+        (i, min(s, n), n) for i, (s, n) in enumerate(raw)
+    ]
+
+    # independent reference: stack-based PAVA (push each bin; merge
+    # while the top two violate), exact cross-multiplied comparisons
+    stack = []
+    for b, s, n in bins:
+        stack.append([b, s, n])
+        while (
+            len(stack) >= 2
+            and stack[-2][1] * stack[-1][2] > stack[-1][1] * stack[-2][2]
+        ):
+            stack[-2][1] += stack[-1][1]
+            stack[-2][2] += stack[-1][2]
+            stack.pop()
+    ref = {}
+    for start, ps, pn in stack:
+        ref[start] = (ps, pn)
+
+    got = pava_pool_bins(bins)
+    # same pool starts, same pooled sums
+    got_pools = {}
+    for b, n, s, start, ps, pn in got:
+        got_pools[start] = (ps, pn)
+    assert got_pools == ref
+    # output is monotone non-decreasing by cross-multiplication
+    rows = sorted(got, key=lambda t: t[0])
+    for (_, _, _, _, ps1, pn1), (_, _, _, _, ps2, pn2) in zip(
+        rows, rows[1:]
+    ):
+        assert ps1 * pn2 <= ps2 * pn1
+    # pools partition the bins: per-pool sums equal member sums
+    import collections
+
+    member = collections.defaultdict(lambda: [0, 0])
+    for b, n, s, start, ps, pn in got:
+        member[start][0] += s
+        member[start][1] += n
+    for start, (ms, mn) in member.items():
+        assert (ms, mn) == got_pools[start]

@@ -4078,3 +4078,142 @@ def test_streaming_log_rank_partials_finalize_equals_batch(
         .count()
         >= 2
     )
+
+
+def test_streaming_cohens_kappa_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of cohens_kappa_lang_id (19th mergeable-twin
+    member): the sufficient statistic is the confusion matrix —
+    per-window (lang, lang_pred, n) cell partials are plain mergeable
+    sums (lang_id is a stateless per-row Column, so prediction happens
+    in-stream); merged cells pushed through the same exact-integer
+    kappa assembly reproduce the batch statistic BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.text import (
+        lang_id,
+    )
+
+    texts = [
+        ("en", "the cat and the dog is in a tree"),
+        ("en", "le chat est la"),  # labeled en, predicts fr: disagreement
+        ("fr", "le chat est la et les chiens"),
+        ("fr", "the dog is here"),  # labeled fr, predicts en
+        ("es", "el perro es que los gatos y la"),
+        ("de", "der hund ist nicht die katze und das"),
+    ]
+    rows = [
+        {
+            "doc_id": i,
+            "lang": texts[(i * i + 3 * i) % 7 % len(texts)][0],
+            "text": texts[(i * i + 3 * i) % 7 % len(texts)][1],
+            "ts": f"2024-01-{1 + i % 10:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(500)
+    ]
+    sentinel = {
+        "doc_id": 999999,
+        "lang": "en",
+        "text": "the end",
+        "ts": "2024-03-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "kappa_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "doc_id long, lang string, text string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    partials = stream.groupBy(
+        F.window("ts", "12 hours").alias("win"),
+        "lang",
+        lang_id("text").alias("lang_pred"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("kappa_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(conf):
+        """(lang, lang_pred, n) cells -> exact-integer kappa pieces:
+        the arithmetic of plans/warehouse.py q_cohens_kappa_lang_id."""
+        rows_m = (
+            conf.groupBy("lang")
+            .agg(F.sum("n").alias("r"))
+            .select(F.col("lang").alias("lbl"), "r")
+        )
+        cols_m = (
+            conf.groupBy("lang_pred")
+            .agg(F.sum("n").alias("c"))
+            .select(F.col("lang_pred").alias("lbl2"), "c")
+        )
+        tots = conf.agg(
+            F.sum("n").alias("nn"),
+            F.sum(
+                F.when(
+                    F.col("lang") == F.col("lang_pred"), F.col("n")
+                ).otherwise(0)
+            ).alias("agree"),
+        ).collect()[0]
+        src = (
+            rows_m.join(
+                F.broadcast(cols_m), F.col("lbl") == F.col("lbl2")
+            )
+            .agg(F.sum(F.col("r") * F.col("c")).alias("s"))
+            .collect()[0]
+        )
+        nn, agree, s = tots.nn, tots.agree, src.s
+        kappa = (nn * agree - s) / (nn * nn - s)
+        return (nn, agree, s, repr(kappa))
+
+    streamed = (
+        spark.table("kappa_partials_tbl")
+        .groupBy("lang", "lang_pred")
+        .agg(F.sum("n").alias("n"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["lang"], r["text"]) for r in rows],
+            "lang string, text string",
+        )
+        .groupBy("lang", lang_id("text").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sc = {(r.lang, r.lang_pred): r.n for r in streamed.collect()}
+    bc = {(r.lang, r.lang_pred): r.n for r in batch.collect()}
+    assert sc == bc and sum(sc.values()) == 500
+    # real disagreement present (off-diagonal cells), not a trivial
+    # all-agree matrix
+    assert any(k[0] != k[1] for k in sc)
+    fs, fb = finalize(streamed), finalize(batch)
+    assert fs == fb
+    assert 0.0 < float(fs[3]) < 1.0
+    assert (
+        spark.table("kappa_partials_tbl").select("win").distinct().count()
+        >= 2
+    )
