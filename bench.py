@@ -290,6 +290,7 @@ HEADLINE = [
     "nelson_aalen_hazard",
     "l_diversity_report",
     "isotonic_calibration_pava",
+    "video_shot_boundaries",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

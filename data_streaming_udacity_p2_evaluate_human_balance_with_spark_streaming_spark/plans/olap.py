@@ -2780,3 +2780,62 @@ def q_rank_biased_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+@register(
+    "video_shot_boundaries",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+        octet_length(CAST(text AS BLOB)) // 128 AS nf
+      FROM documents
+      WHERE strlen(text) = length(text)
+        AND octet_length(CAST(text AS BLOB)) // 128 >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, text, CAST(k AS INT) AS frame_id
+      FROM d, unnest(generate_series(1, nf - 1)) AS t(k)
+    ),
+    sads AS (
+      SELECT doc_id, frame_id,
+        CAST(list_sum(list_transform(range(1, 129),
+          i -> abs(ascii(substr(text,
+                     CAST((frame_id - 1) * 128 + i AS INT), 1))
+                 - ascii(substr(text,
+                     CAST(frame_id * 128 + i AS INT), 1)))))
+          AS BIGINT) AS sad
+      FROM pairs
+    )
+    SELECT doc_id, frame_id, sad,
+      CAST(CASE WHEN sad > 128 * 28 THEN 1 ELSE 0 END AS INT)
+        AS is_boundary
+    FROM sads
+    """,
+)
+def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the multimodal layout
+    (operators/multimodal.py video_shot_boundaries): per consecutive
+    128-byte frame pair, the exact integer SAD and the cut flag
+    SAD > 128·28 (threshold at the measured median per-byte MAD ≈ 28,
+    so boundaries split ~half/half at every SF — a rate-style knob,
+    never an absolute-value one). The frame-differencing pass a video
+    pipeline runs before expensive scene models; completes the
+    multimodal family (image decode/resize, audio energy, frame
+    sample) with the temporal-diff member.
+
+    Exactness: pure integer byte arithmetic in vectorized numpy over
+    Arrow batches, replayed BY VALUE by the DuckDB ascii(substr)
+    oracle (ASCII payloads: char == byte positions; ragged tails
+    excluded from both engines).
+
+    Scale shape: narrow mapInPandas over the payload partitioning —
+    zero shuffles; output is 4 small columns per frame pair, payload
+    pruned."""
+    from ..operators.multimodal import as_binary_payload, video_shot_boundaries
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: bytes==chars
+    )
+    return video_shot_boundaries(
+        as_binary_payload(docs), frame_bytes=128, mad_threshold=28
+    )

@@ -1552,3 +1552,34 @@ def test_ivf_index_rebuild_on_corpus_change(spark):
     top = min(r2, key=lambda r: r.rank)
     assert top.neighbor_id == 990_001 and abs(top.cosine - 1.0) < 1e-9
     _IVF_INDEX_CACHE.pop(full_key, None)
+
+
+def test_video_shot_boundaries_planted_payload(spark):
+    """video_shot_boundaries on hand-built payloads: exact integer SAD
+    per consecutive full-frame pair, boundary flag at SAD >
+    frame_bytes·threshold, ragged tails excluded, single-frame and
+    empty payloads emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            # frames of 4 at frame_bytes=4, threshold=10 (SAD > 40):
+            # "AAAA"->"AAAA": sad 0, no cut; ->"ZZZZ": sad 4*25=100, cut
+            (1, "AAAA" + "AAAA" + "ZZZZ"),
+            # ragged tail "BB" excluded: only one pair (sad 4*1=4)
+            (2, "AAAA" + "BBBB" + "BB"),
+            (3, "AAAA"),  # single frame: no pairs
+            (4, ""),  # empty: nothing
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    mm = multimodal.as_binary_payload(docs)
+    rows = {
+        (r.doc_id, r.frame_id): (r.sad, r.is_boundary)
+        for r in multimodal.video_shot_boundaries(
+            mm, frame_bytes=4, mad_threshold=10
+        ).collect()
+    }
+    assert rows == {
+        (1, 1): (0, 0),
+        (1, 2): (4 * 25, 1),
+        (2, 1): (4 * 1, 0),
+    }

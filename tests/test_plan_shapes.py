@@ -1501,3 +1501,12 @@ def test_l_diversity_single_agg(spark):
         "c_acctbal:double",
         "c_acctbal:decimal(12,2)",
     }, m.group(1)
+
+
+def test_video_shot_boundaries_narrow(spark):
+    """The shot detector is a narrow mapInPandas over the payload
+    partitioning: zero exchanges of any kind, payload pruned to four
+    small output columns."""
+    plan = _plan(spark, "video_shot_boundaries")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
