@@ -291,6 +291,8 @@ HEADLINE = [
     "l_diversity_report",
     "isotonic_calibration_pava",
     "video_shot_boundaries",
+    "iv_wald_estimate",
+    "median_polish_type_dow",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

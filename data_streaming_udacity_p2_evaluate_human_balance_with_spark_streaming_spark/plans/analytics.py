@@ -11268,3 +11268,273 @@ def q_isotonic_calibration_pava(
             F.col("pool_pos").cast("double") / F.col("pool_n"), 6
         ).alias("calibrated_rate"),
     )
+
+
+@register(
+    "iv_wald_estimate",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    peru AS (
+      SELECT user_id, user_id % 2 AS z,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN coalesce(cv, 0)
+                 ELSE 0 END) AS BIGINT) AS y
+      FROM e GROUP BY user_id
+    ),
+    g AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM peru GROUP BY z
+    ),
+    p AS (
+      SELECT
+        max(CASE WHEN z = 1 THEN n END) AS n1,
+        max(CASE WHEN z = 0 THEN n END) AS n0,
+        max(CASE WHEN z = 1 THEN sx END) AS sx1,
+        max(CASE WHEN z = 0 THEN sx END) AS sx0,
+        max(CASE WHEN z = 1 THEN sy END) AS sy1,
+        max(CASE WHEN z = 0 THEN sy END) AS sy0
+      FROM g
+    )
+    SELECT n1 AS n_g1, n0 AS n_g0,
+      round(CAST(sy1 * n0 - sy0 * n1 AS DOUBLE) / (n1 * n0) / 100.0, 6)
+        AS itt_y,
+      round(CAST(sx1 * n0 - sx0 * n1 AS DOUBLE) / (n1 * n0), 6) AS itt_x,
+      round(CAST(sy1 * n0 - sy0 * n1 AS DOUBLE)
+            / (sx1 * n0 - sx0 * n1) / 100.0, 6) AS beta_iv
+    FROM p
+    """,
+)
+def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimator: per-user purchase value
+    (y, cents) on click count (x), instrumented by the user-parity
+    assignment z — the same as-if-randomized cohort split the survival
+    queries use. Completes the causal-adjustment family
+    (diff_in_diff, ab_test_cuped, stratified_ate): when x is
+    endogenous (activity correlates with latent intent), OLS is
+    biased; the Wald ratio of reduced-form to first-stage ITT effects
+    β = cov(z,y)/cov(z,x) is the 2SLS estimate for a binary
+    instrument.
+
+    Exactness: group sums are exact BIGINTs; mean differences clear
+    denominators by cross-multiplication (Sy1·n0 − Sy0·n1, bounded
+    ~1e12), and the n1·n0 factor CANCELS in β, leaving one integer
+    ratio → one double division (round-6). No float accumulation
+    anywhere.
+
+    Scale shape: per-user hash agg over the corpus, then a 2-row
+    group reduce and a 1-row pivot — nothing else."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    peru = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.coalesce(F.col("cv"), F.lit(0)),
+            ).otherwise(0)
+        ).alias("y"),
+    ).select((F.col("user_id") % 2).alias("z"), "x", "y")
+    g = peru.groupBy("z").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    p = g.agg(
+        F.max(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("z") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("z") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+    )
+    dy = (F.col("sy1") * F.col("n0") - F.col("sy0") * F.col("n1")).cast(
+        "double"
+    )
+    dx = (F.col("sx1") * F.col("n0") - F.col("sx0") * F.col("n1")).cast(
+        "double"
+    )
+    return p.select(
+        F.col("n1").alias("n_g1"),
+        F.col("n0").alias("n_g0"),
+        F.round(
+            dy / (F.col("n1") * F.col("n0")) / F.lit(100.0), 6
+        ).alias("itt_y"),
+        F.round(dx / (F.col("n1") * F.col("n0")), 6).alias("itt_x"),
+        F.round(
+            dy
+            / (
+                F.col("sx1") * F.col("n0") - F.col("sx0") * F.col("n1")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("beta_iv"),
+    )
+
+
+def _median_polish_oracle(rounds: int = 2) -> str:
+    """Unrolled median-polish rounds as MATERIALIZED CTEs over the
+    5×7 (event_type, dow) count table. Each round: row sweep
+    (subtract per-row median of 7 → index [4] of the sorted list,
+    fold into row effects), polish col effects (median of 7), col
+    sweep (per-col median of 5 → index [3]), polish row effects
+    (median of 5). Odd dimensions make every median an exact integer
+    order statistic — the whole polish is BIGINT arithmetic."""
+    parts = [
+        """c0 AS MATERIALIZED (
+      SELECT event_type AS i,
+        (CAST(floor((epoch_ns(ts) / 1000) / 86400000000) AS BIGINT) % 7)
+          AS j,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    re0 AS (SELECT DISTINCT i, CAST(0 AS BIGINT) AS v FROM c0),
+    ce0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS v FROM c0),
+    t0 AS (SELECT CAST(0 AS BIGINT) AS v)"""
+    ]
+    for k in range(1, rounds + 1):
+        km = k - 1
+        parts.append(
+            f"""rm{k} AS MATERIALIZED (
+      SELECT i, list_sort(list(v))[4] AS m FROM c{km} GROUP BY i
+    ),
+    ca{k} AS MATERIALIZED (
+      SELECT c.i, c.j, c.v - rm{k}.m AS v
+      FROM c{km} c JOIN rm{k} USING (i)
+    ),
+    rea{k} AS MATERIALIZED (
+      SELECT re.i, re.v + rm{k}.m AS v
+      FROM re{km} re JOIN rm{k} USING (i)
+    ),
+    cm{k} AS MATERIALIZED (
+      SELECT list_sort(list(v))[4] AS m FROM ce{km}
+    ),
+    cea{k} AS MATERIALIZED (
+      SELECT j, v - (SELECT m FROM cm{k}) AS v FROM ce{km}
+    ),
+    ta{k} AS MATERIALIZED (
+      SELECT v + (SELECT m FROM cm{k}) AS v FROM t{km}
+    ),
+    jm{k} AS MATERIALIZED (
+      SELECT j, list_sort(list(v))[3] AS m FROM ca{k} GROUP BY j
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT c.i, c.j, c.v - jm{k}.m AS v
+      FROM ca{k} c JOIN jm{k} USING (j)
+    ),
+    ce{k} AS MATERIALIZED (
+      SELECT ce.j, ce.v + jm{k}.m AS v
+      FROM cea{k} ce JOIN jm{k} USING (j)
+    ),
+    rm2_{k} AS MATERIALIZED (
+      SELECT list_sort(list(v))[3] AS m FROM rea{k}
+    ),
+    re{k} AS MATERIALIZED (
+      SELECT i, v - (SELECT m FROM rm2_{k}) AS v FROM rea{k}
+    ),
+    t{k} AS MATERIALIZED (
+      SELECT v + (SELECT m FROM rm2_{k}) AS v FROM ta{k}
+    )"""
+        )
+    r = rounds
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT c0.i AS event_type, c0.j AS dow, c0.v AS observed,
+      (SELECT v FROM t{r}) AS grand,
+      re{r}.v AS row_effect, ce{r}.v AS col_effect,
+      c{r}.v AS residual
+    FROM c0 JOIN c{r} ON c{r}.i = c0.i AND c{r}.j = c0.j
+    JOIN re{r} ON re{r}.i = c0.i JOIN ce{r} ON ce{r}.j = c0.j
+    ORDER BY event_type, dow
+    """
+    )
+
+
+_POLISH_ROUNDS = 2
+
+
+@register("median_polish_type_dow", _median_polish_oracle(_POLISH_ROUNDS))
+def q_median_polish_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the (event_type × day-of-week) count
+    table: the ROBUST two-way decomposition observed = grand +
+    row_effect + col_effect + residual — the outlier-resistant
+    alternative to the two-way ANOVA means model (one anomalous day
+    shifts a mean fit everywhere; the median fit isolates it in ONE
+    residual cell, which is exactly what an anomaly triage wants).
+
+    Exactness: the 5×7 table has ODD dimensions, so every sweep
+    median is an exact integer order statistic (sorted-list index) —
+    the entire polish (2 fixed rounds, row sweep → col-effect polish
+    → col sweep → row-effect polish) stays in BIGINT; no floats
+    anywhere, not even at output. Spark runs the polish as driver
+    Python ints over the COLLECTED 35-cell table (bounded-domain
+    collect — markov/MMR/PAVA precedent); the oracle unrolls the
+    identical sweeps as MATERIALIZED CTEs with list_sort medians.
+
+    Scale shape: corpus work is one (type, dow) hash aggregate; the
+    polish itself touches 35 rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                F.floor(F.unix_micros("ts") / F.lit(86400000000)) % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    rows = cells.collect()
+    obs = {(r["event_type"], r["dow"]): r["v"] for r in rows}
+    its = sorted({k[0] for k in obs})
+    jts = sorted({k[1] for k in obs})
+    res = dict(obs)
+    re_ = {i: 0 for i in its}
+    ce_ = {j: 0 for j in jts}
+    t = 0
+
+    def med(vals):
+        s = sorted(vals)
+        return s[(len(s) - 1) // 2]
+
+    for _ in range(_POLISH_ROUNDS):
+        for i in its:
+            m = med([res[(i, j)] for j in jts])
+            for j in jts:
+                res[(i, j)] -= m
+            re_[i] += m
+        mc = med(list(ce_.values()))
+        t += mc
+        for j in jts:
+            ce_[j] -= mc
+        for j in jts:
+            m = med([res[(i, j)] for i in its])
+            for i in its:
+                res[(i, j)] -= m
+            ce_[j] += m
+        mr = med(list(re_.values()))
+        t += mr
+        for i in its:
+            re_[i] -= mr
+    out = [
+        (i, j, obs[(i, j)], t, re_[i], ce_[j], res[(i, j)])
+        for i in its
+        for j in jts
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, dow bigint, observed bigint, grand bigint, "
+        "row_effect bigint, col_effect bigint, residual bigint",
+    ).orderBy("event_type", "dow")

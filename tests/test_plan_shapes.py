@@ -1510,3 +1510,20 @@ def test_video_shot_boundaries_narrow(spark):
     plan = _plan(spark, "video_shot_boundaries")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_iv_wald_single_user_agg(spark):
+    """One per-user hash agg feeds a 2-row group reduce and a 1-row
+    pivot: no joins at all (no SMJ/broadcast/cartesian), scan pruned
+    to the three columns used."""
+    plan = _plan(spark, "iv_wald_estimate")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    for schema in m:
+        assert set(schema.split(",")) <= {
+            "user_id:bigint",
+            "event_type:string",
+            "value:double",
+        }, schema
