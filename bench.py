@@ -293,6 +293,7 @@ HEADLINE = [
     "video_shot_boundaries",
     "iv_wald_estimate",
     "median_polish_type_dow",
+    "robust_stl_daily_volume",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -11538,3 +11538,123 @@ def q_median_polish_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, dow bigint, observed bigint, grand bigint, "
         "row_effect bigint, col_effect bigint, residual bigint",
     ).orderBy("event_type", "dow")
+
+
+@register(
+    "robust_stl_daily_volume",
+    """
+    WITH dv AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    ctr AS (
+      SELECT a.day, a.v,
+        list_sort(list(b.v))[4] AS trend,
+        count(*) AS w
+      FROM dv a JOIN dv b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      GROUP BY a.day, a.v
+    ),
+    det AS (
+      SELECT day, v, trend, v - trend AS dt, day % 7 AS dow
+      FROM ctr WHERE w = 7
+    ),
+    sea AS (
+      SELECT dow,
+        list_sort(list(dt))[CAST((count(*) + 1) // 2 AS INT)]
+        + list_sort(list(dt))[CAST((count(*) + 2) // 2 AS INT)] AS m2
+      FROM det GROUP BY dow
+    )
+    SELECT det.day, det.v AS volume, det.trend, det.dow,
+      CAST(sea.m2 AS DOUBLE) / 2.0 AS seasonal,
+      det.dt - CAST(sea.m2 AS DOUBLE) / 2.0 AS remainder
+    FROM det JOIN sea USING (dow)
+    ORDER BY det.day
+    """,
+)
+def q_robust_stl_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust STL-lite decomposition of the daily event volume:
+    trend = centered 7-day MEDIAN filter (full windows only),
+    seasonal = per-day-of-week MEDIAN of the detrended series,
+    remainder = the rest — volume = trend + seasonal + remainder.
+    The time-axis twin of median_polish_type_dow: medians make one
+    anomalous day show up in ONE remainder cell instead of smearing
+    through a moving average (holt_linear / seasonal_naive are the
+    mean-fit members of this family; this is the robust one an
+    anomaly triage trusts).
+
+    Exactness: every statistic is an exact integer order stat —
+    rolling median of exactly 7 ints (sorted index 4), per-dow median
+    via the DOUBLED lo+hi trick (per-dow counts are even or odd), one
+    exact halving at output (x.5 doubles are IEEE-exact both
+    engines). No accumulation anywhere.
+
+    Scale shape: one hash agg to the ~|days| frame; the rolling
+    window is a broadcast band self-join of that tiny frame (7 rows
+    per day, calendar-bounded); per-dow medians group ≤|days| rows.
+    At 100 TB only the first agg sees the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    a, b = dv.alias("a"), dv.alias("b")
+    ctr = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day") >= F.col("a.day") - 3)
+            & (F.col("b.day") <= F.col("a.day") + 3),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.v").alias("v"))
+        .agg(
+            F.sort_array(F.collect_list(F.col("b.v"))).alias("arr"),
+            F.count(F.lit(1)).alias("w"),
+        )
+        .filter(F.col("w") == 7)
+        .select(
+            "day",
+            "v",
+            F.element_at("arr", 4).alias("trend"),
+        )
+    )
+    det = ctr.select(
+        "day",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("dt"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    sea = (
+        det.groupBy("dow")
+        .agg(
+            F.sort_array(F.collect_list("dt")).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("dow").alias("_dw"),
+            (
+                F.element_at(
+                    "arr", F.expr("CAST((n + 1) div 2 AS INT)")
+                )
+                + F.element_at(
+                    "arr", F.expr("CAST((n + 2) div 2 AS INT)")
+                )
+            ).alias("m2"),
+        )
+    )
+    half = F.col("m2").cast("double") / F.lit(2.0)
+    return (
+        det.join(F.broadcast(sea), F.col("dow") == F.col("_dw"))
+        .select(
+            "day",
+            F.col("v").alias("volume"),
+            "trend",
+            "dow",
+            half.alias("seasonal"),
+            (F.col("dt") - half).alias("remainder"),
+        )
+        .orderBy("day")
+    )

@@ -1527,3 +1527,13 @@ def test_iv_wald_single_user_agg(spark):
             "event_type:string",
             "value:double",
         }, schema
+
+
+def test_robust_stl_band_join_broadcast(spark):
+    """The 7-day rolling-median window is a broadcast band self-join
+    of the tiny daily frame (never cartesian/SMJ); per-dow medians
+    group that frame; only the first agg touches the corpus."""
+    plan = _plan(spark, "robust_stl_daily_volume")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
