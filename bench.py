@@ -294,6 +294,8 @@ HEADLINE = [
     "iv_wald_estimate",
     "median_polish_type_dow",
     "robust_stl_daily_volume",
+    "t_closeness_report",
+    "timeseries_motif_discovery",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

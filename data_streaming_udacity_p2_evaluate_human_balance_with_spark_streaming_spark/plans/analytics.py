@@ -11658,3 +11658,138 @@ def q_robust_stl_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "timeseries_motif_discovery",
+    """
+    WITH dv AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(day) AS md FROM dv),
+    st AS (SELECT day AS s FROM dv, mx WHERE day <= mx.md - 6),
+    pr AS (
+      SELECT a.s AS sa, b.s AS sb
+      FROM st a JOIN st b ON b.s - a.s >= 4
+    ),
+    sads AS (
+      SELECT pr.sa, pr.sb,
+        CAST(sum(abs(va.v - vb.v)) AS BIGINT) AS sad
+      FROM pr, unnest(generate_series(0, 6)) AS t(k)
+      JOIN dv va ON va.day = pr.sa + k
+      JOIN dv vb ON vb.day = pr.sb + k
+      GROUP BY pr.sa, pr.sb
+    ),
+    motif AS (
+      SELECT 'motif' AS kind, sa AS start_a, sb AS start_b, sad
+      FROM sads ORDER BY sad, sa, sb LIMIT 1
+    ),
+    nnd AS (
+      SELECT s,
+        min(sad) AS nn_sad,
+        min(CASE WHEN sad = msad THEN os END) AS nn_start
+      FROM (
+        SELECT sa AS s, sb AS os, sad,
+          min(sad) OVER (PARTITION BY sa) AS msad FROM sads
+        UNION ALL
+        SELECT sb AS s, sa AS os, sad,
+          min(sad) OVER (PARTITION BY sb) AS msad FROM sads
+      ) GROUP BY s
+    ),
+    discord AS (
+      SELECT 'discord' AS kind, s AS start_a, nn_start AS start_b,
+        nn_sad AS sad
+      FROM nnd ORDER BY nn_sad DESC, s LIMIT 1
+    )
+    SELECT * FROM motif UNION ALL SELECT * FROM discord
+    """,
+)
+def q_timeseries_motif_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matrix-profile-lite over the daily volume series: the MOTIF
+    (most similar pair of 7-day windows, exclusion zone |Δstart| ≥ 4
+    suppressing trivial self-matches — the matrix-profile discipline)
+    and the DISCORD (window whose nearest neighbor is farthest — the
+    subsequence anomaly). Distance = exact integer SAD of aligned
+    daily volumes, so every comparison is engine-stable; ties break
+    on start days. The subsequence view the point-wise anomaly
+    queries (zscore/MAD/CUSUM) can't give: a normal-valued day inside
+    an abnormal week pattern.
+
+    Exactness: SADs are BIGINT sums of |v−v| over the 7 aligned days
+    (computed by an offset equi-join, no arrays); argmin/argmax are
+    deterministic TakeOrdered(1) with full tie-break keys.
+
+    Scale shape: one corpus hash agg to the ~|days| frame; window
+    pairs are a band self-join of that tiny frame × 7 offsets
+    (calendar-bounded, ~2k rows); per-window nearest-neighbor minima
+    partition by start day. Nothing touches the corpus twice."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    mx = dv.agg(F.max("day").alias("md"))
+    st = (
+        dv.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("md") - 6)
+        .select(F.col("day").alias("s"))
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pr = a.join(
+        F.broadcast(b), F.col("b.s") - F.col("a.s") >= 4
+    ).select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    ks = pr.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(6))))
+    va = dv.select(F.col("day").alias("_da"), F.col("v").alias("va"))
+    vb = dv.select(F.col("day").alias("_db"), F.col("v").alias("vb"))
+    sads = (
+        ks.join(F.broadcast(va), F.col("_da") == F.col("sa") + F.col("k"))
+        .join(F.broadcast(vb), F.col("_db") == F.col("sb") + F.col("k"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.abs(F.col("va") - F.col("vb"))).alias("sad"))
+    )
+    motif = (
+        sads.orderBy("sad", "sa", "sb")
+        .limit(1)
+        .select(
+            F.lit("motif").alias("kind"),
+            F.col("sa").alias("start_a"),
+            F.col("sb").alias("start_b"),
+            "sad",
+        )
+    )
+    both = sads.select(
+        F.col("sa").alias("s"), F.col("sb").alias("os"), "sad"
+    ).unionAll(
+        sads.select(
+            F.col("sb").alias("s"), F.col("sa").alias("os"), "sad"
+        )
+    )
+    wmin = Window.partitionBy("s")
+    nnd = (
+        both.withColumn("msad", F.min("sad").over(wmin))
+        .groupBy("s")
+        .agg(
+            F.min("sad").alias("nn_sad"),
+            F.min(
+                F.when(F.col("sad") == F.col("msad"), F.col("os"))
+            ).alias("nn_start"),
+        )
+    )
+    discord = (
+        nnd.orderBy(F.desc("nn_sad"), F.asc("s"))
+        .limit(1)
+        .select(
+            F.lit("discord").alias("kind"),
+            F.col("s").alias("start_a"),
+            F.col("nn_start").alias("start_b"),
+            F.col("nn_sad").alias("sad"),
+        )
+    )
+    return motif.unionAll(discord)

@@ -2884,3 +2884,149 @@ def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "t_closeness_report",
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+      FROM customer
+    ),
+    gb AS (SELECT b, CAST(count(*) AS BIGINT) AS g FROM c GROUP BY b),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS nc
+      FROM c GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT c_nationkey, c_mktsegment, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, gb.b, gb.g,
+        coalesce(cb.cnt, 0) AS cnt
+      FROM cls CROSS JOIN gb
+      LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+        AND cb.c_mktsegment = cls.c_mktsegment AND cb.b = gb.b
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, nc, b,
+        sum(cnt * nn.n - g * nc) OVER (
+          PARTITION BY c_nationkey, c_mktsegment ORDER BY b) AS d,
+        max(b) OVER () AS bmax, min(b) OVER () AS bmin
+      FROM grid, nn
+    ),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, nc,
+        CAST(sum(abs(d)) AS BIGINT) AS s,
+        max(bmax - bmin) AS m1
+      FROM cum WHERE b < bmax GROUP BY 1, 2, 3
+    )
+    SELECT emd.c_nationkey, emd.c_mktsegment, emd.nc AS group_n,
+      round(CAST(emd.s AS DOUBLE) / (CAST(emd.nc AS DOUBLE) * nn.n * emd.m1),
+            6) AS emd_t,
+      CASE WHEN CAST(emd.s AS DOUBLE)
+                / (CAST(emd.nc AS DOUBLE) * nn.n * emd.m1) <= 0.2
+           THEN 1 ELSE 0 END AS meets_t02
+    FROM emd, nn
+    ORDER BY emd.c_nationkey, emd.c_mktsegment
+    """,
+)
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the SAME (nation, mktsegment) classes as
+    k_anonymity_report / l_diversity_report — completing the classic
+    privacy triad: k says classes are big, l says sensitive values
+    are varied, t says the class's sensitive DISTRIBUTION stays close
+    to the table-wide one (an l-diverse class that is 90% one bucket
+    still leaks). Distance = the standard ordered-attribute EMD
+    (Li et al. '07): Σ|cumulative difference| over the acctbal
+    k$-bucket axis, normalized by the bucket span, flagged at
+    t = 0.2.
+
+    Exactness: cumulative differences clear both denominators via
+    cnt·N − g·n_c (exact BIGINTs, ≤ n_c·N ~ 2e8 at sf0.1); the EMD is
+    an integer sum with ONE final double division (round-6) — the
+    wasserstein_click_vs_view discipline applied per class.
+
+    Scale shape: two hash aggs (global buckets ≤ 11 rows broadcast,
+    class×bucket cells), a broadcast grid join to zero-fill, and
+    per-class cumulative windows over ≤ 11-row partitions (the
+    windowspec opens with the class columns — never global)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    gb = cust.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    cb = (
+        cust.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("c_nationkey").alias("_nk"),
+            F.col("c_mktsegment").alias("_ms"),
+            F.col("b").alias("_b"),
+            "cnt",
+        )
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gb))
+        .join(
+            cb,
+            (F.col("_nk") == F.col("c_nationkey"))
+            & (F.col("_ms") == F.col("c_mktsegment"))
+            & (F.col("_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "nc",
+            "b",
+            "g",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    span = gb.agg(
+        (F.max("b") - F.min("b")).alias("m1"), F.max("b").alias("bmax")
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "nc",
+        "b",
+        F.sum(
+            F.col("cnt") * F.col("n") - F.col("g") * F.col("nc")
+        )
+        .over(w)
+        .alias("d"),
+        "n",
+    ).crossJoin(F.broadcast(span))
+    emd = (
+        cum.filter(F.col("b") < F.col("bmax"))
+        .groupBy("c_nationkey", "c_mktsegment", "nc", "n", "m1")
+        .agg(F.sum(F.abs(F.col("d"))).alias("s"))
+    )
+    t = F.col("s").cast("double") / (
+        F.col("nc").cast("double") * F.col("n") * F.col("m1")
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("nc").alias("group_n"),
+        F.round(t, 6).alias("emd_t"),
+        F.when(t <= 0.2, 1).otherwise(0).alias("meets_t02"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -1537,3 +1537,29 @@ def test_robust_stl_band_join_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_t_closeness_per_class_windows_only(spark):
+    """Cumulative-difference windows must open with the class columns
+    (≤11-row partitions), never an unpartitioned spec; the bucket
+    grid rides broadcast; no cartesian beyond the broadcast grid."""
+    plan = _plan(spark, "t_closeness_report")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(c_nationkey" in plan
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_motif_take_ordered_selection(spark):
+    """Motif/discord argmin/argmax are TakeOrderedAndProject over the
+    tiny pair frame; the window-pair build is broadcast band joins;
+    per-window minima partition by start day (no global window)."""
+    plan = _plan(spark, "timeseries_motif_discovery")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
