@@ -296,6 +296,7 @@ HEADLINE = [
     "robust_stl_daily_volume",
     "t_closeness_report",
     "timeseries_motif_discovery",
+    "obrien_fleming_sequential",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

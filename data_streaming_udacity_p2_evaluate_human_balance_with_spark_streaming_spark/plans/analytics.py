@@ -11793,3 +11793,142 @@ def q_timeseries_motif_discovery(
         )
     )
     return motif.unionAll(discord)
+
+
+#: O'Brien-Fleming two-sided z-boundaries for K=4 equally-spaced looks
+#: at overall α=0.05: z_k = C·√(K/k) with C = 2.0243 (the standard
+#: OBF constant for 4 looks) — precomputed so neither engine touches a
+#: boundary-crossing integral at runtime (the _BH_THRESHOLDS recipe).
+_OBF_BOUNDS = (
+    (1, 4.0486),
+    (2, 2.862793),
+    (3, 2.33746),
+    (4, 2.0243),
+)
+
+_OBF_BOUNDS_SQL = "VALUES " + ", ".join(
+    f"({k}, {b})" for k, b in _OBF_BOUNDS
+)
+
+
+@register(
+    "obrien_fleming_sequential",
+    f"""
+    WITH e AS (
+      SELECT user_id % 2 AS g,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+        (epoch_ns(ts) // 1000 // 86400000000)
+          - (SELECT min(epoch_ns(ts) // 1000 // 86400000000) FROM events)
+          AS rel_day
+      FROM events
+    ),
+    looks(k, last_day) AS (VALUES (1, 6), (2, 13), (3, 20), (4, 29)),
+    cum AS (
+      SELECT looks.k, looks.last_day,
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        CAST(sum(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0
+      FROM e JOIN looks ON e.rel_day <= looks.last_day
+      GROUP BY looks.k, looks.last_day
+    ),
+    z AS (
+      SELECT k, last_day, n1, n0, x1, x0,
+        (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+        / sqrt((CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+               * (1.0 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+               * (1.0 / n1 + 1.0 / n0)) AS zval
+      FROM cum
+    ),
+    b(k, bound) AS ({_OBF_BOUNDS_SQL})
+    SELECT z.k AS look, z.last_day, z.n1, z.n0, z.x1, z.x0,
+      round(z.zval, 6) AS z,
+      b.bound,
+      CASE WHEN abs(z.zval) >= b.bound THEN 1 ELSE 0 END AS reject
+    FROM z JOIN b USING (k)
+    ORDER BY look
+    """,
+)
+def q_obrien_fleming_sequential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring of the purchase-
+    rate difference between the user-parity cohorts: four equally
+    spaced interim looks (cumulative weeks) with the OBF two-sided
+    z-boundaries embedded as precomputed literals — conservative
+    early, nominal-ish late, overall α = 0.05. The OTHER sequential-
+    testing school beside sprt_purchase_decision's Wald walk: SPRT
+    monitors per-observation, group-sequential monitors at scheduled
+    interim analyses — what an experimentation platform actually
+    ships for A/B stopping.
+
+    Exactness: per-look cumulative counts are exact BIGINTs (looks
+    join on relative day); each z is one shared IEEE expression tree
+    over those counts (the two_proportion_ztest discipline); the
+    boundary crossing is a literal comparison — no runtime
+    distributional math anywhere (the _BH_THRESHOLDS recipe).
+
+    Scale shape: one scan joined to the broadcast 4-row looks table
+    (each event feeds the looks it precedes) into a 4-group hash
+    aggregate; everything after is 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0")
+    )
+    e = ev.crossJoin(F.broadcast(mn)).select(
+        (F.col("user_id") % 2).alias("g"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+        (
+            F.expr("unix_micros(ts) div 86400000000") - F.col("d0")
+        ).alias("rel_day"),
+    )
+    looks = spark.createDataFrame(
+        [(1, 6), (2, 13), (3, 20), (4, 29)], "k int, last_day bigint"
+    )
+    cum = (
+        e.join(F.broadcast(looks), F.col("rel_day") <= F.col("last_day"))
+        .groupBy("k", "last_day")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("g") == 1, F.col("conv")).otherwise(0)
+            ).alias("x1"),
+            F.sum(
+                F.when(F.col("g") == 0, F.col("conv")).otherwise(0)
+            ).alias("x0"),
+        )
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    )
+    zv = (p1 - p0) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n0"))
+    )
+    bounds = spark.createDataFrame(
+        list(_OBF_BOUNDS), "k int, bound double"
+    )
+    return (
+        cum.withColumn("zval", zv)
+        .join(F.broadcast(bounds), "k")
+        .select(
+            F.col("k").alias("look"),
+            "last_day",
+            "n1",
+            "n0",
+            "x1",
+            "x0",
+            F.round("zval", 6).alias("z"),
+            "bound",
+            F.when(F.abs(F.col("zval")) >= F.col("bound"), 1)
+            .otherwise(0)
+            .alias("reject"),
+        )
+        .orderBy("look")
+    )

@@ -1563,3 +1563,13 @@ def test_motif_take_ordered_selection(spark):
 
     for spec in _re.findall(r"windowspecdefinition\(([^,]+)", plan):
         assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_obf_looks_join_broadcast(spark):
+    """Each event joins the broadcast 4-row looks table (band
+    condition) into a 4-group hash aggregate; bounds join broadcast;
+    no sort-merge join, no cartesian product."""
+    plan = _plan(spark, "obrien_fleming_sequential")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -4217,3 +4217,193 @@ def test_streaming_cohens_kappa_partials_finalize_equals_batch(
         spark.table("kappa_partials_tbl").select("win").distinct().count()
         >= 2
     )
+
+
+def test_streaming_t_closeness_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of t_closeness_report (20th mergeable-twin
+    member — the incremental privacy monitor): the sufficient
+    statistic is the (class, sensitive-bucket) histogram — mergeable
+    sums — so per-window partials from an append-mode watermarked
+    aggregation over a record feed, merged by cell and pushed through
+    the same exact cross-multiplied EMD assembly, reproduce the batch
+    per-class t BIT-identically."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    rows = [
+        {
+            "cust_id": i,
+            "nation": i % 3,
+            "segment": ["AUTO", "HOUSE"][(i * i) % 2],
+            "acctbal": float(((i * 131) % 9000) - 800) + 0.25,
+            "ts": f"2024-01-{1 + (i * 3) % 11:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(600)
+    ]
+    sentinel = {
+        "cust_id": 999999,
+        "nation": 0,
+        "segment": "AUTO",
+        "acctbal": 1.0,
+        "ts": "2024-03-01T00:00:00.000Z",
+    }
+    d = str(tmp_path / "tclose_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string(
+        "cust_id long, nation long, segment string, acctbal double, "
+        "ts timestamp"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    b = F.floor(F.col("acctbal") / F.lit(1000.0)).cast("bigint").alias("b")
+    partials = stream.groupBy(
+        F.window("ts", "12 hours").alias("win"),
+        "nation",
+        "segment",
+        b,
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("tclose_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(cells):
+        """(nation, segment, b, cnt) -> {(nation, segment): exact EMD
+        pieces}: the arithmetic of q_t_closeness_report."""
+        gb = (
+            cells.groupBy("b")
+            .agg(F.sum("cnt").alias("g"))
+            .select(F.col("b").alias("_gb"), "g")
+        )
+        nn = cells.agg(F.sum("cnt").alias("n"))
+        cls = (
+            cells.groupBy("nation", "segment")
+            .agg(F.sum("cnt").alias("nc"))
+            .select(
+                F.col("nation").alias("_cn"),
+                F.col("segment").alias("_cs"),
+                "nc",
+            )
+        )
+        cb = cells.groupBy("nation", "segment", "b").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        grid = (
+            cls.crossJoin(F.broadcast(gb))
+            .join(
+                cb,
+                (F.col("nation") == F.col("_cn"))
+                & (F.col("segment") == F.col("_cs"))
+                & (F.col("b") == F.col("_gb")),
+                "left",
+            )
+            .select(
+                "_cn",
+                "_cs",
+                "nc",
+                "_gb",
+                "g",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            )
+            .crossJoin(F.broadcast(nn))
+        )
+        span = gb.agg(
+            (F.max("_gb") - F.min("_gb")).alias("m1"),
+            F.max("_gb").alias("bmax"),
+        )
+        w = (
+            Window.partitionBy("_cn", "_cs")
+            .orderBy("_gb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = grid.select(
+            "_cn",
+            "_cs",
+            "nc",
+            "_gb",
+            F.sum(
+                F.col("cnt") * F.col("n") - F.col("g") * F.col("nc")
+            )
+            .over(w)
+            .alias("d"),
+            "n",
+        ).crossJoin(F.broadcast(span))
+        emd = (
+            cum.filter(F.col("_gb") < F.col("bmax"))
+            .groupBy("_cn", "_cs", "nc", "n", "m1")
+            .agg(F.sum(F.abs(F.col("d"))).alias("s"))
+        )
+        return {
+            (r._cn, r._cs): (r.nc, r.s, repr(r.s / (r.nc * r.n * r.m1)))
+            for r in emd.collect()
+        }
+
+    streamed = (
+        spark.table("tclose_partials_tbl")
+        .groupBy("nation", "segment", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["nation"], r["segment"], r["acctbal"]) for r in rows],
+            "nation long, segment string, acctbal double",
+        )
+        .groupBy("nation", "segment", b)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sc = {
+        (r.nation, r.segment, r.b): r.cnt
+        for r in streamed.collect()
+    }
+    # the sentinel only advances the watermark; its own window never
+    # closes, so it never reaches the append sink — no adjustment
+    bc = {
+        (r.nation, r.segment, r.b): r.cnt for r in batch.collect()
+    }
+    assert sc == bc and sum(sc.values()) == 600
+    sdf = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in sc.items()],
+        "nation long, segment string, b long, cnt long",
+    )
+    bdf = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in bc.items()],
+        "nation long, segment string, b long, cnt long",
+    )
+    fs, fb = finalize(sdf), finalize(bdf)
+    assert fs == fb
+    assert len(fs) == 6  # 3 nations x 2 segments
+    # non-vacuous: distributions genuinely differ across classes
+    assert len({v[2] for v in fs.values()}) > 1
+    assert (
+        spark.table("tclose_partials_tbl")
+        .select("win")
+        .distinct()
+        .count()
+        >= 2
+    )
