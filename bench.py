@@ -297,6 +297,7 @@ HEADLINE = [
     "t_closeness_report",
     "timeseries_motif_discovery",
     "obrien_fleming_sequential",
+    "huber_location_value",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -11932,3 +11932,187 @@ def q_obrien_fleming_sequential(
         )
         .orderBy("look")
     )
+
+
+def _huber_oracle(iters: int = 4) -> str:
+    """Huber IRLS unrolled as MATERIALIZED CTEs over the distinct-value
+    histogram: location starts at the (doubled) median, clip threshold
+    t = 1.345·MAD (exact rational 1345/1000), weights
+    w = min(K, t·K // |x−μ|) in fixed point K = 1e6, and each
+    iteration's μ' = Σ(cnt·w·x·K) // Σ(cnt·w) is an exact integer
+    floor — both engines replay identical integer updates."""
+    steps = []
+    for k in range(1, iters + 1):
+        km = k - 1
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT g.cv, g.cnt,
+        CASE WHEN abs(g.cv * 1000000 - m{km}.mu) <= t.tfp
+             THEN 1000000
+             ELSE CAST(t.tfp AS HUGEINT) * 1000000
+                  // abs(g.cv * 1000000 - m{km}.mu) END AS w
+      FROM g, m{km}, t
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(cnt AS HUGEINT) * w * cv * 1000000)
+                  // sum(CAST(cnt AS HUGEINT) * w) AS HUGEINT) AS mu
+      FROM w{k}
+    )"""
+        )
+    stepsql = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cv FROM events
+      WHERE value IS NOT NULL
+    ),
+    g AS (SELECT cv, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY cv),
+    cum AS (SELECT cv, cnt, sum(cnt) OVER (ORDER BY cv) AS c FROM g),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+    med AS (
+      SELECT max(CASE WHEN c - cnt < (nn.n + 1) // 2
+                       AND (nn.n + 1) // 2 <= c THEN cv END)
+           + max(CASE WHEN c - cnt < (nn.n + 2) // 2
+                       AND (nn.n + 2) // 2 <= c THEN cv END) AS m2
+      FROM cum, nn
+    ),
+    dev AS (
+      SELECT abs(2 * g.cv - med.m2) AS d2, g.cnt FROM g, med
+    ),
+    dcum AS (
+      SELECT d2, cnt, sum(cnt) OVER (ORDER BY d2) AS c FROM
+        (SELECT d2, CAST(sum(cnt) AS BIGINT) AS cnt FROM dev GROUP BY d2)
+    ),
+    mad AS (
+      SELECT max(CASE WHEN c - cnt < (nn.n + 1) // 2
+                       AND (nn.n + 1) // 2 <= c THEN d2 END)
+           + max(CASE WHEN c - cnt < (nn.n + 2) // 2
+                       AND (nn.n + 2) // 2 <= c THEN d2 END) AS mad4
+      FROM dcum, nn
+    ),
+    m0 AS (SELECT CAST(med.m2 AS HUGEINT) * 500000 AS mu FROM med),
+    t AS (
+      SELECT CAST(mad.mad4 AS HUGEINT) * 250000 * 1345 // 1000 AS tfp
+      FROM mad
+    ),
+    {stepsql}
+    SELECT nn.n,
+      round(CAST(med.m2 AS DOUBLE) / 200.0, 6) AS median,
+      round(CAST(mad.mad4 AS DOUBLE) / 400.0, 6) AS mad,
+      round(CAST(m{iters}.mu AS DOUBLE) / 1e8, 6) AS huber_loc
+    FROM nn, med, mad, m{iters}
+    """
+
+
+_HUBER_ITERS = 4
+
+
+@register("huber_location_value", _huber_oracle(_HUBER_ITERS))
+def q_huber_location_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the location of `value` — the IRLS member
+    of the robust-location family (median/trimmed/winsorized are
+    order-stat members; Huber interpolates between mean efficiency
+    and median robustness with the standard k = 1.345 clip at MAD
+    scale). 4 fixed IRLS iterations from the exact median.
+
+    Exactness: everything is fixed-point integer arithmetic on the
+    distinct-value histogram — median and MAD via the DOUBLED order-
+    stat trick (m2, mad4 = 4·MAD in quarter-centi-units), weights
+    w = min(K, t·K // |x−μ|) with K = 1e6, and each iteration's
+    μ' = Σ(cnt·w·x·K) // Σ(cnt·w) an exact HUGEINT/DECIMAL(38,0)
+    floor — order-free sums, identical integer trajectories in both
+    engines (the PageRank fixed-point discipline applied to IRLS).
+
+    Scale shape: one corpus hash agg to the distinct-value histogram;
+    the two-pass running sum finds median/MAD; each iteration is one
+    reduce over the histogram with the 1-row μ broadcast — 4
+    iterations, all on the tiny frame."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("bigint").alias("cv"))
+    )
+    g = e.groupBy("cv").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_running_sum(g, ["cv"], "cnt", "c")
+    nn = g.agg(F.sum("cnt").alias("n"))
+    plo = F.expr("(n + 1) div 2")
+    phi = F.expr("(n + 2) div 2")
+
+    def doubled_median(cumdf, valcol):
+        return cumdf.crossJoin(F.broadcast(nn)).agg(
+            (
+                F.max(
+                    F.when(
+                        (F.col("c") - F.col("cnt") < plo)
+                        & (plo <= F.col("c")),
+                        F.col(valcol),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        (F.col("c") - F.col("cnt") < phi)
+                        & (phi <= F.col("c")),
+                        F.col(valcol),
+                    )
+                )
+            ).alias("m2")
+        )
+
+    med = doubled_median(cum, "cv")
+    dev = (
+        g.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(2 * F.col("cv") - F.col("m2")).alias("d2"), "cnt"
+        )
+        .groupBy("d2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    dcum = global_running_sum(dev, ["d2"], "cnt", "c")
+    mad = doubled_median(dcum, "d2").withColumnRenamed("m2", "mad4")
+    mu = med.select(
+        (F.col("m2").cast("decimal(38,0)") * 500000).alias("mu")
+    )
+    t = mad.select(
+        F.expr(
+            "(CAST(mad4 AS DECIMAL(38,0)) * 250000 * 1345) div 1000"
+        ).alias("tfp")
+    )
+    gk = g.crossJoin(F.broadcast(t))
+    for _ in range(_HUBER_ITERS):
+        wk = gk.crossJoin(F.broadcast(mu)).select(
+            "cv",
+            "cnt",
+            "tfp",
+            F.expr(
+                "CASE WHEN abs(CAST(cv AS DECIMAL(38,0)) * 1000000 - mu)"
+                " <= tfp THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST((CAST(tfp AS DECIMAL(38,0)) * 1000000) div"
+                " abs(CAST(cv AS DECIMAL(38,0)) * 1000000 - mu)"
+                " AS BIGINT) END"
+            ).alias("w"),
+        )
+        mu = wk.agg(
+            F.expr(
+                "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * w * cv * 1000000)"
+                " div sum(CAST(cnt AS DECIMAL(38,0)) * w)"
+                " AS DECIMAL(38,0))"
+            ).alias("mu")
+        )
+    return (
+        nn.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "n",
+            F.round(F.col("m2").cast("double") / F.lit(200.0), 6).alias(
+                "median"
+            ),
+            F.round(
+                F.col("mad4").cast("double") / F.lit(400.0), 6
+            ).alias("mad"),
+            F.round(
+                F.col("mu").cast("string").cast("double") / F.lit(1e8), 6
+            ).alias("huber_loc"),
+        )
+    )

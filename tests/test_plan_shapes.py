@@ -1573,3 +1573,14 @@ def test_obf_looks_join_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_huber_iterations_on_histogram(spark):
+    """All four IRLS iterations run over the distinct-value histogram
+    with 1-row broadcast location frames — no cartesian, no SMJ, no
+    unpartitioned window (the two-pass helper's _pid specs only)."""
+    plan = _plan(spark, "huber_location_value")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
