@@ -298,6 +298,8 @@ HEADLINE = [
     "timeseries_motif_discovery",
     "obrien_fleming_sequential",
     "huber_location_value",
+    "spearman_matrix_daily_volumes",
+    "ccf_click_purchase_leadlag",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -12116,3 +12116,253 @@ def q_huber_location_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("huber_loc"),
         )
     )
+
+
+@register(
+    "spearman_matrix_daily_volumes",
+    """
+    WITH dv AS (
+      SELECT event_type,
+        epoch_ns(ts) // 1000 // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM dv),
+    types AS (SELECT DISTINCT event_type FROM dv),
+    grid AS (
+      SELECT t.event_type, d.day, coalesce(dv.v, 0) AS v
+      FROM types t CROSS JOIN days d
+      LEFT JOIN dv ON dv.event_type = t.event_type AND dv.day = d.day
+    ),
+    gv AS (
+      SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+      FROM grid GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, v, t,
+        sum(t) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM gv
+    ),
+    r2 AS (
+      SELECT event_type, v, 2 * (cum - t) + t + 1 AS rr FROM c
+    ),
+    ranked AS (
+      SELECT g.event_type, g.day, r2.rr
+      FROM grid g JOIN r2 ON r2.event_type = g.event_type AND r2.v = g.v
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(a.rr * b.rr) AS BIGINT) AS sab,
+        CAST(sum(a.rr) AS BIGINT) AS sa, CAST(sum(b.rr) AS BIGINT) AS sb,
+        CAST(sum(a.rr * a.rr) AS BIGINT) AS saa,
+        CAST(sum(b.rr * b.rr) AS BIGINT) AS sbb
+      FROM ranked a JOIN ranked b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+      round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+            / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                   * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)),
+            6) AS rho
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+)
+def q_spearman_matrix_daily_volumes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank-correlation MATRIX across the five event types'
+    daily volume series (all 10 pairs) — the dependence screen a
+    metrics platform runs before trusting one series as a proxy for
+    another (spearman_value_vs_time correlates ONE series with time;
+    this correlates the series with each other, rank-based so a heavy
+    day can't dominate like Pearson).
+
+    Exactness: the (type, day) grid zero-fills missing cells so every
+    series has the same length; tie-averaged ranks use the DOUBLED
+    2·below+t+1 form (exact BIGINTs, the mannwhitney discipline) via
+    per-type cumulative counts over distinct volumes; each pair's ρ
+    is one shared IEEE expression over six exact integer sums
+    (doubling cancels). Day-level join aligns series positionally.
+
+    Scale shape: one corpus hash agg to |types|·|days| cells; the
+    rank machinery and the pair join live entirely on that tiny
+    calendar-bounded frame (per-type windows over ≤|days| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    days = dv.select("day").distinct()
+    types = dv.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(
+            dv.select(
+                F.col("event_type").alias("_t"),
+                F.col("day").alias("_d"),
+                "v",
+            ),
+            (F.col("event_type") == F.col("_t"))
+            & (F.col("day") == F.col("_d")),
+            "left",
+        )
+        .select(
+            "event_type", "day", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+        )
+    )
+    gv = grid.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("t"))
+    from ..operators.ranking import global_running_sum
+
+    c = global_running_sum(gv, ["event_type", "v"], "t", "gcum")
+    tot = gv.groupBy("event_type").agg(F.sum("t").alias("nt"))
+    a, b = tot.alias("a"), tot.alias("b")
+    off = (
+        a.join(
+            F.broadcast(b),
+            F.col("b.event_type") < F.col("a.event_type"),
+            "left",
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.coalesce(F.sum("b.nt"), F.lit(0)).alias("off"))
+    )
+    r2 = (
+        c.join(F.broadcast(off), "event_type")
+        .select(
+            F.col("event_type").alias("_rt"),
+            F.col("v").alias("_rv"),
+            (
+                2 * (F.col("gcum") - F.col("off") - F.col("t"))
+                + F.col("t")
+                + 1
+            ).alias("rr"),
+        )
+    )
+    ranked = grid.join(
+        F.broadcast(r2),
+        (F.col("event_type") == F.col("_rt")) & (F.col("v") == F.col("_rv")),
+    ).select("event_type", "day", "rr")
+    ra, rb = ranked.alias("ra"), ranked.alias("rb")
+    pairs = (
+        ra.join(
+            F.broadcast(rb),
+            (F.col("ra.day") == F.col("rb.day"))
+            & (F.col("ra.event_type") < F.col("rb.event_type")),
+        )
+        .groupBy(
+            F.col("ra.event_type").alias("type_a"),
+            F.col("rb.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ra.rr") * F.col("rb.rr")).alias("sab"),
+            F.sum(F.col("ra.rr")).alias("sa"),
+            F.sum(F.col("rb.rr")).alias("sb"),
+            F.sum(F.col("ra.rr") * F.col("ra.rr")).alias("saa"),
+            F.sum(F.col("rb.rr") * F.col("rb.rr")).alias("sbb"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rho = (
+        nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    ) / F.sqrt(
+        (nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return pairs.select(
+        "type_a", "type_b", "n", F.round(rho, 6).alias("rho")
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "ccf_click_purchase_leadlag",
+    """
+    WITH dv AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    x AS (SELECT day, v AS xv FROM dv WHERE event_type = 'click'),
+    y AS (SELECT day, v AS yv FROM dv WHERE event_type = 'purchase'),
+    lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+    j AS (
+      SELECT lags.lag, x.xv, y.yv
+      FROM lags, x JOIN y ON y.day = x.day + lags.lag
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        CAST(sum(xv * yv) AS BIGINT) AS sxy,
+        CAST(sum(xv * xv) AS BIGINT) AS sxx,
+        CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+      round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+            6) AS r
+    FROM s ORDER BY lag
+    """,
+)
+def q_ccf_click_purchase_leadlag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-correlation function between click and purchase daily
+    volumes at lags −3..+3 — the LEAD-LAG companion to
+    seasonality_autocorr's single-series view: a positive peak at
+    lag k > 0 means clicks lead purchases by k days, the thing an
+    attribution window is actually calibrated from.
+
+    Exactness: per-lag Pearson r over the overlapping day range from
+    six exact BIGINT sums (volumes ≤ ~1e4, products ≤ 1e8·|days| —
+    far inside BIGINT), assembled in one shared IEEE tree per lag
+    (round-6); the lag alignment is an integer day-offset equi-join.
+
+    Scale shape: one corpus hash agg to the ≤2·|days| daily frame;
+    the 7-row lags table broadcasts over it; everything downstream is
+    7 rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dv = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    x = dv.filter(F.col("event_type") == "click").select(
+        "day", F.col("v").alias("xv")
+    )
+    y = dv.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("v").alias("yv")
+    )
+    lags = spark.createDataFrame([(l,) for l in range(-3, 4)], "lag int")
+    j = x.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(y), F.col("yday") == F.col("day") + F.col("lag")
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("lag", "n", F.round(r, 6).alias("r")).orderBy("lag")

@@ -1584,3 +1584,22 @@ def test_huber_iterations_on_histogram(spark):
     assert "SortMergeJoin" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
         assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_spearman_matrix_tiny_frames(spark):
+    """All rank/pair machinery lives on the |types|·|days| grid:
+    broadcast joins only after the first agg, two-pass _pid windows
+    only, no cartesian beyond the broadcast type×day grid."""
+    plan = _plan(spark, "spearman_matrix_daily_volumes")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_ccf_lag_join_broadcast(spark):
+    """The 7-row lag table and the purchase series broadcast onto the
+    click series; per-lag sums are one hash agg; no SMJ/cartesian."""
+    plan = _plan(spark, "ccf_click_purchase_leadlag")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
