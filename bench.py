@@ -300,6 +300,7 @@ HEADLINE = [
     "huber_location_value",
     "spearman_matrix_daily_volumes",
     "ccf_click_purchase_leadlag",
+    "granger_click_to_purchase",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -12366,3 +12366,138 @@ def q_ccf_click_purchase_leadlag(
         * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return s.select("lag", "n", F.round(r, 6).alias("r")).orderBy("lag")
+
+
+@register(
+    "granger_click_to_purchase",
+    """
+    WITH dv AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    x AS (SELECT day, v AS xv FROM dv WHERE event_type = 'click'),
+    y AS (SELECT day, v AS yv FROM dv WHERE event_type = 'purchase'),
+    al AS (
+      SELECT yt.yv AS yy, yl.yv AS y1, xl.xv AS xx
+      FROM y yt JOIN y yl ON yl.day = yt.day - 1
+      JOIN x xl ON xl.day = yt.day - 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(yy) AS BIGINT) AS sy, CAST(sum(y1) AS BIGINT) AS s1,
+        CAST(sum(xx) AS BIGINT) AS sx,
+        CAST(sum(y1 * y1) AS BIGINT) AS s11,
+        CAST(sum(xx * xx) AS BIGINT) AS sxx,
+        CAST(sum(y1 * xx) AS BIGINT) AS s1x,
+        CAST(sum(yy * y1) AS BIGINT) AS sy1,
+        CAST(sum(yy * xx) AS BIGINT) AS syx,
+        CAST(sum(yy * yy) AS BIGINT) AS syy
+      FROM al
+    ),
+    c AS (
+      SELECT n,
+        CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS c11,
+        CAST(n AS DOUBLE) * s1x - CAST(s1 AS DOUBLE) * sx AS c1x,
+        CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+        CAST(n AS DOUBLE) * sy1 - CAST(s1 AS DOUBLE) * sy AS c1y,
+        CAST(n AS DOUBLE) * syx - CAST(sx AS DOUBLE) * sy AS cxy,
+        CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy
+      FROM s
+    ),
+    f AS (
+      SELECT n, c11, c1x, cxx, c1y, cxy, cyy,
+        c11 * cxx - c1x * c1x AS det,
+        (c1y * cxx - cxy * c1x) / (c11 * cxx - c1x * c1x) AS b1,
+        (c11 * cxy - c1x * c1y) / (c11 * cxx - c1x * c1x) AS bx
+      FROM c
+    )
+    SELECT n,
+      round(b1, 6) AS ar_coef,
+      round(bx, 6) AS granger_coef,
+      round(((cyy - c1y * c1y / c11) - (cyy - b1 * c1y - bx * cxy))
+            * (n - 3) / (cyy - b1 * c1y - bx * cxy), 6) AS f_stat,
+      CASE WHEN ((cyy - c1y * c1y / c11) - (cyy - b1 * c1y - bx * cxy))
+                * (n - 3) / (cyy - b1 * c1y - bx * cxy) > 4.2252
+           THEN 1 ELSE 0 END AS reject_f1_26_05
+    FROM f
+    """,
+)
+def q_granger_click_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 Granger causality test: does YESTERDAY's click volume
+    predict today's purchase volume beyond purchase's own lag? F-test
+    comparing the restricted AR(1) fit to the full model with the
+    click lag — the directional, predictive complement to
+    ccf_click_purchase_leadlag's symmetric correlation view (a CCF
+    peak can be confounding; Granger conditions on the series' own
+    history).
+
+    Exactness: the nine sufficient sums are exact BIGINTs (daily
+    volumes, all < 2^53 as doubles); both OLS fits assemble from them
+    in ONE shared IEEE expression tree via centered cross-sums and
+    Cramer's rule (the welch discipline — no per-row float work, no
+    iterative solver), so the F statistic is bit-identical
+    cross-engine. The F(1, 26) 5% critical value enters as a literal
+    (the _BH_THRESHOLDS recipe; every SF spans exactly 30 days →
+    n = 29 aligned rows).
+
+    Scale shape: one corpus hash agg to the daily frame; lag
+    alignment is two tiny self-joins; everything after is 1 row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dv = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    x = dv.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("xday"), F.col("v").alias("xx")
+    )
+    yt = dv.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("day"), F.col("v").alias("yy")
+    )
+    yl = dv.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("lday"), F.col("v").alias("y1")
+    )
+    al = yt.join(
+        F.broadcast(yl), F.col("lday") == F.col("day") - 1
+    ).join(F.broadcast(x), F.col("xday") == F.col("day") - 1)
+    s = al.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yy").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("xx").alias("sx"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("xx") * F.col("xx")).alias("sxx"),
+        F.sum(F.col("y1") * F.col("xx")).alias("s1x"),
+        F.sum(F.col("yy") * F.col("y1")).alias("sy1"),
+        F.sum(F.col("yy") * F.col("xx")).alias("syx"),
+        F.sum(F.col("yy") * F.col("yy")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    c11 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    c1x = nd * F.col("s1x") - F.col("s1").cast("double") * F.col("sx")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    c1y = nd * F.col("sy1") - F.col("s1").cast("double") * F.col("sy")
+    cxy = nd * F.col("syx") - F.col("sx").cast("double") * F.col("sy")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    det = c11 * cxx - c1x * c1x
+    b1 = (c1y * cxx - cxy * c1x) / det
+    bx = (c11 * cxy - c1x * c1y) / det
+    rss_r = cyy - c1y * c1y / c11
+    rss_f = cyy - b1 * c1y - bx * cxy
+    fstat = (rss_r - rss_f) * (F.col("n") - 3) / rss_f
+    return s.select(
+        "n",
+        F.round(b1, 6).alias("ar_coef"),
+        F.round(bx, 6).alias("granger_coef"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.when(fstat > 4.2252, 1).otherwise(0).alias("reject_f1_26_05"),
+    )

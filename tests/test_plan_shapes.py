@@ -1603,3 +1603,13 @@ def test_ccf_lag_join_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_granger_lag_joins_broadcast(spark):
+    """Lag alignment is two broadcast self-joins of the tiny daily
+    frame; the OLS assembly is one 1-row reduce — no SMJ, no
+    cartesian."""
+    plan = _plan(spark, "granger_click_to_purchase")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
