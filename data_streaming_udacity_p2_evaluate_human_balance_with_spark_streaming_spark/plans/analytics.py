@@ -12501,3 +12501,298 @@ def q_granger_click_to_purchase(
         F.round(fstat, 6).alias("f_stat"),
         F.when(fstat > 4.2252, 1).otherwise(0).alias("reject_f1_26_05"),
     )
+
+
+#: shared oracle prefix: the conversion_surv construction + per-cohort
+#: per-duration death/at-risk tables (the log-rank / Nelson-Aalen CTEs)
+_SURV_ORACLE_PREFIX = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    pur AS (
+      SELECT * FROM e WHERE event_type = 'purchase' AND cv IS NOT NULL
+    ),
+    gv AS (SELECT cv, count(*) AS t FROM pur GROUP BY cv),
+    cum AS (SELECT cv, t, sum(t) OVER (ORDER BY cv) AS c FROM gv),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pur),
+    cut AS (
+      SELECT min(cv) AS cut FROM cum, np WHERE c >= (9 * np.n + 9) // 10
+    ),
+    conv AS (
+      SELECT user_id, min(us) AS tc
+      FROM pur, cut WHERE pur.cv > cut.cut GROUP BY user_id
+    ),
+    peru AS (SELECT user_id, min(us) AS t0, max(us) AS tl FROM e GROUP BY 1),
+    surv AS (
+      SELECT peru.user_id % 2 AS g,
+        (COALESCE(conv.tc, peru.tl) - peru.t0) // 86400000000 AS dur,
+        CASE WHEN conv.tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM peru LEFT JOIN conv ON peru.user_id = conv.user_id
+    ),
+    cnt AS (
+      SELECT g, dur, CAST(sum(ev) AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS c
+      FROM surv GROUP BY g, dur
+    ),
+    ar AS (
+      SELECT d.g, d.dur, d.d, CAST(sum(c.c) AS BIGINT) AS n_at_risk
+      FROM cnt d JOIN cnt c ON c.g = d.g AND c.dur >= d.dur
+      WHERE d.d > 0
+      GROUP BY 1, 2, 3
+    )"""
+
+
+def _km_oracle(max_steps: int = 30) -> str:
+    """Kaplan-Meier product chain unrolled as MATERIALIZED CTEs: ranked
+    death times per cohort, then `max_steps` fixed-point product steps
+    S' = S·(n−d) // n (identity when a cohort has no rank-k death —
+    idempotent past each cohort's last step, the kcore recipe); each
+    step also EMITS its post-update row so the final union is the
+    curve. 1e12 fixed point; every quotient an exact integer floor."""
+    steps = []
+    for k in range(1, max_steps + 1):
+        km = k - 1
+        steps.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT s.g,
+        CASE WHEN r.n_at_risk IS NULL THEN s.sfp
+             ELSE CAST(s.sfp AS HUGEINT) * (r.n_at_risk - r.d)
+                  // r.n_at_risk END AS sfp
+      FROM s{km} s LEFT JOIN rk r ON r.g = s.g AND r.rnk = {k}
+    ),
+    o{k} AS (
+      SELECT r.g, r.dur, r.d, r.n_at_risk, s.sfp
+      FROM rk r JOIN s{k} s ON s.g = r.g WHERE r.rnk = {k}
+    )"""
+        )
+    stepsql = ",\n    ".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM o{k}" for k in range(1, max_steps + 1)
+    )
+    return (
+        _SURV_ORACLE_PREFIX
+        + f""",
+    rk AS MATERIALIZED (
+      SELECT g, dur, d, n_at_risk,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY dur) AS rnk
+      FROM ar
+    ),
+    s0 AS (SELECT DISTINCT g, CAST(1000000000000 AS HUGEINT) AS sfp
+           FROM rk),
+    {stepsql}
+    SELECT g, dur, d AS deaths, n_at_risk,
+      CAST(sfp AS BIGINT) AS surv_fp,
+      round(CAST(sfp AS DOUBLE) / 1e12, 6) AS survival
+    FROM ({union})
+    ORDER BY g, dur
+    """
+    )
+
+
+@register("kaplan_meier_conversion_curve", _km_oracle(30))
+def q_kaplan_meier_conversion_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curves S(t) = Π(1 − dᵢ/nᵢ) per cohort on
+    the shared conversion_surv frame — completing the survival trio
+    (log-rank TEST, Nelson-Aalen HAZARD, KM CURVE): the step function
+    a growth dashboard actually plots, with censoring handled
+    correctly (kaplan_meier_retention draws uncensored retention;
+    this is the censored-conversion estimator).
+
+    Exactness: KM's sequential product is the one survival statistic
+    SQL can't fold order-freely — so it runs as a FIXED-POINT product
+    chain S' = S·(n−d) // n at 1e12 scale: exact integer floors with
+    a pinned per-cohort time order. Spark executes the chain as
+    driver Python ints over the COLLECTED per-cohort death table
+    (≤ |days|·2 rows, calendar-bounded — the markov/MMR/PAVA
+    precedent); the oracle unrolls 30 MATERIALIZED steps (identity
+    when a cohort's deaths are exhausted — idempotent past the
+    fixpoint, the kcore recipe), each step emitting its post-update
+    row so the union IS the curve.
+
+    Scale shape: corpus work is the per-user agg + the broadcast
+    non-equi at-risk join (the Nelson-Aalen plan); the product chain
+    touches ≤ 60 rows regardless of corpus size."""
+    surv = conversion_surv(spark, sf_dir)
+    cnt = surv.groupBy("g", "dur").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    d = cnt.filter(F.col("d") > 0).alias("d")
+    c = cnt.alias("c")
+    ar = (
+        d.join(
+            F.broadcast(c),
+            (F.col("c.g") == F.col("d.g"))
+            & (F.col("c.dur") >= F.col("d.dur")),
+        )
+        .groupBy(
+            F.col("d.g").alias("g"),
+            F.col("d.dur").alias("dur"),
+            F.col("d.d").alias("deaths"),
+        )
+        .agg(F.sum(F.col("c.c")).alias("n_at_risk"))
+    )
+    rows = sorted(
+        (
+            (r["g"], r["dur"], r["deaths"], r["n_at_risk"])
+            for r in ar.collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    out = []
+    sfp = {}
+    for g, dur, dd, n in rows:
+        s = sfp.get(g, 10**12)
+        s = s * (n - dd) // n
+        sfp[g] = s
+        out.append((g, dur, dd, n, s))
+    return spark.createDataFrame(
+        out,
+        "g bigint, dur bigint, deaths bigint, n_at_risk bigint, "
+        "surv_fp bigint",
+    ).select(
+        "*",
+        F.round(F.col("surv_fp").cast("double") / F.lit(1e12), 6).alias(
+            "survival"
+        ),
+    ).orderBy("g", "dur")
+
+
+@register(
+    "mantel_haenszel_urgent_fulfilled",
+    """
+    WITH o AS (
+      SELECT c.c_nationkey AS s,
+        CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+        CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    tab AS (
+      SELECT s,
+        CAST(sum(tr * y) AS BIGINT) AS a,
+        CAST(sum(tr * (1 - y)) AS BIGINT) AS b,
+        CAST(sum((1 - tr) * y) AS BIGINT) AS c,
+        CAST(sum((1 - tr) * (1 - y)) AS BIGINT) AS d
+      FROM o GROUP BY s
+    ),
+    ok AS (
+      SELECT *, a + b + c + d AS n FROM tab
+      WHERE a + b > 0 AND c + d > 0 AND n > 1
+    ),
+    terms AS (
+      SELECT
+        CAST(a AS HUGEINT) * d * 1000000000 // n AS adf,
+        CAST(b AS HUGEINT) * c * 1000000000 // n AS bcf,
+        a,
+        CAST((a + b) AS HUGEINT) * (a + c) * 1000000000 // n AS ef,
+        CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+          * 1000000000
+          // (CAST(n AS HUGEINT) * n * (n - 1)) AS vf
+      FROM ok
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        CAST(CAST(sum(adf) AS VARCHAR) AS DOUBLE) AS sad,
+        CAST(CAST(sum(bcf) AS VARCHAR) AS DOUBLE) AS sbc,
+        CAST(sum(a) AS BIGINT) AS sa,
+        CAST(CAST(sum(ef) AS VARCHAR) AS DOUBLE) AS se,
+        CAST(CAST(sum(vf) AS VARCHAR) AS DOUBLE) AS sv
+      FROM terms
+    )
+    SELECT n_strata,
+      round(sad / sbc, 6) AS mh_or,
+      round((sa - se / 1e9) * (sa - se / 1e9) / (sv / 1e9), 6)
+        AS cmh_chi2
+    FROM agg
+    """,
+)
+def q_mantel_haenszel_urgent_fulfilled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel χ²
+    for urgent-priority → fulfilled-status across nation strata — the
+    ODDS-RATIO pooling companion to stratified_ate_urgent_orders'
+    risk-difference view (MH weights each stratum by b·c/n, the
+    epidemiology standard when strata sizes vary; CMH is its test).
+
+    Exactness: per-stratum 2×2 cells are exact BIGINTs; the MH
+    numerator/denominator and the CMH E/V accumulate ×1e9 with exact
+    integer floor division per stratum (HUGEINT // ↔ DECIMAL(38,0)
+    div — the log-rank per-term discipline), summed order-free and
+    crossed to double via STRING. Two final divisions.
+
+    Scale shape: one broadcast customer-dim join, one hash agg to
+    |nations| strata, then 25-row arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = o.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_nationkey").alias("s"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    tab = base.groupBy("s").agg(
+        F.sum(F.col("tr") * F.col("y")).alias("a"),
+        F.sum(F.col("tr") * (1 - F.col("y"))).alias("b"),
+        F.sum((1 - F.col("tr")) * F.col("y")).alias("c"),
+        F.sum((1 - F.col("tr")) * (1 - F.col("y"))).alias("d"),
+    )
+    ok = tab.withColumn(
+        "n", F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).filter(
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("n") > 1)
+    )
+    terms = ok.select(
+        F.expr(
+            "(CAST(a AS DECIMAL(38,0)) * d * 1000000000) div n"
+        ).alias("adf"),
+        F.expr(
+            "(CAST(b AS DECIMAL(38,0)) * c * 1000000000) div n"
+        ).alias("bcf"),
+        "a",
+        F.expr(
+            "(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000000) div n"
+        ).alias("ef"),
+        F.expr(
+            "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)"
+            " * 1000000000) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+        ).alias("vf"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("adf").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("sad"),
+        F.sum(F.col("bcf").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("sbc"),
+        F.sum("a").alias("sa"),
+        F.sum(F.col("ef").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("se"),
+        F.sum(F.col("vf").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("sv"),
+    )
+    diff = F.col("sa") - F.col("se") / F.lit(1e9)
+    return agg.select(
+        "n_strata",
+        F.round(F.col("sad") / F.col("sbc"), 6).alias("mh_or"),
+        F.round(diff * diff / (F.col("sv") / F.lit(1e9)), 6).alias(
+            "cmh_chi2"
+        ),
+    )

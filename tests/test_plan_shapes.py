@@ -1613,3 +1613,22 @@ def test_granger_lag_joins_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_km_curve_at_risk_broadcast(spark):
+    """The KM curve's corpus work is the Nelson-Aalen plan: per-user
+    agg + broadcast non-equi at-risk self-join; no cartesian; the
+    product chain itself is driver-side over the bounded collect."""
+    plan = _plan(spark, "kaplan_meier_conversion_curve")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
+
+
+def test_mantel_haenszel_dim_broadcast(spark):
+    """Customer dim broadcasts onto orders; everything after the
+    |nations| hash agg is 25-row arithmetic — no SMJ, no cartesian."""
+    plan = _plan(spark, "mantel_haenszel_urgent_fulfilled")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
