@@ -11807,7 +11807,10 @@ _OBF_BOUNDS = (
 )
 
 _OBF_BOUNDS_SQL = "VALUES " + ", ".join(
-    f"({k}, {b})" for k, b in _OBF_BOUNDS
+    # CAST: a bare 2.0243 literal types as DECIMAL(5,4) in DuckDB while
+    # Spark's lit() is DOUBLE — value-equal but representation-different
+    # through the parity normalizers
+    f"({k}, CAST({b} AS DOUBLE))" for k, b in _OBF_BOUNDS
 )
 
 
