@@ -303,6 +303,7 @@ HEADLINE = [
     "granger_click_to_purchase",
     "kaplan_meier_conversion_curve",
     "mantel_haenszel_urgent_fulfilled",
+    "dunn_posthoc_value_pairs",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

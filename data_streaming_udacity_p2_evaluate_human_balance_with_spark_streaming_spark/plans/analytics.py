@@ -12799,3 +12799,195 @@ def q_mantel_haenszel_urgent_fulfilled(
             "cmh_chi2"
         ),
     )
+
+
+#: BH step-up z-thresholds for m=10 two-sided tests at α=0.05
+#: (Dunn's 5-choose-2 pairs): thr_k = Φ⁻¹(1 − k·α/(2m)), precomputed
+#: (statistics.NormalDist) — the _BH_THRESHOLDS recipe at m=10.
+_BH10_THRESHOLDS = (
+    (1, 2.807033768),
+    (2, 2.575829304),
+    (3, 2.432379059),
+    (4, 2.326347874),
+    (5, 2.241402728),
+    (6, 2.170090378),
+    (7, 2.108358399),
+    (8, 2.053748911),
+    (9, 2.004654462),
+    (10, 1.959963985),
+)
+
+_BH10_THR_SQL = "VALUES " + ", ".join(
+    f"({k}, CAST({t} AS DOUBLE))" for k, t in _BH10_THRESHOLDS
+)
+
+
+@register(
+    "dunn_posthoc_value_pairs",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT cv, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY cv),
+    cum AS (
+      SELECT cv, t, sum(t) OVER (ORDER BY cv) AS c FROM gv
+    ),
+    r2 AS (SELECT cv, 2 * (c - t) + t + 1 AS rr FROM cum),
+    pt AS (
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(r2.rr) AS BIGINT) AS s
+      FROM e JOIN r2 USING (cv) GROUP BY e.event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS nn,
+        CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+      FROM gv
+    ),
+    z AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        a.n AS n_a, b.n AS n_b,
+        ((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 2.0)
+        / sqrt((CAST(tot.nn AS DOUBLE) * (tot.nn + 1) / 12.0
+                - CAST(CAST(tot.ties AS VARCHAR) AS DOUBLE)
+                  / (12.0 * (tot.nn - 1)))
+               * (1.0 / a.n + 1.0 / b.n)) AS zval
+      FROM pt a JOIN pt b ON a.event_type < b.event_type, tot
+    ),
+    ranked AS (
+      SELECT type_a, type_b, n_a, n_b, zval,
+        CAST(row_number() OVER (
+          ORDER BY abs(zval) DESC, type_a ASC, type_b ASC) AS BIGINT)
+          AS p_rank
+      FROM z
+    ),
+    thr(k, thr) AS ({_BH10_THR_SQL}),
+    cutoff AS (
+      SELECT coalesce(max(r.p_rank), 0) AS kmax
+      FROM ranked r JOIN thr ON thr.k = r.p_rank
+      WHERE abs(r.zval) >= thr.thr
+    )
+    SELECT r.type_a, r.type_b, r.n_a, r.n_b,
+      round(r.zval, 6) AS z, r.p_rank,
+      r.p_rank <= cutoff.kmax AS rejected
+    FROM ranked r, cutoff
+    ORDER BY r.p_rank
+    """,
+)
+def q_dunn_posthoc_value_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal-Wallis, BH
+    step-up corrected at α=0.05 over the 10 type pairs —
+    kruskal_wallis_value_by_type says the five `value` distributions
+    are not all equal; Dunn says WHICH pairs differ, on the same
+    pooled-rank scale (pairwise Mann-Whitney tests use pair-local
+    ranks and break the KW guarantee; Dunn is the correct follow-up).
+
+    Exactness: pooled DOUBLED tie-average ranks (2·below+t+1, exact
+    BIGINT via the two-pass cumulative machinery, no type partition);
+    per-type doubled rank sums S_i and the pooled tie term Σ(t³−t)
+    are exact integer/decimal aggregates; each pair's z is ONE shared
+    IEEE tree (the /2 undoubles the mean difference); the 10 BH
+    thresholds are Python-precomputed literals (_BH10_THRESHOLDS) —
+    no runtime inverse-normal, and the step-up kmax is a rank-join
+    max, exactly the BH rule.
+
+    Scale shape: one corpus hash agg to distinct pooled values, the
+    two-pass running sum, one per-(type, value)-free join back
+    (broadcast r2 onto the corpus rows then a 5-row agg), and 10-row
+    arithmetic."""
+    from ..operators.ranking import global_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+    )
+    gv = e.groupBy("cv").agg(F.count(F.lit(1)).alias("t"))
+    cum = global_running_sum(gv, ["cv"], "t", "c")
+    r2 = cum.select(
+        F.col("cv").alias("_cv"),
+        (2 * (F.col("c") - F.col("t")) + F.col("t") + 1).alias("rr"),
+    )
+    pt = (
+        e.join(F.broadcast(r2), F.col("cv") == F.col("_cv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rr").alias("s"),
+        )
+    )
+    tot = gv.agg(
+        F.sum("t").alias("nn"),
+        F.sum(
+            (
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            )
+        ).alias("ties"),
+    )
+    a, b = pt.alias("a"), pt.alias("b")
+    z = (
+        a.join(
+            F.broadcast(b),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (
+                (
+                    F.col("a.s").cast("double") / F.col("a.n")
+                    - F.col("b.s").cast("double") / F.col("b.n")
+                )
+                / F.lit(2.0)
+                / F.sqrt(
+                    (
+                        F.col("nn").cast("double")
+                        * (F.col("nn") + 1)
+                        / F.lit(12.0)
+                        - F.col("ties").cast("string").cast("double")
+                        / (F.lit(12.0) * (F.col("nn") - 1))
+                    )
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
+                )
+            ).alias("zval"),
+        )
+    )
+    w = Window.orderBy(
+        F.abs(F.col("zval")).desc(), F.asc("type_a"), F.asc("type_b")
+    )
+    ranked = z.withColumn(
+        "p_rank", F.row_number().over(w).cast("bigint")
+    )
+    thr = spark.createDataFrame(
+        list(_BH10_THRESHOLDS), "k long, thr double"
+    )
+    cutoff = (
+        ranked.join(F.broadcast(thr), F.col("p_rank") == F.col("k"))
+        .filter(F.abs(F.col("zval")) >= F.col("thr"))
+        .agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("kmax"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round("zval", 6).alias("z"),
+            "p_rank",
+            (F.col("p_rank") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )

@@ -1632,3 +1632,14 @@ def test_mantel_haenszel_dim_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dunn_pairs_broadcast_and_takeordered_free(spark):
+    """Pooled ranks ride the two-pass helper; the pair/threshold
+    machinery is all broadcast joins over ≤10-row frames (the 10-row
+    ranking window is the BH family's accepted k-row shape); no
+    cartesian beyond broadcast products, no sort-merge join."""
+    plan = _plan(spark, "dunn_posthoc_value_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
