@@ -10680,6 +10680,12 @@ def q_mmr_rerank_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand0 = rels.orderBy(F.desc("rel"), F.asc("doc_id")).limit(30)
     rows = cand0.collect()
+    if not rows:
+        # degrade like the oracle: an empty candidate pool emits no rows
+        return spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, reln bigint, "
+            "maxsim bigint, mmr bigint"
+        )
     rm = max(r["rel"] for r in rows)
     cand = {r["doc_id"]: (r["rel"] * 1000000000) // rm for r in rows}
     cand_ids = sorted(cand)
@@ -10722,6 +10728,11 @@ def q_mmr_rerank_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list[tuple] = []
     remaining = set(cand_ids)
     for rank in range(1, _MMR_K + 1):
+        if not remaining:
+            # pool smaller than K: emit fewer rows, like the oracle's
+            # unrolled CTEs (each step is a LEFT-ish CTE that just
+            # produces nothing once candidates run out)
+            break
         best = None
         for d in remaining:
             ms = max(
@@ -11691,11 +11702,15 @@ def q_robust_stl_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(sad) AS nn_sad,
         min(CASE WHEN sad = msad THEN os END) AS nn_start
       FROM (
-        SELECT sa AS s, sb AS os, sad,
-          min(sad) OVER (PARTITION BY sa) AS msad FROM sads
-        UNION ALL
-        SELECT sb AS s, sa AS os, sad,
-          min(sad) OVER (PARTITION BY sb) AS msad FROM sads
+        -- msad must be the GLOBAL per-start minimum over the unioned
+        -- frame (both directions), matching the Spark window over the
+        -- union; a branch-local min can name a non-nearest neighbor
+        SELECT s, os, sad, min(sad) OVER (PARTITION BY s) AS msad
+        FROM (
+          SELECT sa AS s, sb AS os, sad FROM sads
+          UNION ALL
+          SELECT sb AS s, sa AS os, sad FROM sads
+        )
       ) GROUP BY s
     ),
     discord AS (
@@ -12645,6 +12660,20 @@ def q_kaplan_meier_conversion_curve(
         ),
         key=lambda t: (t[0], t[1]),
     )
+    # The oracle unrolls exactly 30 MATERIALIZED product steps; if any
+    # cohort ever had MORE distinct death durations the oracle would
+    # silently truncate its curve while this loop kept going. Fail
+    # loudly instead of diverging (fixtures span 30 days, so this is
+    # an invariant check, not a data path).
+    per_g: dict = {}
+    for g, _dur, _dd, _n in rows:
+        per_g[g] = per_g.get(g, 0) + 1
+    if per_g and max(per_g.values()) > 30:
+        raise ValueError(
+            "kaplan_meier_conversion_curve: a cohort has "
+            f"{max(per_g.values())} death times but the oracle unrolls "
+            "only 30 product steps — raise _km_oracle(n)"
+        )
     out = []
     sfp = {}
     for g, dur, dd, n in rows:

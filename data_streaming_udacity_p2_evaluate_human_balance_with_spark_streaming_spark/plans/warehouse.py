@@ -2757,15 +2757,18 @@ def q_duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM conf
     ),
     src AS (
-      SELECT CAST(sum(rows_m.r * cols_m.c) AS BIGINT) AS s
+      -- HUGEINT: r·c and N² overflow BIGINT near N ≈ 3e9 documents
+      SELECT CAST(sum(CAST(rows_m.r AS HUGEINT) * cols_m.c) AS HUGEINT) AS s
       FROM rows_m JOIN cols_m USING (lbl)
     )
     SELECT tots.nn AS n_docs, tots.agree AS n_agree,
       round(CAST(tots.agree AS DOUBLE) / tots.nn, 6) AS po,
-      round(CAST(src.s AS DOUBLE) / (CAST(tots.nn AS DOUBLE) * tots.nn), 6)
-        AS pe,
-      round(CAST(tots.nn * tots.agree - src.s AS DOUBLE)
-            / (tots.nn * tots.nn - src.s), 6) AS kappa
+      round(CAST(CAST(src.s AS VARCHAR) AS DOUBLE)
+            / (CAST(tots.nn AS DOUBLE) * tots.nn), 6) AS pe,
+      round(CAST(CAST(CAST(tots.nn AS HUGEINT) * tots.agree - src.s
+                      AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(tots.nn AS HUGEINT) * tots.nn - src.s
+                        AS VARCHAR) AS DOUBLE), 6) AS kappa
     FROM tots, src
     """.format(pred=_lang_pred_sql()),
 )
@@ -2807,22 +2810,31 @@ def q_cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("agree"),
     )
+    # decimal(38,0) mirrors the oracle's HUGEINT: r·c and N² overflow
+    # int64 near N ≈ 3e9 documents; string→double is the established
+    # exact crossing (degree_assortativity_copurchase discipline)
+    dec = "decimal(38,0)"
     src = (
         rows_m.join(F.broadcast(cols_m), "lbl")
-        .agg(F.sum(F.col("r") * F.col("c")).alias("s"))
+        .agg(F.sum(F.col("r").cast(dec) * F.col("c")).alias("s"))
     )
+    nn_d = F.col("nn").cast(dec)
     return tots.crossJoin(F.broadcast(src)).select(
         F.col("nn").alias("n_docs"),
         F.col("agree").alias("n_agree"),
         F.round(F.col("agree").cast("double") / F.col("nn"), 6).alias("po"),
         F.round(
-            F.col("s").cast("double")
+            F.col("s").cast("string").cast("double")
             / (F.col("nn").cast("double") * F.col("nn")),
             6,
         ).alias("pe"),
         F.round(
-            (F.col("nn") * F.col("agree") - F.col("s")).cast("double")
-            / (F.col("nn") * F.col("nn") - F.col("s")),
+            (nn_d * F.col("agree") - F.col("s"))
+            .cast("string")
+            .cast("double")
+            / (nn_d * F.col("nn") - F.col("s"))
+            .cast("string")
+            .cast("double"),
             6,
         ).alias("kappa"),
     )

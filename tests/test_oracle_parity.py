@@ -30,6 +30,26 @@ def test_registry_fully_oracled():
     assert ROWS_ONLY == [], f"rows-only queries reappeared: {ROWS_ONLY}"
 
 
+def test_register_rejects_duplicate_name():
+    """A duplicate @register name silently SHADOWED an earlier query
+    twice during r9 (dict overwrite) — the one demonstrated way a
+    green 343-board can lose a query without any gate firing. The
+    guard must raise, not overwrite."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        register,
+    )
+
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="already registered"):
+
+        @register(existing, "SELECT 1")
+        def _dup(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError
+
+    # and the original registration must be untouched
+    assert REGISTRY[existing][0].__name__ != "_dup"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
