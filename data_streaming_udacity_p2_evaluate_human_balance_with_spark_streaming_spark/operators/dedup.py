@@ -1175,3 +1175,109 @@ def max_dup_spans(
         )
         .filter(F.col("span_len") >= min_len)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_planes: int = 4,
+    threshold_milli: int = 900,
+) -> DataFrame:
+    """SemDeDup-style embedding-space near-duplicate removal (Abbas et
+    al. 2023): bucket the corpus into deterministic hyperplane-sign
+    cells, threshold INT8-QUANTIZED cosine within each cell, and
+    consolidate the resulting near-dup graph with min-label connected
+    components — keep exactly one representative (the min id) per
+    semantic cluster. The missing member of the dedup family: exact
+    (hash), MinHash/SimHash (lexical), and now EMBEDDING-space
+    near-dups, the one that catches paraphrases sharing no n-grams.
+
+    Exactness: the cosine threshold is evaluated WITHOUT any float
+    division — qcos ≥ t/1000 iff qdot > 0 and
+    1e6·qdot² ≥ t²·n2a·n2b on exact BIGINTs (per-vector quantization
+    scale cancels out of cosine). All magnitudes are bounded by the
+    DIMENSION (64), not the corpus: qdot ≤ 127²·64 ≈ 1.03e6, so
+    1e6·qdot² ≤ 1.07e18 < 2⁶³ — int64-safe at any corpus size.
+
+    Scale shape: cells shard the pairwise work — the self-join is an
+    equi-join on `cell`, so candidates are Σ cell_size² instead of N².
+    At 100 TB the cell function graduates from 2^n_planes sign planes
+    to the trained k-means|| IVF index (operators/similarity.ivf_topk)
+    with cells sized to a cap, which keeps per-cell work bounded; the
+    join/CC shape is unchanged. CC runs on the near-dup graph only
+    (≈ dup pairs, a small fraction of N)."""
+    from ..functions.vectors import hyperplane_bucket, infer_dim
+
+    dim = infer_dim(corpus, vec_col)
+    cells = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cell", hyperplane_bucket("_v", n_planes, n_dims=dim))
+    codes = (
+        cells.withColumn(
+            "_s",
+            F.expr(
+                "greatest(array_max(transform(_v, x -> abs(x))), 1e-30D)"
+                " / 127.0D"
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr("transform(_v, x -> CAST(floor(x / _s + 0.5D) AS INT))"),
+        )
+        .withColumn(
+            "n2",
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), "
+                "(s, x) -> s + CAST(x AS BIGINT) * x)"
+            ),
+        )
+        .select("vid", "cell", "q", "n2")
+    )
+    a = codes.select(
+        F.col("vid").alias("ia"),
+        "cell",
+        F.col("q").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = codes.select(
+        F.col("vid").alias("ib"),
+        "cell",
+        F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    t2 = threshold_milli * threshold_milli
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("ib") > F.col("ia"))
+        .withColumn(
+            "qdot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), "
+                "CAST(0 AS BIGINT), (s, v) -> s + v)"
+            ),
+        )
+        .filter(
+            (F.col("qdot") > 0)
+            & (
+                F.lit(1_000_000) * F.col("qdot") * F.col("qdot")
+                >= F.lit(t2) * F.col("n2a") * F.col("n2b")
+            )
+        )
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+    )
+    assign = connected_components(edges)
+    return (
+        cells.join(
+            assign.withColumnRenamed("node", "vid"), "vid", "left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.coalesce("cluster", F.col("vid")).alias("cluster"),
+            (F.coalesce("cluster", F.col("vid")) == F.col("vid")).alias(
+                "kept"
+            ),
+        )
+    )

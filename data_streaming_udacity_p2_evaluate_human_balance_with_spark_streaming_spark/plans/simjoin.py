@@ -1878,3 +1878,220 @@ def q_degree_assortativity_copurchase(
         F.col("m").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Full DuckDB replica of operators.dedup.semantic_dedup on the
+    planted-copy corpus: the same jittered copies, the same
+    hyperplane-sign cells (blake2b literal weights), the same int8
+    quantization and integer cross-multiplied cosine threshold, and
+    true connected components via a recursive CTE."""
+    from .queries import _emb_bucket_sql
+
+    cell = _emb_bucket_sql("v", n_planes=4)
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000000,
+        list_concat([v[1] + 0.001 * (CAST(vec_id % 5 AS DOUBLE) - 2.0)],
+                    v[2:])
+      FROM base WHERE vec_id % 9 = 4
+      UNION ALL
+      SELECT vec_id + 20000000, list_concat([v[1] + 0.0007], v[2:])
+      FROM base WHERE vec_id % 18 = 4
+    ),
+    cells AS (SELECT vec_id, v, {cell} AS cell FROM corpus),
+    scaled AS (
+      SELECT vec_id, cell, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
+          AS s
+      FROM cells
+    ),
+    codes AS (
+      SELECT vec_id, cell,
+        list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS q
+      FROM scaled
+    ),
+    normed AS (
+      SELECT vec_id, cell, q,
+        CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+             AS BIGINT) AS n2
+      FROM codes
+    ),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+          i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS qdot,
+        a.n2 AS n2a, b.n2 AS n2b
+      FROM normed a JOIN normed b
+        ON a.cell = b.cell AND b.vec_id > a.vec_id
+    ),
+    e0 AS (
+      SELECT ia, ib FROM cand
+      WHERE qdot > 0
+        AND 1000000 * qdot * qdot >= 810000 * n2a * n2b
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM e0
+              UNION ALL SELECT ib, ia FROM e0),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    assign AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+      COALESCE(a.cluster, c.vec_id) AS cluster,
+      COALESCE(a.cluster, c.vec_id) = c.vec_id AS kept
+    FROM cells c LEFT JOIN assign a ON a.node = c.vec_id
+    """
+
+
+@register("dedup_semantic_embedding", _semantic_dedup_oracle())
+def q_dedup_semantic_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup-style EMBEDDING-space dedup end-to-end (VERDICT r9 §4):
+    cell-bucketed int8-quantized-cosine near-dup edges consolidated by
+    connected components, keep-min-per-cluster. Complements
+    semdedup_cluster_cap (which caps cluster size without pairwise
+    scoring): this is the variant that actually identifies WHICH items
+    are mutual near-duplicates. The synthetic embeddings have no
+    natural pairs at cos ≥ 0.9 (measured max ≈ 0.46), so near-dups are
+    PLANTED — deterministic jittered copies at vec_id+1e7 (every 9th)
+    and +2e7 (every 18th), giving 2- and 3-member clusters whose
+    keep-one resolution the oracle certifies row-by-row.
+
+    Exactness: threshold via integer cross-multiplication (see
+    operators/dedup.semantic_dedup — dimension-bounded int64, corpus-
+    size-independent); cells/quantization replayed verbatim by the
+    oracle; CC equality certifies the 6-round min-label fixpoint
+    against true recursive-CTE components."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    jitter1 = F.expr(
+        "concat(array(v[0] + 0.001 * (CAST(vec_id % 5 AS DOUBLE) - 2.0D)), "
+        "slice(v, 2, size(v) - 1))"
+    )
+    jitter2 = F.expr(
+        "concat(array(v[0] + 0.0007D), slice(v, 2, size(v) - 1))"
+    )
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("vec_id") % 9 == 4).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                jitter1.alias("v"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 18 == 4).select(
+                (F.col("vec_id") + 20_000_000).alias("vec_id"),
+                jitter2.alias("v"),
+            )
+        )
+    )
+    return semantic_dedup(corpus, n_planes=4, threshold_milli=900)
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 32
+
+#: recursive-CTE replica of operators.packing.sequence_pack_nextfit:
+#: rows numbered rn=1..n per shard in pinned doc_id order; each
+#: recursion step advances EVERY shard by one row carrying the
+#: (window_id, acc) next-fit state — the sequential recurrence SQL
+#: can't window but CAN recurse (the reach-CTE discipline applied to
+#: greedy state; r9's unrolled-CTE recipe generalized to data-length
+#: chains). Terminates when no shard has rn+1.
+_SEQ_PACK_BODY = f"""d AS (
+      SELECT CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        least(CAST(len(string_split(text, ' ')) AS BIGINT),
+              {_PACK_BUDGET}) AS elen,
+        row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                           ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pk(shard, doc_id, n_tokens, elen, rn, window_id, acc) AS (
+      SELECT shard, doc_id, n_tokens, elen, rn,
+        CAST(1 AS BIGINT), elen
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.doc_id, d.n_tokens, d.elen, d.rn,
+        CASE WHEN pk.acc + d.elen <= {_PACK_BUDGET}
+             THEN pk.window_id ELSE pk.window_id + 1 END,
+        CASE WHEN pk.acc + d.elen <= {_PACK_BUDGET}
+             THEN pk.acc + d.elen ELSE d.elen END
+      FROM pk JOIN d ON d.shard = pk.shard AND d.rn = pk.rn + 1
+    )"""
+
+
+@register(
+    "sequence_pack_nextfit",
+    f"""
+    WITH RECURSIVE {_SEQ_PACK_BODY}
+    SELECT shard, doc_id, n_tokens, elen, window_id,
+      acc - elen AS off
+    FROM pk
+    """,
+)
+def q_sequence_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-STRADDLE sequence packing (VERDICT r9 §5): every document
+    placed whole into exactly one fixed 256-token window, next-fit in
+    pinned doc_id order within 32 hash shards — the training-data
+    serialization step when examples must not cross attention
+    boundaries (pack_shards_token_budget is the straddle/chunk twin).
+    Spark side runs the sequential recurrence inside ONE Arrow-batched
+    applyInPandas per shard (parallelism = shards, state = one
+    (acc, window) pair); the oracle replays it with a recursive CTE
+    stepping every shard one row per iteration. Exact integers
+    end-to-end; invariants (each doc exactly once, no window over
+    budget, offsets tile) pinned in tests/test_scale_patterns.py."""
+    from ..operators.packing import sequence_pack_nextfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack_nextfit(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+@register(
+    "sequence_pack_fill_report",
+    f"""
+    WITH RECURSIVE {_SEQ_PACK_BODY}
+    SELECT shard, window_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(elen) AS BIGINT) AS used,
+      CAST({_PACK_BUDGET} - sum(elen) AS BIGINT) AS waste,
+      CAST(sum(elen) * 1000 // {_PACK_BUDGET} AS BIGINT) AS fill_milli
+    FROM pk GROUP BY shard, window_id
+    """,
+)
+def q_sequence_pack_fill_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-window fill/waste accounting over sequence_pack_nextfit —
+    the exact efficiency metric a packing-budget sweep optimizes
+    (integer milli-fill, no float division). One extra hash agg over
+    the packed assignment; corpus is touched once by the packing
+    itself."""
+    from ..operators.packing import (
+        packing_fill_report,
+        sequence_pack_nextfit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = sequence_pack_nextfit(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return packing_fill_report(packed, budget=_PACK_BUDGET)
