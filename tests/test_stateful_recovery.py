@@ -754,3 +754,143 @@ def test_windowed_topk_recovers_counts_across_restart(spark, tmp_path):
         ("2024-01-01T00:00:00", 1): ("click", 3),
         ("2024-01-01T00:00:00", 2): ("view", 3),
     }, got
+
+
+def test_wasserstein_twin_restart_mid_stream(spark, tmp_path):
+    """VERDICT r9 §6: a mergeable twin killed MID-STREAM and restarted
+    from its checkpoint must still finalize to the batch answer. The
+    Wasserstein histogram twin runs over half its input, stops, is
+    relaunched on the same checkpoint for the rest + sentinels, and
+    the merged per-window partials landed in the parquet sink finalize
+    to the identical exact-integer W1 the one-shot batch computes —
+    checkpoint recovery composing with the additive-merge contract,
+    not just with exactly-once landing (test_flagship_restart covers
+    that half)."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "click" if (i * i + i) % 5 < 2 else "view",
+            "value": ((i * 37) % 97) + (0.25 if i % 2 else 0.5),
+            "ts": f"2024-01-{1 + i % 9:02d}"
+            f"T{(i // 60) % 24:02d}:{i % 60:02d}:00.000Z",
+        }
+        for i in range(800)
+    ]
+    # the restart CHECKPOINTS the watermark: the second run's first
+    # batch filters against max(run-1 ts) − delay, so the chunks must
+    # be event-time ordered (a stream's natural shape) or the whole
+    # second chunk is dropped as late — measured here, the restart
+    # flavor of the one-batch-lag fact (NOTES r9)
+    rows.sort(key=lambda r: r["ts"])
+    sent1 = dict(rows[0], event_id=999998, ts="2024-03-01T00:00:00.000Z")
+    sent2 = dict(rows[0], event_id=999999, ts="2024-04-01T00:00:00.000Z")
+    d = str(tmp_path / "src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+
+    def add_file(idx, chunk):
+        with open(f"{d}/f{idx}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{idx}.json", (1700000000 + idx,) * 2)
+
+    schema = _parse_datatype_string(
+        "event_id long, event_type string, value double, ts timestamp"
+    )
+    ckpt, out_dir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    cv = F.round(F.col("value") * 100).cast("bigint").alias("cv")
+    a = F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+            .withWatermark("ts", "10 minutes")
+        )
+        partials = (
+            stream.select("ts", cv, a)
+            .groupBy(F.window("ts", "12 hours").alias("win"), "cv")
+            .agg(
+                F.sum("a").alias("t1"),
+                F.sum(1 - F.col("a")).alias("t2"),
+            )
+            .select("win", "cv", "t1", "t2")
+        )
+        q = (
+            partials.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first (event-time-earliest) half, then "crash" (stop with
+    # aggregation state + watermark checkpointed)
+    add_file(0, rows[:half])
+    run_once()
+    # run 2: rest + far-future sentinel (closes all data windows)
+    add_file(2, rows[half:])
+    add_file(3, [sent1])
+    run_once()
+    # run 3: second sentinel — the measured one-batch eviction lag means
+    # windows closed by sent1 flush on the NEXT batch after it
+    add_file(4, [sent2])
+    run_once()
+
+    landed = (
+        spark.read.parquet(out_dir)
+        # sentinel windows (Mar+) may or may not have flushed yet —
+        # out of scope; the data windows are all in Jan
+        .filter(F.col("win.end") < F.lit("2024-02-01").cast("timestamp"))
+        .groupBy("cv")
+        .agg(F.sum("t1").alias("t1"), F.sum("t2").alias("t2"))
+    )
+    batch_hist = (
+        spark.createDataFrame(
+            [(r["event_type"], r["value"]) for r in rows],
+            "event_type string, value double",
+        )
+        .select(cv, a)
+        .groupBy("cv")
+        .agg(F.sum("a").alias("t1"), F.sum(1 - F.col("a")).alias("t2"))
+    )
+
+    def finalize(hist):
+        tot = hist.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
+        w = Window.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+        full = hist.crossJoin(F.broadcast(tot)).select(
+            "cv",
+            "n1",
+            "n2",
+            F.sum(F.col("t1") * F.col("n2") - F.col("t2") * F.col("n1"))
+            .over(w)
+            .alias("dc"),
+            F.lead("cv").over(Window.orderBy("cv")).alias("nxt"),
+        )
+        r = (
+            full.filter(F.col("nxt").isNotNull())
+            .agg(
+                F.max("n1").alias("n1"),
+                F.max("n2").alias("n2"),
+                F.sum(
+                    (F.abs(F.col("dc")) * (F.col("nxt") - F.col("cv")))
+                    .cast("decimal(38,0)")
+                ).alias("wfp"),
+            )
+            .collect()[0]
+        )
+        return (r.n1, r.n2, str(r.wfp))
+
+    sc = {r.cv: (r.t1, r.t2) for r in landed.collect()}
+    bc = {r.cv: (r.t1, r.t2) for r in batch_hist.collect()}
+    assert sum(v[0] + v[1] for v in sc.values()) == 800  # sentinels never land
+    assert sc == bc
+    assert finalize(landed) == finalize(batch_hist)

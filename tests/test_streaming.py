@@ -4407,3 +4407,106 @@ def test_streaming_t_closeness_partials_finalize_equals_batch(
         .count()
         >= 2
     )
+
+
+def test_watermark_late_filter_lags_eviction_one_batch(spark, tmp_path):
+    """Regression pin for the measured r9 environment fact every twin
+    source is shaped around: the LATE-RECORD FILTER of a watermarked
+    windowed agg applies the watermark committed at the end of the
+    PREVIOUS batch, one batch behind the data that produced it. So,
+    with event times interleaved across files (each file spans the
+    whole ts range):
+      - 2 data files  → file 2 is filtered against the pre-file-1
+        watermark (epoch) and NOTHING is dropped;
+      - 3 data files  → file 3 is filtered against the watermark from
+        file 1 (max_ts − delay) and its old-window rows ARE dropped.
+    A Spark upgrade that starts applying the watermark same-batch (or
+    stops advancing it per-batch) flips one of these asserts instead
+    of silently reshaping every twin test's source."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string("event_id long, ts timestamp")
+
+    def mk_rows(base):
+        # every chunk spans days 1..9 (interleaved event time)
+        return [
+            {
+                "event_id": base + i,
+                "ts": f"2024-01-{1 + i % 9:02d}T{(i * 7) % 24:02d}"
+                f":{i % 60:02d}:00.000Z",
+            }
+            for i in range(200)
+        ]
+
+    def run(n_chunks):
+        d = str(tmp_path / f"lag_src_{n_chunks}")
+        _os.makedirs(d)
+        chunks = [mk_rows(1000 * c) for c in range(n_chunks)]
+        files = chunks + [
+            [{"event_id": 999998, "ts": "2024-03-01T00:00:00.000Z"}],
+            [{"event_id": 999999, "ts": "2024-04-01T00:00:00.000Z"}],
+        ]
+        for i, chunk in enumerate(files):
+            with open(f"{d}/f{i}.json", "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(f"{d}/f{i}.json", (1700000000 + i,) * 2)
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+            .withWatermark("ts", "10 minutes")
+        )
+        counts = stream.groupBy(
+            F.window("ts", "12 hours").alias("win")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        name = f"lag_tbl_{n_chunks}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return {
+            (r.win.start, r.win.end): r.n
+            for r in spark.table(name)
+            .filter(F.col("win.end") < F.lit("2024-02-01").cast("timestamp"))
+            .collect()
+        }, chunks
+
+    import datetime as _dt
+
+    # 2 interleaved chunks: one-batch lag → zero late drops
+    landed2, chunks2 = run(2)
+    assert sum(landed2.values()) == 400
+
+    # 3 interleaved chunks: chunk 3 meets the watermark from chunk 1
+    landed3, chunks3 = run(3)
+    all_ts = [
+        _dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00"))
+        for c in chunks3[:2]
+        for r in c
+    ]
+    wm = max(all_ts) - _dt.timedelta(minutes=10)
+    survivors = 0
+    for r in chunks3[2]:
+        ts = _dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00"))
+        # a row survives iff its WINDOW (12h tumbling) hasn't been
+        # evicted: window_end > watermark
+        win_end_h = (ts.hour // 12 + 1) * 12
+        win_end = ts.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        ) + _dt.timedelta(hours=win_end_h)
+        if win_end > wm:
+            survivors += 1
+    assert survivors < 200  # the probe is non-vacuous: drops expected
+    assert sum(landed3.values()) == 400 + survivors
