@@ -304,6 +304,11 @@ HEADLINE = [
     "kaplan_meier_conversion_curve",
     "mantel_haenszel_urgent_fulfilled",
     "dunn_posthoc_value_pairs",
+    # r10 additions
+    "dedup_semantic_embedding",
+    "sequence_pack_nextfit",
+    "sequence_pack_fill_report",
+    "entity_resolution_refined_blocks",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

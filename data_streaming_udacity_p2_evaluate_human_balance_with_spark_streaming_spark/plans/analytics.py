@@ -8319,10 +8319,20 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fs_top20(spark, sf_dir)
 
 
-def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fs_scored_pairs(
+    spark: SparkSession, sf_dir: str, refine_nm: bool = False
+) -> DataFrame:
     """Scored Fellegi-Sunter pair frame (cust_a, cust_b, agr_*,
     match_weight) — shared by the top-20 linkage query and
-    entity_resolution_clusters."""
+    entity_resolution_clusters. `refine_nm=True` REFINES the block key
+    from c_nationkey to (c_nationkey, nm2): candidates shrink by ~the
+    nm2 cardinality while every pair that can clear the ≥8-bit link
+    threshold survives (with this fixture's u-values the nm2-disagree
+    branch tops out below 8 bits — the u table itself still comes from
+    the full table, so scores are unchanged). This is the 100 TB lever
+    the linkage docstring names: blocking cost is Σ block², and the
+    refined key divides block sizes without touching the scoring
+    core."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -8364,11 +8374,12 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = cust.alias("a"), cust.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
+    block = (F.col("a.c_nationkey") == F.col("b.c_nationkey")) & (
+        F.col("a.c_custkey") < F.col("b.c_custkey")
+    )
+    if refine_nm:
+        block = block & (F.col("a.nm2") == F.col("b.nm2"))
+    pr = a.join(b, block).select(
         F.col("a.c_custkey").alias("cust_a"),
         F.col("b.c_custkey").alias("cust_b"),
         (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
@@ -8508,6 +8519,54 @@ def q_entity_resolution_clusters(
     from ..operators.dedup import connected_components
 
     links = _fs_scored_pairs(spark, sf_dir).filter(
+        F.col("match_weight") >= 8.0
+    )
+    return connected_components(
+        links, a_col="cust_a", b_col="cust_b"
+    ).select(F.col("node").alias("cust"), F.col("cluster"))
+
+
+@register(
+    "entity_resolution_refined_blocks",
+    f"""
+    WITH RECURSIVE {_FS_PAIRS_SQL},
+    links AS (
+      SELECT cust_a, cust_b FROM fs_sc WHERE match_weight >= 8.0
+    ),
+    edges AS (
+      SELECT cust_a AS a, cust_b AS b FROM links
+      UNION ALL SELECT cust_b, cust_a FROM links
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS cust, MIN(lab) AS cluster FROM reach GROUP BY node
+    """,
+)
+def q_entity_resolution_refined_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-key REFINEMENT certificate for the linkage family
+    (VERDICT r9 §8): the engine blocks on (c_nationkey, nm2) —
+    shrinking candidate pairs by ~the nm2 cardinality — while the
+    ORACLE keeps the full nation-block pair set, so the driver's
+    value-hash equality certifies the refinement is LOSSLESS at the
+    ≥8-bit operating point: with this fixture's u-values, no
+    nm2-disagreeing pair can reach 8 bits (max ≈ 6.9), hence the
+    refined candidate set contains every link. Candidate-count drop
+    measured in scripts/scale_probe_linkage_refined.py (NOTES r10).
+
+    Scale shape: linkage cost is Σ block² over blocks; refining the
+    key from nation (|blocks| ≈ 25) to nation×nm2 (≈ 25·100) divides
+    per-block size by the nm2 spread at identical output — THE
+    standard linkage scale lever (at 100 TB refine again: phone
+    prefix, zip, soundex)."""
+    from ..operators.dedup import connected_components
+
+    links = _fs_scored_pairs(spark, sf_dir, refine_nm=True).filter(
         F.col("match_weight") >= 8.0
     )
     return connected_components(
