@@ -1,0 +1,504 @@
+"""Round-10 statistics wave: changepoint, paired-classifier, and
+regression-diagnostic tests the r9 families still lacked — each with
+the repo's exact-arithmetic discipline (integer partial sums, one
+shared IEEE expression at the end, round-6) and a full DuckDB oracle.
+
+No counterpart in the reference (three linear streaming scripts,
+SURVEY.md §2); build-brief analytics extensions. Registered by the
+`from . import stats_r10` at the bottom of plans.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .queries import register
+
+_DAY = "unix_micros(ts) div 86400000000"
+_DAY_SQL = "epoch_ns(ts) // 1000 // 86400000000"
+
+
+def _daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.expr(_DAY).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+
+@register(
+    "pettitt_changepoint_daily",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    ut AS (
+      SELECT t.day AS day,
+        CAST(sum(CASE WHEN j.v > i.v THEN 1
+                      WHEN j.v < i.v THEN -1 ELSE 0 END) AS BIGINT) AS u_t
+      FROM dv t
+      JOIN dv i ON i.day <= t.day
+      JOIN dv j ON j.day > t.day
+      GROUP BY t.day
+    ),
+    k AS (SELECT max(abs(u_t)) AS kmax FROM ut)
+    SELECT day, u_t, abs(u_t) AS abs_u,
+      abs(u_t) = kmax AS is_changepoint
+    FROM ut, k
+    """,
+)
+def q_pettitt_changepoint_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pettitt rank-based changepoint test on the daily event volume:
+    U_t = ΣΣ sign(v_j − v_i) over pairs straddling t; the split
+    maximizing |U_t| is the single most likely changepoint — the
+    NONPARAMETRIC twin of cusum_changepoint (CUSUM reacts to mean
+    shifts in original units; Pettitt is outlier-immune, reacting to
+    rank shifts — drift triage wants both). Emits the full U_t curve
+    with the argmax flagged, so the oracle certifies every statistic,
+    not one winner.
+
+    Exactness: U_t are pure integer sign sums — no float anywhere.
+
+    Scale shape: one corpus hash agg to the ~|days| frame; the triple
+    day join is calendar-bounded (≤ |days|³ ≈ 27k rows at 30 days —
+    broadcast, never corpus-proportional)."""
+    dv = _daily_volume(spark, sf_dir)
+    t, i, j = dv.alias("t"), dv.alias("i"), dv.alias("j")
+    ut = (
+        t.join(F.broadcast(i), F.col("i.day") <= F.col("t.day"))
+        .join(F.broadcast(j), F.col("j.day") > F.col("t.day"))
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("j.v") > F.col("i.v"), 1)
+                .when(F.col("j.v") < F.col("i.v"), -1)
+                .otherwise(0)
+            ).alias("u_t")
+        )
+    )
+    k = ut.agg(F.max(F.abs(F.col("u_t"))).alias("kmax"))
+    return ut.crossJoin(F.broadcast(k)).select(
+        "day",
+        "u_t",
+        F.abs(F.col("u_t")).alias("abs_u"),
+        (F.abs(F.col("u_t")) == F.col("kmax")).alias("is_changepoint"),
+    )
+
+
+def _lang_pred_sql_on(col_expr: str) -> str:
+    """The warehouse._lang_pred_sql CASE chain, parameterized on the
+    text expression (same STOPWORDS constants — formulas can't
+    drift)."""
+    from ..operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+
+    def hit(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split({col_expr}, ' '), "
+            f"t -> t IN ({words})))"
+        )
+
+    best = "greatest(" + ", ".join(hit(lg) for lg in langs) + ")"
+    return (
+        "CASE WHEN " + best + " = 0 THEN 'unk' "
+        + " ".join(
+            f"WHEN {hit(lg)} = {best} THEN '{lg}'" for lg in langs
+        )
+        + " ELSE 'unk' END"
+    )
+
+
+@register(
+    "mcnemar_langid_full_vs_head",
+    f"""
+    WITH pred AS (
+      SELECT lang,
+        {_lang_pred_sql_on('text')} AS p_full,
+        {_lang_pred_sql_on(
+            "array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')"
+        )} AS p_head
+      FROM documents
+    ),
+    cells AS (
+      SELECT
+        CAST(sum(CASE WHEN p_full = lang AND p_head <> lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN p_full <> lang AND p_head = lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(sum(CASE WHEN p_full = lang AND p_head = lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+        CAST(sum(CASE WHEN p_full <> lang AND p_head <> lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+      FROM pred
+    )
+    SELECT b, c, both_right, both_wrong,
+      CASE WHEN b + c = 0 THEN 0.0
+           ELSE round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                      / (b + c), 6) END AS chi2_cc
+    FROM cells
+    """,
+)
+def q_mcnemar_langid_full_vs_head(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar paired test: does the stopword language classifier on
+    FULL text beat the same classifier reading only the first 10
+    tokens? Paired on documents (the correct design — the two
+    classifiers see the same items, so two_proportion_ztest would be
+    wrong here); χ² with continuity correction from the b/c discordant
+    cells. The latency-vs-accuracy question every ingest router asks:
+    can we classify on a prefix?
+
+    Exactness: b/c/agreement cells are exact BIGINTs; χ² is one
+    division, round-6.
+
+    Scale shape: one scan, two classifier expressions per row (JVM
+    CASE chains), one 4-cell aggregate."""
+    from ..operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "text",
+        F.expr(
+            "array_join(slice(split(text, ' '), 1, 10), ' ')"
+        ).alias("head10"),
+    )
+    pred = docs.select(
+        "lang",
+        lang_id("text").alias("p_full"),
+        lang_id("head10").alias("p_head"),
+    )
+    full_ok = F.col("p_full") == F.col("lang")
+    head_ok = F.col("p_head") == F.col("lang")
+    cells = pred.agg(
+        F.sum((full_ok & ~head_ok).cast("bigint")).alias("b"),
+        F.sum((~full_ok & head_ok).cast("bigint")).alias("c"),
+        F.sum((full_ok & head_ok).cast("bigint")).alias("both_right"),
+        F.sum((~full_ok & ~head_ok).cast("bigint")).alias("both_wrong"),
+    )
+    d = F.abs(F.col("b") - F.col("c")) - 1
+    return cells.select(
+        "b",
+        "c",
+        "both_right",
+        "both_wrong",
+        F.when(F.col("b") + F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (d * d).cast("double") / (F.col("b") + F.col("c")), 6
+            )
+        )
+        .alias("chi2_cc"),
+    )
+
+
+@register(
+    "cochrans_q_purchase_dow",
+    f"""
+    WITH pu AS (
+      SELECT DISTINCT user_id, ({_DAY_SQL}) % 7 AS dow
+      FROM events WHERE event_type = 'purchase'
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    dows AS (SELECT unnest(generate_series(0, 6)) AS dow),
+    grid AS (
+      SELECT u.user_id, d.dow,
+        CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END AS a
+      FROM users u CROSS JOIN dows d
+      LEFT JOIN pu ON pu.user_id = u.user_id AND pu.dow = d.dow
+    ),
+    rt AS (SELECT user_id, CAST(sum(a) AS BIGINT) AS ri
+           FROM grid GROUP BY user_id),
+    ct AS (SELECT dow, CAST(sum(a) AS BIGINT) AS cj
+           FROM grid GROUP BY dow),
+    s AS (
+      SELECT CAST(7 AS BIGINT) AS k,
+        (SELECT CAST(sum(cj * cj) AS BIGINT) FROM ct) AS sc2,
+        (SELECT CAST(sum(cj) AS BIGINT) FROM ct) AS sc,
+        (SELECT CAST(sum(ri * ri) AS BIGINT) FROM rt) AS sr2
+    )
+    SELECT k, sc AS n_marks, sc2, sr2,
+      round(CAST((k - 1) * (k * sc2 - sc * sc) AS DOUBLE)
+            / (k * sc - sr2), 6) AS q_stat
+    FROM s
+    """,
+)
+def q_cochrans_q_purchase_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q: do purchase propensities differ across the 7 days
+    of week, treating each USER as a matched block (did user i
+    purchase on dow j at least once)? The k-sample extension of
+    McNemar and the BINARY analogue of friedman_event_counts (which
+    ranks counts; Q tests the yes/no panel) — the within-subject
+    design that removes user-level heterogeneity a naive per-dow
+    proportion comparison confounds.
+
+    Exactness: Q = (k−1)(kΣCj² − (ΣCj)²)/(kΣRi − ΣRi²) on exact
+    BIGINT marginals (ΣRi = ΣCj), one division, round-6.
+
+    Scale shape: one filtered scan into a per-(user, dow) distinct
+    (hash agg), dense 7-col grid via a broadcast dow spine, then
+    |users|- and 7-row marginal aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", (F.expr(_DAY) % 7).alias("dow"))
+        .distinct()
+        .withColumn("a", F.lit(1))
+    )
+    users = ev.select("user_id").distinct()
+    dows = spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
+    grid = (
+        users.crossJoin(F.broadcast(dows))
+        .join(pu, ["user_id", "dow"], "left")
+        .select("user_id", "dow", F.coalesce("a", F.lit(0)).alias("a"))
+    )
+    rt = grid.groupBy("user_id").agg(F.sum("a").alias("ri"))
+    ct = grid.groupBy("dow").agg(F.sum("a").alias("cj"))
+    s = (
+        ct.agg(
+            F.sum(F.col("cj") * F.col("cj")).alias("sc2"),
+            F.sum("cj").alias("sc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rt.agg(F.sum(F.col("ri") * F.col("ri")).alias("sr2"))
+            )
+        )
+        .withColumn("k", F.lit(7).cast("bigint"))
+    )
+    kk = F.col("k")
+    return s.select(
+        "k",
+        F.col("sc").alias("n_marks"),
+        "sc2",
+        "sr2",
+        F.round(
+            ((kk - 1) * (kk * F.col("sc2") - F.col("sc") * F.col("sc")))
+            .cast("double")
+            / (kk * F.col("sc") - F.col("sr2")),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+@register(
+    "wilson_ci_user_conversion",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    x AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+    SELECT event_type, x, n.n AS n_users,
+      round((x + 1.9208) / (n + 3.8416), 6) AS wilson_center,
+      round(((x + 1.9208) / (n + 3.8416))
+        - (1.96 * sqrt((CAST(x AS DOUBLE) * (n - x) / n + 0.9604))
+           / (n + 3.8416)), 6) AS wilson_lo,
+      round(((x + 1.9208) / (n + 3.8416))
+        + (1.96 * sqrt((CAST(x AS DOUBLE) * (n - x) / n + 0.9604))
+           / (n + 3.8416)), 6) AS wilson_hi
+    FROM x, n
+    """,
+)
+def q_wilson_ci_user_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilson 95% score interval for per-event-type user reach (share
+    of users who performed each type at least once) — the
+    small-sample-safe binomial CI (never escapes [0,1], stays sane at
+    x=0/x=n, unlike the Wald interval every naive dashboard ships).
+    z=1.96 enters as the literal constants z²=3.8416, z²/2=1.9208,
+    z²/4=0.9604, the BH/OBF literal-table discipline.
+
+    Exactness: x and n are exact distinct counts; the interval is ONE
+    shared per-row double tree on (x, n), round-6.
+
+    Scale shape: distinct-user counts are two hash aggs; the CI math
+    runs on ≤|event types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("x")
+    )
+    n = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    xd = F.col("x").cast("double")
+    nd = F.col("n").cast("double")
+    center = (xd + 1.9208) / (nd + 3.8416)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(xd * (nd - F.col("x")) / nd + 0.9604)
+        / (nd + 3.8416)
+    )
+    return x.crossJoin(F.broadcast(n)).select(
+        "event_type",
+        "x",
+        F.col("n").alias("n_users"),
+        F.round(center, 6).alias("wilson_center"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "durbin_watson_daily_trend",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS x, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM dv
+    ),
+    resid AS (
+      SELECT x,
+        CAST((n * sxx - sx * sx) AS HUGEINT) * (n * y - sy)
+          - CAST((n * sxy - sx * sy) AS HUGEINT) * (n * x - sx) AS e
+      FROM dv, s
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM resid
+    ),
+    agg AS (
+      SELECT
+        CAST(sum((e - ep) * (e - ep)) AS HUGEINT) AS sdiff,
+        (SELECT CAST(sum(e * e) AS HUGEINT) FROM lagd) AS se2
+      FROM lagd WHERE ep IS NOT NULL
+    )
+    SELECT round(CAST(CAST(sdiff AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(se2 AS VARCHAR) AS DOUBLE), 6) AS dw
+    FROM agg
+    """,
+)
+def q_durbin_watson_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the
+    daily-volume OLS trend (regr_value_vs_time fits the line; DW asks
+    whether its residuals are independent — serially-correlated
+    residuals mean the trend's standard errors lie, invalidating the
+    naive forecast bands). dw ≈ 2 ⇒ independent; <2 ⇒ positive
+    autocorrelation.
+
+    Exactness: residuals are scaled to EXACT integers — multiplying
+    e_i by n·D (D = nΣx²−(Σx)²) gives
+    E_i = D(n·y_i − Σy) − N_b(n·x_i − Σx) with N_b = nΣxy−ΣxΣy, all
+    BIGINT-derived; the common factor cancels in the ratio, so
+    DW = Σ(E_i−E_{{i-1}})² / ΣE_i² exactly. Squares reach ~1e20 →
+    HUGEINT / decimal(38,0) with the string→double crossing (the
+    assortativity discipline).
+
+    Scale shape: one corpus hash agg to the |days| frame; everything
+    after is calendar-bounded (30 rows, one lag window)."""
+    dv = _daily_volume(spark, sf_dir).select(
+        F.col("day").alias("x"), F.col("v").alias("y")
+    )
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    resid = dv.crossJoin(F.broadcast(s)).select(
+        "x",
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast(dec)
+            * (F.col("n") * F.col("y") - F.col("sy"))
+            - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast(dec)
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        ).alias("e"),
+    )
+    from pyspark.sql.window import Window
+
+    lagd = resid.select(
+        "e", F.lag("e").over(Window.orderBy("x")).alias("ep")
+    )
+    sdiff = (
+        lagd.filter(F.col("ep").isNotNull())
+        .agg(
+            F.sum(
+                ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")))
+            ).alias("sdiff")
+        )
+    )
+    se2 = lagd.agg(F.sum(F.col("e") * F.col("e")).alias("se2"))
+    return sdiff.crossJoin(F.broadcast(se2)).select(
+        F.round(
+            F.col("sdiff").cast("string").cast("double")
+            / F.col("se2").cast("string").cast("double"),
+            6,
+        ).alias("dw")
+    )
+
+
+@register(
+    "poisson_rate_test_click_vs_purchase",
+    """
+    WITH c AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c2
+      FROM events
+    )
+    SELECT c1, c2,
+      round(CAST(c1 AS DOUBLE) / c2, 6) AS rate_ratio,
+      round((c1 - c2) / sqrt(CAST(c1 + c2 AS DOUBLE)), 6) AS z
+    FROM c
+    """,
+)
+def q_poisson_rate_test_click_vs_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Poisson rate test (conditional/binomial form): under
+    equal rates with equal exposure, c1 | c1+c2 ~ Bin(n, ½), giving
+    z = (c1−c2)/√(c1+c2) — the COUNT-process companion to
+    two_proportion_ztest (which conditions on user denominators;
+    this conditions on total occurrences, the right test when the
+    denominator is exposure time, not a population).
+
+    Exactness: two exact BIGINT counts; ratio and z are one shared
+    tree each, round-6.
+
+    Scale shape: one scan, one 2-cell aggregate — nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("bigint")
+        ).alias("c1"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("bigint")
+        ).alias("c2"),
+    )
+    return c.select(
+        "c1",
+        "c2",
+        F.round(F.col("c1").cast("double") / F.col("c2"), 6).alias(
+            "rate_ratio"
+        ),
+        F.round(
+            (F.col("c1") - F.col("c2"))
+            / F.sqrt((F.col("c1") + F.col("c2")).cast("double")),
+            6,
+        ).alias("z"),
+    )
