@@ -502,3 +502,362 @@ def q_poisson_rate_test_click_vs_purchase(
             6,
         ).alias("z"),
     )
+
+
+_KN_D_MILLI = 750  # Kneser-Ney absolute discount d = 0.75
+_KN_TOPK = 50
+
+
+@register(
+    "kneser_ney_bigram_probs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cb
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+        CAST(count(*) AS BIGINT) AS n1f
+      FROM bg GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM bg GROUP BY w2
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bg),
+    top AS (
+      SELECT w1, w2, cb,
+        row_number() OVER (ORDER BY cb DESC, w1, w2) AS rnk
+      FROM bg QUALIFY rnk <= {_KN_TOPK}
+    )
+    SELECT top.w1, top.w2, top.cb, ctx.cu, ctx.n1f, cont.n1p,
+      CAST(top.rnk AS BIGINT) AS rnk,
+      round(
+        CAST(greatest(top.cb * 1000 - {_KN_D_MILLI}, 0) AS DOUBLE)
+          / (ctx.cu * 1000)
+        + ({_KN_D_MILLI} * ctx.n1f * CAST(cont.n1p AS DOUBLE))
+          / (CAST(ctx.cu AS DOUBLE) * 1000 * tt.t_types), 6) AS p_kn
+    FROM top
+    JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+    """,
+)
+def q_kneser_ney_bigram_probs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for the corpus's
+    top-50 bigrams — THE state-of-the-art count-based LM smoothing
+    (Chen & Goodman 1999): absolute discount d=0.75 off every seen
+    bigram, mass redistributed by CONTINUATION counts (how many
+    contexts a word follows — 'francisco' is frequent but follows only
+    'san', so its unigram back-off weight is tiny; add-one smoothing
+    (bigram_lm_perplexity) can't express that). Completes the LM
+    family: add-one scoring, Good-Turing mass, Dirichlet retrieval
+    prior, now KN.
+
+    Exactness: all counts (cb, cu, N1+ fan-outs, type total) are exact
+    BIGINTs; the discount enters as INTEGER milli-units
+    (cb·1000 − 750), so p_kn is ONE shared per-row double tree on six
+    integers, round-6. Top-50 selection ranks on (cb, w1, w2) —
+    integers, fully deterministic.
+
+    Scale shape: one token explode into a (w1,w2) hash agg — the only
+    corpus stage; ctx/cont/type aggregates and the top-50 join are all
+    model-sized (vocab², broadcastable; bucketed at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p")
+    )
+    tt = bg.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    from pyspark.sql.window import Window
+
+    top = (
+        bg.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= _KN_TOPK)
+    )
+    d = F.lit(_KN_D_MILLI)
+    return (
+        top.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            "cu",
+            "n1f",
+            "n1p",
+            "rnk",
+            F.round(
+                F.greatest(
+                    F.col("cb") * 1000 - d, F.lit(0)
+                ).cast("double")
+                / (F.col("cu") * 1000)
+                + (d * F.col("n1f") * F.col("n1p").cast("double"))
+                / (
+                    F.col("cu").cast("double")
+                    * 1000
+                    * F.col("t_types")
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+
+
+@register(
+    "naive_bayes_lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+      FROM documents
+    ),
+    tr_tok AS (
+      SELECT lang, unnest(t) AS w FROM toks WHERE is_train
+    ),
+    cwc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM tr_tok GROUP BY lang, w
+    ),
+    nc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tr_tok GROUP BY lang
+    ),
+    vv AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr_tok
+    ),
+    pri AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS dc,
+        (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE is_train) AS dt
+      FROM toks WHERE is_train GROUP BY lang
+    ),
+    te_tok AS (
+      SELECT doc_id, lang AS true_lang, unnest(t) AS w
+      FROM toks WHERE NOT is_train
+    ),
+    te_tf AS (
+      SELECT doc_id, true_lang, w, CAST(count(*) AS BIGINT) AS tf
+      FROM te_tok GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.true_lang, nc.lang,
+        CAST(sum(tf.tf * CAST(floor(
+          ln((coalesce(cwc.c, 0) + 1.0) / (nc.n + vv.v))
+          * 1000000000) AS BIGINT)) AS BIGINT) AS like_fp
+      FROM te_tf tf
+      CROSS JOIN nc CROSS JOIN vv
+      LEFT JOIN cwc ON cwc.lang = nc.lang AND cwc.w = tf.w
+      GROUP BY 1, 2, 3
+    ),
+    post AS (
+      SELECT s.doc_id, s.true_lang, s.lang,
+        s.like_fp + CAST(floor(ln(CAST(pri.dc AS DOUBLE) / pri.dt)
+                               * 1000000000) AS BIGINT) AS score_fp
+      FROM scored s JOIN pri ON pri.lang = s.lang
+    )
+    SELECT doc_id, true_lang, lang AS pred_lang, score_fp,
+      lang = true_lang AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, lang ASC) AS rn
+      FROM post
+    ) WHERE rn = 1
+    """,
+)
+def q_naive_bayes_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained on the
+    deterministic 75% md5 doc split and applied to the held-out 25% —
+    the LEARNED counterpart of the stopword-list lang_id heuristic
+    (NB learns its evidence from data; the heuristic ships a fixed
+    vocabulary), and the natural baseline an ingest pipeline promotes
+    to when the McNemar test says the heuristic is saturated.
+
+    Exactness: per-(word, lang) log-likelihoods are quantized to
+    fixed-point BIGINT (floor(1e9·ln((c+1)/(n+V)))) BEFORE the
+    per-doc sum — the bigram_lm_perplexity discipline — so document
+    scores are associative integer sums (tf · weight_fp), stable
+    under any partitioning; argmax breaks ties (score desc, lang asc).
+    Priors join as floored log fixed-point too.
+
+    Scale shape: training is one token explode into a (lang, word)
+    hash agg (model-sized output); scoring joins test term frequencies
+    to the broadcast weight table fanned ×|langs|, then a per-doc
+    integer sum and a 1-row-per-doc window argmax partitioned by
+    doc — corpus-proportional work is two scans and two hash aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("t"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "c"
+        ).alias("is_train"),
+    )
+    tr_tok = toks.filter("is_train").select(
+        "lang", F.explode("t").alias("w")
+    )
+    cwc = tr_tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nc = tr_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    vv = tr_tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    tr_docs = toks.filter("is_train")
+    pri = (
+        tr_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        .crossJoin(
+            F.broadcast(
+                tr_docs.agg(F.count(F.lit(1)).cast("long").alias("dt"))
+            )
+        )
+    )
+    te_tf = (
+        toks.filter(~F.col("is_train"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("t").alias("w"),
+        )
+        .groupBy("doc_id", "true_lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w_fp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.col("n") + F.col("v"))
+        )
+        * F.lit(1000000000)
+    ).cast("bigint")
+    scored = (
+        te_tf.crossJoin(F.broadcast(nc.select("lang", "n")))
+        .crossJoin(F.broadcast(vv))
+        .join(F.broadcast(cwc), ["lang", "w"], "left")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum(F.col("tf") * w_fp).cast("long").alias("like_fp"))
+    )
+    pri_fp = F.floor(
+        F.log(F.col("dc").cast("double") / F.col("dt"))
+        * F.lit(1000000000)
+    ).cast("bigint")
+    post = scored.join(
+        F.broadcast(pri.select("lang", pri_fp.alias("pfp"))), "lang"
+    ).select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        (F.col("like_fp") + F.col("pfp")).alias("score_fp"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("score_fp"), F.asc("lang")
+        )
+    )
+    return (
+        post.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            "score_fp",
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(sum(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS sub_tokens,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      round(CAST(sum(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS DOUBLE)
+        / sum(len(string_split(text, ' '))), 6) AS fertility,
+      round(CAST(sum(length(text)) AS DOUBLE)
+        / sum(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))), 6) AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: sub-tokens per whitespace word
+    and chars per sub-token, under a BPE-ish pre-tokenization regex
+    (letter runs | single digits | single punctuation — the GPT-2
+    pre-split shape). THE tokenizer-evaluation metric for multilingual
+    budgeting: a language with 2× fertility costs 2× the context
+    window per word, which skews both mixture weights
+    (mixture_sample_by_lang) and packing budgets
+    (sequence_pack_nextfit).
+
+    Exactness: token counts are exact integers from identical regex
+    semantics in both engines (character classes only — no
+    dialect-sensitive constructs); two final divisions, round-6.
+
+    Scale shape: one scan, per-row regex, one ≤|langs| hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = F.size(
+        F.expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"
+        )
+    ).cast("bigint")
+    ws = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(sub).alias("sub_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "sub_tokens",
+            "n_chars",
+            F.round(
+                F.col("sub_tokens").cast("double") / F.col("ws_tokens"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("sub_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
