@@ -393,3 +393,99 @@ def label_propagation(
         labels = nxt
     _free(sym)
     return labels
+
+
+def hits_integer_bipartite(
+    edges: DataFrame,
+    iterations: int = 8,
+    o_col: str = "o",
+    p_col: str = "p",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities over a bipartite graph (orders→parts)
+    in FIXED-POINT INTEGER arithmetic — the pagerank_integer
+    discipline applied to the mutually-recursive eigenpair: step k
+    sums the opposite side's scores along edges, then MAX-normalizes
+    (val' = s·scale DIV max(s)), so the leader sits at exactly
+    `scale` and the iteration is scale-invariant like the float
+    original. Float HITS is un-oracle-able (summation order + libm);
+    this integer recurrence is exact in any engine, so the DuckDB
+    recursive CTE replays every score bit-for-bit.
+
+    Overflow bound: after normalization every score ≤ scale, so a
+    side's raw sum s ≤ deg_max·scale and the normalizing product
+    s·scale ≤ deg_max·scale² must stay < 2^63 — enforced with a
+    runtime ValueError (deg_max < 2^63/scale², ≈9.2e6 at 1e6; lower
+    `scale` for denser graphs).
+
+    Returns (side, node, val) for the FINAL update of each side:
+    side='a' at iteration `iterations−1`, side='h' at `iterations`
+    (an even `iterations` starts and ends on hubs).
+
+    Iteration shape: one keyed join + one hash agg + a 1-row max
+    broadcast per round; frontiers localCheckpoint-ed and superseded
+    checkpoints freed (the CC/pagerank lineage discipline)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    e = (
+        edges.select(F.col(o_col).alias("o"), F.col(p_col).alias("p"))
+        .distinct()
+        .repartition("o")
+        .localCheckpoint()
+    )
+    deg_max = (
+        e.groupBy("o").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
+        or 0
+    )
+    deg_max = max(
+        deg_max,
+        e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
+        or 0,
+    )
+    if deg_max * scale * scale >= 2**63:
+        raise ValueError(
+            f"hits_integer_bipartite overflow risk: deg_max*scale² = "
+            f"{deg_max}*{scale}² >= 2^63 — lower `scale`."
+        )
+    cur = (
+        e.select("o").distinct()
+        .select(F.col("o").alias("node"), F.lit(scale).cast("long").alias("val"))
+        .localCheckpoint()
+    )
+    side = "h"
+    prev_final = None
+    for it in range(1, iterations + 1):
+        if side == "h":
+            joined = e.join(cur, e["o"] == cur["node"]).select(
+                F.col("p").alias("nxt"), "val"
+            )
+            side = "a"
+        else:
+            joined = e.join(cur, e["p"] == cur["node"]).select(
+                F.col("o").alias("nxt"), "val"
+            )
+            side = "h"
+        s = joined.groupBy("nxt").agg(F.sum("val").alias("s"))
+        mx = s.agg(F.max("s").alias("mx"))
+        new = (
+            s.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("nxt").alias("node"),
+                F.expr(f"CAST((s * {scale}) DIV mx AS BIGINT)").alias("val"),
+            )
+            .localCheckpoint()
+        )
+        if cur is not prev_final:
+            _free(cur)
+        if it == iterations - 1:
+            prev_final = new
+        cur = new
+    a_side, h_side = (prev_final, cur) if side == "h" else (cur, prev_final)
+    return a_side.select(
+        F.lit("a").alias("side"), "node", "val"
+    ).unionByName(h_side.select(F.lit("h").alias("side"), "node", "val"))

@@ -861,3 +861,325 @@ def q_tokenizer_fertility_by_lang(
             ).alias("chars_per_token"),
         )
     )
+
+
+_HITS_ITERS = 8
+_HITS_SCALE = 1_000_000
+
+
+@register(
+    "hits_orders_parts",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    hits(it, side, node, val) AS (
+      SELECT 0, 'h', o, CAST({_HITS_SCALE} AS BIGINT)
+      FROM (SELECT DISTINCT o FROM li)
+      UNION ALL
+      SELECT it, side, node,
+        CAST(s * {_HITS_SCALE} // max(s) OVER () AS BIGINT)
+      FROM (
+        SELECT cur.it + 1 AS it,
+          CASE WHEN cur.side = 'h' THEN 'a' ELSE 'h' END AS side,
+          CASE WHEN cur.side = 'h' THEN li.p ELSE li.o END AS node,
+          CAST(sum(cur.val) AS BIGINT) AS s
+        FROM hits cur JOIN li
+          ON (cur.side = 'h' AND cur.node = li.o)
+          OR (cur.side = 'a' AND cur.node = li.p)
+        WHERE cur.it < {_HITS_ITERS}
+        GROUP BY 1, 2, 3
+      )
+    ),
+    fin AS (
+      SELECT side, node, val FROM hits
+      WHERE it IN ({_HITS_ITERS - 1}, {_HITS_ITERS})
+    )
+    SELECT side, node, val AS score_fp,
+      CAST(row_number() OVER (
+        PARTITION BY side ORDER BY val DESC, node) AS BIGINT) AS rank
+    FROM fin QUALIFY rank <= 20
+    """,
+)
+def q_hits_orders_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 HITS hubs (orders) and authorities (parts) over the
+    sampled order→part bipartite graph — Kleinberg's mutually-
+    recursive eigenpair, the DIRECTED companion to
+    pagerank_parts_copurchase (PageRank ranks parts by co-purchase
+    centrality; HITS separates 'big basket' orders from 'in every
+    basket' parts — the two sides of recommendation mining). Runs as a
+    fixed-point INTEGER recurrence (sum opposite side along edges,
+    MAX-normalize at 1e6: operators/graphs.hits_integer_bipartite), so
+    the DuckDB recursive CTE replays every score bit-for-bit — the
+    score VALUES are certified, not just the ordering.
+
+    Scale shape: per round one keyed equi-join + hash agg + 1-row max
+    broadcast; the graph never materializes adjacency. 8 rounds,
+    lineage checkpoint-truncated per round."""
+    from ..operators.graphs import hits_integer_bipartite
+    from pyspark.sql.window import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    fin = hits_integer_bipartite(
+        li, iterations=_HITS_ITERS, scale=_HITS_SCALE
+    )
+    w = Window.partitionBy("side").orderBy(F.desc("val"), F.asc("node"))
+    return (
+        fin.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("side", "node", F.col("val").alias("score_fp"), "rank")
+    )
+
+
+@register(
+    "dtw_click_vs_purchase_daily",
+    f"""
+    WITH RECURSIVE a AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i, v
+      FROM (SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+            FROM events WHERE event_type = 'click' GROUP BY 1)
+    ),
+    b AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS j, v
+      FROM (SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    ),
+    grid AS (SELECT a.i, b.j, abs(a.v - b.v) AS lc FROM a, b),
+    dp(i, j, c, fresh) AS (
+      SELECT i, j, lc, true FROM grid WHERE i = 0 AND j = 0
+      UNION ALL
+      SELECT i, j, c, fresh FROM (
+        WITH cur AS (SELECT * FROM dp)
+        -- wavefront: a cell computes iff its newest predecessor is the
+        -- fresh diagonal (HAVING), from the working table holding
+        -- diagonals d-1 (fresh) and d-2 (carried)
+        SELECT g.i AS i, g.j AS j, g.lc + min(w.c) AS c, true AS fresh
+        FROM grid g JOIN cur w
+          ON (w.i = g.i - 1 AND w.j = g.j)
+          OR (w.i = g.i AND w.j = g.j - 1)
+          OR (w.i = g.i - 1 AND w.j = g.j - 1)
+        GROUP BY g.i, g.j, g.lc
+        HAVING max(CASE WHEN w.fresh THEN w.i + w.j END) = g.i + g.j - 1
+        UNION ALL
+        -- carry the fresh diagonal one more round (its cells are
+        -- predecessors of the NEXT diagonal too)
+        SELECT DISTINCT w.i, w.j, w.c, false
+        FROM cur w JOIN grid g
+          ON (w.i = g.i - 1 AND w.j = g.j)
+          OR (w.i = g.i AND w.j = g.j - 1)
+          OR (w.i = g.i - 1 AND w.j = g.j - 1)
+        WHERE w.fresh
+      )
+    )
+    SELECT i, j, c AS cum_cost FROM dp WHERE fresh
+    """,
+)
+def q_dtw_click_vs_purchase_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-time-warping alignment cost matrix between the daily
+    click and purchase volume curves — the ELASTIC distance the
+    lead-lag family still lacked: ccf_click_purchase_leadlag measures
+    correlation at a FIXED lag, but conversion delay drifts (campaign
+    weeks convert same-day, organic traffic converts days later);
+    DTW's warping path absorbs variable lag, and D(n−1,m−1) is the
+    drift-robust curve distance. The FULL cumulative-cost matrix is
+    emitted (~|days|² rows), so the oracle certifies every DP cell —
+    not just the final distance.
+
+    Exactness: local costs are integer |Δvolume|; the DP recurrence
+    min(up, left, diag) + lc is pure integer min/add. Spark executes
+    the recurrence as driver Python ints over the two COLLECTED daily
+    series (calendar-bounded ≤ |days| rows each — the markov/KM/MMR
+    bounded-collect precedent); the oracle replays it as a recursive
+    CTE advancing one ANTI-DIAGONAL per iteration, carrying the
+    previous diagonal alongside (the reach-CTE discipline extended to
+    2-predecessor-depth DP — prototype-verified cell-for-cell against
+    an independent Python DP).
+
+    Scale shape: corpus work is two filtered hash aggs to |days|
+    frames; the DP touches |days|² ≈ 900 driver integers regardless
+    of corpus size. At 100 TB with LONG series (sensor traces), swap
+    in banded DTW over mapInPandas per trace-pair — the per-pair DP
+    is embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def series(et: str, idx: str):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(F.expr(_DAY).alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("v"))
+            .orderBy("day")
+        )
+
+    av = [r["v"] for r in series("click", "i").collect()]
+    bv = [r["v"] for r in series("purchase", "j").collect()]
+    out = []
+    dp: dict = {}
+    for i, x in enumerate(av):
+        for j, y in enumerate(bv):
+            lc = abs(x - y)
+            if i == 0 and j == 0:
+                c = lc
+            else:
+                c = lc + min(
+                    dp[p]
+                    for p in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                    if p in dp
+                )
+            dp[(i, j)] = c
+            out.append((i, j, c))
+    return spark.createDataFrame(
+        out, "i bigint, j bigint, cum_cost bigint"
+    )
+
+
+@register(
+    "pacf_daily_volume",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv FROM dv),
+    u AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+        n * v - sv AS uv
+      FROM dv, s
+    ),
+    nn AS (
+      SELECT
+        (SELECT CAST(sum(uv * uv) AS BIGINT) FROM u) AS d0,
+        (SELECT CAST(sum(a.uv * b.uv) AS BIGINT) FROM u a
+         JOIN u b ON b.t = a.t + 1) AS n1,
+        (SELECT CAST(sum(a.uv * b.uv) AS BIGINT) FROM u a
+         JOIN u b ON b.t = a.t + 2) AS n2,
+        (SELECT CAST(sum(a.uv * b.uv) AS BIGINT) FROM u a
+         JOIN u b ON b.t = a.t + 3) AS n3
+    ),
+    r AS (
+      SELECT CAST(n1 AS DOUBLE) / d0 AS r1,
+        CAST(n2 AS DOUBLE) / d0 AS r2,
+        CAST(n3 AS DOUBLE) / d0 AS r3
+      FROM nn
+    ),
+    p AS (
+      SELECT r1, r2, r3,
+        (r2 - r1 * r1) / (1 - r1 * r1) AS ph22
+      FROM r
+    ),
+    p2 AS (
+      SELECT r1, r2, r3, ph22, r1 - ph22 * r1 AS ph21 FROM p
+    )
+    SELECT CAST(1 AS BIGINT) AS lag, round(r1, 6) AS acf,
+           round(r1, 6) AS pacf FROM p2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), round(r2, 6), round(ph22, 6) FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), round(r3, 6),
+      round((r3 - ph21 * r2 - ph22 * r1)
+            / (1 - ph21 * r1 - ph22 * r2), 6) FROM p2
+    """,
+)
+def q_pacf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event volume at lags 1-3
+    via the Durbin-Levinson recursion in closed form — the AR-order
+    diagnostic the time-series family still lacked: seasonality_autocorr
+    reads raw ACF (which smears through intermediate lags), PACF cuts
+    off sharply at the true AR order, which is how one picks the lag
+    depth for granger_click_to_purchase / holt_linear forecasting.
+
+    Exactness: the series is centered WITHOUT division (u_t = n·v_t −
+    Σv, exact BIGINT), so all lag products/denominator are exact
+    integers; r_k = N_k/D and the three Durbin-Levinson formulas are
+    ONE shared IEEE tree on those integers, written operand-for-
+    operand identically in both engines (the granger Cramer's-rule
+    discipline), round-6.
+
+    Scale shape: one corpus hash agg to the |days| frame; lag joins
+    and the recursion touch ≤ 30 rows."""
+    dv = _daily_volume(spark, sf_dir)
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    from pyspark.sql.window import Window
+
+    u = (
+        dv.crossJoin(F.broadcast(s))
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"),
+            (F.col("n") * F.col("v") - F.col("sv")).alias("uv"),
+        )
+    )
+    a, b = u.alias("a"), u.alias("b")
+
+    def lagsum(k: int):
+        return (
+            a.join(F.broadcast(b), F.col("b.t") == F.col("a.t") + k)
+            .agg(F.sum(F.col("a.uv") * F.col("b.uv")).alias(f"n{k}"))
+        )
+
+    d0 = u.agg(F.sum(F.col("uv") * F.col("uv")).alias("d0"))
+    nn = (
+        d0.crossJoin(F.broadcast(lagsum(1)))
+        .crossJoin(F.broadcast(lagsum(2)))
+        .crossJoin(F.broadcast(lagsum(3)))
+    )
+    r = nn.select(
+        (F.col("n1").cast("double") / F.col("d0")).alias("r1"),
+        (F.col("n2").cast("double") / F.col("d0")).alias("r2"),
+        (F.col("n3").cast("double") / F.col("d0")).alias("r3"),
+    )
+    p = r.select(
+        "r1",
+        "r2",
+        "r3",
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1) - F.col("r1") * F.col("r1"))
+        ).alias("ph22"),
+    )
+    p2 = p.select(
+        "*", (F.col("r1") - F.col("ph22") * F.col("r1")).alias("ph21")
+    )
+    l1 = p2.select(
+        F.lit(1).cast("bigint").alias("lag"),
+        F.round("r1", 6).alias("acf"),
+        F.round("r1", 6).alias("pacf"),
+    )
+    l2 = p2.select(
+        F.lit(2).cast("bigint").alias("lag"),
+        F.round("r2", 6).alias("acf"),
+        F.round("ph22", 6).alias("pacf"),
+    )
+    l3 = p2.select(
+        F.lit(3).cast("bigint").alias("lag"),
+        F.round("r3", 6).alias("acf"),
+        F.round(
+            (
+                F.col("r3")
+                - F.col("ph21") * F.col("r2")
+                - F.col("ph22") * F.col("r1")
+            )
+            / (
+                F.lit(1)
+                - F.col("ph21") * F.col("r1")
+                - F.col("ph22") * F.col("r2")
+            ),
+            6,
+        ).alias("pacf"),
+    )
+    return l1.unionByName(l2).unionByName(l3)
