@@ -1183,3 +1183,334 @@ def q_pacf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pacf"),
     )
     return l1.unionByName(l2).unionByName(l3)
+
+
+@register(
+    "cooks_distance_daily_trend",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS x, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM dv
+    ),
+    r AS (
+      SELECT x, y, n, sx,
+        n * sxx - sx * sx AS d,
+        CAST((n * sxx - sx * sx) AS HUGEINT) * (n * y - sy)
+          - CAST((n * sxy - sx * sy) AS HUGEINT) * (n * x - sx) AS e
+      FROM dv, s
+    ),
+    t AS (
+      SELECT x, y, n, e,
+        -- leverage h_i = 1/n + (x - x̄)²/Sxx, exact as
+        -- (Sxx + n(n·x − Σx)²/n²)/(n·Sxx): numerator scaled by n²
+        CAST(d AS HUGEINT) * n + CAST(n * x - sx AS HUGEINT)
+          * (n * x - sx) * n AS hn,
+        CAST(d AS HUGEINT) * n * n AS hd,
+        (SELECT CAST(sum(e * e) AS HUGEINT) FROM r) AS sse
+      FROM r
+    )
+    SELECT x AS day, y AS volume,
+      round(CAST(CAST(hn AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(hd AS VARCHAR) AS DOUBLE), 6) AS leverage,
+      round(
+        (CAST(CAST(e AS VARCHAR) AS DOUBLE)
+         * CAST(CAST(e AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST(sse AS VARCHAR) AS DOUBLE) / (n - 2) * 2))
+        * (CAST(CAST(hn AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(hd AS VARCHAR) AS DOUBLE))
+        / ((1 - CAST(CAST(hn AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(hd AS VARCHAR) AS DOUBLE))
+           * (1 - CAST(CAST(hn AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(hd AS VARCHAR) AS DOUBLE))), 6)
+        AS cooks_d
+    FROM t
+    """,
+)
+def q_cooks_distance_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cook's distance + leverage per day for the daily-volume OLS
+    trend — the INFLUENCE diagnostics completing the regression-
+    diagnostic pair with durbin_watson (DW asks 'are residuals
+    independent'; Cook asks 'which single day is dragging the fit' —
+    the day an anomaly triage investigates first).
+
+    Exactness: reuses the DW integer-residual scheme (E_i exact via
+    the common n·D factor, squares in HUGEINT/decimal38); leverage is
+    the exact rational (Sxx·n + n(nx−Σx)²)/(n²·Sxx). Cook's
+    D_i = e_i²·h_i/(p·s²(1−h_i)²) assembles as ONE shared IEEE tree on
+    string→double crossings of those integers (the scale factors of
+    e_i² cancel between numerator and the SSE-built s²), round-6.
+
+    Scale shape: one corpus hash agg; the diagnostics touch ≤|days|
+    rows."""
+    dv = _daily_volume(spark, sf_dir).select(
+        F.col("day").alias("x"), F.col("v").alias("y")
+    )
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    r = dv.crossJoin(F.broadcast(s)).select(
+        "x",
+        "y",
+        "n",
+        "sx",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "d"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast(dec)
+            * (F.col("n") * F.col("y") - F.col("sy"))
+            - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast(dec)
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        ).alias("e"),
+    )
+    sse = r.agg(F.sum(F.col("e") * F.col("e")).alias("sse"))
+    t = r.crossJoin(F.broadcast(sse)).select(
+        "x",
+        "y",
+        "n",
+        "e",
+        (
+            F.col("d").cast(dec) * F.col("n")
+            + (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+            * (F.col("n") * F.col("x") - F.col("sx"))
+            * F.col("n")
+        ).alias("hn"),
+        (F.col("d").cast(dec) * F.col("n") * F.col("n")).alias("hd"),
+        "sse",
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    h = sd("hn") / sd("hd")
+    return t.select(
+        F.col("x").alias("day"),
+        F.col("y").alias("volume"),
+        F.round(h, 6).alias("leverage"),
+        F.round(
+            (sd("e") * sd("e") / (sd("sse") / (F.col("n") - 2) * 2))
+            * h
+            / ((F.lit(1) - h) * (F.lit(1) - h)),
+            6,
+        ).alias("cooks_d"),
+    )
+
+
+@register(
+    "bartlett_test_value_by_type",
+    """
+    WITH v AS (
+      SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+        CAST(sum(cv) AS BIGINT) AS s1,
+        CAST(sum(cv * cv) AS HUGEINT) AS s2
+      FROM v GROUP BY event_type
+    ),
+    gi AS (
+      SELECT event_type, ni,
+        -- ln of the exact rational variance, floored to 1e9 fixed
+        -- point BEFORE any cross-group sum (perplexity discipline)
+        CAST(floor(ln(
+          (CAST(CAST(ni AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+                AS VARCHAR)::DOUBLE)
+          / (CAST(ni AS DOUBLE) * (ni - 1))) * 1000000000) AS BIGINT)
+          AS lnv_fp,
+        CAST(CAST(CAST(ni AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+             AS VARCHAR) AS DOUBLE) / ni AS ss
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(ni) AS BIGINT) AS nn,
+        CAST(sum((ni - 1) * lnv_fp) AS BIGINT) AS sum_fp,
+        sum(ss) AS sstot,
+        sum(1.0 / (ni - 1)) AS sinv
+      FROM gi
+    )
+    SELECT k, nn,
+      round((
+        (nn - k) * ln(sstot / (nn - k))
+        - CAST(sum_fp AS DOUBLE) / 1e9
+      ) / (1 + (sinv - 1.0 / (nn - k)) / (3 * (k - 1))), 6)
+        AS bartlett_chi2
+    FROM tot
+    """,
+)
+def q_bartlett_test_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's test for equal variances across event types — the
+    CLASSIC (normal-theory) variance-homogeneity check; the family's
+    robust member is brown_forsythe_value_by_type (Bartlett is more
+    powerful under normality, badly anti-conservative otherwise — a
+    dashboard shows both and their disagreement IS the non-normality
+    signal).
+
+    Exactness: per-group SS are exact integers on cents
+    (ni·Σx²−(Σx)² in HUGEINT/decimal38); per-group ln(variance) is
+    floored to 1e9 fixed point BEFORE the cross-group weighted sum
+    (integer, associative — the perplexity/NB discipline), so only
+    the pooled-variance ln and the final assembly are float — one
+    shared tree, round-6. The pooled SS sum (5 doubles) and Σ1/(ni−1)
+    are ≤|types|-addend sums of identical operands — both engines add
+    in the same ascending-group order? NO ordering is pinned there,
+    so those two sums ride on addition being exact here: each ss is
+    an integer-valued double ≪ 2^53 and 1/(ni−1) sums over 5 terms
+    are too small to lose bits — verified cross-engine at all SFs.
+
+    Scale shape: one scan into a ≤|types| group frame; everything
+    after is 5 rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    dec = "decimal(38,0)"
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv").cast(dec) * F.col("cv")).alias("s2"),
+    )
+    ssn = (
+        F.col("ni").cast(dec) * F.col("s2")
+        - F.col("s1").cast(dec) * F.col("s1")
+    )
+    gi = g.select(
+        "ni",
+        F.floor(
+            F.log(
+                ssn.cast("string").cast("double")
+                / (F.col("ni").cast("double") * (F.col("ni") - 1))
+            )
+            * F.lit(1000000000)
+        )
+        .cast("bigint")
+        .alias("lnv_fp"),
+        (ssn.cast("string").cast("double") / F.col("ni")).alias("ss"),
+    )
+    tot = gi.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("nn"),
+        F.sum((F.col("ni") - 1) * F.col("lnv_fp")).alias("sum_fp"),
+        F.sum("ss").alias("sstot"),
+        F.sum(F.lit(1.0) / (F.col("ni") - 1)).alias("sinv"),
+    )
+    nk = F.col("nn") - F.col("k")
+    return tot.select(
+        "k",
+        "nn",
+        F.round(
+            (
+                nk * F.log(F.col("sstot") / nk)
+                - F.col("sum_fp").cast("double") / F.lit(1e9)
+            )
+            / (
+                F.lit(1)
+                + (F.col("sinv") - F.lit(1.0) / nk)
+                / (3 * (F.col("k") - 1))
+            ),
+            6,
+        ).alias("bartlett_chi2"),
+    )
+
+
+@register(
+    "jarque_bera_daily_volume",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv FROM dv),
+    u AS (SELECT n, n * v - sv AS uv FROM dv, s),
+    m AS (
+      SELECT max(n) AS n,
+        CAST(sum(CAST(uv AS HUGEINT) * uv) AS HUGEINT) AS m2,
+        CAST(sum(CAST(uv AS HUGEINT) * uv * uv) AS HUGEINT) AS m3,
+        CAST(sum(CAST(uv AS HUGEINT) * uv * uv * uv) AS HUGEINT) AS m4
+      FROM u
+    )
+    SELECT n,
+      round(sqrt(CAST(n AS DOUBLE))
+        * CAST(CAST(m3 AS VARCHAR) AS DOUBLE)
+        / pow(CAST(CAST(m2 AS VARCHAR) AS DOUBLE), 1.5), 6) AS skewness,
+      round(CAST(n AS DOUBLE) * CAST(CAST(m4 AS VARCHAR) AS DOUBLE)
+        / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(m2 AS VARCHAR) AS DOUBLE)), 6) AS kurtosis,
+      round(CAST(n AS DOUBLE) / 6 * (
+        (sqrt(CAST(n AS DOUBLE)) * CAST(CAST(m3 AS VARCHAR) AS DOUBLE)
+         / pow(CAST(CAST(m2 AS VARCHAR) AS DOUBLE), 1.5))
+        * (sqrt(CAST(n AS DOUBLE)) * CAST(CAST(m3 AS VARCHAR) AS DOUBLE)
+           / pow(CAST(CAST(m2 AS VARCHAR) AS DOUBLE), 1.5))
+        + (CAST(n AS DOUBLE) * CAST(CAST(m4 AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(m2 AS VARCHAR) AS DOUBLE)) - 3)
+          * (CAST(n AS DOUBLE) * CAST(CAST(m4 AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(m2 AS VARCHAR) AS DOUBLE)) - 3) / 4), 6)
+        AS jb_stat
+    FROM m
+    """,
+)
+def q_jarque_bera_daily_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera normality test on the daily volume series (moment
+    skewness + kurtosis) — the gate before trusting any of the
+    normal-theory members of the family (Bartlett, Grubbs, the z/t
+    tests): JB large ⇒ use the rank-based twins instead.
+
+    Exactness: centered WITHOUT division (u = n·v − Σv, exact), so
+    m2/m3/m4 are exact integer power sums — u⁴ reaches ~1e19·|days| →
+    HUGEINT/decimal(38,0) with string→double crossing. Skew/kurtosis/
+    JB assemble as shared IEEE trees on those exact operands (the n
+    factors of the scaled moments cancel in each ratio), round-6.
+
+    Scale shape: one corpus hash agg; moment sums over ≤|days| rows."""
+    dv = _daily_volume(spark, sf_dir)
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    u = dv.crossJoin(F.broadcast(s)).select(
+        "n", (F.col("n") * F.col("v") - F.col("sv")).alias("uv")
+    )
+    dec = "decimal(38,0)"
+    ud = F.col("uv").cast(dec)
+    m = u.agg(
+        F.max("n").alias("n"),
+        F.sum(ud * F.col("uv")).alias("m2"),
+        F.sum(ud * F.col("uv") * F.col("uv")).alias("m3"),
+        F.sum(ud * F.col("uv") * F.col("uv") * F.col("uv")).alias("m4"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nd = F.col("n").cast("double")
+    skew = F.sqrt(nd) * sd("m3") / F.pow(sd("m2"), 1.5)
+    kurt = nd * sd("m4") / (sd("m2") * sd("m2"))
+    return m.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(
+            nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 6
+        ).alias("jb_stat"),
+    )
