@@ -1514,3 +1514,295 @@ def q_jarque_bera_daily_volume(
             nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 6
         ).alias("jb_stat"),
     )
+
+
+@register(
+    "span_corruption_masks",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS l FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, l, i AS p
+      FROM toks, unnest(generate_series(1, l)) AS g(i)
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(i AS VARCHAR)), 1, 1) IN ('0', '1')
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, least(p + k, l) AS pos
+      FROM starts, unnest(generate_series(0, 2)) AS g(k)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM cov
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        CAST(max(pos) AS BIGINT) AS end_tok,
+        CAST(count(*) AS BIGINT) AS span_len
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT s.doc_id, s.start_tok, s.end_tok, s.span_len,
+      CAST(row_number() OVER (
+        PARTITION BY s.doc_id ORDER BY s.start_tok) AS BIGINT)
+        AS sentinel_id
+    FROM spans s
+    """,
+)
+def q_span_corruption_masks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T5-style span-corruption mask generation: ~12.5% of token
+    positions seed a 3-token span (seeding is md5(doc_id:pos) — the
+    repo's deterministic stand-in for the RNG draw), overlapping
+    spans merge, and each merged span gets its sentinel id in
+    document order — exactly the (start, len, sentinel) table a
+    denoising-objective serializer consumes. The training-data
+    preprocessing op the packing/chunking family still lacked: masks,
+    not splits.
+
+    Exactness: everything is integer positions and md5 hex — both
+    engines replay the seeding byte-for-byte; span merging is the
+    pos − row_number gap-grouping idiom (exact_substr_spans).
+
+    Scale shape: one token-position explode (corpus-proportional,
+    narrow), per-doc windows partitioned by doc_id — embarrassingly
+    parallel; no cross-doc exchange except the hash partition."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("l")
+    )
+    starts = (
+        toks.select(
+            "doc_id",
+            "l",
+            F.explode(F.expr("sequence(1, l)")).alias("p"),
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1")
+        )
+    )
+    cov = (
+        starts.select(
+            "doc_id",
+            "l",
+            F.explode(F.expr("sequence(0, 2)")).alias("k"),
+            "p",
+        )
+        .select(
+            "doc_id",
+            F.least(F.col("p") + F.col("k"), F.col("l")).alias("pos"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grp = cov.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(wd)).alias("g")
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("pos").cast("bigint").alias("start_tok"),
+        F.max("pos").cast("bigint").alias("end_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("span_len"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        "start_tok",
+        "end_tok",
+        "span_len",
+        F.row_number().over(ws).cast("bigint").alias("sentinel_id"),
+    )
+
+
+@register(
+    "page_hinkley_daily_volume",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv FROM dv),
+    c AS (
+      SELECT day, n, sv,
+        CAST(sum(n * v - sv) OVER (ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM dv, s
+    ),
+    m AS (
+      SELECT day, cum,
+        CAST(min(cum) OVER (ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn,
+        sv
+      FROM c
+    )
+    SELECT day, cum, cum - mn AS ph,
+      5 * (cum - mn) > sv AS alarm
+    FROM m
+    """,
+)
+def q_page_hinkley_daily_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page-Hinkley upward-drift statistic over the daily volume:
+    PH_t = cum_t − min_{{s≤t}} cum_s on the mean-centered cumulative
+    sum — the SEQUENTIAL drift monitor completing the changepoint
+    trio (CUSUM = known-direction batch scan, Pettitt = retrospective
+    rank test, PH = the streaming-friendly online form whose state is
+    two numbers). Alarm when the departure exceeds 20% of the mean
+    daily volume — evaluated as the EXACT integer comparison
+    5·PH > Σv (PH is n-scaled by construction, Σv = n·mean·…: both
+    sides share the n factor).
+
+    Exactness: centering WITHOUT division (n·v − Σv), integer cumsum
+    and running min — no float anywhere.
+
+    Scale shape: one corpus hash agg; windows run over the |days|
+    frame (plain ORDER BY window on ≤30 rows)."""
+    from pyspark.sql.window import Window
+
+    dv = _daily_volume(spark, sf_dir)
+    s = dv.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = dv.crossJoin(F.broadcast(s)).select(
+        "day",
+        "sv",
+        F.sum(F.col("n") * F.col("v") - F.col("sv"))
+        .over(w)
+        .cast("bigint")
+        .alias("cum"),
+    )
+    m = c.select(
+        "day",
+        "cum",
+        F.min("cum").over(w).cast("bigint").alias("mn"),
+        "sv",
+    )
+    return m.select(
+        "day",
+        "cum",
+        (F.col("cum") - F.col("mn")).alias("ph"),
+        (5 * (F.col("cum") - F.col("mn")) > F.col("sv")).alias("alarm"),
+    )
+
+
+@register(
+    "sax_daily_volume",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, v,
+        CAST((row_number() OVER (ORDER BY day) - 1) // 5 AS BIGINT)
+          AS seg
+      FROM dv
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(v) AS BIGINT) AS sv,
+        CAST(sum(v * v) AS HUGEINT) AS svv
+      FROM dv
+    ),
+    paa AS (
+      SELECT seg, CAST(sum(v) AS BIGINT) AS segsum,
+        CAST(count(*) AS BIGINT) AS segn
+      FROM idx GROUP BY seg
+    ),
+    z AS (
+      SELECT seg, segsum, segn,
+        round((CAST(segsum AS DOUBLE) / segn - CAST(sv AS DOUBLE) / n)
+          / sqrt((CAST(CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT)
+                   * sv AS VARCHAR)::DOUBLE)
+                 / (CAST(n AS DOUBLE) * n)), 6) AS zval
+      FROM paa, s
+    )
+    SELECT seg, segsum, segn, zval,
+      CASE WHEN zval < -0.6745 THEN 'a'
+           WHEN zval < 0 THEN 'b'
+           WHEN zval < 0.6745 THEN 'c'
+           ELSE 'd' END AS sax
+    FROM z
+    """,
+)
+def q_sax_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily volume: PAA over 5-day segments,
+    z-normalization against the global series moments, then 4-letter
+    alphabet at the standard Gaussian quartile breakpoints ±0.6745 —
+    the symbolic representation that turns motif/discord mining
+    (timeseries_motif_discovery computes exact SADs) into string
+    problems a grep can answer. Letters cut on the ROUND-6 z (the
+    rounded-score-cut discipline), so both engines bucket
+    identically.
+
+    Exactness: segment sums, Σv, Σv² exact (HUGEINT for the square
+    sum); z is one shared IEEE tree on those integers, round-6 before
+    the breakpoint CASE.
+
+    Scale shape: one corpus hash agg; PAA/z touch ≤|days| rows."""
+    from pyspark.sql.window import Window
+
+    dv = _daily_volume(spark, sf_dir)
+    idx = dv.select(
+        "day",
+        "v",
+        F.expr(
+            "CAST((row_number() OVER (ORDER BY day) - 1) div 5 AS BIGINT)"
+        ).alias("seg"),
+    )
+    dec = "decimal(38,0)"
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("svv"),
+    )
+    paa = idx.groupBy("seg").agg(
+        F.sum("v").alias("segsum"), F.count(F.lit(1)).alias("segn")
+    )
+    var_num = (
+        F.col("n").cast(dec) * F.col("svv")
+        - F.col("sv").cast(dec) * F.col("sv")
+    )
+    z = paa.crossJoin(F.broadcast(s)).select(
+        "seg",
+        "segsum",
+        "segn",
+        F.round(
+            (
+                F.col("segsum").cast("double") / F.col("segn")
+                - F.col("sv").cast("double") / F.col("n")
+            )
+            / F.sqrt(
+                var_num.cast("string").cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            ),
+            6,
+        ).alias("zval"),
+    )
+    return z.select(
+        "seg",
+        "segsum",
+        "segn",
+        "zval",
+        F.when(F.col("zval") < -0.6745, "a")
+        .when(F.col("zval") < 0, "b")
+        .when(F.col("zval") < 0.6745, "c")
+        .otherwise("d")
+        .alias("sax"),
+    )
