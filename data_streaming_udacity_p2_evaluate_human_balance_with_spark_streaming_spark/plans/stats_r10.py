@@ -1650,7 +1650,7 @@ def q_span_corruption_masks(
       FROM c
     )
     SELECT day, cum, cum - mn AS ph,
-      5 * (cum - mn) > sv AS alarm
+      10 * (cum - mn) > sv AS alarm
     FROM m
     """,
 )
@@ -1662,10 +1662,11 @@ def q_page_hinkley_daily_volume(
     sum — the SEQUENTIAL drift monitor completing the changepoint
     trio (CUSUM = known-direction batch scan, Pettitt = retrospective
     rank test, PH = the streaming-friendly online form whose state is
-    two numbers). Alarm when the departure exceeds 20% of the mean
-    daily volume — evaluated as the EXACT integer comparison
-    5·PH > Σv (PH is n-scaled by construction, Σv = n·mean·…: both
-    sides share the n factor).
+    two numbers). Alarm when the cumulative departure exceeds 10% of
+    the total volume (≈3 days' mean at the 30-day calendar; fires at
+    sf0.001/sf0.01 on this fixture) — evaluated as the EXACT integer
+    comparison 10·PH > Σv (PH carries an n factor by construction;
+    the RHS absorbs it since Σv · n/n).
 
     Exactness: centering WITHOUT division (n·v − Σv), integer cumsum
     and running min — no float anywhere.
@@ -1697,7 +1698,7 @@ def q_page_hinkley_daily_volume(
         "day",
         "cum",
         (F.col("cum") - F.col("mn")).alias("ph"),
-        (5 * (F.col("cum") - F.col("mn")) > F.col("sv")).alias("alarm"),
+        (10 * (F.col("cum") - F.col("mn")) > F.col("sv")).alias("alarm"),
     )
 
 
