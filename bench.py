@@ -309,6 +309,25 @@ HEADLINE = [
     "sequence_pack_nextfit",
     "sequence_pack_fill_report",
     "entity_resolution_refined_blocks",
+    "pettitt_changepoint_daily",
+    "mcnemar_langid_full_vs_head",
+    "cochrans_q_purchase_dow",
+    "wilson_ci_user_conversion",
+    "durbin_watson_daily_trend",
+    "poisson_rate_test_click_vs_purchase",
+    "kneser_ney_bigram_probs",
+    "naive_bayes_lang_id",
+    "tokenizer_fertility_by_lang",
+    "hits_orders_parts",
+    "dtw_click_vs_purchase_daily",
+    "pacf_daily_volume",
+    "cooks_distance_daily_trend",
+    "bartlett_test_value_by_type",
+    "jarque_bera_daily_volume",
+    "span_corruption_masks",
+    "page_hinkley_daily_volume",
+    "sax_daily_volume",
+    "lift_gains_deciles",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

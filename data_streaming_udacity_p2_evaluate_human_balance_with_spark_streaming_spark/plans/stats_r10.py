@@ -1807,3 +1807,144 @@ def q_sax_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("sax"),
     )
+
+
+def _lift_oracle() -> str:
+    """Lift/gains oracle: the frozen-logit score and Gopher dup-bigram
+    weak label replayed verbatim (the quality_calibration_bins CTEs),
+    deciles by exact integer rank arithmetic."""
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+    from .analytics import _QUALITY_LABEL_THRESHOLD
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+        / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE)
+        / len(toks) AS swr
+    FROM t),
+    sc AS (SELECT doc_id, round({z}, 6) AS s,
+      CAST(CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END > {_QUALITY_LABEL_THRESHOLD}
+        AS BIGINT) AS y
+    FROM f),
+    rk AS (
+      SELECT y,
+        row_number() OVER (ORDER BY s DESC, doc_id) AS rn,
+        (SELECT CAST(count(*) AS BIGINT) FROM sc) AS nn
+      FROM sc
+    ),
+    d AS (
+      SELECT CAST((rn * 10 + nn - 1) // nn AS BIGINT) AS decile, y, nn
+      FROM rk
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS pos, max(nn) AS nn
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, pos,
+        CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+        (SELECT CAST(sum(y) AS BIGINT) FROM sc) AS tot_pos, nn
+      FROM g
+    )
+    SELECT decile, n, pos, cum_n, cum_pos,
+      round((CAST(cum_pos AS DOUBLE) / cum_n)
+            / (CAST(tot_pos AS DOUBLE) / nn), 6) AS lift,
+      round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS capture
+    FROM c
+    """
+
+
+@register("lift_gains_deciles", _lift_oracle())
+def q_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the frozen quality classifier
+    against the Gopher dup-bigram weak label — the business-standard
+    ranking readout completing the classifier-QA family (AUC = one
+    number, calibration = probability honesty, lift table = 'how much
+    junk does reviewing the top 10% catch', which is how a curation
+    budget is actually allocated).
+
+    Exactness: scores are the round-6 frozen logit (IEEE-identical
+    chain), labels exact; decile = ⌈rn·10/N⌉ computed as the INTEGER
+    (rn·10+N−1) div N on the tie-free global rank (score desc,
+    doc_id) — no ntile, no float boundaries; lift/capture are shared
+    trees on exact counts, round-6.
+
+    Scale shape: scoring is one codegen'd projection; the global rank
+    uses the two-pass range-partitioned machinery
+    (operators/ranking.global_row_number — no single-partition
+    window); deciles aggregate to 10 rows."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+    from ..operators.ranking import global_row_number
+    from .analytics import _QUALITY_LABEL_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    sc = feats.select(
+        "doc_id",
+        (-F.round(frozen_logit_expr(), 6)).alias("neg_s"),
+        F.col("weak_label").cast("bigint").alias("y"),
+    )
+    rk = global_row_number(sc, ["neg_s", "doc_id"])
+    d = rk.select(
+        F.expr(
+            "CAST((_global_rn * 10 + _total_n - 1) div _total_n AS BIGINT)"
+        ).alias("decile"),
+        "y",
+        F.col("_total_n").alias("nn"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.max("nn").alias("nn"),
+    )
+    tot = d.agg(F.sum("y").alias("tot_pos"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+        "tot_pos",
+        "nn",
+    )
+    return c.select(
+        "decile",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("nn")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos"), 6
+        ).alias("capture"),
+    )

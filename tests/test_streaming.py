@@ -4510,3 +4510,113 @@ def test_watermark_late_filter_lags_eviction_one_batch(spark, tmp_path):
             survivors += 1
     assert survivors < 200  # the probe is non-vacuous: drops expected
     assert sum(landed3.values()) == 400 + survivors
+
+
+def test_streaming_page_hinkley_partials_finalize_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of page_hinkley_daily_volume (21st mergeable-twin
+    member): the sufficient statistic is the per-DAY event count —
+    mergeable sums — so per-stream-window partials merged by day and
+    pushed through the same integer PH assembly (n-scaled centered
+    cumsum, running min, 10·PH > Σv alarm) reproduce the batch
+    monitor BIT-identically. The drift monitor every ingest pipeline
+    wants incremental: each micro-batch ships day-count deltas; PH
+    re-finalizes from the merged day histogram."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    # explicit per-day counts with an upward level shift on days 5-8 —
+    # PH is an UPWARD-drift monitor, and the shift must clear the
+    # 10·PH > Σv alarm line so the alarm column is non-vacuous
+    per_day = [50, 50, 50, 50, 50, 80, 95, 110, 120]
+    rows = [
+        {
+            "event_id": d * 1000 + k,
+            "ts": f"2024-01-{1 + d:02d}"
+            f"T{(k * 7) % 24:02d}:{k % 60:02d}:00.000Z",
+        }
+        for d, cnt in enumerate(per_day)
+        for k in range(cnt)
+    ]
+    sentinel = {"event_id": 999999, "ts": "2024-03-01T00:00:00.000Z"}
+    d = str(tmp_path / "ph_src")
+    _os.makedirs(d)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:], [sentinel]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i,) * 2)
+
+    schema = _parse_datatype_string("event_id long, ts timestamp")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    partials = (
+        stream.select("ts", day)
+        .groupBy(F.window("ts", "12 hours").alias("win"), "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        partials.writeStream.format("memory")
+        .queryName("ph_partials_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    def finalize(dv):
+        s = dv.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        c = dv.crossJoin(F.broadcast(s)).select(
+            "day",
+            "sv",
+            F.sum(F.col("n") * F.col("v") - F.col("sv"))
+            .over(w)
+            .cast("bigint")
+            .alias("cum"),
+        )
+        m = c.select(
+            "day", "cum", F.min("cum").over(w).alias("mn"), "sv"
+        )
+        return sorted(
+            (r.day, r.cum, r.cum - r.mn, 10 * (r.cum - r.mn) > r.sv)
+            for r in m.collect()
+        )
+
+    streamed = (
+        spark.table("ph_partials_tbl")
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    batch = (
+        spark.createDataFrame(
+            [(r["ts"],) for r in rows], "ts string"
+        )
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fs, fb = finalize(streamed), finalize(batch)
+    assert fs == fb
+    assert sum(1 for *_x, alarm in fs if alarm) >= 1  # non-vacuous
+    assert (
+        spark.table("ph_partials_tbl").select("win").distinct().count()
+        >= 2
+    )
