@@ -1948,3 +1948,495 @@ def q_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pos").cast("double") / F.col("tot_pos"), 6
         ).alias("capture"),
     )
+
+
+#: studentized-range 5% critical value q(k=5, df=∞) — literal, the
+#: OBF/BH threshold-table discipline (both engines embed the same
+#: constant; no quantile function exists in either engine)
+_TUKEY_Q5 = 3.858
+
+
+@register(
+    "tukey_hsd_value_pairs",
+    f"""
+    WITH v AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ni,
+        CAST(sum(cv) AS BIGINT) AS s1,
+        CAST(sum(cv * cv) AS HUGEINT) AS s2
+      FROM v GROUP BY g
+    ),
+    msw AS (
+      SELECT CAST(sum(ni) AS BIGINT) AS nn,
+        CAST(count(*) AS BIGINT) AS k,
+        sum(CAST(CAST(CAST(ni AS HUGEINT) * s2
+              - CAST(s1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE) / ni)
+          AS ssw
+      FROM s
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b,
+        a.ni AS n_a, b.ni AS n_b,
+        a.s1 AS sa, b.s1 AS sb
+      FROM s a JOIN s b ON a.g < b.g
+    )
+    SELECT g_a, g_b, n_a, n_b,
+      round((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+            / 100, 6) AS mean_diff,
+      round({_TUKEY_Q5} * sqrt(msw.ssw / (msw.nn - msw.k) / 2
+        * (1.0 / n_a + 1.0 / n_b)) / 100, 6) AS hsd,
+      abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+        > {_TUKEY_Q5} * sqrt(msw.ssw / (msw.nn - msw.k) / 2
+          * (1.0 / n_a + 1.0 / n_b)) AS significant
+    FROM pairs, msw
+    """,
+)
+def q_tukey_hsd_value_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons of mean event value
+    across the 5 event types — the PARAMETRIC post-hoc completing the
+    pair with dunn_posthoc_value_pairs (Dunn follows Kruskal-Wallis on
+    ranks; Tukey follows ANOVA on means, controlling family-wise error
+    via the studentized range — q(5,∞)=3.858 enters as a literal, the
+    OBF/BH table discipline).
+
+    Exactness: group sums/squares exact on cents (HUGEINT/decimal38);
+    within-group SS via the division-free identity Σ(ni·Σx²−(Σx)²)/ni;
+    each pair's diff/HSD/flag is one shared IEEE tree, round-6 (the
+    flag compares the same unrounded tree both engines build).
+
+    Scale shape: one scan into a ≤|types| frame; 10 pairs after."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    dec = "decimal(38,0)"
+    s = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("cv").alias("s1"),
+        F.sum(F.col("cv").cast(dec) * F.col("cv")).alias("s2"),
+    )
+    ssw_term = (
+        (
+            F.col("ni").cast(dec) * F.col("s2")
+            - F.col("s1").cast(dec) * F.col("s1")
+        )
+        .cast("string")
+        .cast("double")
+        / F.col("ni")
+    )
+    msw = s.agg(
+        F.sum("ni").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(ssw_term).alias("ssw"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g")).select(
+        F.col("a.g").alias("g_a"),
+        F.col("b.g").alias("g_b"),
+        F.col("a.ni").alias("n_a"),
+        F.col("b.ni").alias("n_b"),
+        F.col("a.s1").alias("sa"),
+        F.col("b.s1").alias("sb"),
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("n_a")
+        - F.col("sb").cast("double") / F.col("n_b")
+    )
+    hsd = F.lit(_TUKEY_Q5) * F.sqrt(
+        F.col("ssw")
+        / (F.col("nn") - F.col("k"))
+        / 2
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return pairs.crossJoin(F.broadcast(msw)).select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        F.round(diff / 100, 6).alias("mean_diff"),
+        F.round(hsd / 100, 6).alias("hsd"),
+        (F.abs(diff) > hsd).alias("significant"),
+    )
+
+
+@register(
+    "cramer_von_mises_click_vs_view",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cv,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT cv, CAST(sum(a) AS BIGINT) AS t1,
+        CAST(sum(1 - a) AS BIGINT) AS t2
+      FROM v GROUP BY cv
+    ),
+    r AS (
+      -- doubled average rank for the value block: 2·r̄ =
+      -- 2·(cum_before) + (cnt + 1), exact integers
+      SELECT cv, t1, t2,
+        2 * (CAST(sum(t1 + t2) OVER (ORDER BY cv) AS BIGINT)
+             - (t1 + t2)) + (t1 + t2) + 1 AS dr
+      FROM g
+    ),
+    w AS (
+      -- doubled within-sample index for the block (average position
+      -- inside its own sample, same doubling)
+      SELECT cv, t1, t2, dr,
+        2 * (CAST(sum(t1) OVER (ORDER BY cv) AS BIGINT) - t1)
+          + t1 + 1 AS di1,
+        2 * (CAST(sum(t2) OVER (ORDER BY cv) AS BIGINT) - t2)
+          + t2 + 1 AS di2
+      FROM r
+    ),
+    uu AS (
+      SELECT
+        (SELECT CAST(sum(t1) AS BIGINT) FROM g) AS n,
+        (SELECT CAST(sum(t2) AS BIGINT) FROM g) AS m,
+        CAST(sum(t1 * CAST(dr - di1 AS HUGEINT) * (dr - di1))
+             AS HUGEINT) AS u1,
+        CAST(sum(t2 * CAST(dr - di2 AS HUGEINT) * (dr - di2))
+             AS HUGEINT) AS u2
+      FROM w
+    )
+    SELECT n, m,
+      round((CAST(CAST(n AS HUGEINT) * u1 + CAST(m AS HUGEINT) * u2
+                  AS VARCHAR)::DOUBLE / 4)
+            / (CAST(n AS DOUBLE) * m * (n + m))
+            - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS cvm_t
+    FROM uu
+    """,
+)
+def q_cramer_von_mises_click_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion for click vs view value
+    distributions — the INTEGRATED-difference member completing the
+    distribution-comparison family (KS = max gap, sensitive to the
+    middle; Wasserstein = area in value units; CvM = mean SQUARED gap
+    in probability units, the most powerful of the three against
+    spread/shape changes). T = U/(nm(n+m)) − (4nm−1)/(6(n+m)) with
+    U = nΣ(r_i−i)² + mΣ(s_j−j)² over pooled vs within-sample ranks.
+
+    Exactness: ties handled by DOUBLED average ranks (2r̄ and 2ī are
+    integers — the established doubled-rank discipline), so
+    (2r−2i)² = 4(r−i)² keeps U exact in HUGEINT/decimal38 (the /4
+    rejoins at the final shared double tree, round-6). Running sums
+    over the value HISTOGRAM, not rows.
+
+    Scale shape: one scan into a per-distinct-value histogram; the
+    running sums are windows over that bounded frame (plan-pinned
+    family; swap to global_running_sum at true 100 TB cardinality)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    g = v.groupBy("cv").agg(
+        F.sum("a").alias("t1"), F.sum(1 - F.col("a")).alias("t2")
+    )
+    w = Window.orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = F.col("t1") + F.col("t2")
+    r = g.select(
+        "cv",
+        "t1",
+        "t2",
+        (
+            2 * (F.sum(tot).over(w) - tot) + tot + 1
+        ).cast("bigint").alias("dr"),
+        (
+            2 * (F.sum("t1").over(w) - F.col("t1")) + F.col("t1") + 1
+        ).cast("bigint").alias("di1"),
+        (
+            2 * (F.sum("t2").over(w) - F.col("t2")) + F.col("t2") + 1
+        ).cast("bigint").alias("di2"),
+    )
+    dec = "decimal(38,0)"
+    uu = r.agg(
+        F.sum("t1").alias("n"),
+        F.sum("t2").alias("m"),
+        F.sum(
+            F.col("t1")
+            * (F.col("dr") - F.col("di1")).cast(dec)
+            * (F.col("dr") - F.col("di1"))
+        ).alias("u1"),
+        F.sum(
+            F.col("t2")
+            * (F.col("dr") - F.col("di2")).cast(dec)
+            * (F.col("dr") - F.col("di2"))
+        ).alias("u2"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    u_comb = (
+        (
+            F.col("n").cast(dec) * F.col("u1")
+            + F.col("m").cast(dec) * F.col("u2")
+        )
+        .cast("string")
+        .cast("double")
+        / 4
+    )
+    return uu.select(
+        "n",
+        "m",
+        F.round(
+            u_comb / (nd * md * (nd + md))
+            - (4.0 * nd * md - 1) / (6.0 * (nd + md)),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+@register(
+    "periodogram_daily_volume",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+        v, (SELECT CAST(count(*) AS BIGINT) FROM dv) AS n
+      FROM dv
+    ),
+    terms AS (
+      SELECT k.k, idx.n,
+        CAST(floor(v * cos(2 * 3.141592653589793 * k.k * t / n)
+             * 1000000) AS BIGINT) AS ct,
+        CAST(floor(v * sin(2 * 3.141592653589793 * k.k * t / n)
+             * 1000000) AS BIGINT) AS st
+      FROM idx, (SELECT unnest(generate_series(1, 7)) AS k) k
+    ),
+    pw AS (
+      SELECT k, max(n) AS n,
+        CAST(sum(ct) AS HUGEINT) AS sc, CAST(sum(st) AS HUGEINT) AS ss
+      FROM terms GROUP BY k
+    ),
+    p2 AS (
+      SELECT k, n,
+        CAST(CAST(sc * sc + ss * ss AS VARCHAR) AS DOUBLE) AS praw
+      FROM pw
+    )
+    SELECT k AS freq_k, n AS n_days,
+      round(praw / 1e12, 3) AS power,
+      praw = (SELECT max(praw) FROM p2) AS dominant
+    FROM (SELECT k, n, raw AS praw FROM (SELECT k, n, raw FROM
+      (SELECT k, n, praw AS raw FROM p2)))
+    """,
+)
+def q_periodogram_daily_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily volume at frequencies
+    k=1..7 cycles per series — the SPECTRAL seasonality view
+    completing the family (seasonality_autocorr reads lag-domain ACF;
+    the periodogram reads the frequency domain, and the `dominant`
+    flag names the cycle a scheduler should align to — ~k≈4 for a
+    weekly cycle on a 30-day window).
+
+    Exactness: per-(k, t) terms v·cos/sin(2πkt/n) are floored to 1e6
+    fixed point BEFORE summation (the perplexity/NB floored-fp
+    discipline — identical double angle inputs, so cos/sin agree and
+    the integer sums are associative); powers sc²+ss² are exact
+    HUGEINT/decimal38, crossed via string→double once.
+
+    Scale shape: one corpus hash agg; the 7-frequency fanout runs
+    over the |days| frame (≤210 rows)."""
+    from pyspark.sql.window import Window
+
+    dv = _daily_volume(spark, sf_dir)
+    n = dv.agg(F.count(F.lit(1)).alias("n"))
+    idx = dv.crossJoin(F.broadcast(n)).select(
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("bigint")
+        .alias("t"),
+        "v",
+        "n",
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    ang = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * F.col("k")
+        * F.col("t")
+        / F.col("n")
+    )
+    terms = idx.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "n",
+        F.floor(F.col("v") * F.cos(ang) * 1000000)
+        .cast("bigint")
+        .alias("ct"),
+        F.floor(F.col("v") * F.sin(ang) * 1000000)
+        .cast("bigint")
+        .alias("st"),
+    )
+    dec = "decimal(38,0)"
+    pw = terms.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum("ct").cast(dec).alias("sc"),
+        F.sum("st").cast(dec).alias("ss"),
+    )
+    p2 = pw.select(
+        "k",
+        "n",
+        (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+        .cast("string")
+        .cast("double")
+        .alias("praw"),
+    )
+    mx = p2.agg(F.max("praw").alias("mx"))
+    return p2.crossJoin(F.broadcast(mx)).select(
+        F.col("k").alias("freq_k"),
+        F.col("n").alias("n_days"),
+        F.round(F.col("praw") / 1e12, 3).alias("power"),
+        (F.col("praw") == F.col("mx")).alias("dominant"),
+    )
+
+
+@register(
+    "newey_west_trend_se",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS x, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM dv
+    ),
+    r AS (
+      SELECT x, n, sx,
+        n * sxx - sx * sx AS d,
+        n * sxy - sx * sy AS nb,
+        CAST(n * x - sx AS HUGEINT)
+          * (CAST((n * sxx - sx * sx) AS HUGEINT) * (n * y - sy)
+             - CAST((n * sxy - sx * sy) AS HUGEINT) * (n * x - sx))
+          AS p
+      FROM dv, s
+    ),
+    hac AS (
+      SELECT
+        (SELECT max(n) FROM r) AS n,
+        (SELECT max(d) FROM r) AS d,
+        (SELECT max(nb) FROM r) AS nb,
+        (SELECT CAST(CAST(sum(a.p * b.p * (4 - (b.x - a.x)))
+                AS VARCHAR) AS DOUBLE)
+         FROM r a JOIN r b ON b.x - a.x BETWEEN 1 AND 3) AS off_w,
+        (SELECT CAST(CAST(sum(4 * p * p) AS VARCHAR) AS DOUBLE)
+         FROM r) AS diag_w,
+        (SELECT CAST(CAST(sum(p * p) AS VARCHAR) AS DOUBLE)
+         FROM r) AS diag_1
+    )
+    SELECT n,
+      round(CAST(nb AS DOUBLE) / d, 6) AS slope,
+      round(sqrt((diag_w + 2 * off_w) / 4)
+        / (CAST(n AS DOUBLE) * d * d), 6) AS nw_se,
+      round(sqrt(diag_1)
+        / (CAST(n AS DOUBLE) * d * d), 6) AS hc0_se
+    FROM hac
+    """,
+)
+def q_newey_west_trend_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, L=3) standard error for the
+    daily-volume OLS slope, next to the heteroskedasticity-only HC0 —
+    the honest error bar when durbin_watson says residuals are
+    autocorrelated (the plain OLS se understates under positive
+    autocorrelation, which is exactly when growth dashboards
+    over-claim trends).
+
+    Exactness: P_t = x̃_t·E_t (centered regressor × scaled residual)
+    is an exact integer (decimal38); the Bartlett weights
+    (1 − l/4, l ≤ 3) enter ×4 as integers, so the kernel sum
+    Σ(4−l)·P_t·P_s is EXACT — one string→double crossing; slope and
+    the two se assemble as shared trees (the common (nD)² residual
+    scale divides out once), round-6.
+
+    Scale shape: one corpus hash agg; the lag-window self-join is
+    calendar-bounded (≤|days|·3 pairs)."""
+    dv = _daily_volume(spark, sf_dir).select(
+        F.col("day").alias("x"), F.col("v").alias("y")
+    )
+    s = dv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    d_ = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nb_ = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = dv.crossJoin(F.broadcast(s)).select(
+        "x",
+        "n",
+        d_.alias("d"),
+        nb_.alias("nb"),
+        (
+            (F.col("n") * F.col("x") - F.col("sx"))
+            * (
+                d_.cast(dec) * (F.col("n") * F.col("y") - F.col("sy"))
+                - nb_.cast(dec) * (F.col("n") * F.col("x") - F.col("sx"))
+            )
+        ).alias("p"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    off = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.x") - F.col("a.x")).between(1, 3),
+        )
+        .agg(
+            F.sum(
+                F.col("a.p")
+                * F.col("b.p")
+                * (F.lit(4) - (F.col("b.x") - F.col("a.x")))
+            ).alias("off_w")
+        )
+    )
+    diag = r.agg(
+        F.max("n").alias("n"),
+        F.max("d").alias("d"),
+        F.max("nb").alias("nb"),
+        F.sum(F.lit(4) * F.col("p") * F.col("p")).alias("diag_w"),
+        F.sum(F.col("p") * F.col("p")).alias("diag_1"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nd = F.col("n").cast("double")
+    # se = sqrt(S)/(n·D²): P carries x̃=n(x−x̄) (×n) and E=nD·e
+    # (×nD), so S = (nD)²n²·Num_true and Var = Num_true/Sxx² with
+    # Sxx = D/n — the scales cancel to n·D² exactly
+    denom = nd * F.col("d") * F.col("d")
+    return diag.crossJoin(F.broadcast(off)).select(
+        "n",
+        F.round(F.col("nb").cast("double") / F.col("d"), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.sqrt((sd("diag_w") + 2 * sd("off_w")) / 4) / denom, 6
+        ).alias("nw_se"),
+        F.round(F.sqrt(sd("diag_1")) / denom, 6).alias("hc0_se"),
+    )
