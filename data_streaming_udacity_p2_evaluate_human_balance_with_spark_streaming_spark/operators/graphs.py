@@ -489,3 +489,75 @@ def hits_integer_bipartite(
     return a_side.select(
         F.lit("a").alias("side"), "node", "val"
     ).unionByName(h_side.select(F.lit("h").alias("side"), "node", "val"))
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seed_node=None,
+    iterations: int = 10,
+    a_col: str = "pa",
+    b_col: str = "pb",
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) in fixed-point
+    integers — pagerank_integer with the teleport mass concentrated on
+    ONE seed node instead of spread uniformly: r' = restart·[node=seed]
+    + 0.85·Σ contributions. THE similarity-to-a-node ranking behind
+    'customers also bought' recommendations; converges to the
+    restart-walk stationary distribution around the seed.
+
+    seed_node=None picks the max-degree node (ties → min id) — a
+    deterministic choice both engines can replay. Same exactness and
+    overflow arguments as pagerank_integer (total mass is ≤ scale here,
+    strictly easier); same per-round join+agg+checkpoint shape.
+
+    Returns (node, r) fixed-point ranks (nodes never reached hold 0
+    implicitly and are not emitted — PPR mass is zero off the reachable
+    set)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint()
+    if seed_node is None:
+        seed_node = (
+            outdeg.orderBy(F.desc("od"), F.asc("src"))
+            .limit(1)
+            .collect()[0]["src"]
+        )
+    restart = (scale * (100 - damping_pct)) // 100
+    nodes = e2.select("src").distinct()
+    ranks = nodes.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") == seed_node, F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select("dst", F.expr("r DIV od").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        new_ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.when(F.col("dst") == seed_node, F.lit(restart))
+                .otherwise(F.lit(0))
+                + F.expr(f"({damping_pct} * _sum) DIV 100")
+            ).cast("long").alias("r"),
+        ).localCheckpoint()
+        _free(ranks)
+        ranks = new_ranks
+    return ranks

@@ -2440,3 +2440,107 @@ def q_newey_west_trend_se(
         ).alias("nw_se"),
         F.round(F.sqrt(sd("diag_1")) / denom, 6).alias("hc0_se"),
     )
+
+
+_PPR_ITERS = 10
+
+
+@register(
+    "ppr_recommend_parts",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+            FROM sym GROUP BY src),
+    seed AS (
+      SELECT src AS sd FROM deg ORDER BY od DESC, src LIMIT 1
+    ),
+    e2 AS (SELECT s.src, s.dst, d.od
+           FROM sym s JOIN deg d ON d.src = s.src),
+    pr(it, node, r) AS (
+      SELECT 0, src,
+        CAST(CASE WHEN src = (SELECT sd FROM seed)
+             THEN 1000000000000 ELSE 0 END AS BIGINT)
+      FROM (SELECT DISTINCT src FROM e2)
+      UNION ALL
+      SELECT it + 1, dst,
+        CAST(CASE WHEN dst = (SELECT sd FROM seed)
+             THEN 150000000000 ELSE 0 END
+             + (85 * c) // 100 AS BIGINT)
+      FROM (
+        WITH cur AS (SELECT * FROM pr)
+        SELECT e2.dst, max(cur.it) AS it, sum(cur.r // e2.od) AS c
+        FROM e2 JOIN cur ON cur.node = e2.src
+        WHERE cur.it < {_PPR_ITERS}
+        GROUP BY e2.dst
+      )
+    ),
+    final AS (SELECT node, r FROM pr WHERE it = {_PPR_ITERS})
+    SELECT node AS part, r AS ppr_fp,
+      CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+        AS rank
+    FROM final QUALIFY rank <= 20
+    """,
+)
+def q_ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PERSONALIZED PageRank from the max-degree seed
+    part over the sampled co-purchase graph — the 'customers who
+    bought X also orbit these' recommendation ranking (global
+    pagerank_parts_copurchase ranks overall centrality; PPR ranks
+    proximity to ONE item, which is what a product page shows). Same
+    fixed-point integer recurrence (restart mass at the seed, 85% DIV
+    damping), so the recursive-CTE oracle certifies the rank VALUES
+    bit-for-bit.
+
+    Scale shape: per round one keyed join + hash agg (pagerank
+    discipline, lineage checkpoint-truncated); the seed argmax is a
+    TakeOrdered(1)."""
+    from ..operators.graphs import personalized_pagerank_integer
+    from pyspark.sql.window import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    ranks = personalized_pagerank_integer(e, iterations=_PPR_ITERS)
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("node").alias("part"),
+            F.col("r").alias("ppr_fp"),
+            "rank",
+        )
+    )
