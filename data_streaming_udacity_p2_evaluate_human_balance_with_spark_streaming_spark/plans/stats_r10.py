@@ -2544,3 +2544,391 @@ def q_ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "seasonal_mann_kendall_daily",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    sd AS (SELECT day, day % 7 AS dow, v FROM dv),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+             AS BIGINT) AS s_stat
+      FROM sd a JOIN sd b ON a.dow = b.dow AND b.day > a.day
+    ),
+    ns AS (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM sd
+           GROUP BY dow),
+    ties AS (
+      SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+        AS tt
+      FROM (SELECT dow, v, CAST(count(*) AS BIGINT) AS t FROM sd
+            GROUP BY dow, v HAVING count(*) > 1)
+    ),
+    var18 AS (
+      SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT)
+        - (SELECT tt FROM ties) AS v18
+      FROM ns
+    )
+    SELECT s.s_stat, var18.v18 AS var_x18,
+      round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                 WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                 ELSE 0 END
+            / sqrt(CAST(var18.v18 AS DOUBLE) / 18), 6) AS z
+    FROM s, var18
+    """,
+)
+def q_seasonal_mann_kendall_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test: sign comparisons only WITHIN
+    each day-of-week season (Hirsch & Slack — the hydrology standard)
+    — the deseasonalized twin of mann_kendall_trend_daily, which a
+    weekly cycle can fool in either direction (a Monday-vs-Sunday
+    comparison is cycle, not trend; this test never makes one).
+
+    Exactness: S is a pure integer sign sum over within-season pairs;
+    the H0 variance (with the tie correction) is kept ×18 as an exact
+    integer; the continuity-corrected z is one shared tree, round-6.
+
+    Scale shape: one corpus hash agg; the pair join is within-season
+    calendar-bounded (7 seasons × C(|weeks|,2))."""
+    dv = _daily_volume(spark, sf_dir)
+    sd = dv.select("day", (F.col("day") % 7).alias("dow"), "v")
+    a, b = sd.alias("a"), sd.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.dow") == F.col("b.dow"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    ns = sd.groupBy("dow").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        sd.groupBy("dow", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tt")
+        )
+    )
+    var18 = (
+        ns.agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            ).alias("raw")
+        )
+        .crossJoin(F.broadcast(ties))
+        .select((F.col("raw") - F.col("tt")).alias("v18"))
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    return s.crossJoin(F.broadcast(var18)).select(
+        "s_stat",
+        F.col("v18").alias("var_x18"),
+        F.round(
+            cc / F.sqrt(F.col("v18").cast("double") / 18), 6
+        ).alias("z"),
+    )
+
+
+@register(
+    "kendalls_w_type_day_concordance",
+    f"""
+    WITH dv AS (
+      SELECT event_type AS g, {_DAY_SQL} AS day,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r0 AS (
+      SELECT g, day, v,
+        row_number() OVER (PARTITION BY g ORDER BY v, day) AS rn
+      FROM dv
+    ),
+    rr AS (
+      -- doubled tie-averaged rank: 2·r̄ = min_rank + max_rank over
+      -- the (g, v) tie group — integers by construction
+      SELECT g, day,
+        CAST(min(rn) OVER (PARTITION BY g, v)
+           + max(rn) OVER (PARTITION BY g, v) AS BIGINT) AS dr
+      FROM r0
+    ),
+    ri AS (
+      SELECT day, CAST(sum(dr) AS BIGINT) AS r2 FROM rr GROUP BY day
+    ),
+    tcorr AS (
+      SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0) AS tsum
+      FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS t FROM dv
+            GROUP BY g, v HAVING count(*) > 1)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM dv) AS k,
+        CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sr2,
+        (SELECT tsum FROM tcorr) AS tsum
+      FROM ri
+    )
+    SELECT n, k,
+      round((3.0 * CAST(CAST(sr2 AS VARCHAR) AS DOUBLE)
+             - 12.0 * k * k * n * ((n + 1) * (n + 1)))
+            / (4.0 * (CAST(k AS DOUBLE) * k * n * (n * n - 1)
+                      - k * tsum)), 6) AS w
+    FROM agg
+    """,
+)
+def q_kendalls_w_type_day_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's W (coefficient of concordance): do the 5 event types
+    AGREE which days are busy? Each type ranks the days by its own
+    daily count; W∈[0,1] measures agreement among the k rankers —
+    the multi-ranker generalization of spearman_matrix_daily_volumes'
+    pairwise view (W≈(1+(k−1)·mean ρ)/k), and the day-axis dual of
+    friedman_event_counts (Friedman tests the same statistic as a
+    null hypothesis; W reports effect size).
+
+    Exactness: within-type day ranks use DOUBLED average ranks
+    (strict-rank subquery + tie-group averaging keeps them integers);
+    R_i sums and ΣR² are exact (HUGEINT for the square); the tie
+    correction Σ(t³−t) is integer. W assembles as one shared tree on
+    5 exact ints (doubling absorbed: 12ΣR̄² = 3ΣR2², 3k²n(n+1)²
+    scaled ×4 to match), round-6.
+
+    Scale shape: one scan into the (type, day) grid; rank machinery
+    runs on ≤ k·|days| rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dv = (
+        ev.select("event_type", F.expr(_DAY).alias("day"))
+        .groupBy(F.col("event_type").alias("g"), "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    # doubled tie-averaged rank within type: 2·r̄ = min_rank + max_rank
+    wg = Window.partitionBy("g").orderBy("v", "day")
+    wtie = Window.partitionBy("g", "v")
+    rr = dv.select(
+        "g",
+        "day",
+        "v",
+        (
+            F.min(F.row_number().over(wg)).over(wtie)
+            + F.max(F.row_number().over(wg)).over(wtie)
+        ).cast("bigint").alias("dr"),
+    )
+    ri = rr.groupBy("day").agg(F.sum("dr").alias("r2"))
+    tcorr = (
+        dv.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
+                ),
+                F.lit(0),
+            ).alias("tsum")
+        )
+    )
+    kf = dv.agg(F.countDistinct("g").alias("k"))
+    dec = "decimal(38,0)"
+    agg = (
+        ri.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("r2").cast(dec) * F.col("r2")).alias("sr2"),
+        )
+        .crossJoin(F.broadcast(kf))
+        .crossJoin(F.broadcast(tcorr))
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return agg.select(
+        "n",
+        "k",
+        F.round(
+            (
+                3.0 * F.col("sr2").cast("string").cast("double")
+                - 12.0
+                * F.col("k")
+                * F.col("k")
+                * F.col("n")
+                * ((F.col("n") + 1) * (F.col("n") + 1))
+            )
+            / (
+                4.0
+                * (
+                    kd * F.col("k") * F.col("n")
+                    * (F.col("n") * F.col("n") - 1)
+                    - F.col("k") * F.col("tsum")
+                )
+            ),
+            6,
+        ).alias("w"),
+    )
+
+
+@register(
+    "distance_correlation_click_purchase",
+    f"""
+    WITH dv AS (
+      SELECT {_DAY_SQL} AS day,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dv),
+    d AS (
+      SELECT x.day AS i, y.day AS j,
+        abs(x.a - y.a) AS da, abs(x.b - y.b) AS db
+      FROM dv x, dv y
+    ),
+    rs AS (
+      SELECT i, CAST(sum(da) AS BIGINT) AS ra,
+        CAST(sum(db) AS BIGINT) AS rb
+      FROM d GROUP BY i
+    ),
+    tot AS (
+      SELECT CAST(sum(da) AS BIGINT) AS sa,
+        CAST(sum(db) AS BIGINT) AS sb
+      FROM d
+    ),
+    ctr AS (
+      -- double-centered distances ×n²:
+      -- Ã = n²d − n·rowsum_i − n·rowsum_j + total (symmetric d)
+      SELECT
+        n.n * n.n * d.da - n.n * ri.ra - n.n * rj.ra + tot.sa AS ca,
+        n.n * n.n * d.db - n.n * ri.rb - n.n * rj.rb + tot.sb AS cb
+      FROM d
+      JOIN rs ri ON ri.i = d.i
+      JOIN rs rj ON rj.i = d.j
+      CROSS JOIN n CROSS JOIN tot
+    ),
+    ss AS (
+      SELECT
+        CAST(sum(CAST(ca AS HUGEINT) * cb) AS HUGEINT) AS sab,
+        CAST(sum(CAST(ca AS HUGEINT) * ca) AS HUGEINT) AS saa,
+        CAST(sum(CAST(cb AS HUGEINT) * cb) AS HUGEINT) AS sbb
+      FROM ctr
+    )
+    SELECT (SELECT n FROM n) AS n_days,
+      CAST(CAST(sab AS VARCHAR) AS BIGINT) AS sab,
+      CAST(CAST(saa AS VARCHAR) AS BIGINT) AS saa,
+      CAST(CAST(sbb AS VARCHAR) AS BIGINT) AS sbb,
+      round(sqrt(CAST(CAST(sab AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(saa AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(sbb AS VARCHAR) AS DOUBLE))), 6) AS dcor
+    FROM ss
+    """,
+)
+def q_distance_correlation_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance correlation (Székely) between daily click and purchase
+    volumes — the dependence measure that is ZERO iff independent
+    (Pearson/Spearman miss non-monotone coupling; dCor catches any
+    functional relationship), the modern first look before modelling
+    one series from another. dCor² = ΣÃB̃/√(ΣÃ²·ΣB̃²) over
+    double-centered distance matrices.
+
+    Exactness: distances |Δ| are integers; double-centering is kept
+    EXACT by scaling ×n² (Ã = n²d − n·r_i − n·r_j + s — the n-scaled
+    centering discipline), so all three inner products are exact
+    HUGEINT/decimal38 sums whose n² factors cancel in the ratio; one
+    string→double crossing, round-6. The three raw sums ride along as
+    integer certificates.
+
+    Scale shape: one corpus hash agg to the |days| frame; the |days|²
+    distance grid (~900 rows) is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dv = (
+        ev.select(F.expr(_DAY).alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("bigint")
+            ).alias("a"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("b"),
+        )
+    )
+    n = dv.agg(F.count(F.lit(1)).alias("n"))
+    x, y = dv.alias("x"), dv.alias("y")
+    d = x.crossJoin(F.broadcast(y)).select(
+        F.col("x.day").alias("i"),
+        F.col("y.day").alias("j"),
+        F.abs(F.col("x.a") - F.col("y.a")).alias("da"),
+        F.abs(F.col("x.b") - F.col("y.b")).alias("db"),
+    )
+    rs = d.groupBy("i").agg(
+        F.sum("da").alias("ra"), F.sum("db").alias("rb")
+    )
+    tot = d.agg(F.sum("da").alias("sa"), F.sum("db").alias("sb"))
+    ri = rs.select(
+        F.col("i").alias("_i"), F.col("ra").alias("ria"),
+        F.col("rb").alias("rib"),
+    )
+    rj = rs.select(
+        F.col("i").alias("_j"), F.col("ra").alias("rja"),
+        F.col("rb").alias("rjb"),
+    )
+    nn = F.col("n") * F.col("n")
+    ctr = (
+        d.join(F.broadcast(ri), F.col("_i") == F.col("i"))
+        .join(F.broadcast(rj), F.col("_j") == F.col("j"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                nn * F.col("da")
+                - F.col("n") * F.col("ria")
+                - F.col("n") * F.col("rja")
+                + F.col("sa")
+            ).alias("ca"),
+            (
+                nn * F.col("db")
+                - F.col("n") * F.col("rib")
+                - F.col("n") * F.col("rjb")
+                + F.col("sb")
+            ).alias("cb"),
+        )
+    )
+    dec = "decimal(38,0)"
+    ss = ctr.agg(
+        F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("sab"),
+        F.sum(F.col("ca").cast(dec) * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb").cast(dec) * F.col("cb")).alias("sbb"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return ss.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_days"),
+        F.col("sab").cast("string").cast("bigint").alias("sab"),
+        F.col("saa").cast("string").cast("bigint").alias("saa"),
+        F.col("sbb").cast("string").cast("bigint").alias("sbb"),
+        F.round(
+            F.sqrt(sd("sab") / F.sqrt(sd("saa") * sd("sbb"))), 6
+        ).alias("dcor"),
+    )
