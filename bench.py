@@ -328,6 +328,14 @@ HEADLINE = [
     "page_hinkley_daily_volume",
     "sax_daily_volume",
     "lift_gains_deciles",
+    "tukey_hsd_value_pairs",
+    "cramer_von_mises_click_vs_view",
+    "periodogram_daily_volume",
+    "newey_west_trend_se",
+    "ppr_recommend_parts",
+    "seasonal_mann_kendall_daily",
+    "kendalls_w_type_day_concordance",
+    "distance_correlation_click_purchase",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

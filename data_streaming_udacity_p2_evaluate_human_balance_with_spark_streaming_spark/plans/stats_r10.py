@@ -2932,3 +2932,194 @@ def q_distance_correlation_click_purchase(
             F.sqrt(sd("sab") / F.sqrt(sd("saa") * sd("sbb"))), 6
         ).alias("dcor"),
     )
+
+
+# ε² on floor(x·1000) integer codes: measured natural min pairwise
+# dist² ≈ 1.0e6 at every SF; planted-knot pairs sit ≤ ~50 — 1e4 splits
+# the two regimes by 2 orders of magnitude each way
+_DBSCAN_EPS2 = 10_000
+_DBSCAN_MINPTS = 3
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 4 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000000 * c.c,
+        list_concat([v[1] + 0.002 * c.c], v[2:])
+      FROM base, (SELECT unnest(generate_series(1, 3)) AS c) c
+      WHERE vec_id % 12 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM q a JOIN q b ON b.vec_id > a.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+          i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+        AS BIGINT) <= {_DBSCAN_EPS2}
+    ),
+    nbr AS (
+      SELECT ia AS p, ib AS o FROM pairs
+      UNION ALL SELECT ib, ia FROM pairs
+    ),
+    core AS (
+      SELECT p FROM nbr GROUP BY p
+      HAVING count(*) + 1 >= {_DBSCAN_MINPTS}
+    ),
+    ce AS (
+      SELECT n.p AS a, n.o AS b FROM nbr n
+      JOIN core c1 ON c1.p = n.p JOIN core c2 ON c2.p = n.o
+    ),
+    nodes AS (SELECT p AS node FROM core),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN ce e ON e.a = r.node
+    ),
+    assign AS (SELECT node, MIN(lab) AS cluster FROM reach
+               GROUP BY node),
+    border AS (
+      SELECT n.p AS vec_id, MIN(a.cluster) AS cluster
+      FROM nbr n JOIN assign a ON a.node = n.o
+      WHERE n.p NOT IN (SELECT p FROM core)
+      GROUP BY n.p
+    )
+    SELECT q.vec_id,
+      CASE WHEN a.node IS NOT NULL THEN 'core'
+           WHEN b.vec_id IS NOT NULL THEN 'border'
+           ELSE 'noise' END AS role,
+      COALESCE(a.cluster, b.cluster, -1) AS cluster
+    FROM q
+    LEFT JOIN assign a ON a.node = q.vec_id
+    LEFT JOIN border b ON b.vec_id = q.vec_id
+    """
+
+
+@register("dbscan_embeddings", _dbscan_oracle())
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over a sampled embedding slice with planted dense knots
+    (3 jittered copies of every 12th sampled vector): core points
+    (≥ minPts=3 neighbors within ε, self included), clusters =
+    connected components over core-core ε-edges, borders adopt their
+    MIN core neighbor's cluster, the rest is noise — the
+    DENSITY-BASED member completing the clustering family
+    (kmeans_assign_step = centroidal, semdedup = threshold-graph;
+    DBSCAN distinguishes core/border/noise, which is how outlier-
+    aware curation prunes). The synthetic embeddings have no natural
+    ε-dense regions (measured), so the planted knots are the signal
+    and everything natural certifies as noise.
+
+    Exactness: distances are exact integer Σδ² on floor(x·1000)
+    codes (the semdedup_cluster_cap quantization); ε², minPts are
+    literals; CC via the recursive-CTE oracle; border tie-break =
+    MIN cluster.
+
+    Scale shape: the sampled slice bounds the pair join at test SFs;
+    at 100 TB the standard grid trick slots in — bucket cells of side
+    ε so neighbors live in adjacent cells only (the semantic_dedup
+    cell equi-join shape), leaving per-cell quadratic work bounded by
+    density. CC runs on core edges only."""
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    copies = (
+        base.filter(F.col("vec_id") % 12 == 0)
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 4).select(F.col("id").alias("c"))
+            )
+        )
+        .select(
+            (F.col("vec_id") + 10_000_000 * F.col("c")).alias("vec_id"),
+            F.expr(
+                "concat(array(v[0] + 0.002 * c), slice(v, 2, size(v) - 1))"
+            ).alias("v"),
+        )
+    )
+    corpus = base.unionByName(copies)
+    q = corpus.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    dist2 = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (s, d) -> s + d)"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("b.vec_id") > F.col("a.vec_id"))
+        .filter(dist2 <= _DBSCAN_EPS2)
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .localCheckpoint()
+    )
+    nbr = pairs.select(
+        F.col("ia").alias("p"), F.col("ib").alias("o")
+    ).unionByName(
+        pairs.select(F.col("ib").alias("p"), F.col("ia").alias("o"))
+    )
+    core = (
+        nbr.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") + 1 >= _DBSCAN_MINPTS)
+        .select("p")
+    )
+    c1 = core.select(F.col("p").alias("ia"))
+    c2 = core.select(F.col("p").alias("ib"))
+    ce = pairs.join(c1, "ia").join(c2, "ib")
+    assign = connected_components(ce, a_col="ia", b_col="ib")
+    border = (
+        nbr.join(core, "p", "left_anti")
+        .join(
+            assign.select(
+                F.col("node").alias("o"), F.col("cluster").alias("bc")
+            ),
+            "o",
+        )
+        .groupBy("p")
+        .agg(F.min("bc").alias("bcluster"))
+    )
+    return (
+        q.select("vec_id")
+        .join(
+            assign.select(
+                F.col("node").alias("vec_id"),
+                F.col("cluster").alias("ccluster"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("p").alias("vec_id"), "bcluster"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("ccluster").isNotNull(), "core")
+            .when(F.col("bcluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("ccluster", "bcluster", F.lit(-1)).alias(
+                "cluster"
+            ),
+        )
+    )

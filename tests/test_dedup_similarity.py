@@ -1583,3 +1583,112 @@ def test_video_shot_boundaries_planted_payload(spark):
         (1, 2): (4 * 25, 1),
         (2, 1): (4 * 1, 0),
     }
+
+
+def test_dbscan_role_classification_hand_geometry(spark):
+    """dbscan core/border/noise on a hand-built geometry (ε=1.0 in
+    code units after the floor(x·1000) quantization, minPts=3):
+    a 3-point mutual-ε triangle (all core), a satellite within ε of
+    exactly ONE core point but with only 2 ε-neighbors counting
+    itself (border), and a far point (noise). Exercises the border
+    branch the planted-knot registry fixture can't reach (its knots
+    are mutually within ε, so everything is core)."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.stats_r10 import (
+        q_dbscan_embeddings,  # noqa: F401 - role logic is inline below
+    )
+
+    # reuse the registered query's building blocks directly on a tiny
+    # frame: replicate its pair/core/border/noise assembly with
+    # eps2=1000000 (ε = 1000 units = 1.0) and minPts=3
+    pts = [
+        (0, [0.0, 0.0]),
+        (1, [0.5, 0.0]),
+        (2, [0.25, 0.4]),      # 0,1,2 mutually within 1.0 → core
+        (3, [1.45, 0.0]),      # within 1.0 of point 1 ONLY → border
+        (4, [5.0, 5.0]),       # noise
+    ]
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    q = spark.createDataFrame(
+        pts, "vec_id bigint, v array<double>"
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    eps2, minpts = 1_000_000, 3
+    a, b = q.alias("a"), q.alias("b")
+    dist2 = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (s, d) -> s + d)"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("b.vec_id") > F.col("a.vec_id"))
+        .filter(dist2 <= eps2)
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+    )
+    nbr = pairs.select(
+        F.col("ia").alias("p"), F.col("ib").alias("o")
+    ).unionByName(
+        pairs.select(F.col("ib").alias("p"), F.col("ia").alias("o"))
+    )
+    core = (
+        nbr.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") + 1 >= minpts)
+        .select("p")
+    )
+    ce = pairs.join(core.select(F.col("p").alias("ia")), "ia").join(
+        core.select(F.col("p").alias("ib")), "ib"
+    )
+    assign = connected_components(ce, a_col="ia", b_col="ib")
+    border = (
+        nbr.join(core, "p", "left_anti")
+        .join(
+            assign.select(
+                F.col("node").alias("o"), F.col("cluster").alias("bc")
+            ),
+            "o",
+        )
+        .groupBy("p")
+        .agg(F.min("bc").alias("bcluster"))
+    )
+    roles = {
+        r.vec_id: (r.role, r.cluster)
+        for r in q.select("vec_id")
+        .join(
+            assign.select(
+                F.col("node").alias("vec_id"),
+                F.col("cluster").alias("cc"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(F.col("p").alias("vec_id"), "bcluster"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("cc").isNotNull(), "core")
+            .when(F.col("bcluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cc", "bcluster", F.lit(-1)).alias("cluster"),
+        )
+        .collect()
+    }
+    assert roles[0] == ("core", 0)
+    assert roles[1] == ("core", 0)
+    assert roles[2] == ("core", 0)
+    assert roles[3] == ("border", 0)
+    assert roles[4] == ("noise", -1)
