@@ -336,6 +336,9 @@ HEADLINE = [
     "seasonal_mann_kendall_daily",
     "kendalls_w_type_day_concordance",
     "distance_correlation_click_purchase",
+    "dbscan_embeddings",
+    "evt_gumbel_daily_peak",
+    "theil_decomposition_by_source",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

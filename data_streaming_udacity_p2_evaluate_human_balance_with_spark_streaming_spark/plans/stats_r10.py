@@ -3123,3 +3123,213 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "evt_gumbel_daily_peak",
+    f"""
+    WITH hv AS (
+      SELECT {_DAY_SQL} AS day,
+        epoch_ns(ts) // 1000 // 3600000000 AS hr,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dm AS (SELECT day, CAST(max(v) AS BIGINT) AS mx FROM hv
+           GROUP BY day),
+    o AS (
+      SELECT mx,
+        CAST(row_number() OVER (ORDER BY mx, day) AS BIGINT) AS i,
+        (SELECT CAST(count(*) AS BIGINT) FROM dm) AS n
+      FROM dm
+    ),
+    pwm AS (
+      SELECT max(n) AS n,
+        CAST(sum(mx) AS BIGINT) AS s0,
+        CAST(sum((i - 1) * mx) AS BIGINT) AS s1
+      FROM o
+    )
+    SELECT n AS n_days,
+      round(CAST(s0 AS DOUBLE) / n, 6) AS b0,
+      round((2.0 * s1 / (CAST(n AS DOUBLE) * (n - 1))
+             - CAST(s0 AS DOUBLE) / n) / ln(2.0), 6) AS beta,
+      round(CAST(s0 AS DOUBLE) / n - 0.5772156649015329
+        * ((2.0 * s1 / (CAST(n AS DOUBLE) * (n - 1))
+            - CAST(s0 AS DOUBLE) / n) / ln(2.0)), 6) AS mu,
+      round(CAST(s0 AS DOUBLE) / n - 0.5772156649015329
+        * ((2.0 * s1 / (CAST(n AS DOUBLE) * (n - 1))
+            - CAST(s0 AS DOUBLE) / n) / ln(2.0))
+        - ((2.0 * s1 / (CAST(n AS DOUBLE) * (n - 1))
+            - CAST(s0 AS DOUBLE) / n) / ln(2.0))
+          * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS ret_level_30d
+    FROM pwm
+    """,
+)
+def q_evt_gumbel_daily_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value (Gumbel) fit to the DAILY PEAK hourly volume via
+    probability-weighted moments — capacity planning's question ('how
+    big an hourly burst should we provision for?') answered by block
+    maxima, which the mean/percentile family structurally
+    under-estimates. PWM is the closed-form estimator (Landwehr et
+    al.): β = (2b₁−b₀)/ln2, μ = b₀ − γβ; the 30-day return level
+    μ − β·ln(−ln(1−1/30)) is the headline number.
+
+    Exactness: block maxima are exact integers; the PWM sums Σx and
+    Σ(i−1)x over the SORTED maxima are exact BIGINTs (order statistics
+    with (mx, day) tie-break); estimates are one shared tree with ln2
+    and Euler-γ as literals, round-6.
+
+    Scale shape: one corpus hash agg per (day, hour) then a ≤|days|
+    max agg; the rank/PWM machinery touches ≤|days| rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        ev.select(
+            F.expr(_DAY).alias("day"),
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .groupBy("day", "hr")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dm = hv.groupBy("day").agg(F.max("v").alias("mx"))
+    o = dm.select(
+        "mx",
+        F.row_number()
+        .over(Window.orderBy("mx", "day"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    pwm = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s0"),
+        F.sum((F.col("i") - 1) * F.col("mx")).alias("s1"),
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / F.col("n")
+    b1x2 = 2.0 * F.col("s1") / (nd * (F.col("n") - 1))
+    beta = (b1x2 - b0) / F.log(F.lit(2.0))
+    mu = b0 - F.lit(0.5772156649015329) * beta
+    ret = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 30.0))
+    return pwm.select(
+        F.col("n").alias("n_days"),
+        F.round(b0, 6).alias("b0"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(ret, 6).alias("ret_level_30d"),
+    )
+
+
+@register(
+    "theil_decomposition_by_source",
+    """
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+      WHERE n_chars > 0
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx FROM d),
+    -- per-row ln(x·n/Σx) floored to 1e9 fp BEFORE weighting/summing
+    -- (the perplexity discipline): T_total = Σ x·lnfp / (Σx · 1e9)
+    rows_fp AS (
+      SELECT source, x,
+        CAST(floor(ln(CAST(x AS DOUBLE) * n / sx) * 1000000000)
+             AS BIGINT) AS lfp
+      FROM d, tot
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(x) AS BIGINT) AS sg,
+        CAST(sum(CAST(x AS HUGEINT) * lfp) AS HUGEINT) AS wsum
+      FROM rows_fp GROUP BY source
+    ),
+    btw AS (
+      SELECT CAST(sum(CAST(sg AS HUGEINT) *
+        CAST(floor(ln((CAST(sg AS DOUBLE) / tot.sx)
+                      / (CAST(ng AS DOUBLE) / tot.n)) * 1000000000)
+             AS BIGINT)) AS HUGEINT) AS bsum
+      FROM g, tot
+    )
+    SELECT
+      (SELECT n FROM tot) AS n_docs,
+      round(CAST(CAST((SELECT CAST(sum(wsum) AS HUGEINT) FROM g)
+                 AS VARCHAR) AS DOUBLE)
+            / ((SELECT sx FROM tot) * 1e9), 6) AS theil_total,
+      round(CAST(CAST((SELECT bsum FROM btw) AS VARCHAR) AS DOUBLE)
+            / ((SELECT sx FROM tot) * 1e9), 6) AS theil_between,
+      round((CAST(CAST((SELECT CAST(sum(wsum) AS HUGEINT) FROM g)
+                  AS VARCHAR) AS DOUBLE)
+             - CAST(CAST((SELECT bsum FROM btw) AS VARCHAR) AS DOUBLE))
+            / ((SELECT sx FROM tot) * 1e9), 6) AS theil_within
+    """,
+)
+def q_theil_decomposition_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality of document sizes, DECOMPOSED into between-
+    source and within-source components — the additive-decomposition
+    property Gini lacks (revenue_gini_concentration measures; Theil
+    EXPLAINS: is the corpus's size skew a few giant sources, or
+    giants inside every source?) — the diagnosis that decides between
+    per-source caps (domain_cap_sample) and global length filters.
+
+    Exactness: per-row ln(x/μ) is floored to 1e9 fixed point BEFORE
+    the x-weighted sums (associative integer arithmetic — the
+    perplexity/NB/Bartlett discipline); between-group terms floor the
+    same way on exact group sums. T = weighted_fp/(Σx·1e9); within =
+    total − between (exact in fp space before the single crossing).
+
+    Scale shape: one scan with a per-row ln, one ≤|sources| group
+    frame — nothing else."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    d = docs.select("source", F.col("n_chars").cast("bigint").alias("x"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    dec = "decimal(38,0)"
+    rows_fp = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "x",
+        "n",
+        "sx",
+        F.floor(
+            F.log(
+                F.col("x").cast("double") * F.col("n") / F.col("sx")
+            )
+            * F.lit(1000000000)
+        )
+        .cast("bigint")
+        .alias("lfp"),
+    )
+    g = rows_fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast(dec) * F.col("lfp")).alias("wsum"),
+    )
+    btw_term = F.col("sg").cast(dec) * F.floor(
+        F.log(
+            (F.col("sg").cast("double") / F.col("sx"))
+            / (F.col("ng").cast("double") / F.col("n"))
+        )
+        * F.lit(1000000000)
+    ).cast("bigint")
+    agg = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("wsum").alias("tsum"),
+            F.sum(btw_term).alias("bsum"),
+            F.max("n").alias("n"),
+            F.max("sx").alias("sx"),
+        )
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    den = F.col("sx") * F.lit(1e9)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.round(sd("tsum") / den, 6).alias("theil_total"),
+        F.round(sd("bsum") / den, 6).alias("theil_between"),
+        F.round((sd("tsum") - sd("bsum")) / den, 6).alias(
+            "theil_within"
+        ),
+    )
