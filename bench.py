@@ -339,6 +339,9 @@ HEADLINE = [
     "dbscan_embeddings",
     "evt_gumbel_daily_peak",
     "theil_decomposition_by_source",
+    "yules_k_by_source",
+    "average_precision_lowquality",
+    "effective_diameter_copurchase",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

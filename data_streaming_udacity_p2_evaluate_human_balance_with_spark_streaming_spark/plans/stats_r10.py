@@ -3333,3 +3333,346 @@ def q_theil_decomposition_by_source(
             "theil_within"
         ),
     )
+
+
+@register(
+    "yules_k_by_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS m
+      FROM tok GROUP BY source, w
+    ),
+    spec AS (
+      SELECT source,
+        CAST(sum(m) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS v,
+        CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(sum(m * m) AS HUGEINT) AS sm2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS vocab, v1 AS hapax,
+      round(CAST(v1 AS DOUBLE) / v, 6) AS hapax_ratio,
+      round(10000.0 * (CAST(CAST(sm2 AS VARCHAR) AS DOUBLE) - n)
+            / (CAST(n AS DOUBLE) * n), 6) AS yules_k
+    FROM spec
+    """,
+)
+def q_yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K (repeat-rate) and hapax ratio per source — the
+    LENGTH-INVARIANT vocabulary-richness constants completing the
+    lexical family (heaps_law measures growth, zipf_slope the tail,
+    lexical_density content share; K is the classic constant that
+    stays put as the sample grows, so per-source K differences are
+    real style/quality signal, not size artifacts). High K = heavy
+    word repetition — a template/boilerplate source flag.
+
+    Exactness: the frequency spectrum sums (N, V, V1, Σm²) are exact
+    integers (HUGEINT for Σm² — a 1e9-token source with one dominant
+    word squares past int64); K and the hapax ratio are one shared
+    tree each, round-6.
+
+    Scale shape: one token explode into a (source, word) hash agg —
+    the only corpus stage; the spectrum aggregate is model-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    dec = "decimal(38,0)"
+    spec = tf.groupBy("source").agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.col("m").cast(dec) * F.col("m")).alias("sm2"),
+    )
+    return spec.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.col("v1").alias("hapax"),
+        F.round(F.col("v1").cast("double") / F.col("v"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(
+            10000.0
+            * (F.col("sm2").cast("string").cast("double") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("yules_k"),
+    )
+
+
+def _ap_oracle() -> str:
+    from ..operators.models import FROZEN_COEFS, FROZEN_INTERCEPT
+    from ..operators.text import STOPWORDS
+    from .analytics import _QUALITY_LABEL_THRESHOLD
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    c_dtr, c_tts, c_nt, c_swr = (repr(c) for c in FROZEN_COEFS)
+    z = (
+        f"{FROZEN_INTERCEPT!r} + {c_dtr} * dtr + {c_tts} * tts"
+        f" + {c_nt} * n_tok + {c_swr} * swr"
+    )
+    thr = _QUALITY_LABEL_THRESHOLD
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (SELECT doc_id, toks,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+      CAST(list_max(list_transform(list_distinct(toks),
+        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+        / len(toks) AS tts,
+      CAST(len(toks) AS DOUBLE) AS n_tok,
+      CAST(len(list_filter(toks,
+        t -> t IN ({sw}))) AS DOUBLE) / len(toks) AS swr
+    FROM t),
+    sc AS (SELECT doc_id, round({z}, 6) AS s,
+      CAST(CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+          / (len(toks) - 1) END > {thr} AS BIGINT) AS y
+    FROM f),
+    rk AS (
+      SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM sc
+    ),
+    cp AS (
+      SELECT rn, y,
+        CAST(sum(y) OVER (ORDER BY rn) AS BIGINT) AS cum_pos
+      FROM rk
+    ),
+    terms AS (
+      -- precision@r floored to 1e9 fp BEFORE summation (associative)
+      SELECT CAST(floor(CAST(cum_pos AS DOUBLE) / rn * 1000000000)
+                  AS BIGINT) AS pfp
+      FROM cp WHERE y = 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM rk) AS n_docs,
+      (SELECT CAST(sum(y) AS BIGINT) FROM rk) AS n_pos,
+      round(CAST((SELECT CAST(sum(pfp) AS BIGINT) FROM terms)
+                 AS DOUBLE)
+            / 1e9 / (SELECT sum(y) FROM rk), 6) AS avg_precision
+    """
+
+
+@register("average_precision_lowquality", _ap_oracle())
+def q_average_precision_lowquality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average precision (exact PR-AUC) of the frozen quality
+    classifier against the Gopher dup-bigram weak label — the
+    RANKING-quality number for IMBALANCED labels that ROC-AUC
+    (classifier_auc_exact) flatters: with few positives, AP tracks
+    precision where curation actually operates (the top of the
+    ranking), completing the classifier-QA set (AUC, calibration,
+    lift table, now AP).
+
+    Exactness: tie-free ranking (round-6 logit desc, doc_id);
+    precision@r = cum_pos/r is floored to 1e9 fixed point PER
+    POSITIVE before the sum (associative integer total — the
+    perplexity discipline), one final division by n_pos, round-6.
+
+    Scale shape: scoring is a codegen projection; ranking reuses the
+    global window over the corpus? No — the cumulative positives run
+    over the RANKED frame; at 100 TB swap in the two-pass machinery
+    exactly as lift_gains_deciles does (same rank key)."""
+    from ..operators.models import frozen_logit_expr, quality_feature_frame
+    from ..operators.ranking import global_row_number
+    from .analytics import _QUALITY_LABEL_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(
+        docs, label_threshold=_QUALITY_LABEL_THRESHOLD
+    )
+    sc = feats.select(
+        "doc_id",
+        (-F.round(frozen_logit_expr(), 6)).alias("neg_s"),
+        F.col("weak_label").cast("bigint").alias("y"),
+    )
+    rk = global_row_number(sc, ["neg_s", "doc_id"]).select(
+        "y", F.col("_global_rn").alias("rn")
+    )
+    from pyspark.sql.window import Window
+
+    cp = rk.select(
+        "rn",
+        "y",
+        F.sum("y")
+        .over(
+            Window.orderBy("rn").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_pos"),
+    )
+    terms = cp.filter(F.col("y") == 1).select(
+        F.floor(
+            F.col("cum_pos").cast("double") / F.col("rn") * 1000000000
+        )
+        .cast("bigint")
+        .alias("pfp")
+    )
+    tot = rk.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("n_pos")
+    )
+    ap = terms.agg(F.sum("pfp").alias("sfp"))
+    return tot.crossJoin(F.broadcast(ap)).select(
+        "n_docs",
+        "n_pos",
+        F.round(
+            F.col("sfp").cast("double") / 1e9 / F.col("n_pos"), 6
+        ).alias("avg_precision"),
+    )
+
+
+_DIAM_HOPS = 4
+_DIAM_SEEDS = 4
+
+
+@register(
+    "effective_diameter_copurchase",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM e0
+          UNION ALL SELECT pb, pa FROM e0),
+    seeds AS (
+      SELECT n AS seed FROM (SELECT DISTINCT src AS n FROM e)
+      ORDER BY n LIMIT {_DIAM_SEEDS}
+    ),
+    walk(seed, node, hop) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < {_DIAM_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, CAST(MIN(hop) AS BIGINT) AS hop
+      FROM walk GROUP BY seed, node
+    ),
+    h AS (
+      SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM dist WHERE hop >= 1 GROUP BY hop
+    ),
+    c AS (
+      SELECT hop, n_pairs,
+        CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs,
+        (SELECT CAST(sum(n_pairs) AS BIGINT) FROM h) AS total
+      FROM h
+    )
+    SELECT hop, n_pairs, cum_pairs,
+      10 * cum_pairs >= 9 * total AS reaches_p90
+    FROM c
+    """,
+)
+def q_effective_diameter_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective-diameter hop histogram of the sampled co-purchase
+    graph: min-hop distances from {_DIAM_SEEDS} deterministic seed
+    parts (smallest ids), the per-hop reached-pair counts, and the
+    p90 flag (smallest hop reaching ≥90% of reachable pairs — the
+    'effective diameter' small-world statistic). Completes the graph
+    family's GLOBAL-structure view (bfs_hops gives one blast radius;
+    this calibrates how many expansion rounds recall/contamination
+    sweeps actually need — if p90 = 2, a 6-round sweep is wasted
+    work).
+
+    Exactness: hops and pair counts are pure integers; p90 is the
+    exact comparison 10·cum ≥ 9·total.
+
+    Scale shape: one BFS per seed via operators/graphs.bfs_hops
+    (frontier-only expansion, visited anti-join, per-round
+    checkpoints); seed count is the parallel knob — at 100 TB seeds
+    are a sample and the histogram is the estimator (ANF/HyperANF
+    replaces exact sets with HLL sketches, same loop shape)."""
+    ev_li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        ev_li.alias("a")
+        .join(
+            ev_li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    from ..operators.graphs import bfs_hops
+
+    nodes = (
+        e.select(F.col("pa").alias("n"))
+        .unionByName(e.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    seeds = [
+        r["n"] for r in nodes.orderBy("n").limit(_DIAM_SEEDS).collect()
+    ]
+    parts = []
+    for sd in seeds:
+        d = bfs_hops(
+            e,
+            spark.createDataFrame([(sd,)], "n bigint"),
+            max_hops=_DIAM_HOPS,
+        )
+        parts.append(d.filter(F.col("hop") >= 1))
+    from functools import reduce
+
+    dist = reduce(lambda x, y: x.unionByName(y), parts)
+    h = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql.window import Window
+
+    tot = h.agg(F.sum("n_pairs").alias("total"))
+    c = (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hop").cast("bigint").alias("hop"),
+            "n_pairs",
+            F.sum("n_pairs")
+            .over(
+                Window.orderBy("hop").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("bigint")
+            .alias("cum_pairs"),
+            "total",
+        )
+    )
+    return c.select(
+        "hop",
+        "n_pairs",
+        "cum_pairs",
+        (10 * F.col("cum_pairs") >= 9 * F.col("total")).alias(
+            "reaches_p90"
+        ),
+    )
