@@ -342,6 +342,9 @@ HEADLINE = [
     "yules_k_by_source",
     "average_precision_lowquality",
     "effective_diameter_copurchase",
+    "modularity_lpa_copurchase",
+    "attribute_assortativity_brand",
+    "rmst_conversion",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

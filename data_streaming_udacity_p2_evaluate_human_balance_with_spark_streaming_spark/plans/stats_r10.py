@@ -3676,3 +3676,383 @@ def q_effective_diameter_copurchase(
             "reaches_p90"
         ),
     )
+
+
+def _modularity_oracle() -> str:
+    """Newman modularity of the LPA communities: reuses the registered
+    LPA oracle verbatim as a subquery (same labels by construction),
+    then assembles Q from exact integer edge/degree sums."""
+    from .simjoin import _lpa_oracle
+
+    lpa = _lpa_oracle()
+    return f"""
+    WITH lab AS (SELECT part, community FROM ({lpa})),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    inc AS (
+      SELECT la.community AS c, CAST(count(*) AS BIGINT) AS in_c
+      FROM e0
+      JOIN lab la ON la.part = e0.pa
+      JOIN lab lb ON lb.part = e0.pb AND lb.community = la.community
+      GROUP BY la.community
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pa AS n FROM e0 UNION ALL SELECT pb FROM e0
+      ) GROUP BY n
+    ),
+    dc AS (
+      SELECT lab.community AS c, CAST(sum(deg.d) AS BIGINT) AS deg_c
+      FROM deg JOIN lab ON lab.part = deg.n
+      GROUP BY lab.community
+    ),
+    num AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_comm,
+        CAST(sum(4 * m.m * COALESCE(inc.in_c, 0)
+                 - dc.deg_c * dc.deg_c) AS BIGINT) AS q_num
+      FROM dc LEFT JOIN inc ON inc.c = dc.c CROSS JOIN m
+    )
+    SELECT num.n_comm, m.m AS n_edges, num.q_num,
+      round(CAST(num.q_num AS DOUBLE) / (4.0 * m.m * m.m), 6)
+        AS modularity
+    FROM num, m
+    """
+
+
+@register("modularity_lpa_copurchase", _modularity_oracle())
+def q_modularity_lpa_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity Q of the LPA communities on the co-purchase
+    graph — the QUALITY number for the partition
+    lpa_communities_copurchase emits (Q ≈ 0: labels no better than
+    random wiring; Q ≳ 0.3: real community structure) — the
+    acceptance gate before anyone acts on a community assignment.
+
+    Exactness: Q·4m² = Σ_c (4m·in_c − deg_c²) is an exact BIGINT on
+    intra-community edge counts and community degree sums (magnitudes
+    ≤ (2m)², int64-safe for m < 1.5e9 edges — document and promote to
+    decimal38 past that); ONE final division, round-6. The oracle
+    embeds the registered LPA oracle as a subquery, so labels are
+    identical by construction.
+
+    Scale shape: LPA's per-round join/agg (4 rounds, checkpoint
+    discipline) + two label equi-joins and ≤|communities| aggregates."""
+    from ..operators.graphs import label_propagation
+    from .simjoin import _LPA_ROUNDS
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = label_propagation(e0, rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("part"), F.col("lab").alias("community")
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("part").alias("pa"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("part").alias("pb"), F.col("community").alias("cb"))
+    inc = (
+        e0.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("in_c"))
+    )
+    deg = (
+        e0.select(F.col("pa").alias("n"))
+        .unionByName(e0.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(lab.select(F.col("part").alias("n"), "community"), "n")
+        .groupBy(F.col("community").alias("c"))
+        .agg(F.sum("d").alias("deg_c"))
+    )
+    num = (
+        dc.join(inc, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).alias("n_comm"),
+            F.sum(
+                4 * F.col("m") * F.coalesce(F.col("in_c"), F.lit(0))
+                - F.col("deg_c") * F.col("deg_c")
+            ).alias("q_num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(m)).select(
+        "n_comm",
+        F.col("m").alias("n_edges"),
+        "q_num",
+        F.round(
+            F.col("q_num").cast("double")
+            / (4.0 * F.col("m") * F.col("m")),
+            6,
+        ).alias("modularity"),
+    )
+
+
+@register(
+    "attribute_assortativity_brand",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT ba.p_brand AS va, bb.p_brand AS vb
+      FROM e0
+      JOIN part ba ON ba.p_partkey = e0.pa
+      JOIN part bb ON bb.p_partkey = e0.pb
+    ),
+    m AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM e),
+    diag AS (
+      SELECT CAST(2 * sum(CASE WHEN va = vb THEN 1 ELSE 0 END)
+             AS BIGINT) AS tr2
+      FROM e
+    ),
+    marg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT va AS v FROM e UNION ALL SELECT vb FROM e
+      ) GROUP BY v
+    ),
+    sq AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sab
+      FROM marg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM marg) AS n_brands,
+      m.m2 // 2 AS n_edges,
+      round((CAST(diag.tr2 AS DOUBLE) * m.m2
+             - CAST(CAST(sq.sab AS VARCHAR) AS DOUBLE))
+            / (CAST(m.m2 AS DOUBLE) * m.m2
+               - CAST(CAST(sq.sab AS VARCHAR) AS DOUBLE)), 6)
+        AS assortativity
+    FROM m, diag, sq
+    """,
+)
+def q_attribute_assortativity_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Categorical (brand) assortativity of the co-purchase graph —
+    Newman's attribute mixing coefficient r = (tr(E) − Σa·b)/(1 − Σa·b)
+    on the brand×brand edge mixing matrix: do customers co-purchase
+    WITHIN a brand (r > 0, brand loyalty) or across (r < 0)? The
+    attribute companion to degree_assortativity_copurchase and the
+    number that decides whether negative sampling must be
+    brand-stratified.
+
+    Exactness: with the mixing matrix in EDGE-END counts, r =
+    (2m·tr2 − Σc²)/((2m)² − Σc²) where tr2 = 2·same-brand edges and
+    c = per-brand end counts — all exact integers (HUGEINT/decimal38
+    for Σc²), one shared tree, round-6.
+
+    Scale shape: two broadcast joins to attach brands (part is a
+    dimension), one 2-cell and one ≤|brands| aggregate. No iteration."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    e0 = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("pa"),
+                    F.col("p_brand").alias("va"),
+                )
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("pb"),
+                    F.col("p_brand").alias("vb"),
+                )
+            ),
+            "pb",
+        )
+        .select("va", "vb")
+    )
+    m = e.agg((2 * F.count(F.lit(1))).alias("m2"))
+    diag = e.agg(
+        (2 * F.sum((F.col("va") == F.col("vb")).cast("bigint"))).alias(
+            "tr2"
+        )
+    )
+    marg = (
+        e.select(F.col("va").alias("v"))
+        .unionByName(e.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = "decimal(38,0)"
+    sq = marg.agg(
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("sab")
+    )
+    nb = marg.agg(F.count(F.lit(1)).alias("n_brands"))
+    sab = F.col("sab").cast("string").cast("double")
+    return (
+        m.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_brands",
+            F.expr("m2 div 2").alias("n_edges"),
+            F.round(
+                (F.col("tr2").cast("double") * F.col("m2") - sab)
+                / (F.col("m2").cast("double") * F.col("m2") - sab),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+_RMST_TAU = 30
+
+
+def _rmst_oracle() -> str:
+    """RMST = the exact integral of the registered KM step curve up to
+    τ: the KM oracle (30 unrolled MATERIALIZED product steps) runs
+    verbatim as a subquery, so the curve is identical by
+    construction."""
+    from .analytics import _km_oracle
+
+    km = _km_oracle(30)
+    return f"""
+    WITH curve AS (SELECT * FROM ({km})),
+    seg AS (
+      SELECT g, dur, surv_fp,
+        lead(dur, 1, {_RMST_TAU}) OVER (PARTITION BY g ORDER BY dur)
+          AS nxt,
+        row_number() OVER (PARTITION BY g ORDER BY dur) AS rn
+      FROM curve
+    ),
+    pieces AS (
+      SELECT g,
+        CAST(sum(CASE WHEN rn = 1 THEN dur * 1000000000000 ELSE 0 END)
+          AS BIGINT) AS head_fp,
+        CAST(sum(surv_fp * (least(nxt, {_RMST_TAU})
+                            - least(dur, {_RMST_TAU}))) AS BIGINT)
+          AS tail_fp
+      FROM seg GROUP BY g
+    )
+    SELECT g, head_fp + tail_fp AS rmst_fp,
+      round(CAST(head_fp + tail_fp AS DOUBLE) / 1e12, 6) AS rmst_days
+    FROM pieces
+    """
+
+
+@register("rmst_conversion", _rmst_oracle())
+def q_rmst_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (τ=30 days) per cohort from the
+    Kaplan-Meier conversion curve — THE estimand that summarizes a
+    whole survival curve in one comparable number ('average days
+    un-converted within the window'), robust where median survival is
+    undefined (curves that never cross 0.5) — completing the survival
+    family: log-rank TESTS, Nelson-Aalen/KM ESTIMATE, RMST COMPARES.
+
+    Exactness: the step-function integral is an EXACT integer in
+    1e12 fixed point — full survival (1e12) over [0, t₁) plus
+    Σ surv_fp·Δt over the curve steps clipped at τ; the curve itself
+    is the registered KM fixed-point chain, and the oracle wraps the
+    registered KM oracle as a subquery, so curve equality transfers.
+
+    Scale shape: the KM plan (corpus agg + broadcast at-risk join +
+    ≤60-row driver chain) plus one lead window over the ≤60-row
+    curve."""
+    from pyspark.sql.window import Window
+
+    from .analytics import q_kaplan_meier_conversion_curve
+
+    curve = q_kaplan_meier_conversion_curve(spark, sf_dir)
+    wg = Window.partitionBy("g").orderBy("dur")
+    seg = curve.select(
+        "g",
+        "dur",
+        "surv_fp",
+        F.lead("dur", 1, _RMST_TAU).over(wg).alias("nxt"),
+        F.row_number().over(wg).alias("rn"),
+    )
+    pieces = seg.groupBy("g").agg(
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.col("dur") * F.lit(1_000_000_000_000),
+            ).otherwise(0)
+        ).alias("head_fp"),
+        F.sum(
+            F.col("surv_fp")
+            * (
+                F.least(F.col("nxt"), F.lit(_RMST_TAU))
+                - F.least(F.col("dur"), F.lit(_RMST_TAU))
+            )
+        ).alias("tail_fp"),
+    )
+    return pieces.select(
+        "g",
+        (F.col("head_fp") + F.col("tail_fp"))
+        .cast("bigint")
+        .alias("rmst_fp"),
+        F.round(
+            (F.col("head_fp") + F.col("tail_fp")).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("rmst_days"),
+    )
