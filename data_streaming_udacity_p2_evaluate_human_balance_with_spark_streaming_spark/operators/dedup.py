@@ -1210,6 +1210,17 @@ def semantic_dedup(
     from ..functions.vectors import hyperplane_bucket, infer_dim
 
     dim = infer_dim(corpus, vec_col)
+    # int64-safety guard (ADVICE r10): the divisionless threshold
+    # compares 1e6·qdot² against t²·n2a·n2b with qdot ≤ 127²·dim, so
+    # 1e6·(127²·dim)² must stay < 2⁶³ — true only for dim ≤ 188.
+    # Beyond that the product silently wraps BIGINT under ANSI-off;
+    # raise instead (mirrors the pagerank_integer overflow guard).
+    if 1_000_000 * (127 * 127 * dim) ** 2 >= 2**63:
+        raise ValueError(
+            f"semantic_dedup: embedding dim {dim} > 188 overflows the "
+            "int64 divisionless cosine comparison (1e6*qdot^2); "
+            "reduce dim or rescale the quantization"
+        )
     cells = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -420,11 +420,21 @@ def hits_integer_bipartite(
 
     Returns (side, node, val) for the FINAL update of each side:
     side='a' at iteration `iterations−1`, side='h' at `iterations`
-    (an even `iterations` starts and ends on hubs).
+    (an even `iterations` starts and ends on hubs). Because the
+    result carries the LAST update of BOTH sides, at least 2
+    iterations are required (one per side) — iterations < 2 raises
+    ValueError (ADVICE r10: it previously crashed dereferencing the
+    never-assigned previous-side frame).
 
     Iteration shape: one keyed join + one hash agg + a 1-row max
     broadcast per round; frontiers localCheckpoint-ed and superseded
     checkpoints freed (the CC/pagerank lineage discipline)."""
+    if iterations < 2:
+        raise ValueError(
+            "hits_integer_bipartite needs iterations >= 2 (the result "
+            "reports the final update of BOTH sides; a single "
+            "iteration never scores the starting side)"
+        )
 
     def _free(ck: DataFrame) -> None:
         try:

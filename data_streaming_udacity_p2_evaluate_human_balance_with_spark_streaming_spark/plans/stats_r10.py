@@ -1662,11 +1662,15 @@ def q_page_hinkley_daily_volume(
     sum — the SEQUENTIAL drift monitor completing the changepoint
     trio (CUSUM = known-direction batch scan, Pettitt = retrospective
     rank test, PH = the streaming-friendly online form whose state is
-    two numbers). Alarm when the cumulative departure exceeds 10% of
-    the total volume (≈3 days' mean at the 30-day calendar; fires at
-    sf0.001/sf0.01 on this fixture) — evaluated as the EXACT integer
-    comparison 10·PH > Σv (PH carries an n factor by construction;
-    the RHS absorbs it since Σv · n/n).
+    two numbers). Alarm threshold λ = Σv/(10n) = 10% of ONE day's
+    mean volume: cum carries an n factor by construction
+    (cum_t = n·Σ_{{s≤t}}v_s − t·Σv), so the EXACT integer comparison
+    10·(cum−mn) > Σv fires when the unscaled PH_raw = (cum−mn)/n
+    exceeds Σv/(10n). (r11 docstring fix — this previously claimed
+    10% of TOTAL volume, which is n× larger; that threshold is
+    vacuous on this fixture, max PH_raw/Σv = 0.04 at sf0.001, while
+    the implemented λ fires 26/30 days at sf0.001 and 1/30 at
+    sf0.01 — non-vacuous at both.)
 
     Exactness: centering WITHOUT division (n·v − Σv), integer cumsum
     and running min — no float anywhere.
@@ -2687,7 +2691,7 @@ def q_seasonal_mann_kendall_daily(
       FROM ri
     )
     SELECT n, k,
-      round((3.0 * CAST(CAST(sr2 AS VARCHAR) AS DOUBLE)
+      round((12.0 * CAST(CAST(sr2 AS VARCHAR) AS DOUBLE)
              - 12.0 * k * k * n * ((n + 1) * (n + 1)))
             / (4.0 * (CAST(k AS DOUBLE) * k * n * (n * n - 1)
                       - k * tsum)), 6) AS w
@@ -2709,8 +2713,11 @@ def q_kendalls_w_type_day_concordance(
     (strict-rank subquery + tie-group averaging keeps them integers);
     R_i sums and ΣR² are exact (HUGEINT for the square); the tie
     correction Σ(t³−t) is integer. W assembles as one shared tree on
-    5 exact ints (doubling absorbed: 12ΣR̄² = 3ΣR2², 3k²n(n+1)²
-    scaled ×4 to match), round-6.
+    5 exact ints. Doubling absorbed: with sr2 = Σ(2R̄)² = 4ΣR̄², the
+    standard W = (12ΣR̄² − 3k²n(n+1)²)/(k²n(n²−1) − kT) becomes
+    (12·sr2 − 12k²n(n+1)²)/(4·(k²n(n²−1) − kT)) — both terms scaled
+    ×4 (r11 fix: the sr2 term was previously under-scaled by 4,
+    yielding W outside [0,1]); round-6.
 
     Scale shape: one scan into the (type, day) grid; rank machinery
     runs on ≤ k·|days| rows."""
@@ -2765,7 +2772,7 @@ def q_kendalls_w_type_day_concordance(
         "k",
         F.round(
             (
-                3.0 * F.col("sr2").cast("string").cast("double")
+                12.0 * F.col("sr2").cast("string").cast("double")
                 - 12.0
                 * F.col("k")
                 * F.col("k")

@@ -6,15 +6,28 @@ contended runs. Usage:
 The log's last line must contain the bench JSON.
 """
 import json
-import re
 import sys
 
 PIN = "/root/repo/BENCH_QUIET_BASELINE.json"
 
 raw = open(sys.argv[1]).read()
-m = re.findall(r'\{"metric".*\}', raw)
+# raw_decode exactly ONE complete JSON object per candidate start
+# (ADVICE r10: the greedy r'\{"metric".*\}' could swallow several
+# objects printed on one line; a non-greedy match would truncate the
+# nested "queries" object instead).
+_dec = json.JSONDecoder()
+m = []
+for line in raw.splitlines():
+    i = line.find('{"metric"')
+    while i != -1:
+        try:
+            obj, end = _dec.raw_decode(line[i:])
+            m.append(obj)
+            i = line.find('{"metric"', i + end)
+        except ValueError:
+            i = line.find('{"metric"', i + 1)
 assert m, "no bench JSON found in log"
-run = json.loads(m[-1])
+run = m[-1]
 assert run["contended"] is False, f"run is contended: refuse to pin"
 assert not run["failed"], f"run had failures: {run['failed']}"
 
@@ -30,7 +43,12 @@ for k, v in rq.items():
         tightened.append(k)
 pin["value"] = round(sum(pq.values()), 3)
 pin["n_ok"] = len(pq)
-pin["n_requested"] = len(pq)
+# keep the RUN's requested count (ADVICE r10: overwriting with the
+# merged pin size lost the run's actual request scope)
+if "n_requested" in run:
+    pin["n_requested"] = run["n_requested"]
+else:
+    pin.pop("n_requested", None)
 for meta in ("start_loadavg_1m", "cpus", "sf"):
     if meta in run:
         pin[meta] = run[meta]

@@ -1692,3 +1692,49 @@ def test_dbscan_role_classification_hand_geometry(spark):
     assert roles[2] == ("core", 0)
     assert roles[3] == ("border", 0)
     assert roles[4] == ("noise", -1)
+
+
+def test_semantic_dedup_dim_overflow_guard(spark):
+    """ADVICE r10: the divisionless cosine compares 1e6*qdot^2 with
+    qdot <= 127^2*dim, int64-safe only for dim <= 188 (exact:
+    1e6*(127^2*189)^2 >= 2^63 > 1e6*(127^2*188)^2) — larger dims
+    must raise instead of silently wrapping BIGINT (ANSI off)."""
+    import pytest as _pytest
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    wide = spark.createDataFrame(
+        [(1, [1.0] * 189), (2, [1.0] * 189)],
+        "vec_id long, v array<double>",
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        semantic_dedup(wide)
+    # dim 188 is the documented boundary and must still run
+    ok = spark.createDataFrame(
+        [(1, [1.0] * 188), (2, [1.0] * 188), (3, [-1.0] * 188)],
+        "vec_id long, v array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(ok).collect()}
+    assert out[2].cluster == 1 and not out[2].kept  # exact twin merged
+    assert out[3].kept  # opposite vector stays its own cluster
+    spark.catalog.clearCache()
+
+
+def test_hits_integer_bipartite_min_iterations_guard(spark):
+    """ADVICE r10: iterations=1 used to crash with AttributeError
+    (the previous-side frame is never assigned); the operator now
+    raises a clear ValueError for iterations < 2."""
+    import pytest as _pytest
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        hits_integer_bipartite,
+    )
+
+    edges = spark.createDataFrame([(1, 10), (2, 10)], "o long, p long")
+    with _pytest.raises(ValueError, match="iterations >= 2"):
+        hits_integer_bipartite(edges, iterations=1)
+    out = hits_integer_bipartite(edges, iterations=2).collect()
+    assert {r.side for r in out} == {"a", "h"}
+    spark.catalog.clearCache()

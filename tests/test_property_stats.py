@@ -172,3 +172,29 @@ def test_log_rank_query_matches_python_replica(
     assert got["e1"] == _round6(e1)
     assert got["var1"] == _round6(v1)
     assert got["z"] == _round6(z)
+
+
+def test_kendalls_w_perfect_concordance_is_one(
+    spark, tmp_path_factory
+):
+    """ADVICE r10 (high): the W numerator under-scaled the doubled
+    rank-sum-of-squares term by 4, so perfect agreement yielded
+    W = -3.5 on this fixture instead of 1.0. Pin the repaired
+    formula: k=3 event types all rank n=4 days identically (day d
+    gets d+1 events for every type, no ties) -> W must be exactly 1;
+    by hand: sr2 = 6^2+12^2+18^2+24^2 = 1080,
+    W = (12*1080 - 12*9*4*25) / (4*(9*4*15 - 0)) = 2160/2160 = 1."""
+    day_us = 86_400_000_000
+    base = 1_709_251_200_000_000  # 2024-03-01 UTC in micros
+    rows = []
+    eid = 0
+    for t in ("a", "b", "c"):
+        for d in range(4):
+            for _ in range(d + 1):
+                rows.append((eid, base + d * day_us, t, 100))
+                eid += 1
+    d = _write_events(tmp_path_factory.mktemp("kw"), rows)
+    fn, _ = REGISTRY["kendalls_w_type_day_concordance"]
+    got = fn(spark, d).collect()[0]
+    assert (got["n"], got["k"]) == (4, 3)
+    assert got["w"] == 1.0
