@@ -2946,6 +2946,62 @@ def q_distance_correlation_click_purchase(
 # the two regimes by 2 orders of magnitude each way
 _DBSCAN_EPS2 = 10_000
 _DBSCAN_MINPTS = 3
+_DBSCAN_GRID = 100  # cell side = ε = √ε² in integer code units
+
+
+def _dbscan_candidate_pairs(q: DataFrame) -> DataFrame:
+    """ε-grid candidate generator for DBSCAN (r11, replacing the
+    crossJoin): cells of side ε on the 2 leading quantized dims; any
+    ε-pair has |δᵢ| ≤ ε per dim, so floor(code/ε) cell indices differ
+    by ≤1 and the pair lives in the 3×3 neighborhood of either home
+    cell. Probe side = each point exploded to its 9 neighbor cells,
+    build side = home cell, equi-join on (c0, c1), then the EXACT
+    integer Σδ² ≤ ε² filter — edge set identical to all-pairs (no
+    false negatives by the adjacency argument; each unordered pair
+    matched exactly once because the build side's home cell is
+    unique and ib > ia kills the mirror orientation). The +1e9 shift
+    makes integer DIV an exact floor for negative codes.
+
+    `q` must have (vec_id, qv: array<bigint>). Returns (ia, ib), lazy
+    (caller checkpoints) so plan tests can assert the join shape."""
+    cell = lambda i: F.expr(  # noqa: E731
+        f"(qv[{i}] + 1000000000L) DIV {_DBSCAN_GRID}"
+    )
+    qc = q.select(
+        "vec_id", "qv", cell(0).alias("c0"), cell(1).alias("c1")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = qc.select(
+        F.col("vec_id").alias("ia"),
+        F.col("qv").alias("qa"),
+        "c0",
+        "c1",
+        F.explode(offs).alias("off"),
+    ).select(
+        "ia",
+        "qa",
+        (F.col("c0") + F.col("off.dx")).alias("c0"),
+        (F.col("c1") + F.col("off.dy")).alias("c1"),
+    )
+    b = qc.select(
+        F.col("vec_id").alias("ib"), F.col("qv").alias("qb"), "c0", "c1"
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (s, d) -> s + d)"
+    )
+    return (
+        a.join(b, ["c0", "c1"])
+        .filter(F.col("ib") > F.col("ia"))
+        .filter(dist2 <= _DBSCAN_EPS2)
+        .select("ia", "ib")
+    )
 
 
 def _dbscan_oracle() -> str:
@@ -3030,11 +3086,22 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals; CC via the recursive-CTE oracle; border tie-break =
     MIN cluster.
 
-    Scale shape: the sampled slice bounds the pair join at test SFs;
-    at 100 TB the standard grid trick slots in — bucket cells of side
-    ε so neighbors live in adjacent cells only (the semantic_dedup
-    cell equi-join shape), leaving per-cell quadratic work bounded by
-    density. CC runs on core edges only."""
+    Scale shape (r11): the candidate join is an ε-GRID CELL EQUI-JOIN,
+    not a cartesian — cells of side ε=√ε²=100 code units on the two
+    leading quantized dims; |δᵢ| ≤ 100 per dim for any ε-pair, so
+    floor(code/100) cell indices differ by ≤1 and every true pair
+    lives in the 3×3 neighborhood of either point's home cell. The
+    probe side explodes each point to its 9 neighbor cells, the build
+    side keeps the home cell, and the join is an equi-join on
+    (c0, c1); the exact integer Σδ² filter then prunes false cell
+    cohabitants, so the EDGE SET is identical to the all-pairs form
+    (the committed oracle is unchanged and still certifies it).
+    Candidates are Σ_cell |probe∩cell|·|home cell| ≈ 9·density·N
+    instead of N²/2 — linear in N at fixed density (probed sub-
+    quadratic by scripts/scale_probe_dbscan.py: disjoint replicas at
+    N×{{1,4,10}}). Floor division is computed as (code+10⁹) DIV 100 —
+    an exact floor for these |code| ≤ ~526 inputs, immune to DIV's
+    truncation toward zero. CC runs on core edges only."""
     from ..operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3043,10 +3110,8 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     copies = (
         base.filter(F.col("vec_id") % 12 == 0)
-        .crossJoin(
-            F.broadcast(
-                spark.range(1, 4).select(F.col("id").alias("c"))
-            )
+        .withColumn(
+            "c", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
         )
         .select(
             (F.col("vec_id") + 10_000_000 * F.col("c")).alias("vec_id"),
@@ -3062,20 +3127,7 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"
         ).alias("qv"),
     )
-    a, b = q.alias("a"), q.alias("b")
-    dist2 = F.expr(
-        "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (s, d) -> s + d)"
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("b.vec_id") > F.col("a.vec_id"))
-        .filter(dist2 <= _DBSCAN_EPS2)
-        .select(
-            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
-        )
-        .localCheckpoint()
-    )
+    pairs = _dbscan_candidate_pairs(q).localCheckpoint()
     nbr = pairs.select(
         F.col("ia").alias("p"), F.col("ib").alias("o")
     ).unionByName(

@@ -1691,3 +1691,26 @@ def test_lift_gains_uses_two_pass_rank_no_global_window(spark):
         if "Window [" not in line:
             continue
         assert "_pid" in line or "decile" in line, line
+
+
+def test_dbscan_candidate_join_is_grid_equijoin(spark):
+    """r10 VERDICT weak item: the DBSCAN candidate stage must be the
+    ε-grid cell EQUI-JOIN, never a cartesian — asserted on the LAZY
+    pair plan (the registered query localCheckpoints it, which would
+    hide the join behind an ExistingRDD scan)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.stats_r10 import (
+        _dbscan_candidate_pairs,
+    )
+
+    q = spark.createDataFrame(
+        [(i, [i * 7 % 300, i * 13 % 300]) for i in range(40)],
+        "vec_id long, qv array<bigint>",
+    )
+    pairs = _dbscan_candidate_pairs(q)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the full registered query must also stay cartesian-free
+    full = _plan(spark, "dbscan_embeddings")
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
