@@ -3459,10 +3459,18 @@ def _driver_status() -> dict[str, bool]:
     )
     latest: dict[str, bool] = {}
     _ROWS_ONLY_LATEST.clear()
+    _LATEST_ROUND.clear()
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(
+                _os.path.basename(path).removeprefix("CORRECTNESS_r").removesuffix(".json")
+            )
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as fh:
                 for name, row in _json.load(fh).items():
+                    _LATEST_ROUND[name] = max(_LATEST_ROUND.get(name, 0), rnd)
                     if row.get("err") == "no_oracle":
                         latest[name] = bool(row.get("spark_rows"))
                         _ROWS_ONLY_LATEST.add(name)
@@ -3477,6 +3485,10 @@ def _driver_status() -> dict[str, bool]:
 #: names whose LATEST driver row was the weaker rows-only check
 #: (err == no_oracle); populated as a side effect of _driver_status()
 _ROWS_ONLY_LATEST: set[str] = set()
+
+#: round number of each name's most recent driver row; populated as a
+#: side effect of _driver_status() (0 = unparsable filename)
+_LATEST_ROUND: dict[str, int] = {}
 
 
 def _driver_checked() -> frozenset[str]:
@@ -3494,7 +3506,11 @@ def _driver_order() -> list[str]:
     was the weaker rows-only check but the query NOW carries an oracle
     (the r9 semi-oracle rewrites: their new value-hash contract needs a
     driver row, or the judge only ever sees the stale no_oracle row),
-    (4) the green rest — each tier in registration order."""
+    (4) the green rest, OLDEST-CHECKED FIRST (r11, VERDICT r10 #3:
+    once the never-checked queue drains, the 50-slot window re-samples
+    the stalest names instead of freezing on registration order — at
+    383 names a full refresh lands within ~7 rounds); ties (same
+    latest round) in registration order (Python sort is stable)."""
     status = _driver_status()
     unchecked = [n for n in REGISTRY if n not in status]
     red = [n for n in REGISTRY if n in status and not status[n]]
@@ -3505,9 +3521,10 @@ def _driver_order() -> list[str]:
         and n in _ROWS_ONLY_LATEST
         and REGISTRY[n][1] is not None
     ]
-    green = [
-        n for n in REGISTRY if status.get(n) and n not in set(upgraded)
-    ]
+    green = sorted(
+        (n for n in REGISTRY if status.get(n) and n not in set(upgraded)),
+        key=lambda n: _LATEST_ROUND.get(n, 0),
+    )
     return unchecked + red + upgraded + green
 
 

@@ -116,3 +116,28 @@ def test_register_rejects_duplicate_names():
         @register("dedup_exact", None)
         def _shadow(spark, sf_dir):  # pragma: no cover - never runs
             return None
+
+
+def test_driver_window_rotates_oldest_checked_first():
+    """r11 (VERDICT r10 #3): once the never-checked queue is empty,
+    green names must sort OLDEST latest-round first so the 50-slot
+    window re-samples stale names instead of freezing on registration
+    order — window staleness is bounded at ~ceil(383/50) rounds."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        _LATEST_ROUND,
+        _ROWS_ONLY_LATEST,
+        _driver_order,
+        _driver_status,
+    )
+
+    order = _driver_order()
+    status = _driver_status()
+    greens = [
+        n
+        for n in order
+        if status.get(n) and n not in _ROWS_ONLY_LATEST
+    ]
+    rounds = [_LATEST_ROUND.get(n, 0) for n in greens]
+    assert rounds == sorted(rounds), (
+        "green tier must be ordered by staleness (oldest round first)"
+    )
