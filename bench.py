@@ -345,6 +345,8 @@ HEADLINE = [
     "modularity_lpa_copurchase",
     "attribute_assortativity_brand",
     "rmst_conversion",
+    # r11 additions
+    "incremental_semantic_dedup",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

@@ -1177,6 +1177,134 @@ def max_dup_spans(
     )
 
 
+def semantic_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Build the SemDeDup probe index for a vector corpus: one row
+    (vid, cell, q, n2) per vector — deterministic hyperplane-sign
+    cell, int8-quantized code array, and its exact squared norm.
+    This is the PERSISTABLE side of embedding dedup: build it once
+    over the corpus (write to parquet, partitioned by cell at scale),
+    then `incremental_semantic_dedup` probes arbitrary new batches
+    against it without ever recomputing the corpus side — the
+    continuous-ingest shape at 100 TB, mirroring the lexical family's
+    `lsh_band_table` + `incremental_near_dup` pair.
+
+    Int64-safety guard (ADVICE r10): the divisionless threshold
+    compares 1e6·qdot² against t²·n2a·n2b with qdot ≤ 127²·dim, so
+    1e6·(127²·dim)² must stay < 2⁶³ — true only for dim ≤ 188.
+    Beyond that the product silently wraps BIGINT under ANSI-off;
+    raise instead (mirrors the pagerank_integer overflow guard)."""
+    from ..functions.vectors import hyperplane_bucket, infer_dim
+
+    dim = infer_dim(corpus, vec_col)
+    if 1_000_000 * (127 * 127 * dim) ** 2 >= 2**63:
+        raise ValueError(
+            f"semantic_index: embedding dim {dim} > 188 overflows the "
+            "int64 divisionless cosine comparison (1e6*qdot^2); "
+            "reduce dim or rescale the quantization"
+        )
+    cells = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cell", hyperplane_bucket("_v", n_planes, n_dims=dim))
+    return (
+        cells.withColumn(
+            "_s",
+            F.expr(
+                "greatest(array_max(transform(_v, x -> abs(x))), 1e-30D)"
+                " / 127.0D"
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr("transform(_v, x -> CAST(floor(x / _s + 0.5D) AS INT))"),
+        )
+        .withColumn(
+            "n2",
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), "
+                "(s, x) -> s + CAST(x AS BIGINT) * x)"
+            ),
+        )
+        .select("vid", "cell", "q", "n2")
+    )
+
+
+def incremental_semantic_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_planes: int = 4,
+    threshold_milli: int = 900,
+) -> DataFrame:
+    """Probe a NEW ingest batch against a prebuilt `semantic_index`
+    corpus index — the incremental twin of `semantic_dedup` (VERDICT
+    r10 #5) and the embedding-space analogue of `incremental_near_dup`:
+    at 100 TB the corpus index is computed once and persisted; each
+    arriving batch quantizes ITS OWN vectors only, equi-joins the
+    index on `cell`, and thresholds the int8-quantized cosine with the
+    same divisionless int64 comparison as the batch operator. Work is
+    |batch|·(corpus density per cell), never corpus×corpus.
+
+    Returns one row per batch vector: (id_col, cell, dup_of = MIN
+    matching corpus vid or null, n_matches, kept = no corpus match).
+    Within-batch duplicates are intentionally NOT examined here — run
+    `semantic_dedup` on the batch first; this operator answers "is it
+    already in the corpus?"."""
+    bcodes = semantic_index(batch, id_col, vec_col, n_planes)
+    a = index.select(
+        F.col("vid").alias("cid"),
+        "cell",
+        F.col("q").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = bcodes.select(
+        F.col("vid").alias("bid"),
+        "cell",
+        F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    t2 = threshold_milli * threshold_milli
+    matches = (
+        b.join(a, "cell")
+        .withColumn(
+            "qdot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), "
+                "CAST(0 AS BIGINT), (s, v) -> s + v)"
+            ),
+        )
+        .filter(
+            (F.col("qdot") > 0)
+            & (
+                F.lit(1_000_000) * F.col("qdot") * F.col("qdot")
+                >= F.lit(t2) * F.col("n2a") * F.col("n2b")
+            )
+        )
+        .groupBy("bid")
+        .agg(
+            F.min("cid").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+    return (
+        bcodes.select("vid", "cell")
+        .join(matches, bcodes["vid"] == matches["bid"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1207,45 +1335,8 @@ def semantic_dedup(
     with cells sized to a cap, which keeps per-cell work bounded; the
     join/CC shape is unchanged. CC runs on the near-dup graph only
     (≈ dup pairs, a small fraction of N)."""
-    from ..functions.vectors import hyperplane_bucket, infer_dim
-
-    dim = infer_dim(corpus, vec_col)
-    # int64-safety guard (ADVICE r10): the divisionless threshold
-    # compares 1e6·qdot² against t²·n2a·n2b with qdot ≤ 127²·dim, so
-    # 1e6·(127²·dim)² must stay < 2⁶³ — true only for dim ≤ 188.
-    # Beyond that the product silently wraps BIGINT under ANSI-off;
-    # raise instead (mirrors the pagerank_integer overflow guard).
-    if 1_000_000 * (127 * 127 * dim) ** 2 >= 2**63:
-        raise ValueError(
-            f"semantic_dedup: embedding dim {dim} > 188 overflows the "
-            "int64 divisionless cosine comparison (1e6*qdot^2); "
-            "reduce dim or rescale the quantization"
-        )
-    cells = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("cell", hyperplane_bucket("_v", n_planes, n_dims=dim))
-    codes = (
-        cells.withColumn(
-            "_s",
-            F.expr(
-                "greatest(array_max(transform(_v, x -> abs(x))), 1e-30D)"
-                " / 127.0D"
-            ),
-        )
-        .withColumn(
-            "q",
-            F.expr("transform(_v, x -> CAST(floor(x / _s + 0.5D) AS INT))"),
-        )
-        .withColumn(
-            "n2",
-            F.expr(
-                "aggregate(q, CAST(0 AS BIGINT), "
-                "(s, x) -> s + CAST(x AS BIGINT) * x)"
-            ),
-        )
-        .select("vid", "cell", "q", "n2")
-    )
+    codes = semantic_index(corpus, id_col, vec_col, n_planes)
+    cells = codes.select("vid", "cell")
     a = codes.select(
         F.col("vid").alias("ia"),
         "cell",
