@@ -347,6 +347,7 @@ HEADLINE = [
     "rmst_conversion",
     # r11 additions
     "incremental_semantic_dedup",
+    "anf_hop_histogram",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

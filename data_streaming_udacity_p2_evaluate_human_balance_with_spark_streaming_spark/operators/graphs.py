@@ -571,3 +571,70 @@ def personalized_pagerank_integer(
         _free(ranks)
         ranks = new_ranks
     return ranks
+
+
+def anf_hop_registers(
+    edges: DataFrame,
+    max_hops: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+) -> DataFrame:
+    """ANF / HyperANF hop-neighborhood sketches (Palmer et al. 2002;
+    Boldi et al. 2011) over an undirected graph: every node carries a
+    16-register HLL sketch of the node set within ≤h hops, advanced
+    one hop per round by the SKETCH-UNION recurrence
+        N(v, h) = N(v, h−1) ∪ ⋃_{(v,u)∈E} N(u, h−1)
+    which on registers is just max(rho) per (node, bucket) — one keyed
+    join + one hash aggregate per hop, the 100 TB graduation of the
+    exact seeded-BFS histogram (effective_diameter_copurchase): state
+    is 16·|V| rows per hop REGARDLESS of how dense the reachable sets
+    get, where exact hop sets grow as Σ|B(v,h)| (≈ |V|² on a
+    small-world graph by hop 3).
+
+    Returns (hop, node, bucket_hex, rho) for hop 0..max_hops — hop 0
+    is each node's singleton sketch. Finalize any slice with the
+    portable estimate arithmetic (operators/sketches.py m=16
+    constants); register tables merge associatively so the per-hop
+    snapshots also answer "NF of any seed subset" by filtering.
+
+    Iteration shape: per round, edges ⋈ registers on the node key
+    (register side ≤ 16·|V| rows), union with the previous table, one
+    (node, bucket) max aggregate, localCheckpoint (plan-depth bound;
+    snapshots are RETAINED — every hop is part of the result)."""
+    from functools import reduce
+
+    from .sketches import hll16_register_exprs
+
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # salt the sketch key: node sets are often PRE-SAMPLED by a hash
+    # of the same id (the co-purchase slice keeps md5 first char 0-3),
+    # and an unsalted sketch bucket reuses exactly those bits — only
+    # 4 of 16 buckets could ever fill, capping every estimate at
+    # 16·ln(16/12). The salt makes bucket/rho independent of any
+    # id-hash sampling upstream.
+    ex = hll16_register_exprs("concat(CAST(node AS STRING), ':anf')")
+    cur = nodes.select(
+        "node",
+        F.expr(ex["bucket_hex"]).alias("bucket_hex"),
+        F.expr(ex["rho"]).alias("rho"),
+    ).localCheckpoint()
+    snaps = [cur.withColumn("hop", F.lit(0).cast("bigint"))]
+    for h in range(1, max_hops + 1):
+        contrib = sym.join(cur, sym["dst"] == cur["node"]).select(
+            F.col("src").alias("node"), "bucket_hex", "rho"
+        )
+        cur = (
+            cur.select("node", "bucket_hex", "rho")
+            .unionByName(contrib)
+            .groupBy("node", "bucket_hex")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        snaps.append(cur.withColumn("hop", F.lit(h).cast("bigint")))
+    return reduce(lambda x, y: x.unionByName(y), snaps).select(
+        "hop", "node", "bucket_hex", "rho"
+    )

@@ -119,6 +119,38 @@ _HLL_RHO_MAX = 4 * _HLL_W_HEX + 1  # all-zero stream
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
+#: m=16 variant for PER-NODE sketches (ANF hop sets): 16 registers per
+#: node keeps register-table rows at 16·|V| instead of 256·|V| — the
+#: per-entity-sketch regime where thousands of sketches coexist and
+#: per-sketch accuracy (~26% σ) is certified in-query instead of
+#: engineered down. alpha_16 = 0.673 (Flajolet et al. 2007, small-m
+#: empirical constant).
+HLL16_M = 16
+HLL16_ALPHA = 0.673
+_HLL16_W_HEX = 12
+HLL16_RHO_MAX = 4 * _HLL16_W_HEX + 1
+
+
+def hll16_register_exprs(key_sql: str) -> dict[str, str]:
+    """`hll_register_exprs` with a 1-hex-char bucket (m=16): bucket =
+    first md5 hex char, rho from the next 48 bits. Same pure
+    integer/string construction, valid in Spark AND DuckDB (the
+    caller supplies the string cast per dialect)."""
+    h = f"md5({key_sql})"
+    stripped = f"regexp_replace(substring({h}, 2, {_HLL16_W_HEX}), '^0+', '')"
+    msb = (
+        f"CASE WHEN substring({stripped}, 1, 1) IN ('1') THEN 1 "
+        f"WHEN substring({stripped}, 1, 1) IN ('2','3') THEN 2 "
+        f"WHEN substring({stripped}, 1, 1) IN ('4','5','6','7') THEN 3 "
+        f"ELSE 4 END"
+    )
+    rho = (
+        f"CASE WHEN {stripped} = '' THEN {HLL16_RHO_MAX} "
+        f"ELSE 4 * ({_HLL16_W_HEX} - length({stripped})) + (4 - {msb}) + 1 END"
+    )
+    return {"bucket_hex": f"substring({h}, 1, 1)", "rho": rho}
+
+
 def hll_register_exprs(key_sql: str) -> dict[str, str]:
     """SQL fragments (valid in Spark AND DuckDB up to the hex→int cast,
     which the caller supplies per dialect) for the HLL register of one

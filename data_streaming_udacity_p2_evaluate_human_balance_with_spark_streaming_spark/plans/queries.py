@@ -3549,3 +3549,4 @@ from . import olap as _olap  # noqa: E402,F401
 from . import warehouse as _warehouse  # noqa: E402,F401
 from . import simjoin as _simjoin  # noqa: E402,F401
 from . import stats_r10 as _stats_r10  # noqa: E402,F401
+from . import stats_r11 as _stats_r11  # noqa: E402,F401

@@ -1,0 +1,279 @@
+"""Round-11 registrations: ANF/HyperANF neighborhood-function
+estimation and companions.
+
+Like every plans module, each @register pairs the Spark plan with a
+DuckDB oracle; exact-arithmetic disciplines (doubled ranks, fixed-point
+floors, HUGEINT/decimal(38,0) crossings) per NOTES.md.
+
+No counterpart exists in the reference (three linear streaming
+scripts — SURVEY.md §2); north-star analytics extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .queries import register
+
+_ANF_HOPS = 4
+_ANF_SEEDS = 4
+#: certified per-hop bound on the summed-seed relative error of the
+#: m=16 estimator (σ≈26% per sketch; summed over 4 seeds; measured max
+#: across sf0.001/0.01/0.1 and all hops = 0.337, at the smallest
+#: non-trivial ball — 0.5 certifies with margin)
+_ANF_ERR_BOUND = 0.5
+
+#: shared (Spark ∩ DuckDB) estimate arithmetic over a summary row
+#: (s_int BIGINT, n_regs BIGINT) for the m=16 register table: one IEEE
+#: division of exact integers by folded literals; the linear-counting
+#: branch is the only libm call (ln of one of 15 rational values — the
+#: cross-engine ln discipline proven by the m=256 HLL family).
+_EST16 = (
+    "CASE WHEN ((CAST(0.673 AS DOUBLE) * 16 * 16"
+    " * CAST(562949953421312 AS DOUBLE))"
+    " / CAST(s_int + (16 - n_regs) * 562949953421312 AS DOUBLE))"
+    " <= CAST(40 AS DOUBLE)"
+    " AND (16 - n_regs) > 0"
+    " THEN 16 * ln(CAST(16 AS DOUBLE) / (16 - n_regs))"
+    " ELSE ((CAST(0.673 AS DOUBLE) * 16 * 16"
+    " * CAST(562949953421312 AS DOUBLE))"
+    " / CAST(s_int + (16 - n_regs) * 562949953421312 AS DOUBLE)) END"
+)
+_TERM_FP16 = f"CAST(floor(({_EST16}) * 1000000.0) AS BIGINT)"
+
+
+def _anf_oracle() -> str:
+    """Full replica: the same md5 m=16 registers propagated ≤4 hops by
+    a recursive CTE over the self-loop-closed edge set (a register
+    present within ≤h persists to h+1 via the loop), the identical
+    estimate arithmetic, and the same 4-seed exact-BFS certificate."""
+    from ..operators.sketches import hll16_register_exprs
+
+    # salted like the operator: the slice filter already consumed
+    # md5(node)'s first char, so the sketch must hash differently
+    ex = hll16_register_exprs("concat(CAST(node AS VARCHAR), ':anf')")
+    return f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM e0
+          UNION ALL SELECT pb, pa FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    es AS (SELECT src, dst FROM e
+           UNION ALL SELECT node, node FROM nodes),
+    r0 AS (
+      SELECT node, {ex["bucket_hex"]} AS bucket_hex,
+        CAST({ex["rho"]} AS BIGINT) AS rho
+      FROM nodes
+    ),
+    spread(node, bucket_hex, rho, hop) AS (
+      SELECT node, bucket_hex, rho, CAST(0 AS BIGINT) FROM r0
+      UNION
+      SELECT es.src, s.bucket_hex, s.rho, s.hop + 1
+      FROM spread s JOIN es ON es.dst = s.node
+      WHERE s.hop < {_ANF_HOPS}
+    ),
+    regs AS (
+      SELECT hop, node, bucket_hex, MAX(rho) AS rho
+      FROM spread GROUP BY 1, 2, 3
+    ),
+    summary AS (
+      SELECT hop, node,
+        CAST(SUM(1::BIGINT << CAST(49 - rho AS INT)) AS BIGINT) AS s_int,
+        CAST(COUNT(*) AS BIGINT) AS n_regs
+      FROM regs GROUP BY 1, 2
+    ),
+    pernode AS (
+      SELECT hop, node, {_TERM_FP16} AS term_fp FROM summary
+    ),
+    nf AS (
+      SELECT hop, CAST(SUM(term_fp) AS BIGINT) AS nf_fp FROM pernode
+      GROUP BY hop
+    ),
+    seeds AS (
+      SELECT node AS seed FROM nodes ORDER BY node LIMIT {_ANF_SEEDS}
+    ),
+    walk(seed, node, hop) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < {_ANF_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, CAST(MIN(hop) AS BIGINT) AS hop
+      FROM walk GROUP BY seed, node
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(0, {_ANF_HOPS})) AS BIGINT)
+        AS hop
+    ),
+    sx AS (
+      SELECT sp.hop,
+        (SELECT CAST(count(*) AS BIGINT) FROM dist d
+         WHERE d.hop <= sp.hop) AS seed_exact
+      FROM spine sp
+    ),
+    se AS (
+      SELECT p.hop, CAST(SUM(p.term_fp) AS BIGINT) AS seed_est_fp
+      FROM pernode p JOIN seeds s ON s.seed = p.node
+      GROUP BY p.hop
+    )
+    SELECT nf.hop, nf.nf_fp,
+      round(CAST(nf.nf_fp AS DOUBLE) / 1000000.0, 4) AS nf_est,
+      sx.seed_exact, se.seed_est_fp,
+      round(abs(CAST(se.seed_est_fp - sx.seed_exact * 1000000
+                     AS DOUBLE))
+            / CAST(sx.seed_exact * 1000000 AS DOUBLE), 6) AS rel_err,
+      abs(CAST(se.seed_est_fp - sx.seed_exact * 1000000 AS DOUBLE))
+        / CAST(sx.seed_exact * 1000000 AS DOUBLE)
+        <= {_ANF_ERR_BOUND!r} AS cert_ok
+    FROM nf JOIN sx ON sx.hop = nf.hop JOIN se ON se.hop = nf.hop
+    """
+
+
+@register("anf_hop_histogram", _anf_oracle())
+def q_anf_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF/HyperANF neighborhood function over the sampled co-purchase
+    graph (VERDICT r10 #6): NF(h) = Σ_v |B(v, h)| estimated from
+    per-node 16-register HLL hop sketches advanced by the sketch-union
+    recurrence (operators/graphs.anf_hop_registers) — the 100 TB
+    graduation the effective_diameter_copurchase docstring names:
+    state is 16·|V| rows per hop however dense the balls get, where
+    the exact histogram's Σ|B(v,h)| reaches |V|² by hop 3 on a
+    small-world graph.
+
+    In-query accuracy certificate (the IVF recall-certificate
+    pattern): the 4 smallest node ids are BFS'd exactly (the diameter
+    query's seeded walk), and per hop the summed seed-ball estimate is
+    compared against the summed exact ball size — `rel_err` (round-6)
+    with `cert_ok` = rel_err ≤ 0.5 (measured max 0.337 across SFs and
+    hops; m=16 ⇒ σ ≈ 26% per sketch, certified rather than
+    engineered down).
+
+    Exactness: registers are pure md5 string/integer ops; per-hop
+    per-node s_int is an exact Σ 2^(49−ρ) BIGINT; the estimate is one
+    IEEE division by folded literals (the linear-counting branch's ln
+    is the proven cross-engine libm call of the m=256 HLL family);
+    per-node terms floor to 1e6 fixed point BEFORE the cross-row sum,
+    so NF totals are associative integers in both engines.
+
+    Scale shape: one hop = one keyed join (edges ⋈ registers) + one
+    (node, bucket) max hash-agg; estimates are a |V|-row projection
+    per hop; the certificate costs 4 frontier BFS runs. The oracle
+    replays registers through a self-loop-closed recursive CTE and
+    the identical estimate arithmetic."""
+    from functools import reduce
+
+    from ..operators.graphs import anf_hop_registers, bfs_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    regs = anf_hop_registers(e, _ANF_HOPS)
+    summary = regs.groupBy("hop", "node").agg(
+        F.expr(
+            "CAST(SUM(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(49 - rho AS INT))) AS BIGINT)"
+        ).alias("s_int"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    pernode = summary.select(
+        "hop", "node", F.expr(_TERM_FP16).alias("term_fp")
+    ).localCheckpoint()
+    nf = pernode.groupBy("hop").agg(F.sum("term_fp").alias("nf_fp"))
+
+    nodes = (
+        e.select(F.col("pa").alias("n"))
+        .unionByName(e.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    seeds = [
+        r["n"] for r in nodes.orderBy("n").limit(_ANF_SEEDS).collect()
+    ]
+    dists = [
+        bfs_hops(
+            e,
+            spark.createDataFrame([(sd,)], "n bigint"),
+            max_hops=_ANF_HOPS,
+        )
+        for sd in seeds
+    ]
+    dist = reduce(lambda x, y: x.unionByName(y), dists)
+    from pyspark.sql.window import Window
+
+    per_hop = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.range(0, _ANF_HOPS + 1).select(
+        F.col("id").alias("hop")
+    )
+    sx = (
+        spine.join(per_hop, "hop", "left")
+        .select(
+            "hop", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .select(
+            "hop",
+            F.sum("c")
+            .over(
+                Window.orderBy("hop").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("bigint")
+            .alias("seed_exact"),
+        )
+    )
+    se = (
+        pernode.filter(F.col("node").isin(seeds))
+        .groupBy("hop")
+        .agg(F.sum("term_fp").alias("seed_est_fp"))
+    )
+    err = F.expr(
+        "abs(CAST(seed_est_fp - seed_exact * 1000000 AS DOUBLE))"
+        " / CAST(seed_exact * 1000000 AS DOUBLE)"
+    )
+    return (
+        nf.join(sx, "hop")
+        .join(se, "hop")
+        .select(
+            "hop",
+            "nf_fp",
+            F.round(
+                F.col("nf_fp").cast("double") / 1_000_000.0, 4
+            ).alias("nf_est"),
+            "seed_exact",
+            "seed_est_fp",
+            F.round(err, 6).alias("rel_err"),
+            (err <= F.lit(_ANF_ERR_BOUND)).alias("cert_ok"),
+        )
+    )

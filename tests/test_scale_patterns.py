@@ -1877,3 +1877,48 @@ def test_semantic_dedup_keeps_one_per_planted_cluster(spark):
     for vid, r in res.items():
         if vid < 10_000_000 and (vid % 9 != 4 or vid + 10_000_000 not in res):
             assert r.kept and r.cluster == vid
+
+
+def test_anf_hop_registers_match_exact_ball_union(spark):
+    """anf_hop_registers on a 5-node path graph must equal, at every
+    hop, the per-bucket MAX rho over the EXACT ≤h-hop ball of each
+    node — verified against a pure-Python md5 replica of the salted
+    m=16 register construction (hll16_register_exprs)."""
+    import hashlib
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        anf_hop_registers,
+    )
+
+    def py_reg(node):
+        h = hashlib.md5(f"{node}:anf".encode()).hexdigest()
+        bucket = h[0]
+        stripped = h[1:13].lstrip("0")
+        if not stripped:
+            return bucket, 49
+        c = stripped[0]
+        msb = 1 if c == "1" else 2 if c in "23" else 3 if c in "4567" else 4
+        return bucket, 4 * (12 - len(stripped)) + (4 - msb) + 1
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "pa long, pb long"
+    )
+    got = {
+        (r.hop, r.node, r.bucket_hex): r.rho
+        for r in anf_hop_registers(edges, max_hops=3).collect()
+    }
+    nodes = [1, 2, 3, 4, 5]
+    for h in range(4):
+        for v in nodes:
+            ball = [u for u in nodes if abs(u - v) <= h]
+            want = {}
+            for u in ball:
+                b, rho = py_reg(u)
+                want[b] = max(want.get(b, 0), rho)
+            have = {
+                b: got[(h, v, b)]
+                for (hh, vv, b) in got
+                if hh == h and vv == v
+            }
+            assert have == want, f"hop {h} node {v}: {have} != {want}"
+    spark.catalog.clearCache()
