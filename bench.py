@@ -404,6 +404,34 @@ def main() -> None:
     except Exception:
         pass
 
+    # Python-worker revival (r11, the multimodal_features wobble root
+    # cause): ~250 consecutive JVM-only queries leave the pyspark
+    # daemon's idle worker pool cold (OS-level — Spark's own idle
+    # timeout only logs and the pool is unbounded; measured: a pure-JVM
+    # query after 70 s idle is unaffected, the first mapInPandas query
+    # pays ~0.4 s, 2× its pin). The first Python-stage query of every
+    # timed pass ate that revival, flagging an untouched sub-second
+    # query in three consecutive rounds. Running two untimed identity
+    # mapInPandas pings restores steady state (measured 0.405 s vs
+    # 0.41 s warm after a 70 s idle + double ping).
+    def _revive_python_workers() -> None:
+        def _touch(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "v": np.ones(len(pdf))}
+                )
+
+        for _ in range(2):
+            try:
+                spark.range(2 * cpus).repartition(cpus).mapInPandas(
+                    _touch, "id long, v double"
+                ).write.format("noop").mode("overwrite").save()
+            except Exception:
+                return
+
     # N timed passes, min per query: single-shot numbers on a shared
     # box swing 2-4× from scheduler noise; the min is the reproducible
     # steady-state figure. All passes are recorded so consumers can see
@@ -413,6 +441,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     load_samples = [os.getloadavg()[0]]
     for _pass in range(n_passes):
+        _revive_python_workers()
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
             t0 = time.perf_counter()
@@ -484,6 +513,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        _revive_python_workers()  # rechecks must not re-pay revival
         for name in regressions:
             fn, _ = REGISTRY[name]
             ts2: list[float] = []
