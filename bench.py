@@ -348,6 +348,87 @@ HEADLINE = [
     # r11 additions
     "incremental_semantic_dedup",
     "anf_hop_histogram",
+    # r11: HEADLINE completion (VERDICT r10 #2) — every registry query
+    # is benched except the two documented training-loop exclusions
+    # below; the unbenched set previously included 10 TPC-H shapes and
+    # several dedup/ANN variants with no perf regression gate.
+    "kafka_cast_project",
+    "json_parse_flatten",
+    "base64_roundtrip",
+    "null_filter",
+    "split_year",
+    "zset_explode",
+    "distinct_segments",
+    "users_intersect_customers",
+    "customers_except_users",
+    "ids_union_all",
+    "customers_with_events_semi",
+    "customers_without_events_anti",
+    "orderby_limit_orders",
+    "datetime_functions",
+    "string_functions",
+    "left_outer_join_orders",
+    "full_outer_ids",
+    "dedup_latest_event_per_user",
+    "percentiles_exact",
+    "approx_aggs",
+    "regexp_functions",
+    "date_arithmetic",
+    "session_window_agg",
+    "array_functions_embeddings",
+    "exists_subquery_active_buyers",
+    "in_subquery_error_users",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_char_ngram",
+    "hll_distinct_users",
+    "dedup_simhash_planted",
+    "dedup_embedding_cosine",
+    "variant_shred_props",
+    "runtime_filtered_join",
+    "embedding_centroid_per_label",
+    "stratified_split_counts",
+    "ann_quantized_topk",
+    "heavy_hitters_cms",
+    "pii_redaction",
+    "doc_repetition_stats",
+    "mixture_sample_by_lang",
+    "mixture_resample_epochs",
+    "grouped_median_pandas",
+    "multimodal_metadata",
+    "group_concat_sorted",
+    "cube_type_segment",
+    "ntile_quartiles",
+    "hash_sample_10pct",
+    "unpivot_customer_metrics",
+    "null_safe_equality",
+    "misc_math_functions",
+    "date_spine_zero_fill",
+    "first_last_value_frames",
+    "percent_rank_cume_dist",
+    "stats_aggregates",
+    "posexplode_tokens",
+    "grouping_id_rollup",
+    "dedup_exact_by_hash",
+    "string_padding_functions",
+    "nulls_ordering",
+    "map_functions",
+    "python_datasource_sim",
+    "json_multi_extract",
+    "risk_alert_bursts",
+    "repeat_customer_revenue_share",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_item_revenue",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
+    "mixture_sample_md5_threshold",
+    "try_safe_arithmetic",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "image_decode_stats",
     # pca_top_component intentionally excluded: 80 fixed-point power-
     # iteration rounds are ~10 s of job-scheduling overhead at any SF
     # (the same class as the LBFGS exclusion below) — its cost is

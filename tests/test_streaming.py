@@ -4620,3 +4620,93 @@ def test_streaming_page_hinkley_partials_finalize_equals_batch(
         spark.table("ph_partials_tbl").select("win").distinct().count()
         >= 2
     )
+
+
+def test_streaming_incremental_semantic_dedup(spark, tmp_path):
+    """Continuous-ingest twin of incremental_semantic_dedup (r11): the
+    corpus semantic_index is built ONCE batch-side; a file stream of
+    arriving vectors is probed per micro-batch in foreachBatch —
+    planted near-dups must resolve to the right corpus id in whichever
+    micro-batch they arrive, decoys must keep, and the run must span
+    >1 micro-batch (maxFilesPerTrigger=1 over two JSON files)."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+
+    dim = 8
+
+    def mk(seed):
+        return [
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        f"{seed}:{d}".encode(), digest_size=4
+                    ).digest(),
+                    "big",
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+
+    corpus = spark.createDataFrame(
+        [(i, mk(i)) for i in range(1, 21)],
+        "vec_id long, v array<double>",
+    )
+    index = semantic_index(corpus, n_planes=4).localCheckpoint()
+
+    jit = lambda v: [v[0] + 1e-4] + v[1:]  # noqa: E731
+    alt = [0.5, -0.5] * 4
+    ramp = [(-1) ** d * (d + 1) / 10.0 for d in range(dim)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        _json.dumps({"vec_id": 101, "v": jit(mk(7))})
+        + "\n"
+        + _json.dumps({"vec_id": 102, "v": alt})
+        + "\n"
+    )
+    (src / "b2.json").write_text(
+        _json.dumps({"vec_id": 201, "v": jit(mk(13))})
+        + "\n"
+        + _json.dumps({"vec_id": 202, "v": ramp})
+        + "\n"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(_parse_datatype_string("vec_id long, v array<double>"))
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out: dict[int, tuple] = {}
+    epochs: set[int] = set()
+
+    def probe(df, epoch_id):
+        if df.isEmpty():
+            return
+        epochs.add(epoch_id)
+        for r in incremental_semantic_dedup(index, df).collect():
+            out[r.vec_id] = (r.dup_of, r.kept)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(probe)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(epochs) >= 2, "must span more than one micro-batch"
+    assert out[101] == (7, False)
+    assert out[201] == (13, False)
+    assert out[102] == (None, True)
+    assert out[202] == (None, True)
+    spark.catalog.clearCache()
