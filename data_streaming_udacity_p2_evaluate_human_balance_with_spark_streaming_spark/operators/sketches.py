@@ -420,6 +420,67 @@ def kmv_samples(
     )
 
 
+def kmv_intersection_pairs(
+    samples: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style pairwise INTERSECTION CARDINALITY from KMV
+    samples — kmv_jaccard_pairs' ratio promoted to a count:
+    est |A∩B| = (sample_inter/k_used) · union_est with union_est =
+    (k_used−1)·2⁴⁸ / v_k, v_k the exact 48-bit integer value of the
+    k-th smallest merged digest (digest lexicographic order = numeric
+    order, so v_k is just MAX over the kept bottom-k). One shared IEEE
+    tree over four exact integers, round-4 — fully oracle-able (the
+    DuckDB side converts hex with per-nibble shifts; Spark uses
+    conv()).
+
+    Scale shape: identical to kmv_jaccard_pairs — everything runs on
+    ≤ |groups|²·k sample rows."""
+    groups = samples.select(F.col(group_col).alias("g")).distinct()
+    pairs = groups.select(F.col("g").alias("ga")).join(
+        groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    uni = (
+        samples.select(F.col(group_col).alias("g"), "_h")
+        .join(
+            F.broadcast(pairs),
+            (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "_h")
+        .agg(F.count(F.lit(1)).alias("sides"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("_h")
+    merged = uni.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    agg = merged.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when(F.col("sides") == 2, 1).otherwise(0)
+        ).alias("sample_inter"),
+        F.max(
+            F.expr("CAST(conv(substring(_h, 1, 12), 16, 10) AS BIGINT)")
+        ).alias("vk"),
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        "k_used",
+        "sample_inter",
+        F.round(
+            (
+                (F.col("k_used") - 1).cast("double")
+                * F.lit(281474976710656.0)
+                / F.col("vk").cast("double")
+            )
+            * (
+                F.col("sample_inter").cast("double")
+                / F.col("k_used").cast("double")
+            ),
+            4,
+        ).alias("inter_est"),
+    )
+
+
 def kmv_jaccard_pairs(
     samples: DataFrame, group_col: str, k: int = 256
 ) -> DataFrame:

@@ -367,7 +367,7 @@ def q_theta_intersection_cardinality(
     samples (map-side distinct partials); everything after runs on
     ≤ |groups|²·k sample rows — corpus-scale overlap answered on
     kilobytes."""
-    from ..operators.sketches import kmv_samples
+    from ..operators.sketches import kmv_intersection_pairs, kmv_samples
 
     days = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts) div 86400000000").alias("g"), "user_id"
@@ -377,53 +377,7 @@ def q_theta_intersection_cardinality(
         F.col("g") < F.col("mn") + 8
     ).select("g", "user_id")
     samples = kmv_samples(ev, "g", "user_id", k=_THETA_K)
-    groups = samples.select(F.col("g")).distinct()
-    pairs = groups.select(F.col("g").alias("ga")).join(
-        groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb")
-    )
-    uni = (
-        samples.select("g", "_h")
-        .join(
-            F.broadcast(pairs),
-            (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
-        )
-        .groupBy("ga", "gb", "_h")
-        .agg(F.count(F.lit(1)).alias("sides"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("ga", "gb").orderBy("_h")
-    merged = uni.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _THETA_K
-    )
-    # hex→int is monotone in digest order: k-th smallest kept = MAX
-    agg = merged.groupBy("ga", "gb").agg(
-        F.count(F.lit(1)).alias("k_used"),
-        F.sum(
-            F.when(F.col("sides") == 2, 1).otherwise(0)
-        ).alias("sample_inter"),
-        F.max(
-            F.expr("CAST(conv(substring(_h, 1, 12), 16, 10) AS BIGINT)")
-        ).alias("vk"),
-    )
-    return agg.select(
-        "ga",
-        "gb",
-        "k_used",
-        "sample_inter",
-        F.round(
-            (
-                (F.col("k_used") - 1).cast("double")
-                * F.lit(281474976710656.0)
-                / F.col("vk").cast("double")
-            )
-            * (
-                F.col("sample_inter").cast("double")
-                / F.col("k_used").cast("double")
-            ),
-            4,
-        ).alias("inter_est"),
-    )
+    return kmv_intersection_pairs(samples, "g", k=_THETA_K)
 
 
 _ES_K = 50

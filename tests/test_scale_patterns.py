@@ -1922,3 +1922,29 @@ def test_anf_hop_registers_match_exact_ball_union(spark):
             }
             assert have == want, f"hop {h} node {v}: {have} != {want}"
     spark.catalog.clearCache()
+
+
+def test_kmv_intersection_cardinality_planted(spark):
+    """Theta-style intersection cardinality: on planted half-overlap
+    sets A=[0,4000), B=[2000,6000) (|A∩B|=2000), the KMV estimate must
+    land within 4σ — σ ≈ |A∩B|·√(2/k) combines the Jaccard-ratio and
+    union-cardinality variances."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        kmv_intersection_pairs,
+        kmv_samples,
+    )
+
+    rows = [("A", u) for u in range(4000)] + [
+        ("B", u) for u in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, user_id long")
+    k = 256
+    est = kmv_intersection_pairs(
+        kmv_samples(df, "grp", "user_id", k=k), "grp", k=k
+    ).collect()
+    assert len(est) == 1
+    r = est[0]
+    assert r.k_used == k
+    sigma = 2000 * (2.0 / k) ** 0.5
+    assert abs(r.inter_est - 2000) <= 4 * sigma, r
+    spark.catalog.clearCache()
