@@ -1714,3 +1714,11 @@ def test_dbscan_candidate_join_is_grid_equijoin(spark):
     full = _plan(spark, "dbscan_embeddings")
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_incremental_semantic_dedup_is_cell_equijoin(spark):
+    """The batch-probes-index join must be a hash-joinable equi-join on
+    `cell` — never a cartesian/nested-loop over the corpus index."""
+    plan = _plan(spark, "incremental_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
