@@ -638,3 +638,70 @@ def anf_hop_registers(
     return reduce(lambda x, y: x.unionByName(y), snaps).select(
         "hop", "node", "bucket_hex", "rho"
     )
+
+
+def bfs_hops_tagged(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+) -> DataFrame:
+    """Per-seed BFS hop distances for SEVERAL seeds in ONE frontier
+    loop: the frontier carries a `seed` tag, so k seeds cost max_hops
+    rounds of scheduling instead of k·max_hops (r11 — the 4-seed
+    certificate BFS was over half of anf_hop_histogram's wall at 16
+    blocking checkpoint rounds; tagging cuts it to 4). Work per round
+    is the same Σ per-seed frontier ⋈ edges as k separate runs — only
+    the job count shrinks; per-seed ball overlap is preserved because
+    visited is keyed on (seed, node).
+
+    Returns (seed, node, hop) with hop ∈ [0, max_hops], exactly the
+    union of per-seed `bfs_hops` outputs (pytest-pinned)."""
+
+    def _free(ck: DataFrame) -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    visited = (
+        spark.createDataFrame([(s,) for s in seeds], "seed bigint")
+        .select("seed", F.col("seed").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    frontier = visited.select("seed", "node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(
+                visited.select("seed", "node"), ["seed", "node"], "left_anti"
+            )
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if new.count() == 0:
+            _free(new)
+            break
+        nxt = visited.unionByName(new).localCheckpoint()
+        _free(visited)
+        visited = nxt
+        frontier = new.select("seed", "node")
+    _free(sym)
+    return visited

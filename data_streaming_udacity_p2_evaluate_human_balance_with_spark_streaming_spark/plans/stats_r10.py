@@ -3686,7 +3686,7 @@ def q_effective_diameter_copurchase(
         .distinct()
         .localCheckpoint()
     )
-    from ..operators.graphs import bfs_hops
+    from ..operators.graphs import bfs_hops_tagged
 
     nodes = (
         e.select(F.col("pa").alias("n"))
@@ -3696,17 +3696,12 @@ def q_effective_diameter_copurchase(
     seeds = [
         r["n"] for r in nodes.orderBy("n").limit(_DIAM_SEEDS).collect()
     ]
-    parts = []
-    for sd in seeds:
-        d = bfs_hops(
-            e,
-            spark.createDataFrame([(sd,)], "n bigint"),
-            max_hops=_DIAM_HOPS,
-        )
-        parts.append(d.filter(F.col("hop") >= 1))
-    from functools import reduce
-
-    dist = reduce(lambda x, y: x.unionByName(y), parts)
+    # r11: one seed-tagged frontier loop for all seeds — identical
+    # (seed, node, hop) set as per-seed bfs_hops runs (pytest-pinned),
+    # at max_hops rounds of scheduling instead of seeds·max_hops
+    dist = bfs_hops_tagged(e, seeds, max_hops=_DIAM_HOPS).filter(
+        F.col("hop") >= 1
+    )
     h = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_pairs"))
     from pyspark.sql.window import Window
 

@@ -172,9 +172,7 @@ def q_anf_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per hop; the certificate costs 4 frontier BFS runs. The oracle
     replays registers through a self-loop-closed recursive CTE and
     the identical estimate arithmetic."""
-    from functools import reduce
-
-    from ..operators.graphs import anf_hop_registers, bfs_hops
+    from ..operators.graphs import anf_hop_registers, bfs_hops_tagged
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -221,15 +219,8 @@ def q_anf_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = [
         r["n"] for r in nodes.orderBy("n").limit(_ANF_SEEDS).collect()
     ]
-    dists = [
-        bfs_hops(
-            e,
-            spark.createDataFrame([(sd,)], "n bigint"),
-            max_hops=_ANF_HOPS,
-        )
-        for sd in seeds
-    ]
-    dist = reduce(lambda x, y: x.unionByName(y), dists)
+    # one tagged frontier loop for all 4 seeds (4 rounds, not 16)
+    dist = bfs_hops_tagged(e, seeds, max_hops=_ANF_HOPS)
     from pyspark.sql.window import Window
 
     per_hop = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("c"))

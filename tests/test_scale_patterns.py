@@ -1948,3 +1948,35 @@ def test_kmv_intersection_cardinality_planted(spark):
     sigma = 2000 * (2.0 / k) ** 0.5
     assert abs(r.inter_est - 2000) <= 4 * sigma, r
     spark.catalog.clearCache()
+
+
+def test_bfs_hops_tagged_equals_per_seed_runs(spark):
+    """bfs_hops_tagged must return exactly the union of per-seed
+    bfs_hops outputs — per-seed ball overlap preserved (a node at
+    hop 1 of seed A and hop 2 of seed B appears twice, with its own
+    hop for each seed)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        bfs_hops,
+        bfs_hops_tagged,
+    )
+
+    # path 1-2-3-4-5 plus a branch 3-6; seeds 1 and 4 overlap at 2-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6)], "pa long, pb long"
+    )
+    seeds = [1, 4]
+    got = {
+        (r.seed, r.node): r.hop
+        for r in bfs_hops_tagged(edges, seeds, max_hops=3).collect()
+    }
+    want = {}
+    for sd in seeds:
+        one = bfs_hops(
+            edges,
+            spark.createDataFrame([(sd,)], "n bigint"),
+            max_hops=3,
+        )
+        for r in one.collect():
+            want[(sd, r.node)] = r.hop
+    assert got == want
+    spark.catalog.clearCache()
