@@ -2,13 +2,14 @@
 under the never-loosen discipline: existing pins only TIGHTEN
 (min(old, new)), new queries enter at the run's value. Refuses
 contended runs. Usage:
-    python scripts/merge_quiet_pin.py /path/to/bench_output.log
-The log's last line must contain the bench JSON.
+    python scripts/merge_quiet_pin.py /path/to/bench_output.log [pin.json]
+The log's last line must contain the bench JSON. The optional second
+argument overrides the pin path (tests point it at a temp copy).
 """
 import json
 import sys
 
-PIN = "/root/repo/BENCH_QUIET_BASELINE.json"
+PIN = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_QUIET_BASELINE.json"
 
 raw = open(sys.argv[1]).read()
 # raw_decode exactly ONE complete JSON object per candidate start

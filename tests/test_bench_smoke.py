@@ -51,3 +51,59 @@ def test_bench_prints_one_json_line(tmp_path):
     assert payload["value"] > 0
     assert set(payload["queries"]) == set(headline)
     assert all(v >= 0 for v in payload["queries"].values()), payload["queries"]
+
+
+def test_merge_quiet_pin_parses_and_preserves_n_requested(tmp_path):
+    """ADVICE r10 fixes pinned: (1) two bench JSON objects printed on
+    ONE line parse correctly via raw_decode (the old greedy regex
+    swallowed both; a non-greedy one would truncate the nested
+    "queries" object) and the LAST is used; (2) the run's n_requested
+    survives the merge instead of being overwritten by the merged pin
+    size; (3) never-loosen: existing pins only tighten."""
+    import json
+    import subprocess
+    import sys
+
+    pin = {
+        "queries": {"a": 1.0, "b": 2.0},
+        "value": 3.0,
+        "n_ok": 2,
+        "n_requested": 99,
+        "sf": 0.1,
+    }
+    pin_path = tmp_path / "pin.json"
+    pin_path.write_text(json.dumps(pin))
+    run1 = {
+        "metric": "total_sec",
+        "value": 9.9,
+        "queries": {"a": 5.0, "b": 0.5},
+        "failed": [],
+        "contended": False,
+        "n_requested": 3,
+    }
+    run2 = dict(run1, queries={"a": 0.8, "b": 3.0, "c": 4.0})
+    log = tmp_path / "bench.log"
+    # both objects on ONE line; the last must win
+    log.write_text("noise\n" + json.dumps(run1) + " " + json.dumps(run2) + "\n")
+    out = subprocess.run(
+        [sys.executable, "scripts/merge_quiet_pin.py", str(log), str(pin_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    merged = json.loads(pin_path.read_text())
+    assert merged["queries"] == {"a": 0.8, "b": 2.0, "c": 4.0}  # tighten/keep/add
+    assert merged["n_requested"] == 3  # the run's, not len(pin)
+    assert merged["n_ok"] == 3
+
+    # contended runs must be refused
+    bad = dict(run2, contended=True)
+    log.write_text(json.dumps(bad) + "\n")
+    out2 = subprocess.run(
+        [sys.executable, "scripts/merge_quiet_pin.py", str(log), str(pin_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out2.returncode != 0
