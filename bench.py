@@ -350,6 +350,7 @@ HEADLINE = [
     "anf_hop_histogram",
     "theta_intersection_cardinality",
     "weighted_sample_without_replacement",
+    "anova_f_embedding_dims",
     # r11: HEADLINE completion (VERDICT r10 #2) — every registry query
     # is benched except the two documented training-loop exclusions
     # below; the unbenched set previously included 10 TPC-H shapes and

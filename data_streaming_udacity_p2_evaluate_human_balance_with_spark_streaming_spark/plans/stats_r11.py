@@ -440,3 +440,126 @@ def q_weighted_sample_without_replacement(
         .cast("bigint"),
     )
     return rk.filter(F.col("rk") <= _ES_K)
+
+
+@register(
+    "anova_f_embedding_dims",
+    """
+    WITH x0 AS (
+      SELECT label,
+        unnest(list_transform(range(1, len(embedding) + 1),
+          i -> struct_pack(
+            dim := CAST(i - 1 AS BIGINT),
+            c := CAST(floor((embedding::DOUBLE[])[i] * 1000)
+                      AS BIGINT)))) AS s
+      FROM embeddings
+    ),
+    x AS (SELECT label, s.dim AS dim, s.c AS c FROM x0),
+    cl AS (
+      SELECT dim, label, CAST(count(*) AS BIGINT) AS nc,
+        CAST(sum(c) AS BIGINT) AS sc
+      FROM x GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c) AS BIGINT) AS s,
+        CAST(sum(c * c) AS BIGINT) AS q,
+        CAST(count(DISTINCT label) AS BIGINT) AS k
+      FROM x GROUP BY 1
+    ),
+    btw AS (
+      -- Σ_c floor(1000·S_c²/n_c): exact int64 (|S_c| ≤ 1.3e5 here)
+      SELECT dim,
+        CAST(sum((sc * sc * 1000) // nc) AS BIGINT) AS sum_cls_fp
+      FROM cl GROUP BY 1
+    ),
+    f AS (
+      SELECT t.dim, t.n, t.k,
+        b.sum_cls_fp - (t.s * t.s * 1000) // t.n AS ssb_fp,
+        t.q * 1000 - b.sum_cls_fp AS ssw_fp
+      FROM tot t JOIN btw b ON b.dim = t.dim
+    )
+    SELECT dim, n,
+      round((CAST(ssb_fp AS DOUBLE) / (k - 1))
+            / (CAST(ssw_fp AS DOUBLE) / (n - k)), 6) AS fisher_f,
+      CAST(row_number() OVER (
+        ORDER BY round((CAST(ssb_fp AS DOUBLE) / (k - 1))
+                       / (CAST(ssw_fp AS DOUBLE) / (n - k)), 6) DESC,
+                 dim) AS BIGINT) AS rnk
+    FROM f
+    QUALIFY rnk <= 10
+    """,
+)
+def q_anova_f_embedding_dims(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA F per EMBEDDING DIMENSION against the class
+    label — the feature-screening pass (Fisher criterion) that ranks
+    which of the 64 dims actually separate the classes before anyone
+    trains on them; the embedding-space twin of anova_value_by_type
+    and the scalar complement of embedding_centroid_per_label.
+    Emits the top-10 dims by F (deterministic: rank on the ROUND-6 F,
+    dim tie-break — the rounded-score-cut discipline).
+
+    Exactness: values quantize to floor(x·1000) integer codes; per
+    (dim, label) sums and the global Σc, Σc² are exact BIGINTs; the
+    between/within sums of squares assemble DIVISION-FREE up to the
+    per-class floor(1000·S_c²/n_c) integer terms (int64-safe here:
+    |S_c| ≤ 580·218 ⇒ S_c²·1000 ≤ 1.6e13; at ~100× rows the S²·1000
+    term crosses 2⁶³ — the documented decimal(38,0)/HUGEINT
+    graduation). F is ONE shared IEEE tree on exact ints, round-6
+    BEFORE the rank cut so both engines order identically.
+
+    Scale shape: one posexplode scan → two hash aggregates keyed on
+    (dim[, label]) — 64·k and 64 groups — then a 64-row window."""
+    from pyspark.sql.window import Window
+
+    x = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "xv"
+        ),
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr("CAST(floor(xv * 1000) AS BIGINT)").alias("c"),
+    )
+    cl = x.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("c").alias("sc")
+    )
+    tot = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.countDistinct("label").alias("k"),
+    )
+    btw = cl.groupBy("dim").agg(
+        F.expr("CAST(sum((sc * sc * 1000) DIV nc) AS BIGINT)").alias(
+            "sum_cls_fp"
+        )
+    )
+    f = tot.join(btw, "dim").select(
+        "dim",
+        "n",
+        "k",
+        F.expr("sum_cls_fp - (s * s * 1000) DIV n").alias("ssb_fp"),
+        F.expr("q * 1000 - sum_cls_fp").alias("ssw_fp"),
+    )
+    scored = f.select(
+        "dim",
+        "n",
+        F.round(
+            (F.col("ssb_fp").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw_fp").cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("fisher_f"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("fisher_f"), F.asc("dim")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
