@@ -619,3 +619,101 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str, out_col: str = "m
         )
         .select(*probe_cols, (F.col("_hit") == F.col("_need")).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / space-saving frequency summary (deterministic, mergeable)
+# ---------------------------------------------------------------------------
+
+def misra_gries(
+    df: DataFrame,
+    item_col: str,
+    k: int = 32,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Mergeable Misra-Gries frequency summary: ≤ k (item, mg_cnt)
+    counters whatever the input size, with the classic guarantees —
+    every item of true frequency > N/(k+1) survives, and a surviving
+    counter undercounts by the exact total of the truncation deltas
+    applied to its summaries (≤ 2N/(k+1) across the two stages here).
+
+    Construction (Agarwal et al., "Mergeable Summaries", PODS 2012):
+    an exact count vector is an error-0 MG summary, and MERGE =
+    pointwise-sum the counters, then subtract the (k+1)-th largest
+    counter value from all and drop the non-positive ones. Stage 1
+    builds exact per-bucket counts (bucket = md5(item) first byte mod
+    n_buckets — deterministic, so the whole summary is value-
+    reproducible across engines and runs) and truncates each bucket to
+    k; stage 2 merges the ≤ n_buckets·k survivors and truncates once
+    more. Truncation is VALUE-based (subtract the (k+1)-th largest),
+    never order-based, so no row-order nondeterminism exists anywhere.
+
+    Scale shape: stage 1 is one hash aggregate keyed on (bucket, item)
+    — map-side partial combine means the shuffle carries per-partition
+    distinct items, not rows — plus a per-bucket window over the
+    bucket's counters; stage 2 is a single window over ≤ n_buckets·k
+    rows (kilobytes). For an unbounded-vocabulary stream the same
+    merge rule applies per input partition (mapPartitions summaries →
+    one merge), trading the deterministic replay for O(partitions·k)
+    shuffle; the deterministic-bucket form here is the oracle-able
+    twin, exactly like hll_distinct_portable vs hll_distinct_users.
+
+    Returns (item, mg_cnt, delta_total): the surviving counters, each
+    with the exact mass subtracted from it (so exact_cnt = mg_cnt +
+    delta_total for every survivor — pytest-pinned).
+    """
+    counts = (
+        df.select(F.col(item_col).cast("string").alias("item"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(conv(substring(md5(item), 1, 2), 16, 10) AS BIGINT)"
+                f" % {n_buckets}"
+            ),
+        )
+        .groupBy("bucket", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_b = Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("item"))
+    # delta_b = the (k+1)-th largest count in the bucket (0 when ≤ k
+    # counters): value-based, so ties beyond rank k+1 subtract the same
+    # delta regardless of their rank position.
+    stage1 = (
+        counts.withColumn("rk", F.row_number().over(w_b))
+        .withColumn(
+            "delta_b",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))).over(
+                    Window.partitionBy("bucket")
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cnt") - F.col("delta_b") > 0)
+        .select(
+            "item",
+            (F.col("cnt") - F.col("delta_b")).alias("cnt"),
+            F.col("delta_b"),
+        )
+    )
+    w_m = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    merged = (
+        stage1.withColumn("rk", F.row_number().over(w_m))
+        .withColumn(
+            "delta_m",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))).over(
+                    Window.partitionBy(F.lit(1))
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cnt") - F.col("delta_m") > 0)
+    )
+    return merged.select(
+        "item",
+        (F.col("cnt") - F.col("delta_m")).cast("bigint").alias("mg_cnt"),
+        (F.col("delta_b") + F.col("delta_m")).cast("bigint").alias(
+            "delta_total"
+        ),
+    )

@@ -3550,3 +3550,4 @@ from . import warehouse as _warehouse  # noqa: E402,F401
 from . import simjoin as _simjoin  # noqa: E402,F401
 from . import stats_r10 as _stats_r10  # noqa: E402,F401
 from . import stats_r11 as _stats_r11  # noqa: E402,F401
+from . import stats_r11b as _stats_r11b  # noqa: E402,F401

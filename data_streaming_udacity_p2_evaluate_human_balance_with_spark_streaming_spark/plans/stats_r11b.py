@@ -1,0 +1,295 @@
+"""Round-11 second wave: link prediction, centrality, collaborative
+filtering, robust dispersion testing, deterministic bootstrap,
+stylometry, and the Misra-Gries frequency summary.
+
+Like every plans module, each @register pairs the Spark plan with a
+DuckDB oracle; exact-arithmetic disciplines (doubled ranks, fixed-point
+floors, HUGEINT/decimal(38,0) crossings) per NOTES.md.
+
+No counterpart exists in the reference (three linear streaming
+scripts — SURVEY.md §2); north-star analytics extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table
+from .queries import register
+
+# --------------------------------------------------------------------------
+# Shared sampled co-purchase graph (the anf/effective-diameter slice):
+# parts whose md5 first hex char is 0-3 (4/16), edges = parts sharing an
+# order. No sketch in this module hashes l_partkey again, so the
+# correlated-hash trap (NOTES r11) does not apply.
+# --------------------------------------------------------------------------
+
+_COPURCHASE_CTE = """
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM e0
+          UNION ALL SELECT pb, pa FROM e0)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa < pb) distinct co-purchase edges over the 4/16 part slice —
+    the graph family's shared fixture (anf_hop_histogram,
+    effective_diameter_copurchase)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+_AA_TOPK = 50
+
+
+@register(
+    "adamic_adar_link_prediction",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    deg AS (
+      SELECT src AS z, CAST(count(*) AS BIGINT) AS d
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT z,
+        CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+          AS term_fp
+      FROM deg WHERE d >= 2
+    ),
+    wedge AS (
+      SELECT x.dst AS a, y.dst AS b, x.src AS z
+      FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+    ),
+    cand AS (
+      SELECT w.a, w.b, w.z FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.pa = w.a AND e0.pb = w.b
+      )
+    ),
+    scored AS (
+      SELECT c.a, c.b,
+        CAST(count(*) AS BIGINT) AS n_common,
+        CAST(sum(t.term_fp) AS BIGINT) AS aa_fp
+      FROM cand c JOIN t ON t.z = c.z
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT a, b, n_common, aa_fp,
+        row_number() OVER (ORDER BY aa_fp DESC, a, b) AS rk
+      FROM scored
+    )
+    SELECT a AS pa, b AS pb, n_common, aa_fp,
+      round(CAST(aa_fp AS DOUBLE) / 1000000000.0, 4) AS aa_score,
+      CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_AA_TOPK}
+    """,
+)
+def q_adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic-Adar link prediction over the sampled co-purchase graph:
+    for every NON-adjacent part pair sharing ≥ 1 common neighbor,
+    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — the classic
+    "which edges are missing" recommender signal the graph family
+    (PageRank/PPR/HITS/LPA/k-core) lacked. Emits the top-50 predicted
+    links (rank on exact integer aa_fp, (pa, pb) tie-break).
+
+    Exactness: deg is an exact integer, so 1/ln(deg) is ONE libm call
+    on the same integer input in both engines, floored to 1e9 fixed
+    point PER NEIGHBOR before the cross-row sum (the floored-fp
+    transcendental discipline) — AA totals are associative BIGINTs.
+    A common neighbor has deg ≥ 2 by construction, so ln > 0; the
+    deg-filter only documents it.
+
+    Scale shape: the wedge join is Σ_z deg(z)² intermediate rows — the
+    triangle-counting bound (478k at sf0.01), grouped immediately; the
+    adjacency exclusion is a left-anti hash join against the edge
+    list; the top-k is one TakeOrdered. No pair enumeration beyond
+    2-hop wedges anywhere."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    sym = e0.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        e0.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    t = (
+        sym.groupBy(F.col("src").alias("z"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "z",
+            F.expr(
+                "CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("term_fp"),
+        )
+    )
+    wedge = (
+        sym.alias("x")
+        .join(
+            sym.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .select(
+            F.col("x.dst").alias("a"),
+            F.col("y.dst").alias("b"),
+            F.col("x.src").alias("z"),
+        )
+    )
+    cand = wedge.join(
+        e0,
+        (wedge["a"] == e0["pa"]) & (wedge["b"] == e0["pb"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(t, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("term_fp").alias("aa_fp"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("aa_fp"), F.asc("a"), F.asc("b")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= _AA_TOPK)
+        .select(
+            F.col("a").alias("pa"),
+            F.col("b").alias("pb"),
+            "n_common",
+            "aa_fp",
+            F.round(
+                F.col("aa_fp").cast("double") / 1_000_000_000.0, 4
+            ).alias("aa_score"),
+            "rk",
+        )
+    )
+
+
+_HC_SEEDS = 8
+_HC_HOPS = 4
+
+
+@register(
+    "harmonic_centrality_seeds",
+    f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS (
+      SELECT node AS seed FROM nodes ORDER BY node LIMIT {_HC_SEEDS}
+    ),
+    walk(seed, node, hop) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < {_HC_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, CAST(MIN(hop) AS BIGINT) AS hop
+      FROM walk GROUP BY seed, node
+    )
+    SELECT seed,
+      CAST(sum(CASE WHEN hop >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_reached,
+      CAST(sum(CASE WHEN hop >= 1 THEN 1000000000 // hop ELSE 0 END)
+           AS BIGINT) AS harm_fp,
+      round(CAST(sum(CASE WHEN hop >= 1 THEN 1000000000 // hop
+                     ELSE 0 END) AS DOUBLE) / 1000000000.0, 4)
+        AS harmonic
+    FROM dist GROUP BY seed
+    """,
+)
+def q_harmonic_centrality_seeds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truncated HARMONIC CENTRALITY for 8 seed parts of the sampled
+    co-purchase graph: H(s) = Σ_{v ≠ s, d(s,v) ≤ 4} 1/d(s,v) — the
+    distance-based centrality the spectral family (PageRank/HITS)
+    doesn't give, well-defined on disconnected graphs (unreachable
+    nodes contribute 0, the reason harmonic beats closeness at scale;
+    Boldi & Vigna, "Axioms for Centrality"). Seeds are the 8 smallest
+    node ids; all 8 run in ONE tagged frontier loop
+    (operators/graphs.bfs_hops_tagged — 4 rounds, not 32).
+
+    Exactness: hop distances are exact integers from BFS, and 1/d for
+    d ∈ [1,4] is the exact integer 1e9 div d — the whole statistic is
+    integer arithmetic end to end, no libm anywhere.
+
+    Scale shape: k tagged BFS frontiers share max_hops rounds of
+    (frontier ⋈ edges) + anti-join; per-seed aggregation is a 5-group
+    hash agg. The sampled-seed form is how centrality is actually
+    estimated on 100 TB graphs (exact all-pairs is Θ(|V|·|E|)); the
+    oracle replays the walk with a recursive CTE."""
+    from ..operators.graphs import bfs_hops_tagged
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e0.select(F.col("pa").alias("n"))
+        .unionByName(e0.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    seeds = [
+        r["n"] for r in nodes.orderBy("n").limit(_HC_SEEDS).collect()
+    ]
+    dist = bfs_hops_tagged(e0, seeds, max_hops=_HC_HOPS)
+    return dist.groupBy("seed").agg(
+        F.sum(F.when(F.col("hop") >= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reached"),
+        F.sum(
+            F.when(
+                F.col("hop") >= 1,
+                F.expr("1000000000 DIV hop"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("harm_fp"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("hop") >= 1, F.expr("1000000000 DIV hop")
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 1_000_000_000.0,
+            4,
+        ).alias("harmonic"),
+    )
