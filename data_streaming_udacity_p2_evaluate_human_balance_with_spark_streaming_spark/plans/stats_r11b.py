@@ -293,3 +293,252 @@ def q_harmonic_centrality_seeds(
             4,
         ).alias("harmonic"),
     )
+
+
+_II_CAP = 25  # heavy-basket guard: pairs per customer ≤ cap²
+_II_MINCO = 2
+_II_TOPK = 100
+
+
+@register(
+    "item_item_cosine_parts",
+    f"""
+    WITH b0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    sz AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n FROM b0 GROUP BY 1
+    ),
+    b AS (
+      SELECT b0.c, b0.p FROM b0 JOIN sz ON sz.c = b0.c
+      WHERE sz.n BETWEEN 2 AND {_II_CAP}
+    ),
+    np AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM b GROUP BY 1),
+    co AS (
+      SELECT x.p AS p, y.p AS q, CAST(count(*) AS BIGINT) AS co_cnt
+      FROM b x JOIN b y ON x.c = y.c AND x.p < y.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {_II_MINCO}
+    ),
+    scored AS (
+      SELECT co.p, co.q, co.co_cnt, a.n_p, z.n_p AS n_q,
+        round(CAST(co.co_cnt AS DOUBLE)
+              / sqrt(CAST(a.n_p * z.n_p AS DOUBLE)), 6) AS cosine
+      FROM co JOIN np a ON a.p = co.p JOIN np z ON z.p = co.q
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, p, q) AS rk
+      FROM scored
+    )
+    SELECT p, q, co_cnt, n_p, n_q, cosine, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_II_TOPK}
+    """,
+)
+def q_item_item_cosine_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING over (customer, part)
+    baskets: cosine similarity co(p,q)/√(n_p·n_q) between parts'
+    binary customer vectors, top-100 pairs — the co-occurrence
+    recommender the registry's graph family (ppr_recommend_parts)
+    approaches spectrally but never answers set-theoretically.
+
+    Scale guards, in order: baskets of one customer above {_II_CAP}
+    parts are DROPPED before pairing (the heavy-basket cap every
+    production item-sim job applies — a power buyer with 10k parts
+    would alone emit 50M pairs; DIMSUM-style sampling is the
+    alternative the docstring of dedup's sparse-cosine join covers),
+    and pairs below support {_II_MINCO} never leave the co-count
+    hash aggregate. Pair volume is Σ_c n_c² ≤ cap·|b| — 897k rows at
+    sf0.1 vs 26.9M uncapped (measured).
+
+    Exactness: co_cnt, n_p, n_q are exact BIGINTs; cosine is ONE
+    shared IEEE tree (÷, √) on those integers, round-6 BEFORE the
+    rank cut, (p, q) tie-break — the rounded-score-cut discipline."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sz = b0.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        b0.join(sz, "c")
+        .filter((F.col("n") >= 2) & (F.col("n") <= _II_CAP))
+        .select("c", "p")
+        .localCheckpoint()
+    )
+    np_ = b.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    co = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.c") == F.col("y.c")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(F.col("x.p").alias("p"), F.col("y.p").alias("q"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _II_MINCO)
+    )
+    scored = (
+        co.join(np_.withColumnRenamed("p", "pp"), F.col("p") == F.col("pp"))
+        .drop("pp")
+        .join(
+            np_.select(
+                F.col("p").alias("qq"), F.col("n_p").alias("n_q")
+            ),
+            F.col("q") == F.col("qq"),
+        )
+        .drop("qq")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("co_cnt").cast("double")
+                / F.sqrt((F.col("n_p") * F.col("n_q")).cast("double")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("cosine"), F.asc("p"), F.asc("q"))
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= _II_TOPK)
+        .select("p", "q", "co_cnt", "n_p", "n_q", "cosine", "rk")
+    )
+
+
+_MG_K = 32
+_MG_BUCKETS = 8
+#: DuckDB 2-hex-char → int (no conv()): per-nibble strpos shifts
+_HEX2_DUCK = (
+    "(CAST(strpos('0123456789abcdef', substr(md5(item), 1, 1)) - 1"
+    " AS BIGINT) * 16"
+    " + CAST(strpos('0123456789abcdef', substr(md5(item), 2, 1)) - 1"
+    " AS BIGINT))"
+)
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    f"""
+    WITH it AS (
+      SELECT CASE WHEN user_id % 10 < 3
+        THEN 'hot:' || CAST(user_id % 3 AS VARCHAR)
+        ELSE 'u:' || CAST(user_id AS VARCHAR) END AS item
+      FROM events
+    ),
+    counts AS (
+      SELECT {_HEX2_DUCK} % {_MG_BUCKETS} AS bucket, item,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM it GROUP BY 1, 2
+    ),
+    s1r AS (
+      SELECT bucket, item, cnt,
+        row_number() OVER (PARTITION BY bucket
+                           ORDER BY cnt DESC, item) AS rk
+      FROM counts
+    ),
+    s1d AS (
+      SELECT bucket,
+        coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN cnt END), 0)
+          AS delta_b
+      FROM s1r GROUP BY 1
+    ),
+    s1 AS (
+      SELECT r.item, r.cnt - d.delta_b AS cnt, d.delta_b
+      FROM s1r r JOIN s1d d ON d.bucket = r.bucket
+      WHERE r.cnt - d.delta_b > 0
+    ),
+    s2r AS (
+      SELECT item, cnt, delta_b,
+        row_number() OVER (ORDER BY cnt DESC, item) AS rk
+      FROM s1
+    ),
+    s2d AS (
+      SELECT coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN cnt END), 0)
+        AS delta_m
+      FROM s2r
+    ),
+    mg AS (
+      SELECT r.item, CAST(r.cnt - d.delta_m AS BIGINT) AS mg_cnt,
+        CAST(r.delta_b + d.delta_m AS BIGINT) AS delta_total
+      FROM s2r r CROSS JOIN s2d d
+      WHERE r.cnt - d.delta_m > 0
+    ),
+    exact AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM it GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM it)
+    SELECT m.item, m.mg_cnt, m.delta_total, e.exact_cnt, n.total_n,
+      e.exact_cnt * ({_MG_K} + 1) > 2 * n.total_n AS guaranteed_heavy,
+      (e.exact_cnt - m.mg_cnt) * ({_MG_K} + 1) <= 2 * n.total_n
+        AS under_bound_ok
+    FROM mg m JOIN exact e ON e.item = m.item CROSS JOIN n
+    """,
+)
+def q_misra_gries_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MISRA-GRIES frequency summary over a skew-recoded event stream
+    (users with id%10 < 3 collapse into 3 'hot:*' cohorts at ~10% of N
+    each; the other ~105 naturals sit at ~0.7% — so the 32-counter
+    summary genuinely truncates and the hot items are guaranteed
+    survivors). The deterministic MERGEABLE counterpart of
+    heavy_hitters_cms: CMS is a probabilistic overestimating grid, MG
+    is k exact-arithmetic counters that UNDERestimate by exactly the
+    truncation mass — `operators/sketches.misra_gries` builds
+    per-md5-bucket error-0 summaries and merges them by the
+    subtract-(k+1)-th-largest rule (Agarwal et al., PODS 2012).
+
+    Because buckets are md5-deterministic and truncation is
+    value-based (never row-order-based), the whole summary is exactly
+    reproducible — so unlike every textbook treatment this one is
+    FULLY ORACLED: DuckDB replays both truncations and matches mg_cnt
+    to the integer. For survivors exact_cnt − mg_cnt == delta_total
+    identically (subtractions are exact); guaranteed_heavy marks items
+    above the two-stage survival bound 2N/(k+1) (the 3 hot cohorts),
+    under_bound_ok pins the theorem-level undercount ceiling.
+
+    Scale shape: one hash agg keyed (bucket, item) with map-side
+    combine, a per-bucket window, then one window over ≤ 8·32 rows."""
+    from ..operators.sketches import misra_gries
+
+    it = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CASE WHEN user_id % 10 < 3"
+            " THEN 'hot:' || CAST(user_id % 3 AS STRING)"
+            " ELSE 'u:' || CAST(user_id AS STRING) END"
+        ).alias("item")
+    )
+    mg = misra_gries(it, "item", k=_MG_K, n_buckets=_MG_BUCKETS)
+    exact = it.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n = it.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        mg.join(exact, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "mg_cnt",
+            "delta_total",
+            "exact_cnt",
+            "total_n",
+            (
+                F.col("exact_cnt") * (_MG_K + 1)
+                > 2 * F.col("total_n")
+            ).alias("guaranteed_heavy"),
+            (
+                (F.col("exact_cnt") - F.col("mg_cnt")) * (_MG_K + 1)
+                <= 2 * F.col("total_n")
+            ).alias("under_bound_ok"),
+        )
+    )
