@@ -542,3 +542,431 @@ def q_misra_gries_heavy_hitters(
             ).alias("under_bound_ok"),
         )
     )
+
+_BOOT_B = 200
+
+
+@register(
+    "bootstrap_mean_ci_daily",
+    f"""
+    WITH days AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g,
+        CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    rn AS (
+      SELECT g, v, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS rn
+      FROM days
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
+    grid AS (
+      SELECT b.b, r.rn AS i,
+        md5(CAST(b.b AS VARCHAR) || ':' || CAST(r.rn AS VARCHAR)) AS h
+      FROM (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+      CROSS JOIN rn r
+    ),
+    draw AS (
+      SELECT g.b,
+        ({{h48}} % n.n) + 1 AS j
+      FROM grid g CROSS JOIN n
+    ),
+    boot AS (
+      SELECT d.b, CAST(sum(r.v) AS BIGINT) AS t
+      FROM draw d JOIN rn r ON r.rn = d.j
+      GROUP BY d.b
+    ),
+    br AS (
+      SELECT b, t, row_number() OVER (ORDER BY t, b) AS rk FROM boot
+    ),
+    obs AS (
+      SELECT CAST(sum(v) AS BIGINT) AS obs_total,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM days
+    )
+    SELECT o.n_days, CAST({_BOOT_B} AS BIGINT) AS n_boot,
+      o.obs_total,
+      round(CAST(o.obs_total AS DOUBLE) / o.n_days, 4) AS obs_mean,
+      lo.t AS lo_total, hi.t AS hi_total,
+      round(CAST(lo.t AS DOUBLE) / o.n_days, 4) AS lo_mean,
+      round(CAST(hi.t AS DOUBLE) / o.n_days, 4) AS hi_mean
+    FROM obs o
+    JOIN br lo ON lo.rk = {int(_BOOT_B * 0.025) + 1}
+    JOIN br hi ON hi.rk = {int(_BOOT_B * 0.975)}
+    """.format(
+        h48="CAST(list_sum(list_transform(range(0, 12), k -> "
+        "CAST(strpos('0123456789abcdef', substr(g.h, CAST(k + 1 AS INT),"
+        " 1)) - 1 AS BIGINT) * (1::BIGINT << CAST(4 * (11 - k) AS INT))))"
+        " AS BIGINT)"
+    ),
+)
+def q_bootstrap_mean_ci_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC BOOTSTRAP percentile CI for the mean daily event
+    volume: B=200 resamples of the n=30 daily totals, where resample
+    b's i-th draw is day index md5(b:i) mod n — hash-derived uniforms
+    make the classic Efron bootstrap exactly reproducible across
+    engines, runs, and cluster sizes (the property that lets a 100 TB
+    pipeline audit its own uncertainty numbers). Emits the observed
+    mean and the [2.5%, 97.5%] percentile bounds.
+
+    Exactness: every draw index is exact integer arithmetic on the
+    md5 48-bit prefix (Spark conv(), DuckDB per-nibble shifts); each
+    resample total is an exact BIGINT sum; the CI picks ranks 6 and
+    195 of the sorted totals by row_number (t, b tie-break) — no
+    floats anywhere until the final round-4 display divisions.
+
+    Scale shape: the B×n assignment grid is a broadcast crossJoin of
+    a B-row literal spine against the n-row daily aggregate (6000
+    rows), joined back to the days by index — resampling without
+    replicating the underlying events even once."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("g")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    rn = days.withColumn(
+        "rn", F.row_number().over(Window.orderBy("g")).cast("bigint")
+    )
+    n = days.agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    grid = rn.select(F.col("rn").alias("i")).crossJoin(
+        F.broadcast(spine)
+    )
+    draw = grid.crossJoin(F.broadcast(n)).select(
+        "b",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(CAST(b AS STRING) || ':' ||"
+                " CAST(i AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+            )
+            % F.col("n")
+            + 1
+        ).alias("j"),
+    )
+    boot = (
+        draw.join(rn.select("rn", "v"), draw["j"] == F.col("rn"))
+        .groupBy("b")
+        .agg(F.sum("v").alias("t"))
+    )
+    br = boot.withColumn(
+        "rk", F.row_number().over(Window.orderBy("t", "b"))
+    )
+    obs = days.agg(
+        F.sum("v").alias("obs_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lo = br.filter(F.col("rk") == int(_BOOT_B * 0.025) + 1).select(
+        F.col("t").alias("lo_total")
+    )
+    hi = br.filter(F.col("rk") == int(_BOOT_B * 0.975)).select(
+        F.col("t").alias("hi_total")
+    )
+    return (
+        obs.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_days",
+            F.lit(_BOOT_B).cast("bigint").alias("n_boot"),
+            "obs_total",
+            F.round(
+                F.col("obs_total").cast("double") / F.col("n_days"), 4
+            ).alias("obs_mean"),
+            "lo_total",
+            "hi_total",
+            F.round(
+                F.col("lo_total").cast("double") / F.col("n_days"), 4
+            ).alias("lo_mean"),
+            F.round(
+                F.col("hi_total").cast("double") / F.col("n_days"), 4
+            ).alias("hi_mean"),
+        )
+    )
+
+_BD_TOPW = 20
+
+
+@register(
+    "burrows_delta_sources",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+    tots AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok2
+      GROUP BY 1
+    ),
+    wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM tok2
+      GROUP BY 1, 2
+    ),
+    topw AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER
+          (ORDER BY sum(cnt) DESC, w) AS rk
+        FROM wc GROUP BY w
+      ) WHERE rk <= {_BD_TOPW}
+    ),
+    grid AS (
+      SELECT t.source, t.tot, topw.w,
+        coalesce(wc.cnt, 0) AS cnt
+      FROM tots t CROSS JOIN topw
+      LEFT JOIN wc ON wc.source = t.source AND wc.w = topw.w
+    ),
+    ff AS (
+      SELECT source, w, (cnt * 1000000) // tot AS f_fp FROM grid
+    ),
+    ws AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS ns,
+        CAST(sum(f_fp) AS BIGINT) AS sumf
+      FROM ff GROUP BY 1
+    ),
+    u AS (
+      SELECT f.source, f.w, ws.ns,
+        ws.ns * f.f_fp - ws.sumf AS u
+      FROM ff f JOIN ws ON ws.w = f.w
+    ),
+    su AS (
+      SELECT w, CAST(sum(u * u) AS BIGINT) AS su2 FROM u GROUP BY 1
+    ),
+    z AS (
+      SELECT u.source, u.w,
+        CAST(floor(1000000.0 * u.u * sqrt(CAST(u.ns AS DOUBLE))
+                   / sqrt(CAST(su.su2 AS DOUBLE))) AS BIGINT) AS z_fp
+      FROM u JOIN su ON su.w = u.w WHERE su.su2 > 0
+    )
+    SELECT a.source AS sa, b.source AS sb,
+      CAST(count(*) AS BIGINT) AS m_words,
+      CAST(sum(abs(a.z_fp - b.z_fp)) AS BIGINT) AS delta_fp,
+      round(CAST(sum(abs(a.z_fp - b.z_fp)) AS DOUBLE)
+            / (count(*) * 1000000.0), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_burrows_delta_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BURROWS' DELTA stylometric distance between document sources:
+    z-score each source's relative frequency of the corpus's top-20
+    words (across the 20 sources), then Delta(a,b) = mean |z_a − z_b|
+    — the standard authorship-attribution measure (Burrows 2002;
+    Evert et al. 2017 formalization), and the classic "same pipeline,
+    different provenance?" drift check a 100 TB curation stack runs
+    across its ingest feeds. Emits all source pairs.
+
+    Exactness: token counts and per-source totals are exact BIGINTs;
+    relative frequencies floor to 1e6 fixed point by integer division;
+    centering is division-free (u = n·f − Σf, the house identity);
+    Σu² is an exact BIGINT (|u| ≤ 2·n·1e6 ⇒ u² ≤ ~2e15 at n=20
+    sources); the z-score is ONE shared IEEE tree per (source, word)
+    floored to 1e6 BEFORE the cross-word sum, so Delta numerators are
+    associative integers. Constant words (su2 = 0) drop in both
+    engines; the top-20 cut ranks on exact counts with word
+    tie-break.
+
+    Scale shape: one tokenize scan → (source, word) hash agg; the
+    top-word cut is a bounded-vocabulary window; everything after
+    runs on a sources×20 grid (400 rows)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tots = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    wc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    topw = (
+        wc.groupBy("w")
+        .agg(F.sum("cnt").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+        )
+        .filter(F.col("rk") <= _BD_TOPW)
+        .select("w")
+    )
+    grid = (
+        tots.crossJoin(F.broadcast(topw))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("(coalesce(cnt, 0) * 1000000) DIV tot").alias("f_fp"),
+        )
+    )
+    ws = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("f_fp").alias("sumf")
+    )
+    u = grid.join(ws, "w").select(
+        "source",
+        "w",
+        "ns",
+        F.expr("ns * f_fp - sumf").alias("u"),
+    )
+    su = u.groupBy("w").agg(F.sum(F.col("u") * F.col("u")).alias("su2"))
+    z = (
+        u.join(su, "w")
+        .filter(F.col("su2") > 0)
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(floor(1000000.0 * u * sqrt(CAST(ns AS DOUBLE))"
+                " / sqrt(CAST(su2 AS DOUBLE))) AS BIGINT)"
+            ).alias("z_fp"),
+        )
+    )
+    return (
+        z.alias("a")
+        .join(
+            z.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m_words"),
+            F.sum(F.abs(F.col("a.z_fp") - F.col("b.z_fp"))).alias(
+                "delta_fp"
+            ),
+            F.round(
+                F.sum(F.abs(F.col("a.z_fp") - F.col("b.z_fp"))).cast(
+                    "double"
+                )
+                / (F.count(F.lit(1)) * 1_000_000.0),
+                6,
+            ).alias("delta"),
+        )
+    )
+
+@register(
+    "wilcoxon_signed_rank_daily",
+    """
+    WITH days AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS clicks,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS views
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT g, clicks - views AS d, abs(clicks - views) AS ad
+      FROM days WHERE clicks <> views
+    ),
+    tv AS (SELECT ad, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+    cum AS (
+      SELECT ad, t, sum(t) OVER (ORDER BY ad) AS c FROM tv
+    ),
+    dr AS (
+      -- doubled average rank of the tie group: min_rank + max_rank
+      SELECT d.g, d.d, 2 * cum.c - cum.t + 1 AS dr2
+      FROM d JOIN cum ON cum.ad = d.ad
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(sum(CASE WHEN d > 0 THEN dr2 ELSE 0 END) AS BIGINT)
+          AS w2_pos
+      FROM dr
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM tv
+    )
+    SELECT a.n, a.n_pos, a.n - a.n_pos AS n_neg, a.w2_pos, t.tie_term,
+      round(CAST(2 * a.w2_pos - a.n * (a.n + 1) AS DOUBLE)
+            / (2.0 * sqrt((2.0 * a.n * (a.n + 1) * (2 * a.n + 1)
+                           - t.tie_term) / 12.0)), 6) AS z
+    FROM agg a CROSS JOIN ties t
+    """,
+)
+def q_wilcoxon_signed_rank_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WILCOXON SIGNED-RANK test on the paired daily (clicks, views)
+    volumes: ranks |d| over the nonzero differences, W+ = rank sum of
+    the positive days, normal approximation with the tie-corrected
+    variance — the nonparametric PAIRED location test the battery was
+    missing (paired_sign_test_improvement throws away magnitudes;
+    mann_whitney-style tests are unpaired; this is the matched-pairs
+    workhorse between them).
+
+    Exactness: daily counts and differences are exact integers; ranks
+    use the DOUBLED-average-rank identity (dr2 = min_rank + max_rank
+    = 2·cum − t + 1 from a running sum over distinct |d|), so W2 =
+    2·W+ and the tie term Σ(t³−t) stay exact BIGINTs; z is ONE shared
+    IEEE tree on those integers, round-6 — with 4·Var(W+) =
+    (2n(n+1)(2n+1) − Σ(t³−t))/12 absorbing the doubling.
+
+    Scale shape: one events scan → one 30-row daily pivot; ranks via
+    a running sum over distinct |d| (two-pass, no per-row window)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("g")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+    )
+    d = days.filter(F.col("clicks") != F.col("views")).select(
+        "g",
+        (F.col("clicks") - F.col("views")).alias("d"),
+        F.abs(F.col("clicks") - F.col("views")).alias("ad"),
+    )
+    tv = d.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
+    cum = tv.withColumn(
+        "c",
+        F.sum("t").over(
+            Window.orderBy("ad").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    dr = d.join(cum, "ad").select(
+        "g", "d", F.expr("2 * c - t + 1").alias("dr2")
+    )
+    agg = dr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("d") > 0, F.col("dr2")).otherwise(0))
+        .cast("bigint")
+        .alias("w2_pos"),
+    )
+    ties = tv.agg(
+        F.sum(F.expr("t * t * t - t")).cast("bigint").alias("tie_term")
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        "w2_pos",
+        "tie_term",
+        F.round(
+            (2 * F.col("w2_pos") - F.col("n") * (F.col("n") + 1)).cast(
+                "double"
+            )
+            / (
+                2.0
+                * F.sqrt(
+                    (
+                        2.0
+                        * F.col("n")
+                        * (F.col("n") + 1)
+                        * (2 * F.col("n") + 1)
+                        - F.col("tie_term")
+                    )
+                    / 12.0
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
