@@ -1,4 +1,4 @@
-"""Round-11 second wave: link prediction, centrality, collaborative
+"""Round-11 second wave: seeded centrality, collaborative
 filtering, robust dispersion testing, deterministic bootstrap,
 stylometry, and the Misra-Gries frequency summary.
 
@@ -71,137 +71,6 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-
-_AA_TOPK = 50
-
-
-@register(
-    "adamic_adar_link_prediction",
-    f"""
-    WITH {_COPURCHASE_CTE},
-    deg AS (
-      SELECT src AS z, CAST(count(*) AS BIGINT) AS d
-      FROM e GROUP BY 1
-    ),
-    t AS (
-      SELECT z,
-        CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
-          AS term_fp
-      FROM deg WHERE d >= 2
-    ),
-    wedge AS (
-      SELECT x.dst AS a, y.dst AS b, x.src AS z
-      FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
-    ),
-    cand AS (
-      SELECT w.a, w.b, w.z FROM wedge w
-      WHERE NOT EXISTS (
-        SELECT 1 FROM e0 WHERE e0.pa = w.a AND e0.pb = w.b
-      )
-    ),
-    scored AS (
-      SELECT c.a, c.b,
-        CAST(count(*) AS BIGINT) AS n_common,
-        CAST(sum(t.term_fp) AS BIGINT) AS aa_fp
-      FROM cand c JOIN t ON t.z = c.z
-      GROUP BY 1, 2
-    ),
-    rk AS (
-      SELECT a, b, n_common, aa_fp,
-        row_number() OVER (ORDER BY aa_fp DESC, a, b) AS rk
-      FROM scored
-    )
-    SELECT a AS pa, b AS pb, n_common, aa_fp,
-      round(CAST(aa_fp AS DOUBLE) / 1000000000.0, 4) AS aa_score,
-      CAST(rk AS BIGINT) AS rk
-    FROM rk WHERE rk <= {_AA_TOPK}
-    """,
-)
-def q_adamic_adar_link_prediction(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Adamic-Adar link prediction over the sampled co-purchase graph:
-    for every NON-adjacent part pair sharing ≥ 1 common neighbor,
-    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — the classic
-    "which edges are missing" recommender signal the graph family
-    (PageRank/PPR/HITS/LPA/k-core) lacked. Emits the top-50 predicted
-    links (rank on exact integer aa_fp, (pa, pb) tie-break).
-
-    Exactness: deg is an exact integer, so 1/ln(deg) is ONE libm call
-    on the same integer input in both engines, floored to 1e9 fixed
-    point PER NEIGHBOR before the cross-row sum (the floored-fp
-    transcendental discipline) — AA totals are associative BIGINTs.
-    A common neighbor has deg ≥ 2 by construction, so ln > 0; the
-    deg-filter only documents it.
-
-    Scale shape: the wedge join is Σ_z deg(z)² intermediate rows — the
-    triangle-counting bound (478k at sf0.01), grouped immediately; the
-    adjacency exclusion is a left-anti hash join against the edge
-    list; the top-k is one TakeOrdered. No pair enumeration beyond
-    2-hop wedges anywhere."""
-    e0 = _copurchase_edges(spark, sf_dir)
-    sym = e0.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(
-        e0.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
-    t = (
-        sym.groupBy(F.col("src").alias("z"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 2)
-        .select(
-            "z",
-            F.expr(
-                "CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)))"
-                " AS BIGINT)"
-            ).alias("term_fp"),
-        )
-    )
-    wedge = (
-        sym.alias("x")
-        .join(
-            sym.alias("y"),
-            (F.col("x.src") == F.col("y.src"))
-            & (F.col("x.dst") < F.col("y.dst")),
-        )
-        .select(
-            F.col("x.dst").alias("a"),
-            F.col("y.dst").alias("b"),
-            F.col("x.src").alias("z"),
-        )
-    )
-    cand = wedge.join(
-        e0,
-        (wedge["a"] == e0["pa"]) & (wedge["b"] == e0["pb"]),
-        "left_anti",
-    )
-    scored = (
-        cand.join(t, "z")
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum("term_fp").alias("aa_fp"),
-        )
-    )
-    return (
-        scored.withColumn(
-            "rk",
-            F.row_number()
-            .over(Window.orderBy(F.desc("aa_fp"), F.asc("a"), F.asc("b")))
-            .cast("bigint"),
-        )
-        .filter(F.col("rk") <= _AA_TOPK)
-        .select(
-            F.col("a").alias("pa"),
-            F.col("b").alias("pb"),
-            "n_common",
-            "aa_fp",
-            F.round(
-                F.col("aa_fp").cast("double") / 1_000_000_000.0, 4
-            ).alias("aa_score"),
-            "rk",
-        )
-    )
 
 
 _HC_SEEDS = 8

@@ -1980,3 +1980,167 @@ def test_bfs_hops_tagged_equals_per_seed_runs(spark):
             want[(sd, r.node)] = r.hop
     assert got == want
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# r11 second wave: Misra-Gries, harmonic centrality, item-item CF,
+# Wilcoxon signed-rank, bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_truncation_identity(spark):
+    """Single-bucket MG with k=3 over known counts {a:10, b:8, c:6,
+    d:4, e:2, f:1}: delta = the 4th-largest count (4); survivors are
+    exactly the three counters above it, each reduced by delta — so
+    exact_cnt == mg_cnt + delta_total identically."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        misra_gries,
+    )
+
+    rows = [("a",)] * 10 + [("b",)] * 8 + [("c",)] * 6
+    rows += [("d",)] * 4 + [("e",)] * 2 + [("f",)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {
+        r.item: (r.mg_cnt, r.delta_total)
+        for r in misra_gries(df, "item", k=3, n_buckets=1).collect()
+    }
+    assert got == {"a": (6, 4), "b": (4, 4), "c": (2, 4)}
+
+
+def test_misra_gries_no_truncation_is_exact(spark):
+    """Vocabulary ≤ k: the summary IS the exact count vector
+    (delta_total = 0 everywhere) — the error-0 base case of the
+    mergeable construction."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        misra_gries,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "item string")
+    got = {
+        r.item: (r.mg_cnt, r.delta_total)
+        for r in misra_gries(df, "item", k=10, n_buckets=4).collect()
+    }
+    assert got == {"a": (5, 0), "b": (3, 0), "c": (2, 0)}
+
+
+def test_misra_gries_guaranteed_survivor(spark):
+    """An item above the two-stage survival bound 2N/(k+1) must be in
+    the summary whatever the bucket layout: z has 20 of N=31
+    occurrences (> 15.5) against 11 distinct singletons, k=3."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        misra_gries,
+    )
+
+    rows = [("z",)] * 20 + [(f"s{i}",) for i in range(11)]
+    df = spark.createDataFrame(rows, "item string")
+    out = {
+        r.item: r.mg_cnt
+        for r in misra_gries(df, "item", k=3, n_buckets=4).collect()
+    }
+    assert "z" in out and out["z"] >= 1
+    assert len(out) <= 3  # the merged summary never exceeds k counters
+
+
+def test_harmonic_centrality_path_graph(spark, tmp_path):
+    """Path graph a–b–c (built from md5-0123 partkeys so the 4/16
+    slice keeps them): H(a) = 1 + 1/2 = 1.5, H(b) = 2.0, H(c) = 1.5;
+    harm_fp are the exact integers 15e8 / 2e9."""
+    import hashlib
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    ok = [
+        k
+        for k in range(1, 2000)
+        if hashlib.md5(str(k).encode()).hexdigest()[0] in "0123"
+    ]
+    a, b, c = sorted(ok[:3])
+    rows = [(1, a), (1, b), (2, b), (2, c)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    fn, _ = REGISTRY["harmonic_centrality_seeds"]
+    got = {r.seed: (r.n_reached, r.harm_fp) for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {
+        a: (2, 1_500_000_000),
+        b: (2, 2_000_000_000),
+        c: (2, 1_500_000_000),
+    }
+
+
+def test_item_item_heavy_basket_cap(spark, tmp_path):
+    """Two 3-part baskets sharing {P, Q} give cosine(P,Q) = 1.0 with
+    co = 2; a 26-part power-buyer who also bought P and Q is DROPPED
+    by the basket cap (co stays 2, not 3), and co = 1 pairs never
+    surface (min support)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    p, q, r_ = 9001, 9002, 9003
+    orders = [(1, 11), (2, 12), (3, 13)]
+    li = [(1, p), (1, q), (1, r_), (2, p), (2, q)]
+    li += [(3, p), (3, q)] + [(3, 20000 + i) for i in range(24)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    fn, _ = REGISTRY["item_item_cosine_parts"]
+    got = fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.p, row.q, row.co_cnt, row.n_p, row.n_q) == (p, q, 2, 2, 2)
+    assert row.cosine == 1.0
+
+
+def test_wilcoxon_signed_rank_hand_values(spark, tmp_path):
+    """Hand fixture: daily click−view diffs {+1, +2, −2, +3} (one
+    |d|=2 tie pair) → doubled ranks {2, 5, 5, 8}, W2+ = 15,
+    Σ(t³−t) = 6, z = (2·15 − 4·5) / (2·√((2·4·5·9 − 6)/12)); a
+    clicks==views day must be dropped from n."""
+    import math
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    day_specs = [  # (day, clicks, views)
+        (1, 2, 1),
+        (2, 3, 1),
+        (3, 1, 3),
+        (4, 4, 1),
+        (5, 2, 2),  # d = 0 → dropped
+    ]
+    rows, eid = [], 0
+    for day, ncl, nvw in day_specs:
+        for t, cnt in (("click", ncl), ("view", nvw)):
+            for j in range(cnt):
+                eid += 1
+                rows.append(
+                    (eid, f"2024-01-0{day} 00:{j:02d}:00", 1, t, 1.0, "{}")
+                )
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["wilcoxon_signed_rank_daily"]
+    r = fn(spark, sf).collect()[0]
+    assert (r.n, r.n_pos, r.n_neg) == (4, 3, 1)
+    assert (r.w2_pos, r.tie_term) == (15, 6)
+    assert r.z == round(10.0 / (2.0 * math.sqrt((360.0 - 6.0) / 12.0)), 6)
+
+
+def test_bootstrap_ci_brackets_observed(spark):
+    """On real data the 95% percentile CI must bracket the observed
+    total (200 resamples of 30 days) and be non-degenerate."""
+    from conftest import SF_SMOKE
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    fn, _ = REGISTRY["bootstrap_mean_ci_daily"]
+    r = fn(spark, SF_SMOKE).collect()[0]
+    assert r.lo_total < r.obs_total < r.hi_total
+    assert r.lo_total < r.hi_total and r.n_boot == 200
