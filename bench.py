@@ -351,6 +351,13 @@ HEADLINE = [
     "theta_intersection_cardinality",
     "weighted_sample_without_replacement",
     "anova_f_embedding_dims",
+    # r11 second wave
+    "harmonic_centrality_seeds",
+    "item_item_cosine_parts",
+    "misra_gries_heavy_hitters",
+    "bootstrap_mean_ci_daily",
+    "burrows_delta_sources",
+    "wilcoxon_signed_rank_daily",
     # r11: HEADLINE completion (VERDICT r10 #2) — every registry query
     # is benched except the two documented training-loop exclusions
     # below; the unbenched set previously included 10 TPC-H shapes and

@@ -1722,3 +1722,26 @@ def test_incremental_semantic_dedup_is_cell_equijoin(spark):
     plan = _plan(spark, "incremental_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_item_cosine_no_cartesian(spark):
+    """Basket pairing must be an equi-join on the customer key (plus
+    the capped-basket filter), never a nested loop over parts."""
+    plan = _plan(spark, "item_item_cosine_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_misra_gries_no_cartesian(spark):
+    """The MG pipeline is hash aggregates + windows; the only scalar
+    join (total N) must be a broadcast of a 1-row aggregate."""
+    plan = _plan(spark, "misra_gries_heavy_hitters")
+    assert "CartesianProduct" not in plan
+
+
+def test_burrows_delta_no_cartesian(spark):
+    """Everything after the (source, word) aggregate runs on the
+    sources×top-20 grid; the grid build must broadcast the 20-word
+    spine, and the pair join stays an equi-join on the word."""
+    plan = _plan(spark, "burrows_delta_sources")
+    assert "CartesianProduct" not in plan
