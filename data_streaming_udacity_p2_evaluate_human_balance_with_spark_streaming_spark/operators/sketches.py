@@ -625,6 +625,42 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str, out_col: str = "m
 # Misra-Gries / space-saving frequency summary (deterministic, mergeable)
 # ---------------------------------------------------------------------------
 
+def _mg_truncate(
+    counters: DataFrame, k: int, bucket_col: str | None = None
+) -> DataFrame:
+    """One MG truncation: subtract the (k+1)-th largest counter value
+    (per bucket when `bucket_col` is given) from every counter and drop
+    the non-positive ones. Value-based — no row-order dependence —
+    so the result is exactly reproducible. Adds the subtracted value
+    to the running `delta` column (created at 0 if absent)."""
+    part = [bucket_col] if bucket_col else [F.lit(1)]
+    w_rank = Window.partitionBy(*part).orderBy(
+        F.desc("cnt"), F.asc("item")
+    )
+    if "delta" not in counters.columns:
+        counters = counters.withColumn("delta", F.lit(0).cast("bigint"))
+    out = (
+        counters.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "_d",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))).over(
+                    Window.partitionBy(*part)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cnt") - F.col("_d") > 0)
+        .select(
+            *([bucket_col] if bucket_col else []),
+            "item",
+            (F.col("cnt") - F.col("_d")).cast("bigint").alias("cnt"),
+            (F.col("delta") + F.col("_d")).cast("bigint").alias("delta"),
+        )
+    )
+    return out
+
+
 def misra_gries(
     df: DataFrame,
     item_col: str,
@@ -634,8 +670,10 @@ def misra_gries(
     """Mergeable Misra-Gries frequency summary: ≤ k (item, mg_cnt)
     counters whatever the input size, with the classic guarantees —
     every item of true frequency > N/(k+1) survives, and a surviving
-    counter undercounts by the exact total of the truncation deltas
-    applied to its summaries (≤ 2N/(k+1) across the two stages here).
+    counter undercounts by exactly the truncation deltas applied along
+    its path, which sum to ≤ N/(k+1) GLOBALLY (each truncation δ
+    removes ≥ (k+1)·δ of the remaining total mass, so however many
+    merges happen the deltas on any path total ≤ N/(k+1)).
 
     Construction (Agarwal et al., "Mergeable Summaries", PODS 2012):
     an exact count vector is an error-0 MG summary, and MERGE =
@@ -657,6 +695,8 @@ def misra_gries(
     one merge), trading the deterministic replay for O(partitions·k)
     shuffle; the deterministic-bucket form here is the oracle-able
     twin, exactly like hll_distinct_portable vs hll_distinct_users.
+    The streaming twin keeps one summary per micro-batch and folds
+    them with `misra_gries_merge` — state bounded by batches·k.
 
     Returns (item, mg_cnt, delta_total): the surviving counters, each
     with the exact mass subtracted from it (so exact_cnt = mg_cnt +
@@ -674,46 +714,41 @@ def misra_gries(
         .groupBy("bucket", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w_b = Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("item"))
-    # delta_b = the (k+1)-th largest count in the bucket (0 when ≤ k
-    # counters): value-based, so ties beyond rank k+1 subtract the same
-    # delta regardless of their rank position.
-    stage1 = (
-        counts.withColumn("rk", F.row_number().over(w_b))
-        .withColumn(
-            "delta_b",
-            F.coalesce(
-                F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))).over(
-                    Window.partitionBy("bucket")
-                ),
-                F.lit(0),
-            ),
-        )
-        .filter(F.col("cnt") - F.col("delta_b") > 0)
-        .select(
-            "item",
-            (F.col("cnt") - F.col("delta_b")).alias("cnt"),
-            F.col("delta_b"),
-        )
-    )
-    w_m = Window.orderBy(F.desc("cnt"), F.asc("item"))
-    merged = (
-        stage1.withColumn("rk", F.row_number().over(w_m))
-        .withColumn(
-            "delta_m",
-            F.coalesce(
-                F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))).over(
-                    Window.partitionBy(F.lit(1))
-                ),
-                F.lit(0),
-            ),
-        )
-        .filter(F.col("cnt") - F.col("delta_m") > 0)
-    )
+    stage1 = _mg_truncate(counts, k, bucket_col="bucket").drop("bucket")
+    merged = _mg_truncate(stage1, k)
     return merged.select(
         "item",
-        (F.col("cnt") - F.col("delta_m")).cast("bigint").alias("mg_cnt"),
-        (F.col("delta_b") + F.col("delta_m")).cast("bigint").alias(
-            "delta_total"
-        ),
+        F.col("cnt").alias("mg_cnt"),
+        F.col("delta").alias("delta_total"),
+    )
+
+
+def misra_gries_merge(summaries: DataFrame, k: int) -> DataFrame:
+    """Merge any number of MG summaries given as stacked counter rows
+    (item, mg_cnt[, delta_total]): pointwise-sum per item, then one
+    subtract-(k+1)-th-largest truncation — the Agarwal et al. merge
+    rule. Deltas accumulate, so exact_cnt == mg_cnt + delta_total
+    still holds for every survivor of the merged summary (with
+    exact_cnt summed over the merged inputs' true streams).
+
+    The continuous-ingest shape: each micro-batch contributes its ≤ k
+    counters and the fold stays ≤ inputs·k rows before the final
+    window — a streaming heavy-hitter state that never grows with the
+    data (tests/test_streaming.py pins finalize == guarantees)."""
+    cols = summaries.columns
+    base = summaries.select(
+        "item",
+        F.col("mg_cnt").alias("cnt"),
+        (
+            F.col("delta_total") if "delta_total" in cols else F.lit(0)
+        ).cast("bigint").alias("delta"),
+    )
+    summed = base.groupBy("item").agg(
+        F.sum("cnt").alias("cnt"), F.sum("delta").alias("delta")
+    )
+    out = _mg_truncate(summed, k)
+    return out.select(
+        "item",
+        F.col("cnt").alias("mg_cnt"),
+        F.col("delta").alias("delta_total"),
     )

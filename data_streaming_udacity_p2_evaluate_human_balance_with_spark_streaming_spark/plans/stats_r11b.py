@@ -349,8 +349,8 @@ _HEX2_DUCK = (
     ),
     n AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM it)
     SELECT m.item, m.mg_cnt, m.delta_total, e.exact_cnt, n.total_n,
-      e.exact_cnt * ({_MG_K} + 1) > 2 * n.total_n AS guaranteed_heavy,
-      (e.exact_cnt - m.mg_cnt) * ({_MG_K} + 1) <= 2 * n.total_n
+      e.exact_cnt * ({_MG_K} + 1) > n.total_n AS guaranteed_heavy,
+      (e.exact_cnt - m.mg_cnt) * ({_MG_K} + 1) <= n.total_n
         AS under_bound_ok
     FROM mg m JOIN exact e ON e.item = m.item CROSS JOIN n
     """,
@@ -375,7 +375,7 @@ def q_misra_gries_heavy_hitters(
     FULLY ORACLED: DuckDB replays both truncations and matches mg_cnt
     to the integer. For survivors exact_cnt − mg_cnt == delta_total
     identically (subtractions are exact); guaranteed_heavy marks items
-    above the two-stage survival bound 2N/(k+1) (the 3 hot cohorts),
+    above the survival bound N/(k+1) (the 3 hot cohorts),
     under_bound_ok pins the theorem-level undercount ceiling.
 
     Scale shape: one hash agg keyed (bucket, item) with map-side
@@ -403,11 +403,11 @@ def q_misra_gries_heavy_hitters(
             "total_n",
             (
                 F.col("exact_cnt") * (_MG_K + 1)
-                > 2 * F.col("total_n")
+                > F.col("total_n")
             ).alias("guaranteed_heavy"),
             (
                 (F.col("exact_cnt") - F.col("mg_cnt")) * (_MG_K + 1)
-                <= 2 * F.col("total_n")
+                <= F.col("total_n")
             ).alias("under_bound_ok"),
         )
     )

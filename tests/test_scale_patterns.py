@@ -2025,9 +2025,11 @@ def test_misra_gries_no_truncation_is_exact(spark):
 
 
 def test_misra_gries_guaranteed_survivor(spark):
-    """An item above the two-stage survival bound 2N/(k+1) must be in
-    the summary whatever the bucket layout: z has 20 of N=31
-    occurrences (> 15.5) against 11 distinct singletons, k=3."""
+    """An item above the survival bound N/(k+1) must be in the summary
+    whatever the bucket layout (the mass argument is global: every
+    truncation delta removes >= (k+1)*delta of the remaining mass, so
+    the sum of deltas along any path is <= N/(k+1)): z has 20 of N=31
+    occurrences (> 7.75) against 11 distinct singletons, k=3."""
     from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
         misra_gries,
     )

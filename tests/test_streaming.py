@@ -4710,3 +4710,84 @@ def test_streaming_incremental_semantic_dedup(spark, tmp_path):
     assert out[102] == (None, True)
     assert out[202] == (None, True)
     spark.catalog.clearCache()
+
+
+def test_streaming_misra_gries_merge_guarantees(spark, tmp_path):
+    """Streaming twin of misra_gries_heavy_hitters (the mergeable-twin
+    family's frequency member): each micro-batch folds into its OWN
+    ≤ k-counter MG summary in foreachBatch, and the finalize step
+    merges the per-batch summaries with misra_gries_merge — state is
+    batches·k counters, never the vocabulary. The merged summary must
+    keep every item above N/(k+1) (the global mass argument), never
+    overcount, and respect the theorem undercount ceiling; the planted
+    heavy item's exact = mg + delta identity survives the merge
+    because it survived every per-batch summary."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.sketches import (
+        misra_gries,
+        misra_gries_merge,
+    )
+
+    # 600 rows: 'hh' at 30% (guaranteed: 180·7 > 600), 60 tail items
+    # at 7 each (all below the k=6 survival bound)
+    items = ["hh"] * 180 + [f"t{i % 60}" for i in range(420)]
+    # deterministic interleave so both halves carry hh and tail
+    items = [items[i // 2 + (300 if i % 2 else 0)] for i in range(600)]
+    d = str(tmp_path / "mg_src")
+    _os.makedirs(d)
+    half = len(items) // 2
+    for i, chunk in enumerate([items[:half], items[half:]]):
+        with open(f"{d}/f{i}.json", "w") as f:
+            for it in chunk:
+                f.write(_json.dumps({"item": it}) + "\n")
+        _os.utime(f"{d}/f{i}.json", (1700000000 + i, 1700000000 + i))
+
+    schema = _parse_datatype_string("item string")
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    summaries = []
+
+    def fold(batch, epoch_id):
+        summaries.append(
+            misra_gries(batch, "item", k=6, n_buckets=2).collect()
+        )
+
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert len(summaries) == 2 and all(
+        len(s) <= 6 and any(r.item == "hh" for r in s) for s in summaries
+    )
+    stacked = spark.createDataFrame(
+        [r for s in summaries for r in s],
+        "item string, mg_cnt bigint, delta_total bigint",
+    )
+    merged = {
+        r.item: (r.mg_cnt, r.delta_total)
+        for r in misra_gries_merge(stacked, k=6).collect()
+    }
+    assert len(merged) <= 6
+    exact = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+    n = len(items)
+    # survival + undercount ceiling for everything emitted
+    assert "hh" in merged
+    for it, (mg, delta) in merged.items():
+        assert mg <= exact[it]
+        assert (exact[it] - mg) * 7 <= n
+    # hh survived every summary it appeared in -> exact identity holds
+    mg_hh, delta_hh = merged["hh"]
+    assert mg_hh + delta_hh == exact["hh"] == 180
