@@ -358,6 +358,9 @@ HEADLINE = [
     "bootstrap_mean_ci_daily",
     "burrows_delta_sources",
     "wilcoxon_signed_rank_daily",
+    "psi_value_drift",
+    "sign_flip_permutation_test",
+    "mutual_info_embedding_dims",
     # r11: HEADLINE completion (VERDICT r10 #2) — every registry query
     # is benched except the two documented training-loop exclusions
     # below; the unbenched set previously included 10 TPC-H shapes and

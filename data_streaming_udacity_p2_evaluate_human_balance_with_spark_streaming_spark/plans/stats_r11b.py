@@ -839,3 +839,436 @@ def q_wilcoxon_signed_rank_daily(
             6,
         ).alias("z"),
     )
+
+@register(
+    "psi_value_drift",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    lo AS (SELECT min(g) AS mn FROM e),
+    ref AS (SELECT c FROM e, lo WHERE g < mn + 15),
+    cur AS (SELECT c FROM e, lo WHERE g >= mn + 15),
+    rn AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM ref),
+    cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cur FROM cur),
+    rv AS (SELECT c, CAST(count(*) AS BIGINT) AS t FROM ref GROUP BY 1),
+    rcum AS (SELECT c, sum(t) OVER (ORDER BY c) AS cum FROM rv),
+    edges AS (
+      SELECT q, min(c) AS edge
+      FROM rcum CROSS JOIN (
+        SELECT unnest(generate_series(1, 9)) AS q
+      ) qs, rn
+      WHERE cum >= (q * n_ref + 9) // 10
+      GROUP BY q
+    ),
+    rb AS (
+      SELECT v.bin, CAST(sum(v.cnt) AS BIGINT) AS cnt FROM (
+        SELECT r.c, r.cnt,
+          CAST(sum(CASE WHEN r.c > e.edge THEN 1 ELSE 0 END) AS BIGINT)
+            AS bin
+        FROM (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM ref
+              GROUP BY 1) r
+        CROSS JOIN edges e GROUP BY r.c, r.cnt
+      ) v GROUP BY 1
+    ),
+    cb AS (
+      SELECT v.bin, CAST(sum(v.cnt) AS BIGINT) AS cnt FROM (
+        SELECT r.c, r.cnt,
+          CAST(sum(CASE WHEN r.c > e.edge THEN 1 ELSE 0 END) AS BIGINT)
+            AS bin
+        FROM (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cur
+              GROUP BY 1) r
+        CROSS JOIN edges e GROUP BY r.c, r.cnt
+      ) v GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    cells AS (
+      SELECT s.bin,
+        coalesce(a.cnt, 0) AS ref_cnt, coalesce(b.cnt, 0) AS cur_cnt
+      FROM spine s
+      LEFT JOIN rb a ON a.bin = s.bin
+      LEFT JOIN cb b ON b.bin = s.bin
+    ),
+    terms AS (
+      SELECT bin, ref_cnt, cur_cnt,
+        CAST(floor(1000000000.0 * (
+          (CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + 10)
+           - CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + 10))
+          * ln(CAST((ref_cnt + 1) * (n_cur + 10) AS DOUBLE)
+               / CAST((cur_cnt + 1) * (n_ref + 10) AS DOUBLE))
+        )) AS BIGINT) AS term_fp
+      FROM cells, rn, cn
+    ),
+    tot AS (
+      SELECT CAST(sum(term_fp) AS BIGINT) AS psi_fp FROM terms
+    )
+    SELECT t.bin, t.ref_cnt, t.cur_cnt, t.term_fp,
+      round(CAST(tot.psi_fp AS DOUBLE) / 1000000000.0, 6) AS psi,
+      tot.psi_fp < 100000000 AS stable_lt_01
+    FROM terms t CROSS JOIN tot
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX of the `value` distribution between
+    the first and last 15 days — the standard production drift gate
+    (PSI < 0.1 stable, > 0.25 retrain) that snapshot_profile_drift's
+    schema-profile monitor and the two-sample tests (KS, CvM,
+    Wasserstein) bracket but never emit in PSI's bin-decomposed form,
+    which is what tells you WHERE the distribution moved. Bin edges
+    are the reference period's exact deciles (rank ceil(q·n/10) via a
+    running sum over distinct cents); both periods bin by
+    count-of-edges-below; +1 Laplace on every bin makes the log
+    defined under empty current bins.
+
+    Exactness: bin assignments and counts are exact integers; each
+    bin's PSI term is ONE shared IEEE tree on exact integers
+    ((a+1)/A' − (b+1)/B') · ln((a+1)B'/((b+1)A')), floored to 1e9
+    fixed point BEFORE the 10-term sum.
+
+    Scale shape: one events scan → per-period (cents) hash aggregates;
+    the 9-edge table broadcasts; everything after is 10-row
+    arithmetic."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+    )
+    lo = e.agg(F.min("g").alias("mn"))
+    ec = e.crossJoin(F.broadcast(lo))
+    ref = ec.filter(F.col("g") < F.col("mn") + 15).select("c")
+    cur = ec.filter(F.col("g") >= F.col("mn") + 15).select("c")
+    rn = ref.agg(F.count(F.lit(1)).alias("n_ref"))
+    cn = cur.agg(F.count(F.lit(1)).alias("n_cur"))
+    rv = ref.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    rcum = rv.withColumn(
+        "cum",
+        F.sum("t").over(
+            Window.orderBy("c").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    edges = (
+        rcum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(rn))
+        .filter(F.col("cum") >= F.expr("(q * n_ref + 9) DIV 10"))
+        .groupBy("q")
+        .agg(F.min("c").alias("edge"))
+    )
+
+    # simpler exact path: distinct cents -> bin, then join counts
+    def _bin_of_c(side):
+        vals = side.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            vals.crossJoin(F.broadcast(edges.select("edge")))
+            .groupBy("c", "cnt")
+            .agg(
+                F.sum(
+                    F.when(F.col("c") > F.col("edge"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    a = _bin_of_c(ref)
+    b = _bin_of_c(cur)
+    spine = spark.range(0, 10).select(F.col("id").alias("bin"))
+    cells = (
+        spine.join(a.withColumnRenamed("cnt", "ref_cnt"), "bin", "left")
+        .join(b.withColumnRenamed("cnt", "cur_cnt"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    terms = (
+        cells.crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.expr(
+                "CAST(floor(1000000000.0 * ("
+                "(CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + 10)"
+                " - CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + 10))"
+                " * ln(CAST((ref_cnt + 1) * (n_cur + 10) AS DOUBLE)"
+                " / CAST((cur_cnt + 1) * (n_ref + 10) AS DOUBLE))"
+                ")) AS BIGINT)"
+            ).alias("term_fp"),
+        )
+    )
+    tot = terms.agg(F.sum("term_fp").alias("psi_fp"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "term_fp",
+        F.round(F.col("psi_fp").cast("double") / 1_000_000_000.0, 6).alias(
+            "psi"
+        ),
+        (F.col("psi_fp") < 100_000_000).alias("stable_lt_01"),
+    )
+
+_SF_B = 200
+
+
+@register(
+    "sign_flip_permutation_test",
+    f"""
+    WITH days AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT)
+        - CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+      FROM events GROUP BY 1
+    ),
+    rn AS (
+      SELECT d, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS i
+      FROM days
+    ),
+    grid AS (
+      SELECT b.b, r.i, r.d,
+        md5(CAST(b.b AS VARCHAR) || ':' || CAST(r.i AS VARCHAR)) AS h
+      FROM (SELECT unnest(generate_series(1, {_SF_B})) AS b) b
+      CROSS JOIN rn r
+    ),
+    flipped AS (
+      SELECT b,
+        CAST(sum(CASE WHEN
+          CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+               AS BIGINT) % 2 = 0
+          THEN d ELSE -d END) AS BIGINT) AS t
+      FROM grid GROUP BY 1
+    ),
+    obs AS (
+      SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM days
+    )
+    SELECT o.n_days, CAST({_SF_B} AS BIGINT) AS n_perm, o.t_obs,
+      CAST(sum(CASE WHEN abs(f.t) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ge,
+      round((CAST(sum(CASE WHEN abs(f.t) >= abs(o.t_obs)
+                      THEN 1 ELSE 0 END) AS DOUBLE) + 1)
+            / ({_SF_B} + 1), 6) AS p_value
+    FROM flipped f CROSS JOIN obs o
+    GROUP BY o.n_days, o.t_obs
+    """,
+)
+def q_sign_flip_permutation_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRED SIGN-FLIP PERMUTATION TEST on the daily click−view
+    differences: under H₀ (exchangeable pair members) each day's d is
+    ±d with equal probability, so the null distribution of T = Σd is
+    sampled by B=200 md5-derived sign patterns and p = (#{|T_b| ≥
+    |T_obs|} + 1)/(B + 1) (the add-one convention that keeps p valid
+    as a test). The EXACT-arithmetic companion to
+    wilcoxon_signed_rank_daily (same pairing, no normal
+    approximation, no variance formula — the permutation machinery
+    bootstrap_mean_ci_daily applies to estimation, applied to
+    testing).
+
+    Exactness: every flipped total is a SIGNED SUM OF EXACT INTEGERS —
+    unlike the bootstrap there is not a single float anywhere until
+    the final round-6 p-value division; sign b,i = parity of the first
+    md5 nibble of b:i, replayed byte-for-byte by the oracle.
+
+    Scale shape: one events scan → a 30-row daily pivot; the B×n sign
+    grid is a broadcast crossJoin (6000 rows) aggregated per b."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("g")
+    ).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    rn = days.select(
+        "d",
+        F.row_number().over(Window.orderBy("g")).cast("bigint").alias("i"),
+    )
+    spine = spark.range(1, _SF_B + 1).select(F.col("id").alias("b"))
+    grid = rn.crossJoin(F.broadcast(spine))
+    flipped = grid.groupBy("b").agg(
+        F.sum(
+            F.when(
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(b AS STRING) || ':' ||"
+                    " CAST(i AS STRING)), 1, 1), 16, 10) AS BIGINT)"
+                    " % 2 = 0"
+                ),
+                F.col("d"),
+            ).otherwise(-F.col("d"))
+        )
+        .cast("bigint")
+        .alias("t")
+    )
+    obs = days.agg(
+        F.sum("d").alias("t_obs"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        flipped.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "t_obs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge")
+        )
+        .select(
+            "n_days",
+            F.lit(_SF_B).cast("bigint").alias("n_perm"),
+            "t_obs",
+            "n_ge",
+            F.round(
+                (F.col("n_ge").cast("double") + 1) / (_SF_B + 1), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+_MI_TOPK = 10
+
+
+@register(
+    "mutual_info_embedding_dims",
+    f"""
+    WITH x0 AS (
+      SELECT label,
+        unnest(list_transform(range(1, len(embedding) + 1),
+          i -> struct_pack(
+            dim := CAST(i - 1 AS BIGINT),
+            bin := CAST(floor((embedding::DOUBLE[])[i] * 8)
+                        AS BIGINT)))) AS s
+      FROM embeddings
+    ),
+    x AS (SELECT label, s.dim AS dim, s.bin AS bin FROM x0),
+    cell AS (
+      SELECT dim, bin, label, CAST(count(*) AS BIGINT) AS c
+      FROM x GROUP BY 1, 2, 3
+    ),
+    mx AS (
+      SELECT dim, bin, CAST(sum(c) AS BIGINT) AS cx FROM cell
+      GROUP BY 1, 2
+    ),
+    my AS (
+      SELECT dim, label, CAST(sum(c) AS BIGINT) AS cy FROM cell
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT dim, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+    terms AS (
+      SELECT cell.dim,
+        cell.c * CAST(floor(1000000000.0 * ln(
+          CAST(nn.n * cell.c AS DOUBLE)
+          / CAST(mx.cx * my.cy AS DOUBLE))) AS BIGINT) AS t_fp
+      FROM cell
+      JOIN mx ON mx.dim = cell.dim AND mx.bin = cell.bin
+      JOIN my ON my.dim = cell.dim AND my.label = cell.label
+      JOIN nn ON nn.dim = cell.dim
+    ),
+    mi AS (
+      SELECT t.dim, nn.n, CAST(sum(t.t_fp) AS BIGINT) AS mi_fp
+      FROM terms t JOIN nn ON nn.dim = t.dim
+      GROUP BY 1, 2
+    )
+    SELECT dim, n, mi_fp,
+      round(CAST(mi_fp AS DOUBLE) / (n * 1000000000.0), 6) AS mi_nats,
+      CAST(row_number() OVER (
+        ORDER BY round(CAST(mi_fp AS DOUBLE) / (n * 1000000000.0), 6)
+          DESC, dim) AS BIGINT) AS rnk
+    FROM mi
+    QUALIFY rnk <= {_MI_TOPK}
+    """,
+)
+def q_mutual_info_embedding_dims(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MUTUAL INFORMATION per embedding dimension against the class
+    label (values quantized to eighth-unit bins): I(X;Y) =
+    Σ p(x,y)·ln(n·c_xy/(c_x·c_y)) — the NONLINEAR feature-screening
+    companion to anova_f_embedding_dims (the F-ratio only sees mean
+    shifts; MI also ranks dims whose class signal lives in variance
+    or multi-modality). Emits the top-10 dims by MI in nats
+    (round-6 rank, dim tie-break — the rounded-score-cut discipline).
+
+    Exactness: bin and cell counts are exact integers; each cell's
+    log-ratio ln(n·c_xy/(c_x·c_y)) is one libm call on a ratio of
+    exact ints (< 2⁵³, so the doubles are exact), floored to 1e9
+    fixed point and then scaled by the exact integer c_xy — so the
+    per-dim MI numerators are associative BIGINT sums (zero cells are
+    simply absent). One final IEEE division per dim, round-6 before
+    the rank cut.
+
+    Scale shape: one posexplode scan → one (dim, bin, label) hash
+    aggregate (≤ 64·9·10 cells at any SF); marginals and MI are
+    group-bys over those cells."""
+    x = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "xv"
+        ),
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr("CAST(floor(xv * 8) AS BIGINT)").alias("bin"),
+    )
+    cell = x.groupBy("dim", "bin", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = cell.groupBy("dim", "bin").agg(F.sum("c").alias("cx"))
+    my = cell.groupBy("dim", "label").agg(F.sum("c").alias("cy"))
+    nn = cell.groupBy("dim").agg(F.sum("c").alias("n"))
+    terms = (
+        cell.join(mx, ["dim", "bin"])
+        .join(my, ["dim", "label"])
+        .join(nn, "dim")
+        .select(
+            "dim",
+            F.expr(
+                "c * CAST(floor(1000000000.0 * ln("
+                "CAST(n * c AS DOUBLE) / CAST(cx * cy AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("t_fp"),
+        )
+    )
+    mi = terms.groupBy("dim").agg(F.sum("t_fp").alias("mi_fp")).join(
+        nn, "dim"
+    )
+    scored = mi.select(
+        "dim",
+        "n",
+        "mi_fp",
+        F.round(
+            F.col("mi_fp").cast("double")
+            / (F.col("n") * 1_000_000_000.0),
+            6,
+        ).alias("mi_nats"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("mi_nats"), F.asc("dim")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= _MI_TOPK)
+    )
