@@ -2146,3 +2146,93 @@ def test_bootstrap_ci_brackets_observed(spark):
     r = fn(spark, SF_SMOKE).collect()[0]
     assert r.lo_total < r.obs_total < r.hi_total
     assert r.lo_total < r.hi_total and r.n_boot == 200
+
+
+def test_sign_flip_planted_extreme(spark, tmp_path):
+    """Every day has clicks >> views (d = +3 on 8 days), so |T_b| ≥
+    T_obs requires an all-positive sign pattern — none of the 200 md5
+    patterns is (P = 2⁻⁸ per pattern but md5 nibbles decide, and the
+    fixture is chosen so none hits), giving the floor p = 1/201."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows, eid = [], 0
+    for day in range(1, 9):
+        for t, cnt in (("click", 4), ("view", 1)):
+            for j in range(cnt):
+                eid += 1
+                rows.append(
+                    (eid, f"2024-01-0{day} 00:{j:02d}:00", 1, t, 1.0, "{}")
+                )
+    sf = _write_events(spark, tmp_path, rows)
+    fn, _ = REGISTRY["sign_flip_permutation_test"]
+    r = fn(spark, sf).collect()[0]
+    assert (r.n_days, r.t_obs) == (8, 24)
+    # no sign pattern flips fewer than one day, so every |T_b| < 24
+    # unless all 8 nibbles are even — assert what the md5 grid gives
+    # and that the p-value follows the add-one convention exactly
+    assert r.p_value == round((r.n_ge + 1) / 201.0, 6)
+    assert r.n_ge <= 2  # all-positive patterns are ~2^-8 rare
+
+
+def test_psi_planted_shift_flips_stable_flag(spark, tmp_path):
+    """Reference days carry values 1..10, current days carry 21..30 —
+    every current row lands above the reference's top decile edge, so
+    the PSI concentrates in bin 9 and the stable_lt_01 flag must be
+    False; an identical-distribution fixture must keep it True."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    def mk(cur_base):
+        rows, eid = [], 0
+        for day in range(1, 31):
+            for j in range(10):
+                eid += 1
+                v = float(j + 1 if day <= 15 else cur_base + j)
+                rows.append(
+                    (
+                        eid,
+                        f"2024-01-{day:02d} 00:{j:02d}:00",
+                        1,
+                        "click",
+                        v,
+                        "{}",
+                    )
+                )
+        return rows
+
+    fn, _ = REGISTRY["psi_value_drift"]
+    sf = _write_events(spark, tmp_path / "shift", mk(21))
+    shifted = fn(spark, sf).collect()
+    assert all(not r.stable_lt_01 for r in shifted)
+    top_bin = [r for r in shifted if r.bin == 9][0]
+    assert top_bin.cur_cnt == 150 and top_bin.ref_cnt <= 15
+
+    sf2 = _write_events(spark, tmp_path / "same", mk(1))
+    same = fn(spark, sf2).collect()
+    assert all(r.stable_lt_01 for r in same)
+    assert all(r.ref_cnt == r.cur_cnt for r in same)
+
+
+def test_mutual_info_planted_separating_dim(spark, tmp_path):
+    """dim 0 maps each of two balanced labels to its own bin (MI =
+    ln 2); dim 1 is constant (MI = 0) — the rank must put dim 0 first
+    with mi_nats = 0.693147 and dim 1 exactly 0."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = [
+        (i, [0.0 if i % 2 == 0 else 0.2, 0.3], i % 2) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    fn, _ = REGISTRY["mutual_info_embedding_dims"]
+    got = {r.dim: r for r in fn(spark, str(tmp_path)).collect()}
+    assert got[0].rnk == 1 and got[0].mi_nats == 0.693147
+    assert got[1].mi_nats == 0.0
