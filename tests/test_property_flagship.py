@@ -16,7 +16,8 @@ from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark
 _name = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1, max_size=12
 )
-_email = st.one_of(st.none(), _name.map(lambda s: f"{s}@test.com"))
+_email_nn = _name.map(lambda s: f"{s}@test.com")
+_email = st.one_of(st.none(), _email_nn)
 _birthday = st.one_of(
     st.none(),
     st.tuples(
@@ -27,7 +28,10 @@ _customer = st.fixed_dictionaries(
     {"customerName": _name, "email": _email, "phone": _name, "birthDay": _birthday}
 )
 _score = st.integers(-1000, 1000).map(lambda i: str(i / 10))
-_risk = st.tuples(_email.filter(lambda e: e is not None), _score)
+# draw the non-null branch directly: filtering half-None draws away
+# multiplied across 8-element lists occasionally tripped Hypothesis'
+# filter_too_much health check under a loaded full-suite run
+_risk = st.tuples(_email_nn, _score)
 
 
 def _b64(s: str) -> str:
