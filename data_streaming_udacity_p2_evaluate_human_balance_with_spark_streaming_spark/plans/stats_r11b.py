@@ -490,6 +490,9 @@ def q_bootstrap_mean_ci_daily(
     rows), joined back to the days by index — resampling without
     replicating the underlying events even once."""
     ev = load_table(spark, sf_dir, "events")
+    # NOTE: deliberately NOT pinned — a localCheckpoint of this 30-row
+    # frame costs more (materialization job) than the two extra lazy
+    # events scans it would save (measured 1.2 -> 1.8 s at sf0.1)
     days = ev.groupBy(
         F.expr("unix_micros(ts) div 86400000000").alias("g")
     ).agg(F.count(F.lit(1)).alias("v"))
@@ -644,8 +647,14 @@ def q_burrows_delta_sources(
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    tots = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
-    wc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE tokenize scan: (source, word) counts are the bounded frame
+    # (sources x vocab) every later step derives from
+    wc = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    tots = wc.groupBy("source").agg(F.sum("cnt").alias("tot"))
     topw = (
         wc.groupBy("w")
         .agg(F.sum("cnt").alias("c"))
@@ -774,15 +783,23 @@ def q_wilcoxon_signed_rank_daily(
     Scale shape: one events scan → one 30-row daily pivot; ranks via
     a running sum over distinct |d| (two-pass, no per-row window)."""
     ev = load_table(spark, sf_dir, "events")
-    days = ev.groupBy(
-        F.expr("unix_micros(ts) div 86400000000").alias("g")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("bigint")
-        .alias("clicks"),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .cast("bigint")
-        .alias("views"),
+    days = (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("g")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("clicks"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("views"),
+        )
+        .localCheckpoint()
     )
     d = days.filter(F.col("clicks") != F.col("views")).select(
         "g",
@@ -927,9 +944,11 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((a+1)/A' − (b+1)/B') · ln((a+1)B'/((b+1)A')), floored to 1e9
     fixed point BEFORE the 10-term sum.
 
-    Scale shape: one events scan → per-period (cents) hash aggregates;
-    the 9-edge table broadcasts; everything after is 10-row
-    arithmetic."""
+    Scale shape: ONE events scan folds into a bounded (period, cents)
+    count table (≤ 2·|distinct cents| rows, localCheckpoint-pinned
+    because five downstream subtrees read it — scalars, the decile
+    running sum, and both bin maps); the 9-edge table broadcasts;
+    everything after is 10-row arithmetic."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -939,15 +958,22 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo = e.agg(F.min("g").alias("mn"))
-    ec = e.crossJoin(F.broadcast(lo))
-    ref = ec.filter(F.col("g") < F.col("mn") + 15).select("c")
-    cur = ec.filter(F.col("g") >= F.col("mn") + 15).select("c")
-    rn = ref.agg(F.count(F.lit(1)).alias("n_ref"))
-    cn = cur.agg(F.count(F.lit(1)).alias("n_cur"))
-    rv = ref.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    # one scan: per-(period, cents) counts; bounded by the cents domain
+    pv = (
+        e.crossJoin(F.broadcast(lo))
+        .groupBy(
+            (F.col("g") < F.col("mn") + 15).alias("is_ref"), F.col("c")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    rv = pv.filter("is_ref").select("c", "cnt")
+    cv = pv.filter("NOT is_ref").select("c", "cnt")
+    rn = rv.agg(F.sum("cnt").alias("n_ref"))
+    cn = cv.agg(F.sum("cnt").alias("n_cur"))
     rcum = rv.withColumn(
         "cum",
-        F.sum("t").over(
+        F.sum("cnt").over(
             Window.orderBy("c").rowsBetween(
                 Window.unboundedPreceding, 0
             )
@@ -962,9 +988,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("edge"))
     )
 
-    # simpler exact path: distinct cents -> bin, then join counts
-    def _bin_of_c(side):
-        vals = side.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    def _bin_of_c(vals):
         return (
             vals.crossJoin(F.broadcast(edges.select("edge")))
             .groupBy("c", "cnt")
@@ -979,8 +1003,8 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"))
         )
 
-    a = _bin_of_c(ref)
-    b = _bin_of_c(cur)
+    a = _bin_of_c(rv)
+    b = _bin_of_c(cv)
     spine = spark.range(0, 10).select(F.col("id").alias("bin"))
     cells = (
         spine.join(a.withColumnRenamed("cnt", "ref_cnt"), "bin", "left")
@@ -1007,6 +1031,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ")) AS BIGINT)"
             ).alias("term_fp"),
         )
+        .localCheckpoint()
     )
     tot = terms.agg(F.sum("term_fp").alias("psi_fp"))
     return terms.crossJoin(F.broadcast(tot)).select(
@@ -1019,6 +1044,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("psi_fp") < 100_000_000).alias("stable_lt_01"),
     )
+
 
 _SF_B = 200
 
