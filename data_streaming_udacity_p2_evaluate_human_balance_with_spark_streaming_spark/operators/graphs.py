@@ -599,8 +599,11 @@ def anf_hop_registers(
 
     Iteration shape: per round, edges ⋈ registers on the node key
     (register side ≤ 16·|V| rows), union with the previous table, one
-    (node, bucket) max aggregate, localCheckpoint (plan-depth bound;
-    snapshots are RETAINED — every hop is part of the result)."""
+    (node, bucket) max aggregate, LAZY localCheckpoint (plan-depth
+    bound without a blocking job per hop — each snapshot materializes
+    at its first action and is then reused by hop h+1 AND the final
+    union; eager pins cost ~18% of the query at sf0.1, measured r11).
+    Snapshots are RETAINED — every hop is part of the result."""
     from functools import reduce
 
     from .sketches import hll16_register_exprs
@@ -632,7 +635,7 @@ def anf_hop_registers(
             .unionByName(contrib)
             .groupBy("node", "bucket_hex")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         snaps.append(cur.withColumn("hop", F.lit(h).cast("bigint")))
     return reduce(lambda x, y: x.unionByName(y), snaps).select(
