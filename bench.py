@@ -461,6 +461,21 @@ def main() -> None:
     # our own warm-up (the r8 quiet run read 5.4 right after its own
     # untimed pass on an otherwise idle box).
     start_load = os.getloadavg()[0]
+    # Self-quieting (r11 VERDICT #1): two rounds running the driver
+    # launched the official bench while prior JVMs were still winding
+    # down (r10 loadavg 3.41, r11 5.74 — both `contended: true` despite
+    # the builder closing on an idle box). Session discipline cannot fix
+    # driver scheduling, so the bench defends itself: poll the 1-min
+    # loadavg until it drops under 1.0 (bounded at ~5 min) BEFORE
+    # creating the JVM, and record the wait in the artifact. If the cap
+    # expires the load was genuinely external and `contended` stays
+    # honest.
+    idle_wait_sec = 0.0
+    idle_cap = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_CAP", "300"))
+    while start_load >= 1.0 and idle_wait_sec < idle_cap:
+        time.sleep(10.0)
+        idle_wait_sec += 10.0
+        start_load = os.getloadavg()[0]
     spark = get_spark(
         app_name="stedi-bench",
         master=f"local[{cpus}]",
@@ -536,7 +551,7 @@ def main() -> None:
     load_samples = [os.getloadavg()[0]]
     for _pass in range(n_passes):
         _revive_python_workers()
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             fn, _ = REGISTRY[name]
             t0 = time.perf_counter()
             try:
@@ -549,6 +564,21 @@ def main() -> None:
             # drop persisted intermediates (LSH tables, IVF cells) so later
             # queries aren't perturbed by earlier queries' cached memory
             spark.catalog.clearCache()
+            # Periodic quiesce (r11 VERDICT #2): the two persist-heavy LSH
+            # queries measured 1.8-2.0x of pin IN-SUITE but ~1.1x isolated
+            # (judge-verified) — late-suite heap/GC debt from ~300 earlier
+            # queries, not plan regressions. Shed that debt continuously:
+            # a driver full GC every 40 queries (untimed, between queries)
+            # keeps old-gen pressure flat so in-suite ~= isolated. ~10
+            # GCs/pass at <1 s each — outside every per-query timer.
+            if (qi + 1) % 40 == 0:
+                try:
+                    import gc as _gc
+
+                    _gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
         # localCheckpoint blocks (iterative ops, ranking._pin) are NOT
         # covered by clearCache; Python gc detaches any cyclic py4j
         # refs, then a driver GC lets the ContextCleaner release the
@@ -589,17 +619,29 @@ def main() -> None:
         )
     except (OSError, ValueError):
         qbase = {}
+    watch: dict[str, float] = {}
     for name, t in timings.items():
         b = qbase.get(name)
-        if b and b > 0 and t > 2.0 * b and t - b > 0.25:
+        if not (b and b > 0):
+            continue
+        if t > 2.0 * b and t - b > 0.25:
             regressions[name] = round(t / b, 2)
+        elif t > 1.8 * b and t - b > 0.25:
+            # Trend arm (r11 VERDICT #2): 1.8-2.0x of pin is the band
+            # where a real ~1.5x plan regression could hide under the
+            # flat 2x gate (dedup_minhash_lsh sat at 1.97x for three
+            # runs before the root cause was found). Watch-flagged
+            # queries get the same quiesced isolated recheck as hard
+            # flags; isolated ~= pin -> context, isolated still high ->
+            # investigate before the gate ever trips.
+            watch[name] = round(t / b, 2)
     # Isolated-vs-in-suite drift (r8 VERDICT #7): a >2× flag can mean a
     # plan regression OR suite-context pressure (GC debt, codegen cache
     # churn from 200 earlier queries). Re-measure each flagged query in
     # a quiesced JVM (caches cleared, full GC, min-of-2): if the
     # isolated number is back near baseline the flag was context, not
     # plan. Costs nothing on a clean run (only flagged queries re-run).
-    if regressions:
+    if regressions or watch:
         try:
             import gc as _gc
 
@@ -608,7 +650,7 @@ def main() -> None:
         except Exception:
             pass
         _revive_python_workers()  # rechecks must not re-pay revival
-        for name in regressions:
+        for name in list(regressions) + list(watch):
             fn, _ = REGISTRY[name]
             ts2: list[float] = []
             for _ in range(2):
@@ -671,6 +713,7 @@ def main() -> None:
         "n_requested": len(HEADLINE),
         "contended": contended,
         "start_loadavg_1m": round(start_load, 2),
+        "idle_wait_sec": round(idle_wait_sec, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Bulky diagnostics (all passes, load samples, spreads) go to a side
@@ -690,6 +733,7 @@ def main() -> None:
         # baseline → suite-context pressure; isolated still >2× → a
         # real plan regression.
         regressions_vs_quiet=regressions,
+        watch_vs_quiet=watch,
         isolated_recheck=isolated_recheck,
     )
     try:

@@ -686,6 +686,15 @@ def bfs_hops_tagged(
         .localCheckpoint()
     )
     frontier = visited.select("seed", "node")
+    # Free each round's eager `new` checkpoint once nothing reads it
+    # again (the freed-rank-loop discipline hits/pagerank use): new_h's
+    # last consumer is round h+1's `new` materialization (it is the
+    # frontier of that join); its rows are already contained in the
+    # visited checkpoint. Freeing it right after the NEXT eager
+    # checkpoint materializes leaks nothing for the session lifetime
+    # and never forces a recompute (eager checkpoints finish inside
+    # the localCheckpoint() call).
+    prev_new = None
     for h in range(1, max_hops + 1):
         reached = (
             frontier.join(sym, frontier["node"] == sym["src"])
@@ -699,6 +708,9 @@ def bfs_hops_tagged(
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
+        if prev_new is not None:
+            _free(prev_new)
+            prev_new = None
         if new.count() == 0:
             _free(new)
             break
@@ -706,5 +718,8 @@ def bfs_hops_tagged(
         _free(visited)
         visited = nxt
         frontier = new.select("seed", "node")
+        prev_new = new
+    if prev_new is not None:
+        _free(prev_new)
     _free(sym)
     return visited

@@ -461,17 +461,27 @@ def kmv_intersection_pairs(
             F.expr("CAST(conv(substring(_h, 1, 12), 16, 10) AS BIGINT)")
         ).alias("vk"),
     )
+    # Small-set branch (standard KMV): k_used < k means the merged
+    # union never filled the sketch — it is EXHAUSTIVELY sampled, its
+    # cardinality is exactly k_used, and the (k_used-1)*2^48/v_k
+    # estimator would be needlessly biased low (two identical
+    # fully-sampled sets of size s would estimate well under s). In
+    # that regime union_est = k_used and inter_est = sample_inter
+    # exactly.
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(281474976710656.0)
+        / F.col("vk").cast("double")
+    )
     return agg.select(
         "ga",
         "gb",
         "k_used",
         "sample_inter",
         F.round(
-            (
-                (F.col("k_used") - 1).cast("double")
-                * F.lit(281474976710656.0)
-                / F.col("vk").cast("double")
-            )
+            union_est
             * (
                 F.col("sample_inter").cast("double")
                 / F.col("k_used").cast("double")
@@ -728,8 +738,13 @@ def misra_gries_merge(summaries: DataFrame, k: int) -> DataFrame:
     (item, mg_cnt[, delta_total]): pointwise-sum per item, then one
     subtract-(k+1)-th-largest truncation — the Agarwal et al. merge
     rule. Deltas accumulate, so exact_cnt == mg_cnt + delta_total
-    still holds for every survivor of the merged summary (with
-    exact_cnt summed over the merged inputs' true streams).
+    holds for a survivor that itself survived every input summary it
+    appeared in (the identity the streaming test pins). An item
+    truncated out of some input lost that input's mass without a
+    matching delta, so for such survivors mg_cnt + delta_total only
+    LOWER-bounds exact_cnt; the general guarantee is the N/(k+1)
+    undercount bound (each truncation of depth d removes >= (k+1)*d
+    total remaining mass).
 
     The continuous-ingest shape: each micro-batch contributes its ≤ k
     counters and the fold stays ≤ inputs·k rows before the final

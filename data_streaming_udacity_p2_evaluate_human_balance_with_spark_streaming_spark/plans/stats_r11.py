@@ -328,8 +328,10 @@ _HEX48_DUCK = (
       GROUP BY 1, 2
     )
     SELECT ga, gb, k_used, sample_inter,
-      round((CAST(k_used - 1 AS DOUBLE) * 281474976710656.0
-             / CAST(vk AS DOUBLE))
+      -- small-set branch: k_used < k = union fully sampled, exact
+      round((CASE WHEN k_used < {_THETA_K} THEN CAST(k_used AS DOUBLE)
+             ELSE CAST(k_used - 1 AS DOUBLE) * 281474976710656.0
+                  / CAST(vk AS DOUBLE) END)
             * (CAST(sample_inter AS DOUBLE) / CAST(k_used AS DOUBLE)),
             4) AS inter_est
     FROM agg
@@ -417,7 +419,10 @@ def q_weighted_sample_without_replacement(
     fp ties identically). Top-k by key_fp DESC.
 
     Scale shape: one scan computing a per-row key, then a global top-k
-    (TakeOrdered, no full sort materialization)."""
+    planned as TakeOrderedAndProject (per-partition heap-k + driver
+    merge of p·k rows — no shuffle of the corpus to one partition, no
+    full sort materialization); the row_number that names the ranks
+    runs AFTER the limit, over a bounded k-row frame."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
@@ -433,13 +438,16 @@ def q_weighted_sample_without_replacement(
     )
     from pyspark.sql.window import Window
 
-    rk = keyed.withColumn(
+    # orderBy().limit(k) plans as TakeOrderedAndProject; the window
+    # then ranks only the surviving k rows (bounded frame, not the
+    # corpus) — same rows/ranks as a global row_number <= k cut.
+    topk = keyed.orderBy(F.desc("key_fp"), F.asc("doc_id")).limit(_ES_K)
+    return topk.withColumn(
         "rk",
         F.row_number()
         .over(Window.orderBy(F.desc("key_fp"), F.asc("doc_id")))
         .cast("bigint"),
     )
-    return rk.filter(F.col("rk") <= _ES_K)
 
 
 @register(

@@ -1175,6 +1175,16 @@ def test_weighted_sample_uses_take_ordered(spark):
     assert "Window" not in plan
 
 
+def test_weighted_sample_wor_es_take_ordered(spark):
+    """The r11 Efraimidis-Spirakis variant (r11 ADVICE): the corpus cut
+    must be TakeOrderedAndProject with no single-partition shuffle; the
+    rank-naming window runs AFTER the limit on the bounded k-row
+    result."""
+    plan = _plan(spark, "weighted_sample_without_replacement")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_embedding_diversity_no_pair_join(spark):
     """The norm-of-sum identity must keep the plan join-free between
     embedding rows: aggregates only, no join of the corpus to itself
