@@ -1809,3 +1809,112 @@ def test_incremental_semantic_dedup_cross_batch(spark):
     assert out2[201].dup_of == 13 and not out2[201].kept
     assert out2[202].kept
     spark.catalog.clearCache()
+
+
+def test_dedup_indexes_persist_partitioned_fresh_session(spark, tmp_path):
+    """r11 VERDICT #4: the docstring promise "build once, write to
+    parquet (partitioned by cell/band), probe forever" exercised
+    end-to-end ON DISK: semantic_index written partitioned by `cell`
+    and lsh_band_table partitioned by `band`, read back by a FRESH
+    session (spark.newSession() — isolated session state/temp config;
+    a second JVM is not constructible in the sandbox), and the
+    incremental probes over the stored indexes must be byte-identical
+    to the inline build. Catches session-dependent state in the index
+    (nondeterministic hashing, lost types through the partitioned
+    write — partition-column type inference turns `cell`/`band` back
+    into ints, which the probes must tolerate)."""
+    import hashlib
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        incremental_near_dup,
+        incremental_semantic_dedup,
+        lsh_band_table,
+        semantic_index,
+    )
+
+    # --- lexical: corpus band index, partitioned by band ---
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa t%d u%d v%d"
+    corpus_rows, batch_rows = [], []
+    for i in range(20):
+        text = base % (i, i, i) + " " + " ".join(f"c{i}_{j}" for j in range(15))
+        corpus_rows.append((i, text))
+        if i % 3 == 0:
+            batch_rows.append((1000 + i, text[:-4] + "ZZZ"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    inline_lex = {
+        tuple(r) for r in incremental_near_dup(corpus, batch).collect()
+    }
+
+    band_path = str(tmp_path / "band_index")
+    lsh_band_table(corpus).write.partitionBy("band").parquet(band_path)
+
+    # --- semantic: corpus vector index, partitioned by cell ---
+    dim = 8
+
+    def mk(seed):
+        return [
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        f"{seed}:{d}".encode(), digest_size=4
+                    ).digest(),
+                    "big",
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+
+    vcorpus = spark.createDataFrame(
+        [(i, mk(i)) for i in range(1, 21)], "vec_id long, v array<double>"
+    )
+    jit = lambda v: [v[0] + 1e-4] + v[1:]  # noqa: E731
+    vbatch = spark.createDataFrame(
+        [(101, jit(mk(7))), (102, [0.5, -0.5] * 4)],
+        "vec_id long, v array<double>",
+    )
+    inline_sem = {
+        tuple(r)
+        for r in incremental_semantic_dedup(
+            semantic_index(vcorpus, n_planes=4), vbatch
+        ).collect()
+    }
+    cell_path = str(tmp_path / "semantic_index")
+    semantic_index(vcorpus, n_planes=4).write.partitionBy("cell").parquet(
+        cell_path
+    )
+
+    # --- fresh session probes the stored indexes only ---
+    s2 = spark.newSession()
+    try:
+        corpus2 = s2.createDataFrame(corpus_rows, "doc_id long, text string")
+        batch2 = s2.createDataFrame(batch_rows, "doc_id long, text string")
+        stored_bands = s2.read.parquet(band_path)
+        via_disk_lex = {
+            tuple(r)
+            for r in incremental_near_dup(
+                corpus2, batch2, corpus_bands=stored_bands
+            ).collect()
+        }
+        assert via_disk_lex == inline_lex and len(inline_lex) == 7
+
+        vbatch2 = s2.createDataFrame(
+            [(101, jit(mk(7))), (102, [0.5, -0.5] * 4)],
+            "vec_id long, v array<double>",
+        )
+        stored_index = s2.read.parquet(cell_path)
+        via_disk_sem = {
+            tuple(r)
+            for r in incremental_semantic_dedup(
+                stored_index, vbatch2
+            ).collect()
+        }
+        assert via_disk_sem == inline_sem
+        flags = {r[0]: (r[2], r[4]) for r in via_disk_sem}
+        assert flags[101] == (7, False) and flags[102] == (None, True)
+    finally:
+        s2.catalog.clearCache()
+    spark.catalog.clearCache()

@@ -1185,6 +1185,36 @@ def test_weighted_sample_wor_es_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "item_item_cosine_parts",
+        "dirichlet_lm_topk",
+        "kl_surprise_docs",
+        "rbo_bm25_vs_lm",
+    ],
+)
+def test_global_topk_pre_pruned_not_single_partition_sort(spark, name):
+    """r11 VERDICT #3: global top-k cuts over data-proportional frames
+    (pruned item-item pair set, per-doc score rankings) must be
+    pre-pruned to k per partition before any single-partition step.
+    Catalyst's LimitPushDownThroughWindow rewrites the
+    row_number()<=k / orderBy().limit(k) pattern into
+    TakeOrderedAndProject (per-partition heap-k + driver merge of p*k
+    rows) — this pin asserts the rewrite actually fires, i.e. the plan
+    contains the TakeOrdered prune and never plans a corpus-wide
+    single-partition Sort (the only allowed SinglePartition exchanges
+    sit ABOVE a TakeOrdered/limit, ranking a bounded <=k-row frame)."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
+    # every Sort that is global (the `true` flag = global sort) must
+    # not appear — TakeOrdered replaces it; per-join-partition sorts
+    # (flag false) are fine.
+    for line in plan.splitlines():
+        if "+- Sort [" in line:
+            assert "], false," in line, f"{name}: global sort: {line}"
+
+
 def test_embedding_diversity_no_pair_join(spark):
     """The norm-of-sum identity must keep the plan join-free between
     embedding rows: aggregates only, no join of the corpus to itself
