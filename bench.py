@@ -365,6 +365,9 @@ HEADLINE = [
     # is benched except the two documented training-loop exclusions
     # below; the unbenched set previously included 10 TPC-H shapes and
     # several dedup/ANN variants with no perf regression gate.
+    # r12 additions
+    "anf_hop_histogram_m64",
+    # r11: HEADLINE completion continues below
     "kafka_cast_project",
     "json_parse_flatten",
     "base64_roundtrip",

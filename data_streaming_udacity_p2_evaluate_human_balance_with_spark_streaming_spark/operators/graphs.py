@@ -578,6 +578,7 @@ def anf_hop_registers(
     max_hops: int,
     a_col: str = "pa",
     b_col: str = "pb",
+    m: int = 16,
 ) -> DataFrame:
     """ANF / HyperANF hop-neighborhood sketches (Palmer et al. 2002;
     Boldi et al. 2011) over an undirected graph: every node carries a
@@ -603,11 +604,17 @@ def anf_hop_registers(
     bound without a blocking job per hop — each snapshot materializes
     at its first action and is then reused by hop h+1 AND the final
     union; eager pins cost ~18% of the query at sf0.1, measured r11).
-    Snapshots are RETAINED — every hop is part of the result."""
+    Snapshots are RETAINED — every hop is part of the result.
+
+    `m` picks the per-node sketch width: 16 (default, σ≈26%) or the
+    r11 VERDICT #5 graduation 64 (σ≈13% at 4× register rows)."""
     from functools import reduce
 
-    from .sketches import hll16_register_exprs
+    from .sketches import hll16_register_exprs, hll64_register_exprs
 
+    if m not in (16, 64):
+        raise ValueError(f"anf_hop_registers: unsupported m={m}")
+    ex_fn = hll16_register_exprs if m == 16 else hll64_register_exprs
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -619,7 +626,7 @@ def anf_hop_registers(
     # 4 of 16 buckets could ever fill, capping every estimate at
     # 16·ln(16/12). The salt makes bucket/rho independent of any
     # id-hash sampling upstream.
-    ex = hll16_register_exprs("concat(CAST(node AS STRING), ':anf')")
+    ex = ex_fn("concat(CAST(node AS STRING), ':anf')")
     cur = nodes.select(
         "node",
         F.expr(ex["bucket_hex"]).alias("bucket_hex"),

@@ -151,6 +151,46 @@ def hll16_register_exprs(key_sql: str) -> dict[str, str]:
     return {"bucket_hex": f"substring({h}, 1, 1)", "rho": rho}
 
 
+#: m=64 graduation for per-node sketches (r11 VERDICT #5): σ ≈
+#: 1.04/√64 ≈ 13% per sketch — half the m=16 error at 4× the register
+#: rows, still 64·|V| ≪ 256·|V|. alpha_64 = 0.709 (Flajolet et al.
+#: 2007 small-m constant); linear-counting cutoff 2.5·m = 160.
+HLL64_M = 64
+HLL64_ALPHA = 0.709
+HLL64_RHO_MAX = 4 * _HLL16_W_HEX + 1  # rho stream = hex chars 3..14
+
+
+def hll64_register_exprs(key_sql: str) -> dict[str, str]:
+    """64-bucket variant, portable across Spark and DuckDB with pure
+    string ops: bucket = first md5 hex char (4 bits) concatenated with
+    the QUADRANT of the second char (its top 2 bits → '0'..'3'), i.e.
+    exactly 6 uniform bits as a 2-char string key; rho = leading-zero
+    count of hex chars 3..14 (independent of both bucket chars — the
+    second char's unused low 2 bits are simply dropped)."""
+    h = f"md5({key_sql})"
+    stripped = f"regexp_replace(substring({h}, 3, {_HLL16_W_HEX}), '^0+', '')"
+    msb = (
+        f"CASE WHEN substring({stripped}, 1, 1) IN ('1') THEN 1 "
+        f"WHEN substring({stripped}, 1, 1) IN ('2','3') THEN 2 "
+        f"WHEN substring({stripped}, 1, 1) IN ('4','5','6','7') THEN 3 "
+        f"ELSE 4 END"
+    )
+    rho = (
+        f"CASE WHEN {stripped} = '' THEN {HLL64_RHO_MAX} "
+        f"ELSE 4 * ({_HLL16_W_HEX} - length({stripped})) + (4 - {msb}) + 1 END"
+    )
+    quad = (
+        f"CASE WHEN substring({h}, 2, 1) IN ('0','1','2','3') THEN '0' "
+        f"WHEN substring({h}, 2, 1) IN ('4','5','6','7') THEN '1' "
+        f"WHEN substring({h}, 2, 1) IN ('8','9','a','b') THEN '2' "
+        f"ELSE '3' END"
+    )
+    return {
+        "bucket_hex": f"concat(substring({h}, 1, 1), {quad})",
+        "rho": rho,
+    }
+
+
 def hll_register_exprs(key_sql: str) -> dict[str, str]:
     """SQL fragments (valid in Spark AND DuckDB up to the hex→int cast,
     which the caller supplies per dialect) for the HLL register of one
