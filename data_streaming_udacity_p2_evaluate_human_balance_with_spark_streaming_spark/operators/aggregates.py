@@ -119,3 +119,99 @@ def top_k_per_group(
         .filter(F.col("rnk") <= k)
         .withColumnRenamed("rnk", "rank")
     )
+
+
+def psi_from_period_counts(pv: DataFrame) -> DataFrame:
+    """Population-Stability-Index finalize over an ADDITIVE count
+    table (is_ref boolean, c bigint, cnt bigint) — the shared tail of
+    the `psi_value_drift` batch query and its streaming twin (r11
+    VERDICT #6): because the state is pure per-(period, cents) counts,
+    any micro-batch decomposition that sums `cnt` by key (e.g. the
+    additive_merge_parquet sink) finalizes to EXACTLY the batch
+    answer — finalize == batch is an algebraic identity, pinned by
+    tests/test_streaming.py.
+
+    Bin edges are the reference period's exact deciles (rank
+    ceil(q·n/10) via a running sum over distinct cents — note DIV, not
+    `/`: Spark's Column `/` is true division); both periods bin by
+    count-of-edges-below; +1 Laplace smoothing keeps the log defined
+    on empty current bins; each bin's term is ONE shared IEEE tree on
+    exact integers floored to 1e9 fixed point before the 10-term sum.
+
+    Returns (bin, ref_cnt, cur_cnt, term_fp, psi, stable_lt_01)."""
+    from pyspark.sql.window import Window
+
+    spark = pv.sparkSession
+    rv = pv.filter("is_ref").select("c", "cnt")
+    cv = pv.filter("NOT is_ref").select("c", "cnt")
+    rn = rv.agg(F.sum("cnt").alias("n_ref"))
+    cn = cv.agg(F.sum("cnt").alias("n_cur"))
+    rcum = rv.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    edges = (
+        rcum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(rn))
+        .filter(F.col("cum") >= F.expr("(q * n_ref + 9) DIV 10"))
+        .groupBy("q")
+        .agg(F.min("c").alias("edge"))
+    )
+
+    def _bin_of_c(vals):
+        return (
+            vals.crossJoin(F.broadcast(edges.select("edge")))
+            .groupBy("c", "cnt")
+            .agg(
+                F.sum(F.when(F.col("c") > F.col("edge"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    a = _bin_of_c(rv)
+    b = _bin_of_c(cv)
+    spine = spark.range(0, 10).select(F.col("id").alias("bin"))
+    cells = (
+        spine.join(a.withColumnRenamed("cnt", "ref_cnt"), "bin", "left")
+        .join(b.withColumnRenamed("cnt", "cur_cnt"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    terms = (
+        cells.crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.expr(
+                "CAST(floor(1000000000.0 * ("
+                "(CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + 10)"
+                " - CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + 10))"
+                " * ln(CAST((ref_cnt + 1) * (n_cur + 10) AS DOUBLE)"
+                " / CAST((cur_cnt + 1) * (n_ref + 10) AS DOUBLE))"
+                ")) AS BIGINT)"
+            ).alias("term_fp"),
+        )
+        .localCheckpoint()
+    )
+    tot = terms.agg(F.sum("term_fp").alias("psi_fp"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "term_fp",
+        F.round(
+            F.col("psi_fp").cast("double") / 1_000_000_000.0, 6
+        ).alias("psi"),
+        (F.col("psi_fp") < 100_000_000).alias("stable_lt_01"),
+    )

@@ -967,83 +967,9 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint()
     )
-    rv = pv.filter("is_ref").select("c", "cnt")
-    cv = pv.filter("NOT is_ref").select("c", "cnt")
-    rn = rv.agg(F.sum("cnt").alias("n_ref"))
-    cn = cv.agg(F.sum("cnt").alias("n_cur"))
-    rcum = rv.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("c").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
-    )
-    qs = spark.range(1, 10).select(F.col("id").alias("q"))
-    edges = (
-        rcum.crossJoin(F.broadcast(qs))
-        .crossJoin(F.broadcast(rn))
-        .filter(F.col("cum") >= F.expr("(q * n_ref + 9) DIV 10"))
-        .groupBy("q")
-        .agg(F.min("c").alias("edge"))
-    )
+    from ..operators.aggregates import psi_from_period_counts
 
-    def _bin_of_c(vals):
-        return (
-            vals.crossJoin(F.broadcast(edges.select("edge")))
-            .groupBy("c", "cnt")
-            .agg(
-                F.sum(
-                    F.when(F.col("c") > F.col("edge"), 1).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-
-    a = _bin_of_c(rv)
-    b = _bin_of_c(cv)
-    spine = spark.range(0, 10).select(F.col("id").alias("bin"))
-    cells = (
-        spine.join(a.withColumnRenamed("cnt", "ref_cnt"), "bin", "left")
-        .join(b.withColumnRenamed("cnt", "cur_cnt"), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
-            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
-        )
-    )
-    terms = (
-        cells.crossJoin(F.broadcast(rn))
-        .crossJoin(F.broadcast(cn))
-        .select(
-            "bin",
-            "ref_cnt",
-            "cur_cnt",
-            F.expr(
-                "CAST(floor(1000000000.0 * ("
-                "(CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + 10)"
-                " - CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + 10))"
-                " * ln(CAST((ref_cnt + 1) * (n_cur + 10) AS DOUBLE)"
-                " / CAST((cur_cnt + 1) * (n_ref + 10) AS DOUBLE))"
-                ")) AS BIGINT)"
-            ).alias("term_fp"),
-        )
-        .localCheckpoint()
-    )
-    tot = terms.agg(F.sum("term_fp").alias("psi_fp"))
-    return terms.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        "term_fp",
-        F.round(F.col("psi_fp").cast("double") / 1_000_000_000.0, 6).alias(
-            "psi"
-        ),
-        (F.col("psi_fp") < 100_000_000).alias("stable_lt_01"),
-    )
+    return psi_from_period_counts(pv)
 
 
 _SF_B = 200

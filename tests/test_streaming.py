@@ -4791,3 +4791,112 @@ def test_streaming_misra_gries_merge_guarantees(spark, tmp_path):
     # hh survived every summary it appeared in -> exact identity holds
     mg_hh, delta_hh = merged["hh"]
     assert mg_hh + delta_hh == exact["hh"] == 180
+
+
+def test_streaming_psi_drift_gate_equals_batch(spark, tmp_path):
+    """Streaming twin of psi_value_drift (r11 VERDICT #6): the PSI
+    state is the additive (is_ref, cents) count table, so the
+    additive_merge_parquet sink maintains it across micro-batches and
+    psi_from_period_counts finalizes it — finalize must equal the
+    batch computation EXACTLY (associative BIGINT counts), survive a
+    mid-stream restart from the checkpoint, and the planted
+    distribution shift must trip the drift gate (stable_lt_01 False)
+    while an identical-distribution control stays stable (True) — both
+    flag paths non-vacuous."""
+    import os as _os
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.aggregates import (
+        psi_from_period_counts,
+    )
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.streaming.sinks import (
+        additive_merge_parquet,
+    )
+
+    # planted drift: ref cents cycle 0..99, current cents 50..149 —
+    # half the mass moves above the reference's top deciles
+    rows = []
+    for i in range(1200):
+        rows.append((i, True, i % 100))
+    for i in range(1200):
+        rows.append((10_000 + i, False, 50 + (i % 100)))
+    schema = _parse_datatype_string(
+        "event_id bigint, is_ref boolean, c bigint"
+    )
+    static = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "psi_src")
+    mv = str(tmp_path / "psi_mv")
+    ckpt = str(tmp_path / "psi_ckpt")
+    _os.makedirs(src)
+
+    def _emit(batch_rows, idx):
+        chunk = spark.createDataFrame(batch_rows, schema)
+        d = f"{src}/b{idx}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in _os.listdir(d) if f.endswith(".parquet")][0]
+        _os.rename(f"{d}/{part}", f"{src}/f{idx}.parquet")
+        _os.utime(
+            f"{src}/f{idx}.parquet", (1700000000 + idx, 1700000000 + idx)
+        )
+        _t.sleep(0.01)
+
+    # 4 interleaved micro-batches, each mixing ref and current rows
+    per = len(rows) // 4
+    for b in range(2):
+        _emit(rows[b * per : (b + 1) * per], b)
+
+    def _run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .withColumn("cnt", F.lit(1).cast("bigint"))
+            .select("is_ref", "c", "cnt")
+        )
+        q = additive_merge_parquet(
+            stream,
+            mv,
+            key_cols=("is_ref", "c"),
+            add_cols=("cnt",),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    _run()  # first two micro-batches
+    # mid-stream restart: two more files arrive, a NEW query resumes
+    # from the same checkpoint and must merge only the new batches
+    for b in range(2, 4):
+        _emit(rows[b * per : (b + 1) * per], b)
+    _run()
+
+    got = {
+        tuple(r)
+        for r in psi_from_period_counts(spark.read.parquet(mv)).collect()
+    }
+    pv_batch = static.groupBy("is_ref", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    want = {tuple(r) for r in psi_from_period_counts(pv_batch).collect()}
+    assert got == want, "streaming finalize != batch PSI"
+    assert len(got) == 10
+    # the planted shift must trip the gate in every row's global flag
+    assert all(r[5] is False for r in got), got
+    psi_val = next(iter(got))[4]
+    assert psi_val > 0.25, psi_val  # retrain territory, not borderline
+
+    # control: identical ref/current distributions stay stable
+    ctl_rows = [(i, True, i % 100) for i in range(1200)] + [
+        (10_000 + i, False, i % 100) for i in range(1200)
+    ]
+    ctl = spark.createDataFrame(ctl_rows, schema).groupBy(
+        "is_ref", "c"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ctl_out = psi_from_period_counts(ctl).collect()
+    assert all(r.stable_lt_01 for r in ctl_out)
+    assert all(abs(r.psi) < 0.01 for r in ctl_out)
+    spark.catalog.clearCache()
