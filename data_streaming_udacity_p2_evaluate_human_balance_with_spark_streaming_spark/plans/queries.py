@@ -3551,3 +3551,4 @@ from . import simjoin as _simjoin  # noqa: E402,F401
 from . import stats_r10 as _stats_r10  # noqa: E402,F401
 from . import stats_r11 as _stats_r11  # noqa: E402,F401
 from . import stats_r11b as _stats_r11b  # noqa: E402,F401
+from . import stats_r12 as _stats_r12  # noqa: E402,F401
