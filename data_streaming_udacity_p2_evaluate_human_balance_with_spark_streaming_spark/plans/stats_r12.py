@@ -345,3 +345,498 @@ def _split_select_list(select_sql: str) -> list:
     if "".join(cur).strip():
         out.append("".join(cur))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation: does the click↔purchase daily co-movement
+# survive controlling for overall traffic (views)? The registry has
+# marginal association (spearman/kendall/distance correlation, Granger
+# lead-lag); partial correlation is the standard confound screen.
+
+#: shared final tree: three Pearson r's from the ten integer sums,
+#: then the first-order partial formula.
+_PC_FINAL = """
+    SELECT n_days,
+      round((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        6) AS r_xy,
+      round((CAST(n_days AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)),
+        6) AS r_xz,
+      round((CAST(n_days AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)),
+        6) AS r_yz,
+      round((((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+        - ((CAST(n_days AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)))
+        * ((CAST(n_days AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))))
+        / sqrt((1.0 - ((CAST(n_days AS DOUBLE) * sxz
+                        - CAST(sx AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)))
+          * ((CAST(n_days AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))))
+        * (1.0 - ((CAST(n_days AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (CAST(n_days AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)))
+          * ((CAST(n_days AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        / sqrt((CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (CAST(n_days AS DOUBLE) * szz
+                - CAST(sz AS DOUBLE) * sz))))), 6) AS r_partial
+"""
+
+
+@register(
+    "partial_correlation_daily",
+    f"""
+    WITH d AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS y,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS z
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(z) AS BIGINT) AS sz,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy,
+        CAST(sum(z * z) AS BIGINT) AS szz,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * z) AS BIGINT) AS sxz,
+        CAST(sum(y * z) AS BIGINT) AS syz
+      FROM d
+    )
+    {_PC_FINAL}
+    FROM s
+    """,
+)
+def q_partial_correlation_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-ORDER PARTIAL CORRELATION of daily click vs purchase
+    volume CONTROLLING for view volume — the confound screen the
+    marginal association family (spearman_value_vs_time,
+    kendall_tau_daily_volume, distance_correlation, Granger) lacks:
+    clicks and purchases both ride overall traffic, so their marginal
+    r is inflated; r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    asks what remains once traffic is partialled out.
+
+    Exactness: one events scan → per-day (click, purchase, view)
+    BIGINT counts → ten exact integer sums; the three Pearson r's and
+    the partial are ONE shared IEEE tree (identical text in both
+    engines), round-6. Bounds: day counts ≤ 1e6 → n·Σxy ≤ 1e15.
+
+    Scale shape: one hash-agg to ≤ days rows, a 1-row reduce, and
+    scalar arithmetic — nothing data-proportional after the scan."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("g"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("z"),
+        )
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    return s.selectExpr(*[e.strip() for e in _split_select_list(_PC_FINAL)])
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha: internal consistency of the per-day event-type
+# counts treated as k "items" — the reliability readout used to ask
+# whether a composite daily-activity score is coherent or one item
+# moves on its own (the psychometrics twin of the drift family).
+
+@register(
+    "cronbachs_alpha_event_types",
+    """
+    WITH x AS (
+      SELECT epoch_ns(ts) // 1000 // 86400000000 AS g, event_type,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT g FROM x),
+    items AS (SELECT DISTINCT event_type FROM x),
+    filled AS (
+      SELECT d.g, i.event_type, coalesce(x.c, 0) AS c
+      FROM days d CROSS JOIN items i
+      LEFT JOIN x ON x.g = d.g AND x.event_type = i.event_type
+    ),
+    peritem AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c) AS BIGINT) AS s,
+        CAST(sum(c * c) AS BIGINT) AS q
+      FROM filled GROUP BY 1
+    ),
+    iu AS (
+      SELECT CAST(sum(n * q - s * s) AS BIGINT) AS sum_item_u,
+        CAST(count(*) AS BIGINT) AS k
+      FROM peritem
+    ),
+    daytot AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS tday FROM filled GROUP BY 1
+    ),
+    tu AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+        CAST(count(*) * sum(tday * tday) - sum(tday) * sum(tday)
+             AS BIGINT) AS total_u
+      FROM daytot
+    )
+    SELECT iu.k, tu.n_days, iu.sum_item_u, tu.total_u,
+      round((CAST(iu.k AS DOUBLE) / (iu.k - 1.0))
+            * (1.0 - CAST(iu.sum_item_u AS DOUBLE) / tu.total_u),
+            6) AS alpha
+    FROM iu, tu
+    """,
+)
+def q_cronbachs_alpha_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRONBACH'S ALPHA over the k event types as "items" scored by
+    their daily counts: k/(k−1)·(1 − Σ var_item/var_total) — the
+    internal-consistency coefficient asking whether the per-type daily
+    volumes co-move as one construct (high alpha: a shared traffic
+    factor drives all types) or fragment (an item drifting alone —
+    the per-item view the PSI/drift family aggregates away).
+
+    Exactness: variance RATIOS need no variance denominators — with
+    every item observed on the same n days, Σvar_i/var_tot =
+    Σ(n·Σx²−(Σx)²) / (n·ΣT²−(ΣT)²) on pure BIGINTs (denominators n²
+    cancel); alpha is one shared IEEE division, round-6. Day-type
+    cells zero-fill via the days×items spine (both bounded domains).
+
+    Scale shape: one scan → (day, type) hash-agg; everything after
+    runs on ≤ days·k rows."""
+    x = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("g"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    days = x.select("g").distinct()
+    items = x.select("event_type").distinct()
+    filled = (
+        days.crossJoin(F.broadcast(items))
+        .join(x, ["g", "event_type"], "left")
+        .select("g", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    peritem = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    iu = peritem.agg(
+        F.sum(
+            F.col("n") * F.col("q") - F.col("s") * F.col("s")
+        ).alias("sum_item_u"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    daytot = filled.groupBy("g").agg(F.sum("c").alias("tday"))
+    tu = daytot.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("tday") * F.col("tday"))
+            - F.sum("tday") * F.sum("tday")
+        ).alias("total_u"),
+    )
+    return (
+        iu.crossJoin(F.broadcast(tu))
+        .selectExpr(
+            "k",
+            "n_days",
+            "sum_item_u",
+            "total_u",
+            "round((CAST(k AS DOUBLE) / (k - 1.0))"
+            " * (1.0 - CAST(sum_item_u AS DOUBLE) / total_u), 6)"
+            " AS alpha",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient: do the high-degree parts of the co-purchase
+# graph preferentially link to EACH OTHER? phi(k) = 2·E_k/(N_k(N_k−1))
+# over the subgraph induced by nodes of degree > k — the hub-structure
+# readout the degree/assortativity family (degree_powerlaw_mle,
+# degree_assortativity_copurchase) brackets but never computes.
+
+_RC_KS = (4, 8, 12, 16, 24)
+
+
+@register(
+    "rich_club_copurchase",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1')
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT pa AS s, pb AS d FROM e0
+            UNION ALL SELECT pb, pa FROM e0),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    ks AS (SELECT unnest(ARRAY{list(_RC_KS)}) AS k),
+    nk AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_rich
+      FROM ks LEFT JOIN deg ON deg.deg > ks.k GROUP BY 1
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_rich
+      FROM ks LEFT JOIN (
+        SELECT e0.pa, e0.pb, da.deg AS dega, db.deg AS degb
+        FROM e0 JOIN deg da ON da.node = e0.pa
+                JOIN deg db ON db.node = e0.pb
+      ) ed ON ed.dega > ks.k AND ed.degb > ks.k
+      GROUP BY 1
+    )
+    SELECT nk.k, nk.n_rich, ek.e_rich,
+      CASE WHEN nk.n_rich >= 2 THEN
+        round(2.0 * ek.e_rich
+              / (CAST(nk.n_rich AS DOUBLE) * (nk.n_rich - 1.0)), 6)
+      ELSE NULL END AS phi
+    FROM nk JOIN ek ON ek.k = nk.k
+    """,
+)
+def q_rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT phi(k) of the sampled co-purchase graph
+    (md5 0-1 part slice, the ANF-m64 graph): among nodes with degree
+    > k, what fraction of possible edges exist? Rising phi(k) = hubs
+    form a club (the supply-chain core); flat = hubs connect through
+    the periphery. Completes the hub-structure story next to
+    degree_powerlaw_mle (how heavy the tail) and
+    degree_assortativity_copurchase (whether degree correlates across
+    edges).
+
+    Exactness: counts are exact integers; phi is one IEEE division
+    round-6; N_k < 2 yields NULL (division undefined — the branch is
+    exercised at small SFs where no node exceeds the top threshold).
+
+    Scale shape: degree = one hash-agg on the symmetric edge list;
+    E_k = edges joined to the degree table twice (hash equi-joins, no
+    cartesian — the 5-row threshold spine broadcasts); everything
+    aggregates per k. LEFT joins on the spine keep zero-count
+    thresholds present."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.substring(
+                F.md5(F.col("l_partkey").cast("string")), 1, 1
+            ).isin("0", "1")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e0.select(F.col("pa").alias("node")).unionByName(
+        e0.select(F.col("pb").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    nk = (
+        F.broadcast(ks)
+        .join(deg, deg["deg"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.count("node").cast("bigint").alias("n_rich"))
+    )
+    ed = (
+        e0.join(
+            deg.select(
+                F.col("node").alias("na"), F.col("deg").alias("dega")
+            ),
+            F.col("pa") == F.col("na"),
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("nb"), F.col("deg").alias("degb")
+            ),
+            F.col("pb") == F.col("nb"),
+        )
+        .select("pa", "pb", "dega", "degb")
+    )
+    ek = (
+        F.broadcast(ks.withColumnRenamed("k", "k2"))
+        .join(
+            ed,
+            (F.col("dega") > F.col("k2")) & (F.col("degb") > F.col("k2")),
+            "left",
+        )
+        .groupBy("k2")
+        .agg(F.count("pa").cast("bigint").alias("e_rich"))
+    )
+    return (
+        nk.join(ek, nk["k"] == ek["k2"])
+        .selectExpr(
+            "k",
+            "n_rich",
+            "e_rich",
+            "CASE WHEN n_rich >= 2 THEN"
+            " round(2.0 * e_rich"
+            " / (CAST(n_rich AS DOUBLE) * (n_rich - 1.0)), 6)"
+            " ELSE NULL END AS phi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox screen: per-stratum vs pooled association
+# direction for the click-vs-view high-value 2x2, stratified by
+# day-of-week. Association sign compares odds ratios WITHOUT division:
+# OR > 1 iff a*d > b*c on exact integers.
+
+@register(
+    "simpsons_paradox_check",
+    """
+    WITH base AS (
+      SELECT (epoch_ns(ts) // 1000 // 86400000000) % 7 AS dw,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ex,
+        CASE WHEN CAST(round(value * 100) AS BIGINT) >= 3500
+             THEN 1 ELSE 0 END AS hi
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    strat AS (
+      SELECT dw,
+        CAST(sum(ex * hi) AS BIGINT) AS a,
+        CAST(sum(ex * (1 - hi)) AS BIGINT) AS b,
+        CAST(sum((1 - ex) * hi) AS BIGINT) AS c,
+        CAST(sum((1 - ex) * (1 - hi)) AS BIGINT) AS d
+      FROM base GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(sum(a) AS BIGINT) AS pa, CAST(sum(b) AS BIGINT) AS pb,
+        CAST(sum(c) AS BIGINT) AS pc, CAST(sum(d) AS BIGINT) AS pd
+      FROM strat
+    )
+    SELECT s.dw, s.a, s.b, s.c, s.d,
+      s.a * s.d - s.b * s.c AS or_cross,
+      (s.a * s.d > s.b * s.c) AS stratum_positive,
+      (p.pa * p.pd > p.pb * p.pc) AS pooled_positive,
+      ((s.a * s.d > s.b * s.c) != (p.pa * p.pd > p.pb * p.pc))
+        AS reversed_vs_pooled
+    FROM strat s CROSS JOIN pooled p
+    """,
+)
+def q_simpsons_paradox_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPSON'S-PARADOX SCREEN on the click-vs-view high-value 2×2
+    (value ≥ 35.00, ≈ the pooled median so both outcome cells fill),
+    stratified by day-of-week: does the association between arm and
+    high-value run the same way inside every stratum as it does
+    pooled? A reversal (stratum direction ≠ pooled direction) is the
+    aggregation-bias warning every segment-level readout needs before
+    trusting a pooled lift — the screen the stratified family
+    (mantel_haenszel, stratified_ate) assumes was run.
+
+    Exactness: association direction compares odds ratios WITHOUT
+    division — OR > 1 iff a·d > b·c on exact BIGINTs (cells ≤ 1e9 ⇒
+    products ≤ 1e18, int64-safe); every output is an integer or a
+    boolean, so the driver hash is exact with no fp at all.
+
+    Measured non-vacuity (sf0.01): stratum signs split 5 positive /
+    2 negative against a positive pool — both reversal branches real.
+
+    Scale shape: one scan → 7-row stratified hash-agg → 1-row pooled
+    reduce broadcast back. Nothing data-proportional after the scan."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr(
+                "(unix_micros(ts) div 86400000000) % 7"
+            ).alias("dw"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("ex"),
+            F.expr(
+                "CASE WHEN CAST(round(value * 100) AS BIGINT) >= 3500"
+                " THEN 1 ELSE 0 END"
+            ).alias("hi"),
+        )
+    )
+    strat = base.groupBy("dw").agg(
+        F.sum(F.col("ex") * F.col("hi")).cast("bigint").alias("a"),
+        F.sum(F.col("ex") * (1 - F.col("hi"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("ex")) * F.col("hi")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("ex")) * (1 - F.col("hi")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    pooled = strat.agg(
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum("d").alias("pd"),
+    )
+    return strat.crossJoin(F.broadcast(pooled)).selectExpr(
+        "dw",
+        "a",
+        "b",
+        "c",
+        "d",
+        "a * d - b * c AS or_cross",
+        "(a * d > b * c) AS stratum_positive",
+        "(pa * pd > pb * pc) AS pooled_positive",
+        "((a * d > b * c) != (pa * pd > pb * pc)) AS reversed_vs_pooled",
+    )
