@@ -840,3 +840,130 @@ def q_simpsons_paradox_check(
         "(pa * pd > pb * pc) AS pooled_positive",
         "((a * d > b * c) != (pa * pd > pb * pc)) AS reversed_vs_pooled",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout: the locality-preserving alternative to
+# zorder_cells. Z-order (Morton) interleaves bits and takes long
+# diagonal jumps between quadrants; the Hilbert curve visits every
+# cell of the 256x256 grid in unit steps, so range reads over the
+# curve index touch tighter spatial neighborhoods — the better
+# data-layout key for similarity-clustered parquet files.
+
+_HILBERT_N = 256
+
+
+def _hilbert_round_exprs(s: int) -> list[str]:
+    """One unrolled round of the classic xy2d transform (state columns
+    x, y, d; side n=256): pure CASE/integer arithmetic valid verbatim
+    in Spark AND DuckDB (no ^ — it is XOR in Spark but POWER in
+    DuckDB; no DIV/`//` divergence — bit tests use `&`, which both
+    engines share). Property-certified by
+    tests/test_property_stats.py: bijection [0, 65536) with unit
+    Manhattan steps — the two facts that UNIQUELY pin a Hilbert
+    curve, so a transcription slip cannot survive the test."""
+    nm1 = _HILBERT_N - 1
+    return [
+        f"d + {s * s} * (CASE"
+        f" WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN 2"
+        f" WHEN (x & {s}) > 0 THEN 3"
+        f" WHEN (y & {s}) > 0 THEN 1"
+        f" ELSE 0 END) AS d",
+        f"CASE WHEN (y & {s}) > 0 THEN x"
+        f" WHEN (x & {s}) > 0 THEN {nm1} - y ELSE y END AS x",
+        f"CASE WHEN (y & {s}) > 0 THEN y"
+        f" WHEN (x & {s}) > 0 THEN {nm1} - x ELSE x END AS y",
+    ]
+
+
+def _hilbert_oracle() -> str:
+    rounds = []
+    prev = "c0"
+    for i, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        ex = _hilbert_round_exprs(s)
+        rounds.append(
+            f"c{i + 1} AS (SELECT cell_x, cell_y, n_vecs,"
+            f" {ex[0]}, {ex[1]}, {ex[2]} FROM {prev})"
+        )
+        prev = f"c{i + 1}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH q AS (
+      SELECT CAST(least(greatest(floor(
+               ((embedding::DOUBLE[])[1] + 1.0) * 128.0), 0), 255)
+             AS BIGINT) AS cell_x,
+        CAST(least(greatest(floor(
+               ((embedding::DOUBLE[])[2] + 1.0) * 128.0), 0), 255)
+             AS BIGINT) AS cell_y
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM q GROUP BY 1, 2
+    ),
+    c0 AS (
+      SELECT cell_x, cell_y, n_vecs, cell_x AS x, cell_y AS y,
+        CAST(0 AS BIGINT) AS d
+      FROM cells
+    ),
+    {chain}
+    SELECT cell_x, cell_y, n_vecs, d AS hilbert_d,
+      CAST(floor(d / 1024.0) AS BIGINT) AS curve_bucket
+    FROM {prev}
+    """
+
+
+@register("hilbert_curve_cells", _hilbert_oracle())
+def q_hilbert_curve_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE cell index over the embedding table's first two
+    dimensions (256×256 grid) — the locality-preserving data-layout
+    key next to zorder_cells: Morton order jumps across quadrant
+    seams, the Hilbert curve moves in unit steps, so sorting files by
+    hilbert_d gives strictly tighter spatial runs for range reads
+    (curve_bucket = 1024-cell segments is the file-assignment view).
+
+    Exactness: quantization is floor((v+1)·128) clamped to [0,255] on
+    doubles widened from the stored floats (identical in both
+    engines); the 8 unrolled xy2d rounds are pure integer CASE
+    arithmetic shared VERBATIM between Spark and DuckDB
+    (_hilbert_round_exprs — no ^/DIV dialect traps); outputs are all
+    integers, so the driver hash is fp-free. The transform itself is
+    property-certified (bijection + unit steps) in
+    tests/test_property_stats.py.
+
+    Scale shape: one scan → (cell_x, cell_y) hash-agg bounded at
+    65,536 rows; the bit-twiddling runs on cells, not vectors."""
+    q = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "CAST(least(greatest(floor("
+            "(CAST(element_at(embedding, 1) AS DOUBLE) + 1.0) * 128.0),"
+            " 0), 255) AS BIGINT)"
+        ).alias("cell_x"),
+        F.expr(
+            "CAST(least(greatest(floor("
+            "(CAST(element_at(embedding, 2) AS DOUBLE) + 1.0) * 128.0),"
+            " 0), 255) AS BIGINT)"
+        ).alias("cell_y"),
+    )
+    cells = q.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    cur = cells.selectExpr(
+        "cell_x",
+        "cell_y",
+        "n_vecs",
+        "cell_x AS x",
+        "cell_y AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        cur = cur.selectExpr(
+            "cell_x", "cell_y", "n_vecs", *_hilbert_round_exprs(s)
+        )
+    return cur.selectExpr(
+        "cell_x",
+        "cell_y",
+        "n_vecs",
+        "d AS hilbert_d",
+        "CAST(floor(d / 1024.0) AS BIGINT) AS curve_bucket",
+    )

@@ -198,3 +198,45 @@ def test_kendalls_w_perfect_concordance_is_one(
     got = fn(spark, d).collect()[0]
     assert (got["n"], got["k"]) == (4, 3)
     assert got["w"] == 1.0
+
+
+def test_hilbert_transform_bijection_unit_steps(spark):
+    """The unrolled xy2d rounds (shared verbatim with the DuckDB
+    oracle) must produce a true Hilbert curve on the full 256x256
+    grid: d is a bijection onto [0, 65536) and consecutive d values
+    are unit Manhattan steps — the two properties that uniquely pin
+    the curve, so any transcription slip in the CASE logic fails
+    here rather than surviving parity (both engines share the same
+    expression text, so driver parity alone cannot catch it)."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans.stats_r12 import (
+        _HILBERT_N,
+        _hilbert_round_exprs,
+    )
+
+    n = _HILBERT_N
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("bigint").alias("cell_x"),
+            (F.col("id") / n).cast("bigint").alias("cell_y"),
+        )
+        .selectExpr(
+            "cell_x",
+            "cell_y",
+            "cell_x AS x",
+            "cell_y AS y",
+            "CAST(0 AS BIGINT) AS d",
+        )
+    )
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        grid = grid.selectExpr("cell_x", "cell_y", *_hilbert_round_exprs(s))
+    rows = grid.selectExpr("cell_x", "cell_y", "d").collect()
+    by_d = {r.d: (r.cell_x, r.cell_y) for r in rows}
+    assert len(by_d) == n * n
+    assert min(by_d) == 0 and max(by_d) == n * n - 1
+    for d in range(n * n - 1):
+        x1, y1 = by_d[d]
+        x2, y2 = by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, x1, y1, x2, y2)
