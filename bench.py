@@ -367,6 +367,13 @@ HEADLINE = [
     # several dedup/ANN variants with no perf regression gate.
     # r12 additions
     "anf_hop_histogram_m64",
+    "ansari_bradley_click_view",
+    "effect_sizes_click_view",
+    "partial_correlation_daily",
+    "cronbachs_alpha_event_types",
+    "rich_club_copurchase",
+    "simpsons_paradox_check",
+    "hilbert_curve_cells",
     # r11: HEADLINE completion continues below
     "kafka_cast_project",
     "json_parse_flatten",

@@ -622,11 +622,14 @@ _RC_KS = (4, 8, 12, 16, 24)
             FROM sym GROUP BY 1),
     ks AS (SELECT unnest(ARRAY{list(_RC_KS)}) AS k),
     nk AS (
-      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_rich
+      -- count the joined column, not *: an unmatched spine row must
+      -- yield 0, not 1 (caught by sf0.001 parity where the top
+      -- thresholds are empty)
+      SELECT ks.k, CAST(count(deg.node) AS BIGINT) AS n_rich
       FROM ks LEFT JOIN deg ON deg.deg > ks.k GROUP BY 1
     ),
     ek AS (
-      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_rich
+      SELECT ks.k, CAST(count(ed.pa) AS BIGINT) AS e_rich
       FROM ks LEFT JOIN (
         SELECT e0.pa, e0.pb, da.deg AS dega, db.deg AS degb
         FROM e0 JOIN deg da ON da.node = e0.pa
