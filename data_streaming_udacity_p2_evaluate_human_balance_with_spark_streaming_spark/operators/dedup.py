@@ -488,9 +488,15 @@ def connected_components(
     # stage. A count-less hash repartition lets AQE size the layout to
     # the data (1 partition for small graphs, proportional at 100 TB),
     # cutting per-iteration wall ~2× on the bench graphs.
-    sym = e.unionByName(
+    # Pin the symmetrized pair list ONCE (r12): `nodes` and `edges`
+    # both consume it, and with an un-pinned sym each eager checkpoint
+    # re-executed the caller's ENTIRE pair pipeline (for the linkage /
+    # minhash-cluster queries that is a blocked O(block²) scoring join
+    # or the full LSH verify chain — measured as the dominant cost of
+    # entity_resolution_clusters, two 4.5M-row pair builds per call).
+    sym0 = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     # SELF-LOOP edges (node→node): min-over-messages then includes the
     # node's own label, so the propagation step is ONE join + ONE
     # aggregate with no union in the loop — both cheaper and immune to
@@ -500,11 +506,11 @@ def connected_components(
     # node set computed ONCE: it seeds both the self-loops and the
     # initial labels (a second distinct over the symmetrized edges
     # would repeat the aggregate)
-    nodes = sym.select("src").distinct().localCheckpoint()
+    nodes = sym0.select("src").distinct().localCheckpoint(eager=False)
     edges = (
-        sym.unionByName(nodes.select("src", F.col("src").alias("dst")))
+        sym0.unionByName(nodes.select("src", F.col("src").alias("dst")))
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -541,22 +547,37 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
-        new_labels = stepped.localCheckpoint()  # eager: predecessor freeable
-        _free(labels)
-        labels = new_labels
+        # LAZY checkpoint + let the convergence collect materialize it:
+        # one job per round instead of an eager-checkpoint job PLUS the
+        # label-sum job (r12 — halves the round count's scheduling).
+        new_labels = stepped.localCheckpoint(eager=False)
         iterations += chunk
         if early_stop:
-            s = _label_sum(labels)
+            s = _label_sum(new_labels)  # materializes the checkpoint
+            _free(labels)  # predecessor blocks no longer referenced
+            labels = new_labels
             if s == prev_sum:
                 converged = True
                 break
             prev_sum = s
-    _free(edges)
-    if iterations > 0:
-        # the initial labels frame was a PROJECTION of the nodes
-        # checkpoint; once the first iteration materialized its own
-        # checkpoint nothing reads nodes anymore
-        _free(nodes)
+        else:
+            # no collect ever runs: the whole loop stays lazy and
+            # materializes pipelined at the caller's first action;
+            # intermediate blocks are ContextCleaner-released after the
+            # final checkpoint truncates their lineage
+            labels = new_labels
+    if early_stop:
+        # the returned labels are materialized (the last label-sum job),
+        # so the edge/node/sym checkpoints can be released now; in the
+        # lazy (early_stop=False) path they are still needed by the
+        # caller's first action and the ContextCleaner handles them
+        _free(edges)
+        if iterations > 0:
+            # the initial labels frame was a PROJECTION of the nodes
+            # checkpoint; once the first iteration materialized its own
+            # checkpoint nothing reads nodes anymore
+            _free(nodes)
+            _free(sym0)
     if stats is not None:
         # observability for tests/operators: how many propagation rounds
         # ran and whether the fixpoint (not the iteration cap) ended them
@@ -603,9 +624,12 @@ def connected_components_jump(
             pass
 
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # pinned ONCE (r12, same as the plain variant): `edges` and the
+    # nodes/labels init both consume sym, and un-pinned each consumer
+    # re-executed the caller's entire pair pipeline
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     # SELF-LOOPS instead of an in-loop `labels ∪ msgs` union: with
     # (v, v) edges, min-over-messages alone already includes v's own
     # label, so each round is join → aggregate with NO Union node.
@@ -620,9 +644,11 @@ def connected_components_jump(
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
+    )
 
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
@@ -635,11 +661,15 @@ def connected_components_jump(
         )
         # checkpoint BEFORE the shortcut: the self-join needs a leaf
         # plan on both sides (and the next iteration reads this frame
-        # twice — lineage reset, same contract as the plain variant)
+        # twice — lineage reset, same contract as the plain variant).
+        # LAZY: the round's label-sum collect materializes both this
+        # and the shortcut checkpoint in one job (r12 — the eager form
+        # cost three blocking jobs per round).
         propagated = (
-            msgs.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+            msgs.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
-        _free(labels)
         # shortcut (path halving): label <- min(label, label(label)).
         # Inner join is total: every label is an existing node id.
         l, m = propagated.alias("l"), propagated.alias("m")
@@ -649,17 +679,20 @@ def connected_components_jump(
                 F.col("l.node").alias("node"),
                 F.least(F.col("l.label"), F.col("m.label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _free(propagated)
-        labels = new_labels
         iterations += 1
-        s = _label_sum(labels)
+        s = _label_sum(new_labels)  # materializes propagated + shortcut
+        _free(labels)
+        _free(propagated)  # new_labels' lineage is truncated now
+        labels = new_labels
         if s == prev_sum:
             converged = True
             break
         prev_sum = s
     _free(edges)
+    if iterations > 0:
+        _free(sym)  # edges/labels materialized; sym's blocks unneeded
     if stats is not None:
         stats["iterations"] = iterations
         stats["converged"] = converged
@@ -1256,41 +1289,61 @@ def incremental_semantic_dedup(
     Within-batch duplicates are intentionally NOT examined here — run
     `semantic_dedup` on the batch first; this operator answers "is it
     already in the corpus?"."""
-    bcodes = semantic_index(batch, id_col, vec_col, n_planes)
-    a = index.select(
-        F.col("vid").alias("cid"),
-        "cell",
-        F.col("q").alias("qa"),
-        F.col("n2").alias("n2a"),
-    )
-    b = bcodes.select(
-        F.col("vid").alias("bid"),
-        "cell",
-        F.col("q").alias("qb"),
-        F.col("n2").alias("n2b"),
+    bcodes = semantic_index(batch, id_col, vec_col, n_planes).localCheckpoint(
+        eager=False
     )
     t2 = threshold_milli * threshold_milli
-    matches = (
-        b.join(a, "cell")
-        .withColumn(
-            "qdot",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), "
-                "CAST(0 AS BIGINT), (s, v) -> s + v)"
-            ),
+
+    # r12: per-cell batch×corpus int64 GEMM in a cogrouped Arrow batch
+    # replaces the interpreted per-candidate zip_with/aggregate chain —
+    # identical exact arithmetic (see _cell_pair_edges_gemm; the dim ≤
+    # 188 semantic_index guard bounds every int64 product), emitting
+    # the surviving (bid, cid) pairs; the min/count consolidation stays
+    # a JVM hash aggregate.
+    def cross(ldf, rdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "bid": np.array([], dtype=np.int64),
+                "cid": np.array([], dtype=np.int64),
+            }
         )
-        .filter(
-            (F.col("qdot") > 0)
-            & (
-                F.lit(1_000_000) * F.col("qdot") * F.col("qdot")
-                >= F.lit(t2) * F.col("n2a") * F.col("n2b")
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty
+        cids = ldf["vid"].to_numpy(dtype=np.int64)
+        qa = np.stack([np.asarray(x, dtype=np.int64) for x in ldf["q"]])
+        n2a = ldf["n2"].to_numpy(dtype=np.int64)
+        bids = rdf["vid"].to_numpy(dtype=np.int64)
+        qb = np.stack([np.asarray(x, dtype=np.int64) for x in rdf["q"]])
+        n2b = rdf["n2"].to_numpy(dtype=np.int64)
+        out_b, out_c = [], []
+        blk = 1024
+        for i0 in range(0, len(bids), blk):
+            i1 = min(i0 + blk, len(bids))
+            g = qb[i0:i1] @ qa.T
+            ok = (g > 0) & (
+                1_000_000 * g * g >= t2 * (n2b[i0:i1, None] * n2a[None, :])
             )
+            bi, ci = np.nonzero(ok)
+            out_b.append(bids[bi + i0])
+            out_c.append(cids[ci])
+        if not out_b:
+            return empty
+        return pd.DataFrame(
+            {"bid": np.concatenate(out_b), "cid": np.concatenate(out_c)}
         )
-        .groupBy("bid")
-        .agg(
-            F.min("cid").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_matches"),
-        )
+
+    hits = (
+        index.select("vid", "cell", "q", "n2")
+        .groupBy("cell")
+        .cogroup(bcodes.select("vid", "cell", "q", "n2").groupBy("cell"))
+        .applyInPandas(cross, "bid bigint, cid bigint")
+    )
+    matches = hits.groupBy("bid").agg(
+        F.min("cid").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
     )
     return (
         bcodes.select("vid", "cell")
@@ -1302,6 +1355,71 @@ def incremental_semantic_dedup(
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             F.col("dup_of").isNull().alias("kept"),
         )
+    )
+
+
+def _cell_pair_edges_gemm(
+    codes: DataFrame, threshold_milli: int
+) -> DataFrame:
+    """Within-cell near-dup edges over a `semantic_index` code table,
+    scored by per-cell int64 matrix multiplication in an Arrow batch
+    (r12, guide §4.2): the JVM zip_with/aggregate form evaluates an
+    interpreted 64-element lambda chain PER CANDIDATE PAIR (Σ cell²
+    pairs — measured the dominant cost of dedup_semantic_embedding at
+    sf0.1), while one numpy GEMM per cell scores the whole block
+    through BLAS. Arithmetic is EXACT and identical: q codes and n2
+    norms are computed JVM-side by semantic_index (unchanged), the
+    Arrow transfer carries int64, and the divisionless comparison
+    1e6·qdot² ≥ t²·n2a·n2b runs in int64 — in-range by the
+    semantic_index dim ≤ 188 guard, the same bound the JVM path needs.
+    Row blocks of 1024 bound per-batch memory at block×cell matrices,
+    so a hot cell never materializes cell² scores at once.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b — the exact edge set of
+    the zip_with form (oracle-certified via dedup_semantic_embedding)."""
+    t2 = threshold_milli * threshold_milli
+
+    def gen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        q = np.stack(
+            [np.asarray(x, dtype=np.int64) for x in pdf["q"]]
+        )
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        out_a, out_b = [], []
+        blk = 1024
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            g = q[i0:i1] @ q.T
+            ok = (g > 0) & (
+                1_000_000 * g * g >= t2 * (n2[i0:i1, None] * n2[None, :])
+            )
+            ok &= ids[None, :] > ids[i0:i1, None]  # doc_a < doc_b, no self
+            ai, bi = np.nonzero(ok)
+            out_a.append(ids[ai + i0])
+            out_b.append(ids[bi])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
+        )
+
+    return codes.select("vid", "cell", "q", "n2").groupBy("cell").applyInPandas(
+        gen, "doc_a bigint, doc_b bigint"
     )
 
 
@@ -1335,40 +1453,16 @@ def semantic_dedup(
     with cells sized to a cap, which keeps per-cell work bounded; the
     join/CC shape is unchanged. CC runs on the near-dup graph only
     (≈ dup pairs, a small fraction of N)."""
-    codes = semantic_index(corpus, id_col, vec_col, n_planes)
+    # persist the code table: it feeds the pair scorer AND the final
+    # membership join, and recomputing it re-runs the quantization scan
+    codes = semantic_index(corpus, id_col, vec_col, n_planes).localCheckpoint(
+        eager=False
+    )
     cells = codes.select("vid", "cell")
-    a = codes.select(
-        F.col("vid").alias("ia"),
-        "cell",
-        F.col("q").alias("qa"),
-        F.col("n2").alias("n2a"),
-    )
-    b = codes.select(
-        F.col("vid").alias("ib"),
-        "cell",
-        F.col("q").alias("qb"),
-        F.col("n2").alias("n2b"),
-    )
-    t2 = threshold_milli * threshold_milli
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("ib") > F.col("ia"))
-        .withColumn(
-            "qdot",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), "
-                "CAST(0 AS BIGINT), (s, v) -> s + v)"
-            ),
-        )
-        .filter(
-            (F.col("qdot") > 0)
-            & (
-                F.lit(1_000_000) * F.col("qdot") * F.col("qdot")
-                >= F.lit(t2) * F.col("n2a") * F.col("n2b")
-            )
-        )
-        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
-    )
+    # r12: per-cell int64 GEMM in an Arrow batch replaces the
+    # interpreted per-pair zip_with/aggregate chain — same exact edge
+    # set (see _cell_pair_edges_gemm), measured ~3× on the pair stage
+    edges = _cell_pair_edges_gemm(codes, threshold_milli)
     assign = connected_components(edges)
     return (
         cells.join(

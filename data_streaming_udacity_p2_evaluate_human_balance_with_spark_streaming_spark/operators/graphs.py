@@ -13,8 +13,21 @@ community/boilerplate detection.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free(ck: DataFrame) -> None:
+    """Release a materialized localCheckpoint's blocks (best-effort;
+    the plan accessor is internal). Checkpoint blocks are non-evictable
+    and invisible to clearCache(), so every superseded frontier must be
+    freed explicitly once its successor's blocks exist."""
+    try:
+        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def triangle_counts(
@@ -117,13 +130,13 @@ def k_core(
 
     Returns the surviving edges (a_col, b_col)."""
 
-    def _free(ck: DataFrame) -> None:
-        try:
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
-    cur = edges.select(a_col, b_col).repartition(a_col).localCheckpoint()
+    # lazy checkpoints materialized by the (required) fixpoint count:
+    # one job per peel round instead of a blocking checkpoint job PLUS
+    # the count (r12; superseded rounds still freed eagerly — their
+    # blocks exist once the count returns)
+    cur = edges.select(a_col, b_col).repartition(a_col).localCheckpoint(
+        eager=False
+    )
     n_edges = cur.count()
     rounds, converged = 0, False
     for _ in range(max_iter):
@@ -142,12 +155,13 @@ def k_core(
                 F.broadcast(peel.select(F.col("n").alias(b_col))), b_col, "left_anti"
             )
             .select(a_col, b_col)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _free(cur)
+        prev = cur
         cur = nxt
         rounds += 1
         m = cur.count()
+        _free(prev)
         if m == n_edges:
             converged = True
             break
@@ -189,32 +203,39 @@ def pagerank_integer(
     BIGINT arithmetic would otherwise wrap silently and emit wrong
     ranks with no error.
 
-    Iteration shape (the CC discipline): each of the fixed `iterations`
-    rounds is one join (ranks onto out-edges) + one aggregate
-    (contributions per destination); the rank frontier is
-    localCheckpoint-ed per round and superseded checkpoints freed
-    eagerly. Symmetrized edges mean no dangling nodes (every node has
-    out-degree ≥ 1), so total mass is conserved up to truncation.
+    Iteration shape (r12): each of the fixed `iterations` rounds is one
+    join (ranks onto out-edges) + one aggregate (contributions per
+    destination), lineage-truncated by a LAZY localCheckpoint — the
+    recurrence has no per-round driver decision, so the old eager
+    per-round materialization added one blocking count job + a full
+    rank-table block write per round for nothing (with AQE the round's
+    shuffles already execute at plan-compile time; the lazy form just
+    skips the extra job — measured ~9% warm and 60→48 jobs on the
+    copurchase query, scripts/ diag r12). Only the LAST round is eager,
+    which materializes the whole chain, after which every superseded
+    round's blocks are freed explicitly — lazy checkpoints MUST keep
+    the eager-free discipline or each call strands ~iterations block
+    sets and degrades later queries in the session (measured 2× on the
+    r12 profile sweep before the frees were restored). Symmetrized
+    edges mean no dangling nodes (every node has out-degree ≥ 1), so
+    total mass is conserved up to truncation.
 
     Returns (node, rank) with rank the final fixed-point integer."""
-
-    def _free(ck: DataFrame) -> None:
-        try:
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
 
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint()
+    # lazy pin: the overflow-guard count below materializes e2 AND the
+    # initial ranks in ONE job (eager pins here cost one extra blocking
+    # job each and a second pass over the edge build)
+    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
     ranks = (
         e2.select("src").distinct()
         .select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_nodes = ranks.count()
     if damping_pct * n_nodes * scale >= 2**63:
@@ -225,19 +246,23 @@ def pagerank_integer(
             f"BIGINT silently (ANSI off). Lower `scale` (need scale < "
             f"{2**63 // max(1, damping_pct * n_nodes)})."
         )
-    for _ in range(iterations):
+    history = [ranks]
+    for it in range(iterations):
         contrib = (
             e2.join(ranks, e2["src"] == ranks["node"])
             .select("dst", F.expr("r DIV od").alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("_sum"))
         )
-        new_ranks = contrib.select(
+        ranks = contrib.select(
             F.col("dst").alias("node"),
             (F.lit(base) + F.expr(f"({damping_pct} * _sum) DIV 100")).alias("r"),
-        ).localCheckpoint()
-        _free(ranks)
-        ranks = new_ranks
+        ).localCheckpoint(eager=(it == iterations - 1))
+        history.append(ranks)
+    # the eager final checkpoint materialized (and truncated) every
+    # intermediate round en route; release their blocks now
+    for h in history[:-1]:
+        _free(h)
     _free(e2)
     return ranks
 
@@ -256,71 +281,71 @@ def bfs_hops(
     recall expansion from a labeled seed set, and contamination spread
     ("how far does this bad domain reach through the link graph").
 
-    Iteration shape (the connected_components discipline, see
-    k_core above): each round expands the CURRENT FRONTIER only —
-    frontier ⋈ edges on the node key, then a left-anti join against
-    the visited set, so a node is expanded exactly once ever and
-    per-round work is O(edges touched by new nodes), not O(|V|·hops).
-    Visited set and frontier are localCheckpoint-ed per round (bounded
-    plan depth), superseded checkpoints freed eagerly, and the only
-    driver traffic is the one empty-frontier scalar per round. At
-    100 TB both joins hash-partition on the node key; the frontier is
-    broadcast-able in the common small-seed case but the code never
-    requires it.
+    Iteration shape (r12 rework): each round expands the CURRENT
+    FRONTIER only — frontier ⋈ edges on the node key, then a left-anti
+    join against the visited set, so a node is expanded exactly once
+    ever and per-round work is O(edges touched by new nodes), not
+    O(|V|·hops). The frontier is a LAZY localCheckpoint materialized
+    by the (unavoidable) empty-frontier count — one job per round, not
+    a blocking checkpoint job PLUS the count. The visited set is kept
+    as a plan-level UNION of the per-round frontier checkpoints
+    (≤ max_hops + 1 leaf frames) instead of being re-materialized per
+    round — the old shape re-wrote every visited row each round,
+    O(|V|·hops) checkpoint writes for an O(|V|) result, and cost a
+    third job per round. No explicit frees: every frontier block set
+    IS part of the returned result. At 100 TB both joins
+    hash-partition on the node key; the frontier is broadcast-able in
+    the common small-seed case but the code never requires it.
 
     Returns (node, hop) for all reached nodes, hop ∈ [0, max_hops];
     unreached nodes are simply absent (callers can anti-join)."""
-
-    def _free(ck: DataFrame) -> None:
-        try:
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
     # Pin the symmetric edge list ONCE: the per-round joins must not
     # re-derive it (for a composed edge construction — self-join +
     # distinct — lazy reuse re-executes the whole upstream every
-    # round; measured 4x round cost on the copurchase query).
+    # round; measured 4x round cost on the copurchase query). Lazy:
+    # round 1's count materializes it alongside the first frontier.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    visited = (
+    frontier0 = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .repartition("node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    frontier = visited.select("node")
+    fronts = [frontier0]
+    frontier = frontier0.select("node")
     rounds = 0
     for h in range(1, max_hops + 1):
+        visited_nodes = reduce(
+            lambda x, y: x.unionByName(y), (f.select("node") for f in fronts)
+        )
         reached = (
             frontier.join(sym, frontier["node"] == sym["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         new = (
-            reached.join(visited.select("node"), "node", "left_anti")
+            reached.join(visited_nodes, "node", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         if new.count() == 0:
             _free(new)
             break
-        nxt = visited.unionByName(new).localCheckpoint()
-        _free(visited)
-        visited = nxt
+        fronts.append(new)
         frontier = new.select("node")
-    _free(sym)
+    _free(sym)  # every front is count-materialized; sym is unneeded
     if stats is not None:
         stats["rounds"] = rounds
-    return visited
+    return reduce(lambda x, y: x.unionByName(y), fronts)
 
 
 def label_propagation(
@@ -342,9 +367,13 @@ def label_propagation(
     (one hash exchange), then a (node, label) count aggregate with
     map-side partials, then a per-node argmax as max(struct(count,
     -label)) — an aggregate, NEVER a window over a corpus-sized
-    partition. localCheckpoint per round bounds plan depth; superseded
-    checkpoints freed eagerly; ZERO driver round-trips (no convergence
-    test — R is structural).
+    partition. ZERO driver round-trips (no convergence test — R is
+    structural), so r12 runs the rounds on LAZY localCheckpoints (plan
+    depth still bounded; the eager per-round count job is skipped —
+    with AQE the round's shuffles execute at compile time either way).
+    The LAST round is eager, materializing the chain, after which every
+    superseded round's blocks are freed explicitly (lazy checkpoints
+    must keep the eager-free discipline — see pagerank_integer).
 
     Returns (node, lab) after `rounds` rounds; init lab(node) = node."""
 
@@ -353,7 +382,6 @@ def label_propagation(
             ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass
-
     # Pin the symmetric edge list once (same rationale as bfs_hops:
     # lazy reuse re-executes the upstream edge construction per round).
     sym = (
@@ -362,22 +390,23 @@ def label_propagation(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
         .repartition("node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(rounds):
+    history = [labels]
+    for it in range(rounds):
         msgs = (
             labels.join(sym, labels["node"] == sym["src"])
             .groupBy(F.col("dst"), F.col("lab"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        nxt = (
+        labels = (
             msgs.groupBy("dst")
             .agg(
                 F.max(
@@ -387,10 +416,11 @@ def label_propagation(
             .select(
                 F.col("dst").alias("node"), (-F.col("m.nl")).alias("lab")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=(it == rounds - 1))
         )
-        _free(labels)
-        labels = nxt
+        history.append(labels)
+    for h in history[:-1]:
+        _free(h)
     _free(sym)
     return labels
 
@@ -426,9 +456,15 @@ def hits_integer_bipartite(
     ValueError (ADVICE r10: it previously crashed dereferencing the
     never-assigned previous-side frame).
 
-    Iteration shape: one keyed join + one hash agg + a 1-row max
-    broadcast per round; frontiers localCheckpoint-ed and superseded
-    checkpoints freed (the CC/pagerank lineage discipline)."""
+    Iteration shape (r12): one keyed join + one hash agg + a 1-row max
+    broadcast per round on LAZY localCheckpoints (the eager per-round
+    count jobs are skipped; the round's shuffles execute at compile
+    time under AQE either way), with the per-round sum table pinned so
+    the normalization broadcast and the output projection share one
+    execution. The LAST round is eager; every superseded round's
+    blocks are then freed explicitly except the two returned sides
+    (the eager-free discipline — see pagerank_integer). The two
+    overflow-guard degree scans are fused into ONE collect."""
     if iterations < 2:
         raise ValueError(
             "hits_integer_bipartite needs iterations >= 2 (the result "
@@ -441,21 +477,20 @@ def hits_integer_bipartite(
             ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass
-
     e = (
         edges.select(F.col(o_col).alias("o"), F.col(p_col).alias("p"))
         .distinct()
         .repartition("o")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
+    )
+    deg_o = e.groupBy("o").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.max("d").alias("m")
+    )
+    deg_p = e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.max("d").alias("m")
     )
     deg_max = (
-        e.groupBy("o").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
-        or 0
-    )
-    deg_max = max(
-        deg_max,
-        e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
-        or 0,
+        deg_o.unionByName(deg_p).agg(F.max("m")).collect()[0][0] or 0
     )
     if deg_max * scale * scale >= 2**63:
         raise ValueError(
@@ -465,10 +500,11 @@ def hits_integer_bipartite(
     cur = (
         e.select("o").distinct()
         .select(F.col("o").alias("node"), F.lit(scale).cast("long").alias("val"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     side = "h"
     prev_final = None
+    history = [cur]
     for it in range(1, iterations + 1):
         if side == "h":
             joined = e.join(cur, e["o"] == cur["node"]).select(
@@ -480,7 +516,15 @@ def hits_integer_bipartite(
                 F.col("o").alias("nxt"), "val"
             )
             side = "h"
-        s = joined.groupBy("nxt").agg(F.sum("val").alias("s"))
+        # s feeds BOTH the 1-row max subtree and the normalized output:
+        # pin it lazily or the round's join+agg executes twice (the
+        # normalization broadcast materializes the blocks, the main
+        # path then reads them)
+        s = (
+            joined.groupBy("nxt")
+            .agg(F.sum("val").alias("s"))
+            .localCheckpoint(eager=False)
+        )
         mx = s.agg(F.max("s").alias("mx"))
         new = (
             s.crossJoin(F.broadcast(mx))
@@ -488,13 +532,20 @@ def hits_integer_bipartite(
                 F.col("nxt").alias("node"),
                 F.expr(f"CAST((s * {scale}) DIV mx AS BIGINT)").alias("val"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=(it == iterations))
         )
-        if cur is not prev_final:
-            _free(cur)
+        history.append(s)
         if it == iterations - 1:
             prev_final = new
+        else:
+            history.append(new)
         cur = new
+    # the eager final round materialized the whole chain; free every
+    # superseded frame except the two returned sides
+    for h in history:
+        if h is not prev_final and h is not cur:
+            _free(h)
+    _free(e)
     a_side, h_side = (prev_final, cur) if side == "h" else (cur, prev_final)
     return a_side.select(
         F.lit("a").alias("side"), "node", "val"
@@ -518,29 +569,33 @@ def personalized_pagerank_integer(
     restart-walk stationary distribution around the seed.
 
     seed_node=None picks the max-degree node (ties → min id) — a
-    deterministic choice both engines can replay. Same exactness and
-    overflow arguments as pagerank_integer (total mass is ≤ scale here,
-    strictly easier); same per-round join+agg+checkpoint shape.
+    deterministic choice both engines can replay, computed from the
+    PINNED (src, od) pairs (r12: the old form re-ran the caller's
+    whole edge construction for the seed argmax before e2's checkpoint
+    ran it again). Same exactness and overflow arguments as
+    pagerank_integer (total mass is ≤ scale here, strictly easier);
+    same lazy per-round join+agg shape (see pagerank_integer — one
+    pipelined job for all rounds, not one blocking job per round).
 
     Returns (node, r) fixed-point ranks (nodes never reached hold 0
     implicitly and are not emitted — PPR mass is zero off the reachable
     set)."""
-
-    def _free(ck: DataFrame) -> None:
-        try:
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
 
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint()
+    e2 = sym.join(outdeg, "src").repartition("src").localCheckpoint(eager=False)
     if seed_node is None:
+        # (src, od) pairs of e2 ARE the outdeg table (every node keeps
+        # at least one symmetric edge), so the argmax reads the pinned
+        # blocks instead of re-running the edge build — and this first
+        # action is what materializes e2 for the whole loop.
         seed_node = (
-            outdeg.orderBy(F.desc("od"), F.asc("src"))
+            e2.select("src", "od")
+            .distinct()
+            .orderBy(F.desc("od"), F.asc("src"))
             .limit(1)
             .collect()[0]["src"]
         )
@@ -552,24 +607,28 @@ def personalized_pagerank_integer(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("r"),
-    ).localCheckpoint()
-    for _ in range(iterations):
+    ).localCheckpoint(eager=False)
+    history = [ranks]
+    for it in range(iterations):
         contrib = (
             e2.join(ranks, e2["src"] == ranks["node"])
             .select("dst", F.expr("r DIV od").alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("_sum"))
         )
-        new_ranks = contrib.select(
+        ranks = contrib.select(
             F.col("dst").alias("node"),
             (
                 F.when(F.col("dst") == seed_node, F.lit(restart))
                 .otherwise(F.lit(0))
                 + F.expr(f"({damping_pct} * _sum) DIV 100")
             ).cast("long").alias("r"),
-        ).localCheckpoint()
-        _free(ranks)
-        ranks = new_ranks
+        ).localCheckpoint(eager=(it == iterations - 1))
+        history.append(ranks)
+    # eager final round materialized the chain: free superseded blocks
+    for h in history[:-1]:
+        _free(h)
+    _free(e2)
     return ranks
 
 
@@ -608,8 +667,6 @@ def anf_hop_registers(
 
     `m` picks the per-node sketch width: 16 (default, σ≈26%) or the
     r11 VERDICT #5 graduation 64 (σ≈13% at 4× register rows)."""
-    from functools import reduce
-
     from .sketches import hll16_register_exprs, hll64_register_exprs
 
     if m not in (16, 64):
@@ -650,6 +707,89 @@ def anf_hop_registers(
     )
 
 
+def anf_hop_summary(
+    edges: DataFrame,
+    max_hops: int,
+    a_col: str = "pa",
+    b_col: str = "pb",
+    m: int = 16,
+) -> DataFrame:
+    """Per-(hop, node) HLL estimate inputs — s_int = Σ 2^(49−ρ) over
+    present registers and n_regs = their count — computed on a PACKED
+    register layout (r12): one row per node carrying m rho columns
+    instead of anf_hop_registers' one row per (node, bucket). The
+    sketch-union recurrence max(rho) per (node, bucket) becomes m
+    per-column MAX aggregates, so per-hop state and shuffle rows drop
+    m-fold (16× at m=16, 64× at m=64) with the identical recurrence:
+    column j holds bucket j's rho (0 = register empty; true rho ≥ 1),
+    and column-wise max over the union of self + neighbor rows IS the
+    per-bucket max over the unpacked rows. The bucket string → column
+    index map is the obvious bijection (hex char position, plus the
+    quadrant digit for m=64), so s_int / n_regs are equal term-for-term
+    to the unpacked operator's — pinned by pytest against
+    anf_hop_registers on the same graph.
+
+    Same checkpoint discipline as anf_hop_registers: per-hop LAZY
+    localCheckpoints (plan-depth bound, no blocking job per hop);
+    snapshots are all retained — every hop is part of the result."""
+    from .sketches import hll16_register_exprs, hll64_register_exprs
+
+    if m not in (16, 64):
+        raise ValueError(f"anf_hop_summary: unsupported m={m}")
+    ex_fn = hll16_register_exprs if m == 16 else hll64_register_exprs
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    ex = ex_fn("concat(CAST(node AS STRING), ':anf')")
+    base = nodes.select(
+        "node",
+        F.expr(ex["bucket_hex"]).alias("_bh"),
+        F.expr(ex["rho"]).alias("_rho"),
+    )
+    if m == 16:
+        bidx = "instr('0123456789abcdef', _bh) - 1"
+    else:
+        bidx = (
+            "(instr('0123456789abcdef', substring(_bh, 1, 1)) - 1) * 4"
+            " + CAST(substring(_bh, 2, 1) AS INT)"
+        )
+    base = base.select("node", F.expr(f"CAST({bidx} AS INT)").alias("_bidx"), "_rho")
+    rcols = [f"r{j}" for j in range(m)]
+    cur = base.select(
+        "node",
+        *[
+            F.expr(f"CAST(IF(_bidx = {j}, _rho, 0) AS INT)").alias(rcols[j])
+            for j in range(m)
+        ],
+    ).localCheckpoint()
+    snaps = [cur.withColumn("hop", F.lit(0).cast("bigint"))]
+    for h in range(1, max_hops + 1):
+        contrib = sym.join(cur, sym["dst"] == cur["node"]).select(
+            F.col("src").alias("node"), *rcols
+        )
+        cur = (
+            cur.select("node", *rcols)
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in rcols])
+            .localCheckpoint(eager=False)
+        )
+        snaps.append(cur.withColumn("hop", F.lit(h).cast("bigint")))
+    s_int = " + ".join(
+        f"IF(r{j} > 0, shiftleft(CAST(1 AS BIGINT), 49 - r{j}), CAST(0 AS BIGINT))"
+        for j in range(m)
+    )
+    n_regs = " + ".join(f"IF(r{j} > 0, 1, 0)" for j in range(m))
+    return reduce(lambda x, y: x.unionByName(y), snaps).select(
+        "hop",
+        "node",
+        F.expr(f"CAST({s_int} AS BIGINT)").alias("s_int"),
+        F.expr(f"CAST({n_regs} AS BIGINT)").alias("n_regs"),
+    )
+
+
 def bfs_hops_tagged(
     edges: DataFrame,
     seeds: list,
@@ -667,14 +807,16 @@ def bfs_hops_tagged(
     visited is keyed on (seed, node).
 
     Returns (seed, node, hop) with hop ∈ [0, max_hops], exactly the
-    union of per-seed `bfs_hops` outputs (pytest-pinned)."""
+    union of per-seed `bfs_hops` outputs (pytest-pinned).
 
-    def _free(ck: DataFrame) -> None:
-        try:
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
+    r12 rework (same as bfs_hops): the per-round frontier is a LAZY
+    localCheckpoint materialized by the empty-frontier count (one job
+    per round instead of three), and the visited set is the plan-level
+    union of the frontier checkpoints — the old shape re-materialized
+    all visited rows every round (O(|V|·hops) checkpoint writes) and
+    needed the explicit superseded-frontier frees the r11 ADVICE
+    audited; now every frontier block set is part of the result and
+    nothing is freed or rewritten."""
     spark = edges.sparkSession
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -682,51 +824,37 @@ def bfs_hops_tagged(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    visited = (
+    frontier0 = (
         spark.createDataFrame([(s,) for s in seeds], "seed bigint")
         .select("seed", F.col("seed").alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .repartition("node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    frontier = visited.select("seed", "node")
-    # Free each round's eager `new` checkpoint once nothing reads it
-    # again (the freed-rank-loop discipline hits/pagerank use): new_h's
-    # last consumer is round h+1's `new` materialization (it is the
-    # frontier of that join); its rows are already contained in the
-    # visited checkpoint. Freeing it right after the NEXT eager
-    # checkpoint materializes leaks nothing for the session lifetime
-    # and never forces a recompute (eager checkpoints finish inside
-    # the localCheckpoint() call).
-    prev_new = None
+    fronts = [frontier0]
+    frontier = frontier0.select("seed", "node")
     for h in range(1, max_hops + 1):
+        visited_keys = reduce(
+            lambda x, y: x.unionByName(y),
+            (f.select("seed", "node") for f in fronts),
+        )
         reached = (
             frontier.join(sym, frontier["node"] == sym["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
         new = (
-            reached.join(
-                visited.select("seed", "node"), ["seed", "node"], "left_anti"
-            )
+            reached.join(visited_keys, ["seed", "node"], "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if prev_new is not None:
-            _free(prev_new)
-            prev_new = None
         if new.count() == 0:
             _free(new)
             break
-        nxt = visited.unionByName(new).localCheckpoint()
-        _free(visited)
-        visited = nxt
+        fronts.append(new)
         frontier = new.select("seed", "node")
-        prev_new = new
-    if prev_new is not None:
-        _free(prev_new)
-    _free(sym)
-    return visited
+    _free(sym)  # every front is count-materialized; sym is unneeded
+    return reduce(lambda x, y: x.unionByName(y), fronts)

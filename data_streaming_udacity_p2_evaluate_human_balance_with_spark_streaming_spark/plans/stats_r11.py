@@ -232,7 +232,7 @@ def _anf_query(
     m: int,
     chars: tuple = ("0", "1", "2", "3"),
 ) -> DataFrame:
-    from ..operators.graphs import anf_hop_registers, bfs_hops_tagged
+    from ..operators.graphs import anf_hop_summary, bfs_hops_tagged
 
     term_fp = _TERM_FP16 if m == 16 else _TERM_FP64
     err_bound = _ANF_ERR_BOUND if m == 16 else _ANF_ERR_BOUND64
@@ -261,14 +261,10 @@ def _anf_query(
         .distinct()
         .localCheckpoint()
     )
-    regs = anf_hop_registers(e, _ANF_HOPS, m=m)
-    summary = regs.groupBy("hop", "node").agg(
-        F.expr(
-            "CAST(SUM(shiftleft(CAST(1 AS BIGINT), "
-            "CAST(49 - rho AS INT))) AS BIGINT)"
-        ).alias("s_int"),
-        F.count(F.lit(1)).alias("n_regs"),
-    )
+    # r12: the packed-register operator computes the identical
+    # (hop, node, s_int, n_regs) with m-fold fewer state/shuffle rows
+    # per hop (pytest-pinned equal to the anf_hop_registers form)
+    summary = anf_hop_summary(e, _ANF_HOPS, m=m)
     pernode = summary.select(
         "hop", "node", F.expr(term_fp).alias("term_fp")
     ).localCheckpoint()

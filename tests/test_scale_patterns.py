@@ -1924,6 +1924,46 @@ def test_anf_hop_registers_match_exact_ball_union(spark):
     spark.catalog.clearCache()
 
 
+def test_anf_hop_summary_equals_unpacked_registers(spark):
+    """anf_hop_summary (r12 packed layout: one row per node, m rho
+    columns, column-wise MAX recurrence) must produce the EXACT
+    (hop, node, s_int, n_regs) that aggregating anf_hop_registers'
+    unpacked (node, bucket) rows does — for both m=16 and m=64 — on a
+    graph with branching + a disconnected pair, so sketch unions merge
+    registers across distinct buckets."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.graphs import (
+        anf_hop_registers,
+        anf_hop_summary,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (10, 11)],
+        "pa long, pb long",
+    )
+    for m in (16, 64):
+        want = {
+            (r.hop, r.node): (r.s_int, r.n_regs)
+            for r in anf_hop_registers(edges, max_hops=3, m=m)
+            .groupBy("hop", "node")
+            .agg(
+                F.expr(
+                    "CAST(SUM(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(49 - rho AS INT))) AS BIGINT)"
+                ).alias("s_int"),
+                F.count(F.lit(1)).alias("n_regs"),
+            )
+            .collect()
+        }
+        got = {
+            (r.hop, r.node): (r.s_int, r.n_regs)
+            for r in anf_hop_summary(edges, max_hops=3, m=m).collect()
+        }
+        assert got == want, f"m={m}: packed summary diverged"
+    spark.catalog.clearCache()
+
+
 def test_kmv_intersection_cardinality_planted(spark):
     """Theta-style intersection cardinality: on planted half-overlap
     sets A=[0,4000), B=[2000,6000) (|A∩B|=2000), the KMV estimate must
