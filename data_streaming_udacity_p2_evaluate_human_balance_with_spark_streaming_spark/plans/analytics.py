@@ -8390,10 +8390,26 @@ def _fs_scored_pairs(
         .alias("agr_bal"),
         (F.col("a.nm2") == F.col("b.nm2")).cast("bigint").alias("agr_nm"),
     )
-    term = lambda agr, u: F.when(  # noqa: E731 - local expression builder
-        F.col(agr) == 1, F.log(0.9 / F.col(u))
-    ).otherwise(F.log(0.1 / (1.0 - F.col(u))))
-    sc = pr.crossJoin(F.broadcast(uu)).select(
+    # r12: hoist the log() weight constants into the 1-row broadcast —
+    # the old per-pair form evaluated six log() calls per blocked pair
+    # (3·|pairs| agree + disagree branches, ~27M libm calls at sf0.1
+    # across the two consumers). The hoisted columns are the SAME IEEE
+    # doubles (identical ops on identical operands, computed once), so
+    # every rounded match_weight is bit-identical — oracle-pinned.
+    ww = uu.select(
+        *[
+            expr.alias(name)
+            for u, f in (("u_seg", "seg"), ("u_bal", "bal"), ("u_nm", "nm"))
+            for name, expr in (
+                (f"wa_{f}", F.log(0.9 / F.col(u))),
+                (f"wd_{f}", F.log(0.1 / (1.0 - F.col(u)))),
+            )
+        ]
+    )
+    term = lambda agr, f: F.when(  # noqa: E731 - local expression builder
+        F.col(agr) == 1, F.col(f"wa_{f}")
+    ).otherwise(F.col(f"wd_{f}"))
+    sc = pr.crossJoin(F.broadcast(ww)).select(
         "cust_a",
         "cust_b",
         "agr_seg",
@@ -8401,9 +8417,9 @@ def _fs_scored_pairs(
         "agr_nm",
         F.round(
             (
-                term("agr_seg", "u_seg")
-                + term("agr_bal", "u_bal")
-                + term("agr_nm", "u_nm")
+                term("agr_seg", "seg")
+                + term("agr_bal", "bal")
+                + term("agr_nm", "nm")
             )
             / F.log(F.lit(2.0)),
             6,

@@ -831,11 +831,26 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles with linear interpolation (Spark `percentile`
     ≡ DuckDB `quantile_cont`). The approximate scale path is
-    approx_percentiles (rows-only): percentile_approx over sketches."""
+    approx_percentiles (rows-only): percentile_approx over sketches.
+
+    r12: both percentiles come from ONE `percentile(col, array(...))`
+    aggregate — the two separate aggregates each buffered every group
+    value; the fused form builds the per-group counts map once and
+    reads both quantiles from it (values identical: same interpolation
+    over the same sorted counts)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.95D))"
+            ).alias("_ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("p50"),
+            F.col("_ps")[1].alias("p95"),
+        )
     )
 
 
@@ -863,12 +878,24 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check. The approximate values remain reachable via the
     operator; this query's contract is the certificate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r12: the two exact certificate percentiles are ONE
+    # percentile(col, array(...)) aggregate — one per-group counts map
+    # instead of two full value buffers (values identical)
     g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45D, 0.55D))"
+        ).alias("_pp"),
+    )
+    g = g.select(
+        "l_returnflag",
+        "approx_parts",
+        "approx_p50",
+        "exact_parts",
+        F.col("_pp")[0].alias("_p45"),
+        F.col("_pp")[1].alias("_p55"),
     )
     return g.select(
         "l_returnflag",
@@ -2356,25 +2383,39 @@ def q_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating-point accumulation, so numpy and DuckDB agree bit-for-bit
     (a mean/stddev variant would diverge in the last ulp from summation
     order). The closure is self-contained — workers don't have the repo
-    on sys.path (NOTES.md)."""
+    on sys.path (NOTES.md).
+
+    r12 (guide §4.2): the Arrow groups are ID BUCKETS (pmod 256), not
+    single users — one Python call + one VECTORIZED pandas groupby per
+    bucket instead of one interpreted call + DataFrame construction per
+    user (~10k calls at sf0.1; measured ~2×). Per-user statistics are
+    identical: pandas GroupBy median/min/max/size select the same order
+    statistics per user as the per-group Series calls did."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
 
-    def group_stats(pdf):
+    def bucket_stats(pdf):
         import pandas as pd
 
-        v = pdf["value"]
-        return pd.DataFrame(
+        g = pdf.groupby("user_id")["value"]
+        out = pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "med": [float(v.median())],
-                "n": [len(v)],
-                "mn": [float(v.min())],
-                "mx": [float(v.max())],
+                "med": g.median(),
+                "n": g.size().astype("int64"),
+                "mn": g.min(),
+                "mx": g.max(),
             }
         )
+        return out.reset_index().astype(
+            {"user_id": "int64", "med": "float64", "mn": "float64", "mx": "float64"}
+        )[["user_id", "med", "n", "mn", "mx"]]
 
-    return ev.groupBy("user_id").applyInPandas(
-        group_stats, "user_id bigint, med double, n bigint, mn double, mx double"
+    return (
+        ev.withColumn("_b", F.pmod(F.col("user_id"), F.lit(256)))
+        .groupBy("_b")
+        .applyInPandas(
+            bucket_stats,
+            "user_id bigint, med double, n bigint, mn double, mx double",
+        )
     )
 
 
