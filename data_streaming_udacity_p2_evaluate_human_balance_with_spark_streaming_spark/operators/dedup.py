@@ -108,17 +108,40 @@ def lsh_band_table(
     this IS the near-dup index: computed once per corpus snapshot,
     stored banded, and probed by each incoming batch.
 
-    Shingle → hash once → EXPLODE → `num_hashes` min() hash-aggregates.
-    Higher-order lambdas (transform/array_min) are interpreted
-    per-element; a groupBy with plain min aggregates stays inside
-    whole-stage codegen — measured ~3× faster at sf0.1. The shuffle
-    this introduces carries only (id, num_hashes partial mins) per map
-    partition thanks to map-side combine."""
-    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
+    Shingle → EXPLODE → hash per row → `num_hashes` min()
+    hash-aggregates. Higher-order lambdas (transform/array_min) are
+    interpreted per-element; a groupBy with plain min aggregates stays
+    inside whole-stage codegen — measured ~3× faster at sf0.1. The
+    shuffle this introduces carries only (id, num_hashes partial mins)
+    per map partition thanks to map-side combine.
+
+    r12 refinements, same output bit-for-bit: (a) the word-mode token
+    split is hoisted into its own projection so the shingle lambda
+    slices a COLUMN instead of re-evaluating split(text) per shingle
+    (the old expression was O(len²) character work per document);
+    (b) xxhash64 runs per exploded ROW (whole-stage codegen) instead of
+    inside an interpreted transform lambda per array element."""
     rows = num_hashes // bands
-    hashed_df = spread(docs, id_col).select(
-        F.col(id_col).alias("_id"), shingle_fn(text_col, shingle_k).alias("sh")
-    ).select("_id", F.explode(shingle_hashes("sh")).alias("h"))
+    base = spread(docs, id_col)
+    if shingle_mode == "word":
+        toked = base.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            F.split(F.col(text_col), " ").alias("_t"),
+        )
+        sh = F.expr(
+            f"CASE WHEN size(_t) < {shingle_k} THEN array(_txt) "
+            f"ELSE transform(sequence(1, size(_t) - {shingle_k - 1}), "
+            f"i -> array_join(slice(_t, i, {shingle_k}), ' ')) END"
+        )
+    else:
+        toked = base.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+        )
+        sh = char_shingles("_txt", shingle_k)
+    hashed_df = toked.select("_id", F.explode(sh).alias("_s")).select(
+        "_id", F.expr(f"pmod(xxhash64(_s), {MOD})").alias("h")
+    )
     sig = hashed_df.groupBy("_id").agg(
         *[
             F.min(F.expr(minhash_perm("h", j))).alias(f"mh_{j}")

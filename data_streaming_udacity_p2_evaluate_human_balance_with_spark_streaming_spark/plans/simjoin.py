@@ -585,6 +585,12 @@ def q_clustering_coefficient_copurchase(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
+        # r12: pin the edge list — triangle_counts' internal oriented-
+        # edge checkpoint executes its whole upstream at build time,
+        # and the degree branch re-ran the self-join+distinct AGAIN at
+        # the final action (exchange reuse cannot span executions);
+        # pinned, the edge build runs once
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("pa").alias("node"))
@@ -1698,8 +1704,15 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # r12: the per-term RA/AA quantizations are functions of the CENTER
+    # only — computed here on |centers| rows instead of per wedge row
+    # (the old form evaluated log() + the fixed-point div once per
+    # wedge, the largest row count in the query); the summed per-term
+    # values are identical, so every score is bit-identical
     okz = deg.filter(F.col("d") <= WEDGE_CENTER_DEG_CAP).select(
-        F.col("u").alias("z"), F.col("d").alias("dz")
+        F.col("u").alias("z"),
+        F.expr("1000000000000L div d").alias("ra_term"),
+        F.floor(F.lit(1000000000.0) / F.log("d")).cast("bigint").alias("aa_term"),
     )
     wedge = (
         sym.alias("s1")
@@ -1709,21 +1722,16 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s1.u").alias("a"),
             F.col("s2.v").alias("b"),
-            F.col("dz"),
+            "ra_term",
+            "aa_term",
         )
     )
     cand = (
         wedge.groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.sum(F.expr("1000000000000L div dz"))
-            .cast("long")
-            .alias("ra_fp"),
-            F.round(
-                F.sum(F.floor(F.lit(1000000000.0) / F.log("dz")).cast("bigint"))
-                / F.lit(1e9),
-                6,
-            ).alias("adamic_adar"),
+            F.sum("ra_term").cast("long").alias("ra_fp"),
+            F.round(F.sum("aa_term") / F.lit(1e9), 6).alias("adamic_adar"),
         )
     )
     nonedge = cand.join(
