@@ -465,6 +465,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # TEST-ONLY subset knob (r13): the pytest bench smoke validates the
+    # stdout contract, and a full 403-query run at sf0.001 was 13.5 min
+    # of the suite's 41 — 1/3 of the driver's verify window. Unset (the
+    # driver never sets it) the behavior is bit-identical to before;
+    # set, HEADLINE is filtered to the named queries. No timed region
+    # changes either way.
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [n for n in HEADLINE if n in wanted]
     # External-contention snapshot BEFORE the JVM exists: loadavg here
     # is other workloads only. Samples taken mid-run include the
     # bench's own threads and cannot distinguish a stolen core from
@@ -501,7 +512,7 @@ def main() -> None:
     # cluster sees), not single-shot Janino compile latency.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             fn, _ = REGISTRY[name]
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
@@ -511,7 +522,7 @@ def main() -> None:
     # pass-spread contention signal with warm-up, not box noise. After
     # this, the timed passes measure steady state and `contended`
     # means what it says.
-    for name in HEADLINE:
+    for name in headline:
         fn, _ = REGISTRY[name]
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -561,7 +572,7 @@ def main() -> None:
     load_samples = [os.getloadavg()[0]]
     for _pass in range(n_passes):
         _revive_python_workers()
-        for qi, name in enumerate(HEADLINE):
+        for qi, name in enumerate(headline):
             fn, _ = REGISTRY[name]
             t0 = time.perf_counter()
             try:
@@ -720,7 +731,7 @@ def main() -> None:
         "queries": timings,
         "failed": failed,
         "n_ok": len(timings),
-        "n_requested": len(HEADLINE),
+        "n_requested": len(headline),
         "contended": contended,
         "start_loadavg_1m": round(start_load, 2),
         "idle_wait_sec": round(idle_wait_sec, 1),
@@ -749,12 +760,20 @@ def main() -> None:
     try:
         # SPARK_GRAFT_DETAIL_PATH redirects the side file (the pytest
         # bench smoke was silently clobbering the committed sf0.1 detail
-        # with an sf0.001 run before this)
+        # with an sf0.001 run before this). The default path is keyed on
+        # the core count: the r12 driver's 8-core scaling run overwrote
+        # the 32-core run's gate detail (regressions_vs_quiet flags were
+        # 8-core times judged against 32-core pins). BENCH_DETAIL.json
+        # stays the canonical 32-core artifact; other core counts land
+        # in BENCH_DETAIL_c{cpus}.json.
+        default_name = (
+            "BENCH_DETAIL.json" if cpus == 32 else f"BENCH_DETAIL_c{cpus}.json"
+        )
         with open(
             os.environ.get(
                 "SPARK_GRAFT_DETAIL_PATH",
                 os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                    os.path.dirname(os.path.abspath(__file__)), default_name
                 ),
             ),
             "w",

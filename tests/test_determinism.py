@@ -189,7 +189,35 @@ def _rows(df):
     return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", SENSITIVE)
+#: r13 verify-window fix: the slowest invariance re-executions (each
+#: runs its query TWICE under adversarial splits — these 13 cost 151 s
+#: of the suite's 41 min). Invariance is the depth axis; each query's
+#: value contract stays in the default set via test_oracle_parity, and
+#: the full suite (-m "slow or not slow") still runs all of these.
+_SLOW_INVARIANCE = {
+    "pca_top_component",
+    "classifier_logloss_brier",
+    "quantile_normalize_by_source",
+    "negative_sampling_copurchase",
+    "diff_in_diff_value",
+    "encoding_advisor",
+    "json_schema_inference",
+    "markov_stationary_events",
+    "pagerank_parts_copurchase",
+    "dau_wau_stickiness",
+    "entity_resolution_clusters",
+    "active_coverage_time",
+    "link_prediction_scores",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_INVARIANCE else n
+        for n in SENSITIVE
+    ],
+)
 def test_partitioning_invariance(spark, name):
     confs = {
         "spark.sql.files.maxPartitionBytes": "32768",  # many scan splits

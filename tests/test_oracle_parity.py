@@ -14,8 +14,31 @@ from conftest import SF_SMOKE, assert_matches_oracle
 ORACLED = sorted(name for name, (_, sql) in REGISTRY.items() if sql is not None)
 ROWS_ONLY = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
 
+#: r13 verify-window fix: the sf0.001 oracle check for these queries is
+#: dominated by fixed-round TRAINING loops (pca: 80 power iterations =
+#: 82 s; ann_ivf/ann_lsh/ann_quantized: k-means/LSH index builds;
+#: python_datasource_sim: a subprocess datasource), not by operator
+#: logic. Each keeps faster default-set contract coverage —
+#: test_models.test_pca_top_component_matches_numpy_eigenvector,
+#: test_dedup_similarity's ivf/ann recall+index tests,
+#: test_python_datasource's full suite — and the driver's own
+#: CORRECTNESS window samples them at sf0.01 every round.
+_SLOW_ORACLE = {
+    "pca_top_component",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_lsh_topk",
+    "python_datasource_sim",
+}
 
-@pytest.mark.parametrize("name", ORACLED)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in ORACLED
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = REGISTRY[name]
     df = fn(spark, SF_SMOKE)

@@ -6,6 +6,7 @@ reference's semantics (decode → null-filter → birthYear → inner join).
 import base64
 import json
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -216,6 +217,8 @@ _vocab = st.sampled_from(
 _doc_tokens = st.lists(_vocab, min_size=3, max_size=12)
 
 
+@pytest.mark.slow  # r13 verify-window: depth property; oracle parity for
+# setsim_prefix_filter_pairs + the non-binary-threshold test stay fast
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=st.lists(_doc_tokens, min_size=2, max_size=8))
 def test_prefix_filter_lossless_on_arbitrary_corpora(spark, docs):
@@ -256,6 +259,8 @@ def test_prefix_filter_lossless_on_arbitrary_corpora(spark, docs):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow  # r13 verify-window: depth property; the systematic_pps
+# oracle-parity check stays fast
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     weights=st.lists(st.integers(1, 500), min_size=1, max_size=40),

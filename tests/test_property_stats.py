@@ -12,6 +12,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
@@ -90,6 +91,7 @@ def test_wasserstein_query_matches_python_replica(
     assert got["w1"] == _round6(w1)
 
 
+@pytest.mark.slow  # r13 verify-window: depth replica; log_rank oracle parity stays fast
 @settings(
     max_examples=6,
     deadline=None,
