@@ -172,6 +172,59 @@ def global_running_sum(
     )
 
 
+def global_running_sum_row_number(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    rn_col: str = "_global_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative SUM(value) AND 1-based global row number in
+    `order`, in ONE two-pass sweep (r13, guide §2.4): callers that need
+    both (the boundary-sweep queries — active_coverage_time joins a
+    running coverage count to the next-boundary lookup by row number)
+    previously ran global_running_sum and global_row_number separately,
+    which computed and eagerly pinned the range-repartitioned input
+    TWICE and then re-joined the two outputs on the order key. Here the
+    per-partition window evaluates both functions over one sort, the
+    counts/totals come from one (_pid) aggregate, and the triangular
+    offset join carries both offsets — one range exchange, one pin, no
+    recombining join. Values are identical to the two separate ops
+    (`order` must be a total order, as global_row_number requires)."""
+    cols = _order_cols(order)
+    rp = _pin(
+        (
+            df.repartitionByRange(num_partitions, *cols)
+            if num_partitions
+            else df.repartitionByRange(*cols)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = rp.withColumn(
+        "_local_sum",
+        F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_local_rn", F.row_number().over(w))
+    per = rp.groupBy("_pid").agg(
+        F.sum(value_col).alias("_ptotal"), F.count(F.lit(1)).alias("_cnt")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._ptotal"), F.lit(0)).alias("_soff"),
+            F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_roff"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(sum_col, F.col("_soff") + F.col("_local_sum"))
+        .withColumn(rn_col, F.col("_roff") + F.col("_local_rn"))
+        .drop("_pid", "_local_sum", "_local_rn", "_soff", "_roff")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order: list[Column | str],

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import decode
-from ..sources.files import load_table
+from ..sources.files import load_table, table_bytes
 from . import pipelines
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1311,24 +1311,54 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain hash equi-join on doc_id: W× row inflation of tiny rows
     # beats an O(n²) nested loop at any scale. Measured at sf0.1:
     # 9.2 s (BNLJ) → sub-second (hash join).
+    #
+    # r13 (guide §4.1, VERDICT r12 #4): the per-pair verify is a COUNT
+    # JOIN on exploded shingles instead of the interpreted
+    # filter(set_a, x -> array_contains(set_b, x)) lambda — that form
+    # was O(|a|·|b|) interpreted evaluator work PER PAIR (the query had
+    # the suite's worst 8c/32c core ratio, 1.82: pure compute). Here
+    # the a-side postings explode into their W banded targets and hash
+    # equi-join the b-side postings on (doc_b, sh): fan-out is exactly
+    # W per posting (linear in corpus size, no df-skew sensitivity),
+    # all whole-stage codegen. |a∩b| = overlap count, |a∪b| = sza +
+    # szb − overlap — bit-identical values; banded pairs with ZERO
+    # overlap are kept by the left join (overlap 0), exactly the
+    # oracle's row set.
+    sized = sets_df.select("doc_id", F.size("sset").alias("sz"))
+    ex = sets_df.select("doc_id", F.explode("sset").alias("sh"))
     a = (
-        sets_df.withColumn(
+        sized.withColumn(
             "_off", F.explode(F.sequence(F.lit(1), F.lit(_JACCARD_PAIR_WINDOW)))
         )
         .select(
             F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sza"),
             (F.col("doc_id") + F.col("_off")).alias("doc_id"),
-            F.col("sset").alias("set_a"),
         )
     )
-    b = sets_df.select("doc_id", F.col("sset").alias("set_b"))
-    inter = F.expr("size(filter(set_a, x -> array_contains(set_b, x)))")
-    return a.join(b, "doc_id").select(
+    pairs = a.join(
+        sized.select("doc_id", F.col("sz").alias("szb")), "doc_id"
+    ).select("doc_a", F.col("doc_id").alias("doc_b"), "sza", "szb")
+    pa = (
+        ex.withColumn(
+            "_off", F.explode(F.sequence(F.lit(1), F.lit(_JACCARD_PAIR_WINDOW)))
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.col("_off")).alias("doc_b"),
+            "sh",
+        )
+    )
+    o_tab = (
+        pa.join(ex.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
+    return pairs.join(o_tab, ["doc_a", "doc_b"], "left").select(
         "doc_a",
-        F.col("doc_id").alias("doc_b"),
-        (inter.cast("double") / (F.size("set_a") + F.size("set_b") - inter)).alias(
-            "jaccard"
-        ),
+        "doc_b",
+        (o.cast("double") / (F.col("sza") + F.col("szb") - o)).alias("jaccard"),
     )
 
 
@@ -2367,6 +2397,24 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: grouped_median_pandas Arrow-group sizing: one pmod bucket per this
+#: many bytes of on-disk events input, with a floor that keeps small
+#: inputs spread over every core. Bounds the rows any single
+#: applyInPandas group materializes in one Python worker by a constant
+#: independent of total input size (guide §5).
+_MEDIAN_BUCKET_BYTES = 16 << 20
+_MEDIAN_BUCKET_FLOOR = 256
+
+
+def _median_bucket_count(input_bytes: int) -> int:
+    # ceiling division: the count must round UP so bytes-per-bucket
+    # stays <= _MEDIAN_BUCKET_BYTES at every input size
+    return max(
+        _MEDIAN_BUCKET_FLOOR,
+        -(-int(input_bytes) // _MEDIAN_BUCKET_BYTES),
+    )
+
+
 @register(
     "grouped_median_pandas",
     """
@@ -2385,13 +2433,29 @@ def q_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). The closure is self-contained — workers don't have the repo
     on sys.path (NOTES.md).
 
-    r12 (guide §4.2): the Arrow groups are ID BUCKETS (pmod 256), not
+    r12 (guide §4.2): the Arrow groups are ID BUCKETS (pmod n), not
     single users — one Python call + one VECTORIZED pandas groupby per
     bucket instead of one interpreted call + DataFrame construction per
     user (~10k calls at sf0.1; measured ~2×). Per-user statistics are
     identical: pandas GroupBy median/min/max/size select the same order
-    statistics per user as the per-group Series calls did."""
+    statistics per user as the per-group Series calls did.
+
+    r13 (guide §5, VERDICT r12 #1): the bucket count is DATA-
+    PROPORTIONAL, not the constant 256 — applyInPandas materializes a
+    whole group in one Python worker, so a fixed fan-out means per-
+    group memory grows linearly with input (an OOM at 100 TB). One
+    bucket per 16 MiB of on-disk input (floor 256) bounds per-bucket
+    bytes by a constant at any scale; the result is invariant to the
+    bucket count because pmod(user_id, n) keeps every user's rows in
+    exactly one bucket (pinned by test_grouped_median_bucket_scaling).
+
+    Declared null-key behavior (r12 ADVICE): events.user_id is NOT NULL
+    in this schema; if a null ever appeared, the pandas groupby (dropna
+    default) would drop that group rather than crash like the old
+    per-user form — neither shape matches the oracle's NULL group, so
+    nullable keys would need an explicit null branch, not this path."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    n_buckets = _median_bucket_count(table_bytes(sf_dir, "events"))
 
     def bucket_stats(pdf):
         import pandas as pd
@@ -2410,7 +2474,7 @@ def q_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[["user_id", "med", "n", "mn", "mx"]]
 
     return (
-        ev.withColumn("_b", F.pmod(F.col("user_id"), F.lit(256)))
+        ev.withColumn("_b", F.pmod(F.col("user_id"), F.lit(n_buckets)))
         .groupBy("_b")
         .applyInPandas(
             bucket_stats,

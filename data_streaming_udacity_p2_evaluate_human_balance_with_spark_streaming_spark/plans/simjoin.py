@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import prefix_filter_near_dups, sparse_cosine_pairs
 from ..operators.sampling import systematic_pps_sample
 from ..sources.files import load_table
+from .copurchase import copurchase_edges
 from .queries import register
 
 # Super-hub cap for link-prediction wedge centers: a center z fans out
@@ -466,26 +467,7 @@ def q_triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graphs import triangle_counts
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     counts = triangle_counts(e)
     w = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
     return (
@@ -564,34 +546,11 @@ def q_clustering_coefficient_copurchase(
 
     from ..operators.graphs import triangle_counts
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-        # r12: pin the edge list — triangle_counts' internal oriented-
-        # edge checkpoint executes its whole upstream at build time,
-        # and the degree branch re-ran the self-join+distinct AGAIN at
-        # the final action (exchange reuse cannot span executions);
-        # pinned, the edge build runs once
-        .localCheckpoint(eager=False)
-    )
+    # r12 pin kept: triangle_counts' internal oriented-edge checkpoint
+    # executes its whole upstream at build time and the degree branch
+    # re-ran the edge build again at the final action (exchange reuse
+    # cannot span executions); pinned, the edge build runs once
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionByName(e.select(F.col("pb").alias("node")))
@@ -711,26 +670,7 @@ def q_kcore_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graphs import k_core
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     return k_core(e, _KCORE_K, max_iter=_KCORE_ITERS)
 
 
@@ -793,26 +733,7 @@ def q_pagerank_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graphs import pagerank_integer
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     ranks = pagerank_integer(e, iterations=_PR_ITERS)
     w = Window.orderBy(F.desc("r"), F.asc("node"))
     return (
@@ -1211,28 +1132,7 @@ def q_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graphs import bfs_hops
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     nodes = (
         e.select(F.col("pa").alias("n"))
         .unionByName(e.select(F.col("pb").alias("n")))
@@ -1307,28 +1207,7 @@ def q_lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graphs import label_propagation
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     return label_propagation(e, rounds=_LPA_ROUNDS).select(
         F.col("node").alias("part"), F.col("lab").alias("community")
     )
@@ -1678,28 +1557,7 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -1709,7 +1567,13 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the old form evaluated log() + the fixed-point div once per
     # wedge, the largest row count in the query); the summed per-term
     # values are identical, so every score is bit-identical
-    okz = deg.filter(F.col("d") <= WEDGE_CENTER_DEG_CAP).select(
+    # d >= 2 (r12 ADVICE): a degree-1 center can never produce a wedge
+    # (s1.u < s2.v needs two distinct neighbors), but its aa_term would
+    # be 1e9/log(1) = +Inf → Long.MaxValue garbage sitting latent in okz
+    # — filter it out so the row never exists. Bit-identical output.
+    okz = deg.filter(
+        (F.col("d") >= 2) & (F.col("d") <= WEDGE_CENTER_DEG_CAP)
+    ).select(
         F.col("u").alias("z"),
         F.expr("1000000000000L div d").alias("ra_term"),
         F.floor(F.lit(1000000000.0) / F.log("d")).cast("bigint").alias("aa_term"),
@@ -1831,29 +1695,7 @@ def q_degree_assortativity_copurchase(
     the shared co-purchase edge build."""
     from pyspark.sql import functions as F
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 1).isin(
-                "0", "1", "2", "3"
-            )
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))

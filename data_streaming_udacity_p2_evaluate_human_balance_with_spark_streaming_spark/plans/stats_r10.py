@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table
+from .copurchase import copurchase_edges
 from .queries import register
 
 _DAY = "unix_micros(ts) div 86400000000"
@@ -2514,29 +2515,7 @@ def q_ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import personalized_pagerank_integer
     from pyspark.sql.window import Window
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1", "2", "3")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     ranks = personalized_pagerank_integer(e, iterations=_PPR_ITERS)
     w = Window.orderBy(F.desc("r"), F.asc("node"))
     return (
@@ -3662,30 +3641,7 @@ def q_effective_diameter_copurchase(
     checkpoints); seed count is the parallel knob — at 100 TB seeds
     are a sample and the histogram is the estimator (ANF/HyperANF
     replaces exact sets with HLL sketches, same loop shape)."""
-    ev_li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1", "2", "3")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        ev_li.alias("a")
-        .join(
-            ev_li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = copurchase_edges(spark, sf_dir).localCheckpoint()
     from ..operators.graphs import bfs_hops_tagged
 
     nodes = (
@@ -3804,30 +3760,7 @@ def q_modularity_lpa_copurchase(
     from ..operators.graphs import label_propagation
     from .simjoin import _LPA_ROUNDS
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1", "2", "3")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e0 = copurchase_edges(spark, sf_dir).localCheckpoint()
     lab = label_propagation(e0, rounds=_LPA_ROUNDS).select(
         F.col("node").alias("part"), F.col("lab").alias("community")
     )
@@ -3937,32 +3870,10 @@ def q_attribute_assortativity_brand(
 
     Scale shape: two broadcast joins to attach brands (part is a
     dimension), one 2-cell and one ≤|brands| aggregate. No iteration."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1", "2", "3")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand"
     )
-    e0 = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    e0 = copurchase_edges(spark, sf_dir)
     e = (
         e0.join(
             F.broadcast(

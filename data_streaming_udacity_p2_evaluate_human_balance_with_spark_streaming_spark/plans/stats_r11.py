@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table
+from .copurchase import copurchase_edges
 from .queries import register
 
 _ANF_HOPS = 4
@@ -237,30 +238,9 @@ def _anf_query(
     term_fp = _TERM_FP16 if m == 16 else _TERM_FP64
     err_bound = _ANF_ERR_BOUND if m == 16 else _ANF_ERR_BOUND64
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin(*chars)
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = copurchase_edges(
+        spark, sf_dir, sample_chars=tuple(chars)
+    ).localCheckpoint()
     # r12: the packed-register operator computes the identical
     # (hop, node, s_int, n_regs) with m-fold fewer state/shuffle rows
     # per hop (pytest-pinned equal to the anf_hop_registers form)

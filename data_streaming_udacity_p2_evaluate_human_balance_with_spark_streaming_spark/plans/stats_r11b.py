@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.files import load_table
+from .copurchase import copurchase_edges
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -46,30 +47,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa < pb) distinct co-purchase edges over the 4/16 part slice —
     the graph family's shared fixture (anf_hop_histogram,
     effective_diameter_copurchase)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1", "2", "3")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    return (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    return copurchase_edges(spark, sf_dir).localCheckpoint()
 
 
 
@@ -271,8 +249,17 @@ def q_item_item_cosine_parts(
             ),
         )
     )
+    # r13: top-K via orderBy().limit() — TakeOrderedAndProject (per-
+    # partition heaps + driver merge), so the only no-partition rank
+    # window in the plan runs on exactly _II_TOPK rows instead of
+    # sorting the whole scored pair table in one task (the bellman_ford
+    # / link_prediction discipline). Bit-identical: cosine is rounded
+    # BEFORE the cut and (p, q) is a unique total tie-break.
+    top = scored.orderBy(F.desc("cosine"), F.asc("p"), F.asc("q")).limit(
+        _II_TOPK
+    )
     return (
-        scored.withColumn(
+        top.withColumn(
             "rk",
             F.row_number()
             .over(
@@ -280,7 +267,6 @@ def q_item_item_cosine_parts(
             )
             .cast("bigint"),
         )
-        .filter(F.col("rk") <= _II_TOPK)
         .select("p", "q", "co_cnt", "n_p", "n_q", "cosine", "rk")
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table
+from .copurchase import copurchase_edges
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -664,30 +665,9 @@ def q_rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian — the 5-row threshold spine broadcasts); everything
     aggregates per k. LEFT joins on the spine keep zero-count
     thresholds present."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.substring(
-                F.md5(F.col("l_partkey").cast("string")), 1, 1
-            ).isin("0", "1")
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e0 = copurchase_edges(
+        spark, sf_dir, sample_chars=("0", "1")
+    ).localCheckpoint(eager=False)
     sym = e0.select(F.col("pa").alias("node")).unionByName(
         e0.select(F.col("pb").alias("node"))
     )

@@ -69,6 +69,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of one synthetic table (single parquet file or a
+    directory of part files). Drives scale-adaptive batching decisions
+    (e.g. Arrow group bucket counts) from the driver without spending a
+    Spark job on a count(): same input → same size → same plan."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        total = 0
+        for root, _dirs, fs in os.walk(p):
+            for f in fs:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -280,6 +280,8 @@ from hypothesis import strategies as st
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r13 verify-window: depth property; the window-parity
+# and single-row/empty two-pass tests stay fast
 @given(
     vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
     parts=st.integers(min_value=1, max_value=5),
@@ -1053,6 +1055,8 @@ _ivl = st.tuples(st.integers(0, 500), st.integers(0, 120)).map(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r13 verify-window: depth property; the bruteforce-parity
+# interval test stays fast
 @given(
     lefts=st.lists(_ivl, min_size=0, max_size=12),
     rights=st.lists(_ivl, min_size=0, max_size=12),
@@ -2276,3 +2280,73 @@ def test_mutual_info_planted_separating_dim(spark, tmp_path):
     got = {r.dim: r for r in fn(spark, str(tmp_path)).collect()}
     assert got[0].rnk == 1 and got[0].mi_nats == 0.693147
     assert got[1].mi_nats == 0.0
+
+
+def test_grouped_median_bucket_scaling(spark, monkeypatch, tmp_path):
+    """grouped_median_pandas' Arrow-group fan-out must be DATA-
+    PROPORTIONAL (VERDICT r12 #1): a fixed bucket count means per-group
+    memory grows linearly with input and applyInPandas materializes the
+    whole group in one Python worker. Pins (a) the bytes-per-bucket
+    bound for planted large input sizes, (b) the small-input floor, and
+    (c) that the query's RESULT is invariant to the bucket count (every
+    user's rows land in exactly one pmod bucket)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.plans import (
+        queries as q,
+    )
+
+    # (a) per-bucket byte bound at planted scales: 1 GiB, 1 TiB, 100 TB
+    for planted in (1 << 30, 1 << 40, 100 * 10**12):
+        n = q._median_bucket_count(planted)
+        assert planted / n <= q._MEDIAN_BUCKET_BYTES + 1e-9, (planted, n)
+    # (b) floor keeps small inputs spread across cores
+    assert q._median_bucket_count(0) == q._MEDIAN_BUCKET_FLOOR
+    assert q._median_bucket_count(2_000_000) == q._MEDIAN_BUCKET_FLOOR
+
+    # (c) result invariance to the bucket count: force a tiny, prime
+    # fan-out and compare against the default at the smoke SF
+    fn, _ = q.REGISTRY["grouped_median_pandas"]
+    base = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    monkeypatch.setattr(q, "_MEDIAN_BUCKET_FLOOR", 7)
+    small = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    assert base == small and len(base) > 0
+
+
+def test_fused_running_sum_row_number_matches_separate_ops(spark):
+    """global_running_sum_row_number (r13 fusion) must emit exactly the
+    running sum of the separate global_running_sum AND the row number
+    of the separate global_row_number, on a multi-partition frame with
+    negative values (the boundary-sweep ±1 deltas it exists for)."""
+    from data_streaming_udacity_p2_evaluate_human_balance_with_spark_streaming_spark.operators.ranking import (
+        global_row_number,
+        global_running_sum,
+        global_running_sum_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 if i % 3 else -2) for i in range(200)], "t bigint, dd bigint"
+    ).repartition(9)
+    fused = {
+        r.t: (r.c, r.rn)
+        for r in global_running_sum_row_number(
+            df, ["t"], "dd", sum_col="c", rn_col="rn", num_partitions=5
+        ).collect()
+    }
+    cum = {
+        r.t: r.c
+        for r in global_running_sum(
+            df, ["t"], "dd", "c", num_partitions=5
+        ).collect()
+    }
+    rn = {
+        r.t: r.rn
+        for r in global_row_number(
+            df, ["t"], rn_col="rn", num_partitions=5
+        ).collect()
+    }
+    assert fused == {t: (cum[t], rn[t]) for t in cum}
+    assert len(fused) == 200
+
+    empty = spark.createDataFrame([], "t bigint, dd bigint")
+    assert (
+        global_running_sum_row_number(empty, ["t"], "dd").collect() == []
+    )
