@@ -244,18 +244,18 @@ def ngram_jaccard(
     the only shape that survives 100 TB. AQE picks the semi-join
     strategy (broadcast at bench scale).
 
-    r13 (guide §4.1, VERDICT r12 #4): the per-pair verify is a COUNT
-    JOIN over exploded shingles — two codegen hash joins + one hash
-    aggregate — instead of interpreted array_intersect/array_union
-    expressions per candidate pair (array_intersect rebuilds a hash set
-    per ROW in the interpreted evaluator; the count-join form was
-    measured ~2× on the share-heavy setsim corpus and is pure
-    whole-stage codegen). |a ∩ b| = the (doc_a, doc_b) overlap count,
-    |a ∪ b| = sza + szb − overlap; values are bit-identical (same
-    integer counts, same single double division). Candidate pairs with
-    ZERO overlap (possible via band-hash collisions) are kept by the
-    left join with overlap 0 — one output row per candidate pair,
-    exactly the old contract."""
+    r13 NEGATIVE RESULT (don't retry): replacing the per-pair
+    array_intersect/array_union with the count-join verify that won
+    ~2× on setsim (exploded shingles, two hash joins + a count
+    aggregate) measured 3.5× SLOWER here in an interleaved same-JVM
+    A/B at sf0.1 (word 0.14 → 0.50 s, char 1.64 → 5.68 s end-to-end).
+    The two verifies cross over on CANDIDATE DENSITY: setsim's
+    lossless prefix filter admits dense candidate sets where per-pair
+    interpreted intersection dominated (7.3 s of 11), while LSH
+    banding is selective BY DESIGN (candidates ≈ true dups + band
+    collisions at any scale), so the count-join's extra exchanges/
+    stages cost more than the few interpreted intersections they
+    replace."""
     shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
     pairs = pairs.localCheckpoint(eager=False)
     cand_ids = (
@@ -263,41 +263,24 @@ def ngram_jaccard(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # (id, |set|, sset) for candidate docs only; pinned — feeds the two
-    # size joins and the exploded overlap join below
-    sized = (
+    sets_df = (
         spread(docs, id_col)
         .join(cand_ids, id_col, "left_semi")
         .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingle_fn(text_col, shingle_k)).alias("sset"),
         )
-        .select("_id", F.size("sset").alias("sz"), "sset")
         .localCheckpoint(eager=False)
     )
-    ex = sized.select("_id", F.explode("sset").alias("sh"))
-    o_tab = (
-        pairs.join(ex.select(F.col("_id").alias("doc_a"), "sh"), "doc_a")
-        .join(ex.select(F.col("_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_o"))
-    )
-    o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
     return (
-        pairs.join(
-            sized.select(F.col("_id").alias("doc_a"), F.col("sz").alias("sza")),
-            "doc_a",
-        )
-        .join(
-            sized.select(F.col("_id").alias("doc_b"), F.col("sz").alias("szb")),
-            "doc_b",
-        )
-        .join(o_tab, ["doc_a", "doc_b"], "left")
+        pairs.join(sets_df.withColumnRenamed("_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                o.cast("double") / (F.col("sza") + F.col("szb") - o)
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b"))
             ).alias("jaccard"),
         )
     )

@@ -1312,53 +1312,39 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beats an O(n²) nested loop at any scale. Measured at sf0.1:
     # 9.2 s (BNLJ) → sub-second (hash join).
     #
-    # r13 (guide §4.1, VERDICT r12 #4): the per-pair verify is a COUNT
-    # JOIN on exploded shingles instead of the interpreted
-    # filter(set_a, x -> array_contains(set_b, x)) lambda — that form
-    # was O(|a|·|b|) interpreted evaluator work PER PAIR (the query had
-    # the suite's worst 8c/32c core ratio, 1.82: pure compute). Here
-    # the a-side postings explode into their W banded targets and hash
-    # equi-join the b-side postings on (doc_b, sh): fan-out is exactly
-    # W per posting (linear in corpus size, no df-skew sensitivity),
-    # all whole-stage codegen. |a∩b| = overlap count, |a∪b| = sza +
-    # szb − overlap — bit-identical values; banded pairs with ZERO
-    # overlap are kept by the left join (overlap 0), exactly the
-    # oracle's row set.
-    sized = sets_df.select("doc_id", F.size("sset").alias("sz"))
-    ex = sets_df.select("doc_id", F.explode("sset").alias("sh"))
+    # r13: the verify expression is size(array_intersect(...)) — a
+    # hash-set build per row, O(|a|+|b|) — replacing the
+    # filter(set_a, x -> array_contains(set_b, x)) lambda that scanned
+    # set_b per ELEMENT (O(|a|·|b|); this query had the suite's worst
+    # 8c/32c core ratio, 1.82 — pure interpreted compute). Interleaved
+    # same-JVM A/B at sf0.1: 0.98 → 0.62 s; identical integer counts
+    # on the distinct sets, outputs bit-equal.
+    #
+    # r13 NEGATIVE RESULT (don't retry): the count-join verify on
+    # exploded shingles (the setsim form) measured 1.56× SLOWER here
+    # in an interleaved same-JVM A/B (0.87 → 1.36 s at sf0.1) — the
+    # banded candidate set (W per doc) is sparse like LSH's, so the
+    # extra exchanges cost more than the interpreted per-pair
+    # intersections they replace. See ngram_jaccard's docstring for
+    # the candidate-density crossover argument.
     a = (
-        sized.withColumn(
+        sets_df.withColumn(
             "_off", F.explode(F.sequence(F.lit(1), F.lit(_JACCARD_PAIR_WINDOW)))
         )
         .select(
             F.col("doc_id").alias("doc_a"),
-            F.col("sz").alias("sza"),
             (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.col("sset").alias("set_a"),
         )
     )
-    pairs = a.join(
-        sized.select("doc_id", F.col("sz").alias("szb")), "doc_id"
-    ).select("doc_a", F.col("doc_id").alias("doc_b"), "sza", "szb")
-    pa = (
-        ex.withColumn(
-            "_off", F.explode(F.sequence(F.lit(1), F.lit(_JACCARD_PAIR_WINDOW)))
-        )
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + F.col("_off")).alias("doc_b"),
-            "sh",
-        )
-    )
-    o_tab = (
-        pa.join(ex.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_o"))
-    )
-    o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
-    return pairs.join(o_tab, ["doc_a", "doc_b"], "left").select(
+    b = sets_df.select("doc_id", F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return a.join(b, "doc_id").select(
         "doc_a",
-        "doc_b",
-        (o.cast("double") / (F.col("sza") + F.col("szb") - o)).alias("jaccard"),
+        F.col("doc_id").alias("doc_b"),
+        (inter.cast("double") / (F.size("set_a") + F.size("set_b") - inter)).alias(
+            "jaccard"
+        ),
     )
 
 
