@@ -8013,9 +8013,11 @@ def q_eb_shrunk_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
-    # r13: the code now matches the docstring — TakeOrderedAndProject
-    # top-20 (orderBy().limit()), with the rank window running on
-    # exactly 20 rows instead of the full per-user table. Bit-identical
+    # r13: the code now matches the docstring — explicit
+    # TakeOrderedAndProject top-20 (orderBy().limit()). Plan-NEUTRAL on
+    # Spark 4 (InferWindowGroupLimit already limited under the window;
+    # verified in plans/r13/eb_shrunk_purchase_rate_*) — kept so the
+    # heap cut is explicit, not optimizer-dependent. Bit-identical
     # (rounded rate before the cut, unique user_id tie-break).
     w = Window.orderBy(F.col("shrunk_rate").desc(), F.col("user_id").asc())
     return (
@@ -8402,10 +8404,14 @@ def _fs_scored_pairs(
 
 def _fs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _fs_scored_pairs(spark, sf_dir)
-    # r13: top-20 via orderBy().limit() — TakeOrderedAndProject (per-
-    # partition heaps + driver merge) instead of a NO-PARTITION rank
-    # window that single-task-sorted the ENTIRE blocked pair table
-    # (~4.5M rows at sf0.1). Bit-identical: match_weight is rounded
+    # r13 audit note: the explicit orderBy().limit(20) is PLAN-NEUTRAL
+    # on Spark 4 — InferWindowGroupLimit already planted a
+    # TakeOrderedAndProject under the rank window for the old
+    # row_number+filter form (verified: before/after plan shapes are
+    # identical, plans/r13/fellegi_sunter_linkage_*), so the feared
+    # single-task sort of the 4.5M-pair table never existed. Kept
+    # because it makes the heap cut explicit rather than
+    # optimizer-dependent. Bit-identical: match_weight is rounded
     # BEFORE the cut and (cust_a, cust_b) is a unique total tie-break.
     order = [
         F.col("match_weight").desc(),

@@ -880,16 +880,29 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # r12: the two exact certificate percentiles are ONE
     # percentile(col, array(...)) aggregate — one per-group counts map
-    # instead of two full value buffers (values identical)
-    g = li.groupBy("l_returnflag").agg(
+    # instead of two full value buffers (values identical).
+    #
+    # r13 (guide §2.3): the exact distinct count is a SEPARATE
+    # two-level aggregate joined back on the 3-row group key, not a
+    # countDistinct alongside the other aggregates — that form planned
+    # an Expand (2 projections, doubling the rows flowing through the
+    # hash aggregate and its percentile buffers). Interleaved same-JVM
+    # A/B at sf0.1: 6.68 → 3.88 s (0.58×); outputs identical (the
+    # distinct count is exact either way).
+    g1 = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr(
             "percentile(l_extendedprice, array(0.45D, 0.55D))"
         ).alias("_pp"),
     )
-    g = g.select(
+    ex = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    g = g1.join(ex, "l_returnflag").select(
         "l_returnflag",
         "approx_parts",
         "approx_p50",

@@ -249,12 +249,13 @@ def q_item_item_cosine_parts(
             ),
         )
     )
-    # r13: top-K via orderBy().limit() — TakeOrderedAndProject (per-
-    # partition heaps + driver merge), so the only no-partition rank
-    # window in the plan runs on exactly _II_TOPK rows instead of
-    # sorting the whole scored pair table in one task (the bellman_ford
-    # / link_prediction discipline). Bit-identical: cosine is rounded
-    # BEFORE the cut and (p, q) is a unique total tie-break.
+    # r13: explicit top-K via orderBy().limit() — plan-NEUTRAL on
+    # Spark 4 (InferWindowGroupLimit already planted a
+    # TakeOrderedAndProject under the old row_number+filter form;
+    # verified in plans/r13/item_item_cosine_parts_*) — kept so the
+    # heap cut is explicit, not optimizer-dependent. Bit-identical:
+    # cosine is rounded BEFORE the cut and (p, q) is a unique total
+    # tie-break.
     top = scored.orderBy(F.desc("cosine"), F.asc("p"), F.asc("q")).limit(
         _II_TOPK
     )
