@@ -53,14 +53,9 @@ QUERIES = [
     "regr_value_vs_time",
     "windowed_topk_batch",
     "bot_regularity_timing",
-    "setsim_prefix_filter_pairs",
-    "sparse_cosine_pairs",
-    "dedup_minhash_char_ngram",
     "percentiles_exact",
     "approx_aggs",
     "grouped_median_pandas",
-    "huber_location_value",
-    "spearman_value_vs_time",
     "classifier_auc_exact",
 ]
 
