@@ -135,55 +135,50 @@ def k_core(
     # the count (r12; superseded rounds still freed eagerly — their
     # blocks exist once the count returns).
     #
-    # r13 (VERDICT r12 #7): the fixpoint count runs every TWO peel
-    # rounds, halving the driver barriers. Sound because peeling is
-    # MONOTONE (a round only deletes): an unchanged edge count across a
-    # block means every round in the block deleted nothing, i.e. true
-    # fixpoint — and at worst the loop pays one idempotent extra round
-    # past the fixpoint (a degree agg + anti-join that removes nothing)
-    # in exchange for half the collects. Past the fixpoint the result
-    # is identical; under the cap the result equals "exactly max_iter
-    # rounds", which is precisely what the oracle's fixed-iteration
-    # recursive CTE computes.
-    check_every = 2
+    # r13 NEGATIVE RESULT (don't retry): fusing the fixpoint count to
+    # every-2-rounds (the VERDICT r12 #7 candidate) measured ~19%
+    # SLOWER in an interleaved same-JVM A/B (2.52 → 2.99 s at sf0.1,
+    # consistent across passes): the idempotent extra round past the
+    # fixpoint costs a full degree aggregate + two anti-joins over the
+    # surviving edge set — proportionally expensive at ANY scale —
+    # while the count it saves is a cheap fixed barrier. Fused checks
+    # pay off only when the per-round work is trivial next to the
+    # barrier (not true for peeling).
     cur = edges.select(a_col, b_col).repartition(a_col).localCheckpoint(
         eager=False
     )
     n_edges = cur.count()
     rounds, converged = 0, False
-    while rounds < max_iter and not converged:
-        pending: list[DataFrame] = []
-        for _ in range(min(check_every, max_iter - rounds)):
-            deg = (
-                cur.select(F.col(a_col).alias("n"))
-                .unionByName(cur.select(F.col(b_col).alias("n")))
-                .groupBy("n")
-                .agg(F.count(F.lit(1)).alias("d"))
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col(a_col).alias("n"))
+            .unionByName(cur.select(F.col(b_col).alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        peel = deg.filter(F.col("d") < k).select("n")
+        nxt = (
+            cur.join(
+                F.broadcast(peel.select(F.col("n").alias(a_col))), a_col, "left_anti"
             )
-            peel = deg.filter(F.col("d") < k).select("n")
-            nxt = (
-                cur.join(
-                    F.broadcast(peel.select(F.col("n").alias(a_col))),
-                    a_col,
-                    "left_anti",
-                )
-                .join(
-                    F.broadcast(peel.select(F.col("n").alias(b_col))),
-                    b_col,
-                    "left_anti",
-                )
-                .select(a_col, b_col)
-                .localCheckpoint(eager=False)
+            .join(
+                F.broadcast(peel.select(F.col("n").alias(b_col))), b_col, "left_anti"
             )
-            pending.append(cur)
-            cur = nxt
-            rounds += 1
+            .select(a_col, b_col)
+            .localCheckpoint(eager=False)
+        )
+        prev = cur
+        cur = nxt
+        rounds += 1
         m = cur.count()
-        for p in pending:
-            _free(p)
-        if m == n_edges or m == 0:
+        _free(prev)
+        if m == n_edges:
             converged = True
+            break
         n_edges = m
+        if m == 0:
+            converged = True
+            break
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged

@@ -967,13 +967,8 @@ def test_kcore_registry_query_converges_within_cap(spark):
     stats = {}
     out = k_core(e, 18, max_iter=10, stats=stats)
     assert out.count() > 0
-    # r13 fused convergence checks (every 2 rounds): `rounds` counts
-    # performed rounds including the ≤1 idempotent round past the
-    # fixpoint. Oracle safety = fixpoint detected within the oracle's
-    # fixed 10-iteration cap (and even unconverged, max_iter == oracle
-    # iterations would make the sets equal — peeling is monotone).
     assert stats["converged"], stats
-    assert stats["rounds"] <= 10, stats
+    assert stats["rounds"] <= 9, stats
     spark.catalog.clearCache()
 
 
